@@ -1,0 +1,108 @@
+package graft.cdc
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.decode.{ChangeEvent, Decode, Framing, SparkSchema}
+import graft.lake.{IceLite, Merge}
+import graft.registry.{DescriptorRegistry, SchemaKey}
+
+/** Batch replay of a change log into an IceLite table — epoch loop of
+  * decode → MERGE (SURVEY.md §3.4). Also the shared per-epoch apply used by
+  * the streaming tail's foreachBatch. */
+object Replay {
+
+  /** Table columns = RepoChange data fields (seq/op are CDC plumbing). */
+  val dataColNames = Seq("repo", "path", "commit", "lang", "content", "author")
+
+  /** Initialize the target table from the v1 descriptor-derived schema
+    * (columns carry proto field numbers as field IDs). */
+  def createTable(dir: String, buckets: Int): IceLite.Snapshot = {
+    val fs = Cdc.fsV1
+    val desc = fs.findMessage(Cdc.MessageType).get
+    val struct = SparkSchema.structFor(fs, desc)
+    val cols = IceLite.colDefsOf(struct).filter(c => Seq("repo", "path", "commit", "lang", "content").contains(c.name))
+    IceLite.create(dir, IceLite.withCdcCols(cols), Vector("repo", "path"), buckets)
+  }
+
+  /** Decode one epoch's events and shape them for the MERGE: data columns
+    * (with field-ID metadata) + seq + op. Error/invalid rows go to the
+    * dead-letter sink under the table dir. */
+  def decodeForMerge(
+      events: Dataset[ChangeEvent],
+      registry: Broadcast[DescriptorRegistry],
+      deadLetterDir: Option[String]): DataFrame = {
+
+    val defaultKey = SchemaKey(Cdc.SchemaId, -1) // latest version in registry
+    val decoded = Decode.decode(events, registry, defaultKey, Cdc.MessageType, Framing.Raw)
+
+    deadLetterDir.foreach { dld =>
+      val dl = Decode.deadLetter(decoded)
+      // cheap guard: only pay the write when something actually failed
+      if (!dl.isEmpty) dl.write.mode("append").parquet(dld)
+    }
+
+    val ok = Decode.success(decoded)
+    // select("msg.*") drops struct-field metadata, so re-attach the proto
+    // field numbers as graft.fieldId — the IceLite evolution identity
+    val latest = registry.value.resolveKey(defaultKey)
+    val fieldIds = registry.value.descriptor(latest, Cdc.MessageType).get._2
+      .fields.map(f => f.name -> f.number).toMap
+    val avail = ok.columns.toSet
+    val cols = dataColNames.filter(avail.contains).map { c =>
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
+    } ++ Seq(col("seq"), col("op"))
+    ok.select(cols: _*)
+  }
+
+  final case class ReplayResult(epochs: Int, stats: Seq[Merge.MergeStats])
+
+  /** Replay a parquet change log (written by LogGen.writeLog, partitioned by
+    * `epoch`) into the table. Resumable: epochs already in the snapshot are
+    * fenced no-ops, so re-running from 0 is idempotent. */
+  def replayLog(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      buckets: Int = 32): ReplayResult = {
+    import spark.implicits._
+
+    if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+
+    val epochs = spark.read.parquet(logDir).select("epoch").distinct()
+      .as[Long].collect().sorted
+
+    val stats = epochs.map { e =>
+      val ev = spark.read.parquet(logDir)
+        .filter(col("epoch") === e) // partition-dir prune
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[ChangeEvent]
+      val updates = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
+      val st = Merge.mergeEpoch(spark, tableDir, updates, "seq", "op", e)
+      Lineage.append(spark, tableDir, st)
+      st
+    }
+    ReplayResult(epochs.length, stats.toSeq)
+  }
+
+  /** The oracle fold (FIXTURES.md §C): expected final state computed directly
+    * from the decoded log with plain Spark ops — last-writer-wins by seq,
+    * DELETE removes the key. */
+  def oracleFold(spark: SparkSession, logDir: String): DataFrame = {
+    import spark.implicits._
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val ev = spark.read.parquet(logDir)
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[ChangeEvent]
+    val upd = decodeForMerge(ev, registry, None)
+    val cols = upd.columns
+    upd.groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
+      .select(cols.filterNot(Seq("repo", "path").contains).map(c => col(s"__r.$c").as(c)) ++
+        Seq(col("repo"), col("path")): _*)
+      .filter(col("op") =!= "DELETE")
+      .drop("op", "seq")
+  }
+}

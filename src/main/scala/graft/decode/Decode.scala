@@ -1,0 +1,134 @@
+package graft.decode
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.proto.{DynMsg, Descriptors}
+import graft.registry.{DescriptorRegistry, SchemaKey}
+
+/** One change event off the log tail — the Spark-native FlowFile
+  * (payload bytes + metadata; SURVEY.md §1.2 mapping table).
+  * schemaId/schemaVersion/messageType play the role of the reference's
+  * `protobuf.schemaPath` / `protobuf.messageType` attributes
+  * (ProtobufDecoder.java:61-63); schemaVersion = -1 defers to the job
+  * default (attribute-over-property precedence, ProtobufDecoder.java:77-81).
+  */
+final case class ChangeEvent(
+    payload: Array[Byte],
+    schemaId: String,
+    schemaVersion: Int,
+    messageType: String,
+    partition: Int,
+    offset: Long)
+
+object Framing extends Enumeration {
+  /** one raw message per event payload (reference behavior,
+    * ProtobufService.java:64). */
+  val Raw = Value
+  /** many varint-length-prefixed messages per payload (log segments). */
+  val VarintDelimited = Value
+}
+
+/** Routes, mirroring the reference's three relationships
+  * (ProtobufProcessor.java:93-106). */
+object Route {
+  val Success = "success"
+  val InvalidSchema = "invalid_schema"
+  val Error = "error"
+}
+
+/** The decode operator: Dataset[ChangeEvent] → routed DataFrame, descriptor
+  * resolved once per partition from a broadcast registry inside a
+  * Catalyst-typed mapPartitions — never a per-row UDF (SURVEY.md §2.1 #1).
+  */
+object Decode {
+
+  /** Metadata columns preceding the decoded message struct. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("route", StringType, nullable = false),
+    StructField("error", StringType, nullable = true),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Output schema: meta columns + `msg` struct derived from the descriptor
+    * of (defaultSchema, messageType) in the registry. */
+  def outputSchema(registry: DescriptorRegistry, defaultKey: SchemaKey, messageType: String): StructType = {
+    val (fs, desc) = registry.descriptor(defaultKey, messageType).getOrElse(
+      throw new Descriptors.UnknownMessageTypeException(messageType))
+    StructType(metaSchema.fields :+ StructField("msg", SparkSchema.structFor(fs, desc), nullable = true))
+  }
+
+  /** Generic decode. Error rows keep the ORIGINAL payload (dead-letter
+    * contract, ProtobufDecoder.java:99-100); success rows drop it (saves the
+    * shuffle width downstream). */
+  def decode(
+      events: Dataset[ChangeEvent],
+      registry: Broadcast[DescriptorRegistry],
+      defaultKey: SchemaKey,
+      messageType: String,
+      framing: Framing.Value = Framing.Raw): DataFrame = {
+
+    val schema = outputSchema(registry.value, defaultKey, messageType)
+    val msgOrdinal = schema.fieldIndex("msg")
+
+    events.mapPartitions { iter =>
+      val reg = registry.value // one broadcast deref per partition
+      // reader-side (output) descriptor: rows are projected into THIS shape
+      // by field number, whatever descriptor version wrote the event
+      val (fsOut, descOut) = reg.descriptor(defaultKey, messageType).get
+      iter.flatMap { ev =>
+        val key =
+          if (ev.schemaId == null || ev.schemaId.isEmpty) defaultKey
+          else SchemaKey(ev.schemaId, ev.schemaVersion)
+        val mt = if (ev.messageType == null || ev.messageType.isEmpty) messageType else ev.messageType
+        if (mt == null || mt.isEmpty) {
+          Iterator.single(routedRow(Route.Error, "no message type", ev, null, msgOrdinal))
+        } else reg.descriptor(key, mt) match {
+          case None =>
+            val route =
+              if (reg.fileSet(key).isEmpty) Route.InvalidSchema // schema missing (ProtobufDecoder.java:65-68)
+              else Route.Error // unknown message type (ProtobufService.java:59-61)
+            Iterator.single(routedRow(route, s"schema=$key type=$mt unresolved", ev, null, msgOrdinal))
+          case Some((fs, desc)) =>
+            framing match {
+              case Framing.Raw =>
+                try {
+                  val row = SparkSchema.toRowAs(fsOut, descOut, DynMsg.decode(fs, desc, ev.payload))
+                  Iterator.single(routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false))
+                } catch {
+                  case e: Exception =>
+                    Iterator.single(routedRow(Route.Error, e.getMessage, ev, null, msgOrdinal))
+                }
+              case Framing.VarintDelimited =>
+                val (msgs, err) = DynMsg.decodeDelimited(fs, desc, ev.payload)
+                val good = msgs.iterator.map(m =>
+                  routedRow(Route.Success, null, ev, SparkSchema.toRowAs(fsOut, descOut, m), msgOrdinal, keepPayload = false))
+                val bad = err.iterator.map(e =>
+                  routedRow(Route.Error, s"malformed tail: $e", ev, null, msgOrdinal))
+                good ++ bad
+            }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  private def routedRow(route: String, error: String, ev: ChangeEvent,
+      msg: Row, msgOrdinal: Int, keepPayload: Boolean = true): Row = {
+    val vals = new Array[Any](msgOrdinal + 1)
+    vals(0) = route
+    vals(1) = error
+    vals(2) = ev.partition
+    vals(3) = ev.offset
+    vals(4) = if (keepPayload) ev.payload else null
+    vals(msgOrdinal) = msg
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  /** Route splits (filter on the computed column → 3 sinks). */
+  def success(decoded: DataFrame): DataFrame =
+    decoded.filter(decoded("route") === Route.Success).select("partition", "offset", "msg.*")
+  def deadLetter(decoded: DataFrame): DataFrame =
+    decoded.filter(decoded("route") =!= Route.Success)
+      .select("route", "error", "partition", "offset", "payload")
+}

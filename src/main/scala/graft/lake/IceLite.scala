@@ -1,0 +1,229 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType, MetadataBuilder}
+import scala.jdk.CollectionConverters._
+
+/** IceLite — an Iceberg-semantics table layer owned by this engine
+  * (SURVEY.md §7.1): parquet data files + JSON snapshot metadata,
+  * field-ID-based schema evolution, atomic commit-by-rename with
+  * epoch fencing (exactly-once sink), snapshot history for resume.
+  *
+  * Layout:
+  *   <dir>/meta/v00000.json …   — snapshots; latest = max version
+  *   <dir>/data/epoch=<e>/…     — parquet data files, hash-bucketed on key
+  *
+  * On a production object store the create-if-absent rename would be a
+  * catalog swap (Iceberg's commit protocol); the local-FS atomic move has
+  * the same linearizability contract.
+  */
+object IceLite {
+
+  /** One table column: `id` is the proto field number (Iceberg field-ID
+    * semantics — rename keeps the id, so old files map by id, not name).
+    * Negative ids are engine-reserved hidden columns (CDC bookkeeping). */
+  final case class ColDef(id: Int, name: String, dataType: String) {
+    def sparkType: DataType = DataType.fromDDL(dataType)
+    def hidden: Boolean = id < 0
+  }
+
+  /** Hidden CDC bookkeeping columns: last applied sequence per key and the
+    * tombstone flag. Version-ordered MERGE compares against __seq so
+    * out-of-order / late / replayed events are absorbed (LWW); tombstones
+    * keep DELETEs winning over late lower-seq upserts. */
+  val SeqCol = ColDef(-1, "__seq", "BIGINT")
+  val DelCol = ColDef(-2, "__del", "BOOLEAN")
+  def withCdcCols(schema: Vector[ColDef]): Vector[ColDef] = schema :+ SeqCol :+ DelCol
+
+  final case class DataFile(path: String, bucket: Int, rows: Long, schemaVersion: Int)
+
+  final case class Snapshot(
+      version: Int,
+      epochs: Vector[Long],
+      /** all schema versions ever committed; last = current. Index = schemaVersion. */
+      schemas: Vector[Vector[ColDef]],
+      keyCols: Vector[String],
+      buckets: Int,
+      files: Vector[DataFile]) {
+    def currentSchemaVersion: Int = schemas.length - 1
+    def currentSchema: Vector[ColDef] = schemas.last
+    def currentStruct: StructType = structOf(currentSchema)
+    def hasEpoch(e: Long): Boolean = epochs.contains(e)
+  }
+
+  def structOf(cols: Seq[ColDef]): StructType = StructType(cols.map { c =>
+    StructField(c.name, c.sparkType, nullable = true,
+      new MetadataBuilder().putLong("graft.fieldId", c.id.toLong).build())
+  })
+
+  /** Extract (id,name,type) triples from a DataFrame schema whose columns
+    * carry "graft.fieldId" metadata (as produced by decode.SparkSchema). */
+  def colDefsOf(schema: StructType): Vector[ColDef] = schema.fields.toVector.map { f =>
+    val id =
+      if (f.metadata.contains("graft.fieldId")) f.metadata.getLong("graft.fieldId").toInt
+      else throw new IllegalArgumentException(s"column ${f.name} lacks graft.fieldId metadata")
+    ColDef(id, f.name, f.dataType.sql)
+  }
+
+  // ------------------------------------------------------------------ json
+
+  private val mapper = new ObjectMapper()
+
+  private def toJson(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    val eps = root.putArray("epochs"); s.epochs.foreach(eps.add)
+    val schemas = root.putArray("schemas")
+    s.schemas.foreach { cols =>
+      val arr = schemas.addArray()
+      cols.foreach { c =>
+        val o = arr.addObject()
+        o.put("id", c.id); o.put("name", c.name); o.put("type", c.dataType)
+      }
+    }
+    val keys = root.putArray("keyCols"); s.keyCols.foreach(keys.add)
+    root.put("buckets", s.buckets)
+    val files = root.putArray("files")
+    s.files.foreach { f =>
+      val o = files.addObject()
+      o.put("path", f.path); o.put("bucket", f.bucket)
+      o.put("rows", f.rows); o.put("schemaVersion", f.schemaVersion)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def fromJson(json: String): Snapshot = {
+    val n = mapper.readTree(json)
+    Snapshot(
+      version = n.get("version").asInt(),
+      epochs = n.get("epochs").elements().asScala.map(_.asLong()).toVector,
+      schemas = n.get("schemas").elements().asScala.map { arr =>
+        arr.elements().asScala.map(c =>
+          ColDef(c.get("id").asInt(), c.get("name").asText(), c.get("type").asText())).toVector
+      }.toVector,
+      keyCols = n.get("keyCols").elements().asScala.map(_.asText()).toVector,
+      buckets = n.get("buckets").asInt(),
+      files = n.get("files").elements().asScala.map(f =>
+        DataFile(f.get("path").asText(), f.get("bucket").asInt(),
+          f.get("rows").asLong(), f.get("schemaVersion").asInt())).toVector)
+  }
+
+  // ---------------------------------------------------------------- commits
+
+  private def metaDir(dir: String): Path = Paths.get(dir, "meta")
+  private def snapPath(dir: String, v: Int): Path = metaDir(dir).resolve(f"v$v%05d.json")
+
+  def create(dir: String, schema: Vector[ColDef], keyCols: Vector[String], buckets: Int): Snapshot = {
+    Files.createDirectories(metaDir(dir))
+    Files.createDirectories(Paths.get(dir, "data"))
+    val snap = Snapshot(0, Vector.empty, Vector(schema), keyCols, buckets, Vector.empty)
+    writeAtomic(dir, snap)
+    snap
+  }
+
+  def exists(dir: String): Boolean =
+    Files.isDirectory(metaDir(dir)) && latestVersion(dir).isDefined
+
+  private def latestVersion(dir: String): Option[Int] = {
+    val md = metaDir(dir)
+    if (!Files.isDirectory(md)) return None
+    val vs = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") => s.drop(1).dropRight(5).toInt }
+      .toVector
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def load(dir: String): Snapshot = {
+    val v = latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no IceLite table at $dir"))
+    fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
+  }
+
+  /** Snapshot history (time travel / resume ledger). */
+  def history(dir: String): Vector[Int] = {
+    val md = metaDir(dir)
+    Files.list(md).iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") => s.drop(1).dropRight(5).toInt }
+      .toVector.sorted
+  }
+
+  def loadVersion(dir: String, v: Int): Snapshot =
+    fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
+
+  /** Atomic create-if-absent: tmp file + ATOMIC_MOVE (no REPLACE) — two
+    * racing committers of the same version: exactly one wins. */
+  private def writeAtomic(dir: String, snap: Snapshot): Boolean = {
+    val tmp = Files.createTempFile(metaDir(dir), ".tmp-snap", ".json")
+    Files.write(tmp, toJson(snap).getBytes("UTF-8"))
+    try {
+      Files.move(tmp, snapPath(dir, snap.version), StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  /** Commit `next` on top of `base`. Returns the committed snapshot, or the
+    * CURRENT snapshot unchanged if the epoch was already committed by someone
+    * else (idempotent replay — the exactly-once fence, SURVEY.md §2.3). */
+  def commit(dir: String, base: Snapshot, next: Snapshot, epochId: Long): Snapshot = {
+    var attempt = next.copy(version = base.version + 1)
+    while (true) {
+      val cur = load(dir)
+      if (cur.hasEpoch(epochId)) return cur // fenced: duplicate epoch is a no-op
+      if (cur.version != attempt.version - 1) {
+        // concurrent commit of a different epoch: rebase file list on top
+        attempt = attempt.copy(version = cur.version + 1)
+      }
+      if (writeAtomic(dir, attempt)) return attempt
+      // lost the race — loop re-reads and re-fences
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ------------------------------------------------------------------ reads
+
+  /** Read a set of data files, mapping each file's stored schema version to
+    * the CURRENT schema by field id: renamed columns re-aliased, missing
+    * columns null-filled, widened columns cast (Iceberg read semantics). */
+  def read(spark: SparkSession, snap: Snapshot, fileFilter: DataFile => Boolean = _ => true,
+      includeHidden: Boolean = false): DataFrame = {
+    val cur = snap.currentSchema
+    val groups = snap.files.filter(fileFilter).groupBy(_.schemaVersion)
+    val parts = groups.toSeq.sortBy(_._1).map { case (sv, files) =>
+      val old = snap.schemas(sv)
+      val oldById = old.map(c => c.id -> c).toMap
+      val df = spark.read.schema(structOf(old)).parquet(files.map(_.path): _*)
+      df.select(cur.map { c =>
+        oldById.get(c.id) match {
+          case Some(oc) => col(oc.name).cast(c.sparkType).as(c.name)
+          case None => lit(null).cast(c.sparkType).as(c.name)
+        }
+      }: _*)
+    }
+    val all = parts.reduceOption(_.unionAll(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.currentStruct))
+    if (includeHidden) all
+    else {
+      val hidden = cur.filter(_.hidden).map(_.name)
+      val live = if (hidden.contains(DelCol.name))
+        all.where(!coalesce(col(DelCol.name), lit(false))) else all
+      live.drop(hidden: _*)
+    }
+  }
+
+  def readBuckets(spark: SparkSession, snap: Snapshot, buckets: Set[Int]): DataFrame =
+    read(spark, snap, f => buckets.contains(f.bucket))
+
+  /** The bucket expression — xxhash64 on the key columns mod B. Balanced
+    * (not repo-only) so hot repos don't produce hot buckets; hot-KEY skew in
+    * the merge join is handled by AQE + salting in Merge. */
+  def bucketExpr(keyCols: Seq[String], buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
+}

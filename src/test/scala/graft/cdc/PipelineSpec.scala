@@ -1,0 +1,238 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.decode.{ChangeEvent, Decode, Framing}
+import graft.lake.{IceLite, Merge}
+import graft.registry.{DescriptorRegistry, SchemaKey}
+
+/** End-to-end engine tests (SURVEY.md §5.2 items 3-4): decode routing,
+  * IceLite commit/fence, MERGE semantics, replay equivalence incl. sha256
+  * invariant, idempotent re-replay, schema evolution, streaming tail resume. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ------------------------------------------------------------- decode
+
+  test("decode routes: success / invalid_schema / error (reference relationships)") {
+    import spark.implicits._
+    val fs = Cdc.fsV1
+    val desc = fs.findMessage("RepoChange").get
+    val good = LogGen.encodeChange(
+      LogGen.RawChange("r", "p", "c", "scala", "x", 5L, "UPSERT", ""), desc, fs, includeAuthor = false)
+    val events = Seq(
+      ChangeEvent(good, "repo_change", 1, "RepoChange", 0, 0L),          // success
+      ChangeEvent(good, "no_such_schema", 1, "RepoChange", 0, 1L),       // invalid_schema
+      ChangeEvent(good, "repo_change", 1, "NoSuchType", 0, 2L),          // error: unknown type
+      ChangeEvent(good, "repo_change", 1, "", 0, 3L),                    // falls back to default type
+      ChangeEvent(Array[Byte](0x0f, 0x01), "repo_change", 1, "RepoChange", 0, 4L) // error: malformed
+    ).toDS()
+    val reg = spark.sparkContext.broadcast(Cdc.registryV1Only)
+    val out = Decode.decode(events, reg, SchemaKey("repo_change", -1), "RepoChange", Framing.Raw)
+    val routes = out.select("offset", "route").as[(Long, String)].collect().toMap
+    assert(routes(0L) == "success")
+    assert(routes(1L) == "invalid_schema")
+    assert(routes(2L) == "error")
+    assert(routes(3L) == "success")
+    assert(routes(4L) == "error")
+    // dead-letter rows keep the ORIGINAL payload (ProtobufDecoder.java:99-100)
+    val dl = Decode.deadLetter(out)
+    assert(dl.count() == 3)
+    assert(dl.filter(col("offset") === 1L).select("payload").as[Array[Byte]].head().sameElements(good))
+    // success rows decode the message fields
+    val ok = Decode.success(out)
+    assert(ok.filter(col("offset") === 0L).select("repo", "seq").as[(String, Long)].head() == ("r", 5L))
+  }
+
+  test("decode: per-event schema version overrides default (config precedence)") {
+    import spark.implicits._
+    val fs2 = Cdc.fsV2
+    val desc2 = fs2.findMessage("RepoChange").get
+    val withAuthor = LogGen.encodeChange(
+      LogGen.RawChange("r", "p", "c", "scala", "x", 5L, "UPSERT", "alice"), desc2, fs2, includeAuthor = true)
+    val events = Seq(
+      ChangeEvent(withAuthor, "repo_change", 2, "RepoChange", 0, 0L),
+      ChangeEvent(withAuthor, "repo_change", 1, "RepoChange", 0, 1L)  // v1 descriptor: author is unknown → dropped
+    ).toDS()
+    val reg = spark.sparkContext.broadcast(Cdc.registry)
+    val out = Decode.decode(events, reg, SchemaKey("repo_change", 2), "RepoChange")
+    val ok = Decode.success(out)
+    val byOffset = ok.select("offset", "author").as[(Long, String)].collect().toMap
+    assert(byOffset(0L) == "alice")
+    assert(byOffset(1L) == "") // v1 has no author field: proto3 default
+  }
+
+  test("delimited framing: many messages per payload, good prefix on malformed tail") {
+    import spark.implicits._
+    val fs = Cdc.fsV1
+    val desc = fs.findMessage("RepoChange").get
+    val msgs = (1 to 5).map(i => graft.proto.ProtoJson.fromJson(fs, desc,
+      s"""{"repo":"r$i","path":"p","seq":"$i"}"""))
+    val stream = graft.proto.DynMsg.encodeDelimited(fs, msgs)
+    val truncated = stream.dropRight(2)
+    val events = Seq(
+      ChangeEvent(stream, "repo_change", 1, "RepoChange", 0, 0L),
+      ChangeEvent(truncated, "repo_change", 1, "RepoChange", 0, 1L)).toDS()
+    val reg = spark.sparkContext.broadcast(Cdc.registryV1Only)
+    val out = Decode.decode(events, reg, SchemaKey("repo_change", -1), "RepoChange", Framing.VarintDelimited)
+    assert(out.filter(col("route") === "success" && col("offset") === 0L).count() == 5)
+    assert(out.filter(col("route") === "success" && col("offset") === 1L).count() == 4)
+    assert(out.filter(col("route") === "error" && col("offset") === 1L).count() == 1)
+  }
+
+  // ------------------------------------------------------------- icelite
+
+  test("IceLite: create/load/commit, duplicate-epoch fence, history") {
+    val dir = tmp("ice")
+    val cols = Vector(IceLite.ColDef(1, "k", "STRING"), IceLite.ColDef(2, "v", "BIGINT"))
+    val s0 = IceLite.create(dir, cols, Vector("k"), 8)
+    assert(IceLite.load(dir).version == 0)
+    val s1 = IceLite.commit(dir, s0, s0.copy(epochs = Vector(7L)), 7L)
+    assert(s1.version == 1 && s1.hasEpoch(7L))
+    // duplicate epoch: no-op, returns current unchanged
+    val s2 = IceLite.commit(dir, s1, s1.copy(epochs = s1.epochs :+ 7L, version = 99), 7L)
+    assert(s2.version == 1)
+    assert(IceLite.history(dir) == Vector(0, 1))
+  }
+
+  // ------------------------------------------------------------- merge
+
+  test("MERGE: upsert wins by seq (LWW), delete removes key, untouched buckets carried") {
+    import spark.implicits._
+    val dir = tmp("merge")
+    Replay.createTable(dir, buckets = 8)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      // attach field-id metadata as decode would
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    // epoch 0: a@1, a@3 (LWW→3), b@2
+    val st0 = Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r1", "a", "old", 1L, "UPSERT"),
+      ("r1", "a", "new", 3L, "UPSERT"),
+      ("r1", "b", "bee", 2L, "UPSERT"))), "seq", "op", 0L)
+    assert(st0.applied && st0.batchRows == 2)
+    val t0 = IceLite.read(spark, IceLite.load(dir))
+    assert(t0.count() == 2)
+    assert(t0.filter($"path" === "a").select("content").as[String].head() == "new")
+    // epoch 1: delete a, add c
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r1", "a", "", 10L, "DELETE"),
+      ("r2", "c", "sea", 11L, "UPSERT"))), "seq", "op", 1L)
+    val t1 = IceLite.read(spark, IceLite.load(dir))
+    assert(sortedRows(t1.select("repo", "path")) == Seq("[r1,b]", "[r2,c]"))
+    // replay epoch 1 (duplicate): fenced no-op
+    val stDup = Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r9", "z", "zzz", 99L, "UPSERT"))), "seq", "op", 1L)
+    assert(!stDup.applied)
+    assert(IceLite.read(spark, IceLite.load(dir)).count() == 2)
+  }
+
+  // ------------------------------------------------------------- replay e2e
+
+  test("replay equivalence: final table == oracle fold, sha256 invariant, idempotent rerun") {
+    val logDir = tmp("log")
+    val tableDir = tmp("table")
+    val p = LogGen.Params(nEvents = 10000, nRepos = 50, pathsPerRepo = 40, v1Fraction = 1.0)
+    LogGen.writeLog(spark, p, logDir, epochs = 4)
+
+    val r = Replay.replayLog(spark, logDir, tableDir, buckets = 8)
+    assert(r.epochs == 4 && r.stats.forall(_.applied))
+
+    val got = IceLite.read(spark, IceLite.load(tableDir))
+    val want = Replay.oracleFold(spark, logDir)
+    // per-row invariant vs the oracle: content sha256 equality on (repo, path)
+    val g = got.select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+    val w = want.select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+    assert(g.exceptAll(w).isEmpty && w.exceptAll(g).isEmpty,
+      s"diff: got-only=${g.exceptAll(w).count()}, want-only=${w.exceptAll(g).count()}")
+    assert(got.count() == want.count() && got.count() > 0)
+
+    // replay again from scratch: every epoch fenced, state unchanged
+    val rowsBefore = sortedRows(got.select("repo", "path", "content"))
+    val r2 = Replay.replayLog(spark, logDir, tableDir, buckets = 8)
+    assert(r2.stats.forall(!_.applied))
+    val rowsAfter = sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content"))
+    assert(rowsBefore == rowsAfter)
+
+    // lineage ledger recorded both runs' epochs (applied + fenced)
+    assert(Lineage.read(spark, tableDir).count() == 8)
+  }
+
+  test("schema evolution: v1→v2 mid-log adds author column; old rows null/absent") {
+    val logDir = tmp("evlog")
+    val tableDir = tmp("evtable")
+    val p = LogGen.Params(nEvents = 2000, nRepos = 20, pathsPerRepo = 20, v1Fraction = 0.5)
+    LogGen.writeLog(spark, p, logDir, epochs = 4)
+    Replay.replayLog(spark, logDir, tableDir, buckets = 8)
+
+    val snap = IceLite.load(tableDir)
+    assert(snap.currentSchema.exists(c => c.name == "author" && c.id == 8))
+    val t = IceLite.read(spark, snap)
+    assert(t.columns.contains("author"))
+    // v2-written keys have authors; final state matches oracle incl. author
+    val want = Replay.oracleFold(spark, logDir)
+    val g = sortedRows(t.select("repo", "path", "content", "author"))
+    val w = sortedRows(want.select("repo", "path", "content", "author"))
+    assert(g == w)
+    assert(t.filter(col("author").isNotNull && col("author") =!= "").count() > 0)
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  test("streaming tail: AvailableNow over segments, checkpoint resume is exactly-once") {
+    import spark.implicits._
+    val streamDir = tmp("stream")
+    val tableDir = tmp("stable")
+    val ckpt = tmp("ckpt")
+    val p = LogGen.Params(nEvents = 3000, nRepos = 20, pathsPerRepo = 20)
+
+    // stage the log as many small files so maxFilesPerTrigger yields several batches
+    LogGen.events(spark, p).repartition(6).write.mode("overwrite").parquet(streamDir)
+
+    val q1 = Tail.start(spark, streamDir, tableDir, ckpt, buckets = 8, maxFilesPerTrigger = 2)
+    q1.awaitTermination()
+    val afterFirst = IceLite.read(spark, IceLite.load(tableDir))
+    val logDf = spark.read.parquet(streamDir)
+    val oracle = {
+      val reg = spark.sparkContext.broadcast(Cdc.registry)
+      val ev = logDf.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset").as[ChangeEvent]
+      val upd = Replay.decodeForMerge(ev, reg, None)
+      val cols = upd.columns
+      upd.groupBy(col("repo"), col("path"))
+        .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
+        .select(col("__r.*")).filter(col("op") =!= "DELETE").drop("op", "seq")
+    }
+    assert(sortedRows(afterFirst.select("repo", "path", "content")) ==
+      sortedRows(oracle.select("repo", "path", "content")))
+
+    // restart with the same checkpoint: no new data → no state change
+    val versBefore = IceLite.load(tableDir).version
+    val q2 = Tail.start(spark, streamDir, tableDir, ckpt, buckets = 8, maxFilesPerTrigger = 2)
+    q2.awaitTermination()
+    assert(IceLite.load(tableDir).version == versBefore)
+  }
+}
