@@ -1,13 +1,27 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle over the same parquet tables
+  * (column names aligned on both sides; the driver sorts columns by name
+  * and hash-compares values). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val allOps: Seq[OpQuery] =
+    Relational.queries ++ DedupOps.queries ++ TextOps.queries ++
+      SimilarityOps.queries ++ Multimodal.queries ++ CdcQueries.queries
+
+  /** Flagship: the CDC pipeline end-to-end at tiny scale — generate a seeded
+    * protobuf change log, replay it through decode → MERGE into an IceLite
+    * table, return the final state. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CdcQueries.replayFinalState(spark, nEvents = 5000, tag = "entry")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allOps.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    allOps.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

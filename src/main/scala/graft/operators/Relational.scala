@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import Tables.ld
+
+/** Relational operator coverage (SURVEY.md §2.2): scan/filter/project,
+  * aggregation, joins (broadcast + shuffle, semi/anti), windows, sorts/top-k,
+  * set ops, rollup, scalar functions.
+  *
+  * Determinism rules (oracle hash-compares values):
+  *  - double aggregates go through exact DECIMAL sums, final CAST to DOUBLE
+  *    (identical bits in Spark and DuckDB);
+  *  - every top-k/window ordering carries a unique tie-break key;
+  *  - timestamps are surfaced as unix micros (integers).
+  */
+object Relational {
+
+  private val disc = "CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,6))"
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q01_pricing_summary",
+      (s, d) => {
+        ld(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+            sum(expr(disc)).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum($disc) AS DOUBLE) AS sum_disc_price,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    OpQuery("q02_top_revenue_orders",
+      (s, d) => {
+        val li = ld(s, d, "lineitem")
+        val o = ld(s, d, "orders")
+        val rev = li.groupBy("l_orderkey")
+          .agg(sum(expr(disc)).cast("double").as("revenue"))
+        rev.join(o.select("o_orderkey", "o_custkey"),
+            rev("l_orderkey") === o("o_orderkey"))
+          .select("l_orderkey", "o_custkey", "revenue")
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_custkey, revenue FROM (
+        SELECT l_orderkey, CAST(sum($disc) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_orderkey) r
+        JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    OpQuery("q03_region_nation_revenue",
+      (s, d) => {
+        // 5-way join: small dims broadcast, fact shuffles once
+        val li = ld(s, d, "lineitem"); val o = ld(s, d, "orders")
+        val c = ld(s, d, "customer"); val n = ld(s, d, "nation"); val r = ld(s, d, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(expr(disc)).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name, CAST(sum($disc) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    OpQuery("q04_supplier_recent_ship",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(desc("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        ld(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("l_suppkey"), col("rn").cast("long").as("rn"), col("l_orderkey"), col("l_linenumber"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT l_suppkey, rn, l_orderkey, l_linenumber, ship_us FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us,
+          row_number() OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) t WHERE rn <= 3 ORDER BY l_suppkey, rn""")),
+
+    OpQuery("q05_partkey_setop",
+      (s, d) => {
+        val li = ld(s, d, "lineitem")
+        val y96 = li.filter(year(col("l_shipdate")) === 1996).select("l_partkey").distinct()
+        val y97 = li.filter(year(col("l_shipdate")) === 1997).select("l_partkey").distinct()
+        y96.except(y97).orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+        EXCEPT SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997
+        ORDER BY l_partkey""")),
+
+    OpQuery("q06_scalar_funcs",
+      (s, d) => {
+        ld(s, d, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          (col("p_size") % 7).cast("long").as("size_mod"),
+          floor(col("p_retailprice")).as("price_floor"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          substring(col("p_name"), 1, 3).as("prefix3"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS uname,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        replace(p_name, ' ', '_') AS snake,
+        CAST(p_size % 7 AS BIGINT) AS size_mod,
+        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        p_brand || ':' || p_type AS brand_type,
+        substr(p_name, 1, 3) AS prefix3
+        FROM part ORDER BY p_partkey""")),
+
+    OpQuery("q07_semi_anti",
+      (s, d) => {
+        val c = ld(s, d, "customer"); val o = ld(s, d, "orders")
+        val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+        val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+        withO.unionAll(withoutO).orderBy("kind")
+      },
+      Some("""SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY kind""")),
+
+    OpQuery("q08_events_by_type",
+      (s, d) => {
+        ld(s, d, "events").groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
+            min(unix_micros(col("ts").cast("timestamp"))).as("first_us"),
+            max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    OpQuery("q09_user_event_seq",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        ld(s, d, "events").filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+        FROM events WHERE user_id < 50 ORDER BY user_id, rn""")),
+
+    OpQuery("q10_rollup_segment",
+      (s, d) => {
+        ld(s, d, "customer")
+          .rollup(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+          .select(coalesce(col("c_mktsegment"), lit("__total")).as("segment"),
+            col("n"), col("sum_bal"))
+          .orderBy("segment")
+      },
+      Some("""SELECT coalesce(c_mktsegment, '__total') AS segment, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""")),
+
+    OpQuery("q11_lww_latest_event",
+      // the CDC dedup operator shape (LWW by version) on the events table
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(desc("ts"), desc("event_id"))
+        ld(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("value").as("last_value"), col("event_id").as("last_event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, value AS last_value, event_id AS last_event_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_type"""))
+  )
+}

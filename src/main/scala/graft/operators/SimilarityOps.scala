@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.ld
+
+/** Similarity search over the embeddings table (Array[Float], 64-dim):
+  * brute-force cosine top-k baseline and an LSH-bucketed variant (random
+  * hyperplanes) as the scale path, plus cosine near-duplicate pairs.
+  *
+  * Determinism: float elements are cast to double FIRST, then dot/norm are
+  * sequential left folds over the list — bit-identical in Spark
+  * (`aggregate`) and DuckDB (`list_reduce`).
+  */
+object SimilarityOps {
+
+  // Spark: double-cast, sequential fold
+  private val sparkCos =
+    """aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+      | / (sqrt(aggregate(va, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+      |    * sqrt(aggregate(vb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin.replace("\n", " ")
+
+  private val duckCos =
+    """list_reduce(list_transform(list_zip(va, vb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+      | / (sqrt(list_reduce(list_transform(va, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b))
+      |    * sqrt(list_reduce(list_transform(vb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)))""".stripMargin.replace("\n", " ")
+
+  // LSH hyperplanes: sign pattern r(p, d) = ±1 derived from md5(p:d) parity —
+  // the same deterministic pseudo-randomness in both engines
+  private def signSpark(p: Int) =
+    s"""aggregate(zip_with(embedding, sequence(0, 63), (x, i) ->
+       | CAST(x AS DOUBLE) * (CAST(conv(substring(md5(CAST(concat('$p:', CAST(i AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2 * 2 - 1)),
+       | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+  private def signDuck(p: Int) =
+    s"""list_reduce(list_transform(list_zip(embedding, range(0, 64)), q ->
+       | CAST(q[1] AS DOUBLE) * (CAST('0x' || substr(md5('$p:' || q[2]), 1, 15) AS BIGINT) % 2 * 2 - 1)),
+       | (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q20_embedding_neardup",
+      // near-duplicate pairs by cosine ≥ 0.35 over a label-blocked join
+      // (same label only — the blocking that keeps this off a full n²)
+      (s, d) => {
+        val e = ld(s, d, "embeddings")
+        val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+        val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+        a.join(b, Seq("label")).filter(col("a") < col("b"))
+          .withColumn("cos", expr(sparkCos))
+          .filter(col("cos") >= 0.35)
+          .select("a", "b", "cos")
+          .orderBy("a", "b")
+      },
+      Some(s"""SELECT a, b, cos FROM (
+        SELECT l.vec_id AS a, r.vec_id AS b,
+          $duckCos AS cos
+        FROM (SELECT label, vec_id, embedding AS va FROM embeddings) l
+        JOIN (SELECT label, vec_id, embedding AS vb FROM embeddings) r USING (label)
+        WHERE l.vec_id < r.vec_id) t
+        WHERE cos >= 0.35 ORDER BY a, b""")),
+
+    OpQuery("q21_ann_bruteforce_topk",
+      // brute-force cosine top-10 for 5 query vectors — the exact baseline
+      // an IVF/LSH variant is measured against
+      (s, d) => {
+        val e = ld(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("va"))
+        val c = e.select(col("vec_id").as("cand"), col("embedding").as("vb"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
+        q.join(c, col("qid") =!= col("cand"))
+          .withColumn("cos", expr(sparkCos))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select("qid", "rank", "cand", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""SELECT qid, rank, cand, cos FROM (
+        SELECT qid, cand, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rank
+        FROM (SELECT q.vec_id AS qid, c.vec_id AS cand, $duckCos AS cos
+          FROM (SELECT vec_id, embedding AS va FROM embeddings WHERE vec_id < 5) q
+          JOIN (SELECT vec_id, embedding AS vb FROM embeddings) c ON q.vec_id <> c.vec_id) t) r
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    OpQuery("q22_ann_lsh_buckets",
+      // the scale path: 8 random-hyperplane signs → 8-bit bucket; ANN then
+      // probes only same-bucket candidates (bucket join, no cross join)
+      (s, d) => {
+        val e = ld(s, d, "embeddings")
+        val bucketBits = (0 until 8).map(p =>
+          expr(s"CAST(${signSpark(p)} > 0 AS INT) * ${1 << p}")).reduce(_ + _)
+        val bucketed = e.withColumn("bucket", bucketBits.cast("long"))
+        bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+          .orderBy("bucket")
+      },
+      Some(s"""SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        FROM (SELECT vec_id, CAST(${(0 until 8).map(p =>
+          s"(CASE WHEN ${signDuck(p)} > 0 THEN 1 ELSE 0 END) * ${1 << p}").mkString(" + ")} AS BIGINT) AS bucket
+        FROM embeddings) t GROUP BY bucket ORDER BY bucket"""))
+  )
+}

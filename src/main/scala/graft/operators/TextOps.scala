@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Tables.ld
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All run on the `documents` table; every output is integer or
+  * identically-computed double so the DuckDB oracle hash-matches.
+  */
+object TextOps {
+
+  /** tokenization shared by Spark and the oracle: lowercase [a-z0-9]+ runs. */
+  val wordsSpark = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  val wordsDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+  private val stopIn = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q13_token_stats",
+      (s, d) => {
+        ld(s, d, "documents")
+          .withColumn("ws", expr(wordsSpark))
+          .select(
+            col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
+            expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("total_chars"),
+            (expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double") /
+              size(col("ws")).cast("double")).as("avg_token_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+        CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_chars,
+        CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_token_len
+        FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t ORDER BY doc_id""")),
+
+    OpQuery("q14_quality_score",
+      (s, d) => {
+        ld(s, d, "documents")
+          .withColumn("ws", expr(wordsSpark))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("stop_cnt", expr(s"CAST(size(filter(ws, w -> w IN ($stopIn))) AS BIGINT)"))
+          .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_words").cast("double"))
+          .withColumn("mean_wlen", expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double") /
+            col("n_words").cast("double"))
+          .withColumn("is_quality",
+            (col("n_words") >= 20 && col("n_words") <= 2000 &&
+              col("mean_wlen") >= 2.0 && col("mean_wlen") <= 12.0).cast("int").cast("long"))
+          .select("doc_id", "n_words", "stop_cnt", "stop_ratio", "mean_wlen", "is_quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_words, stop_cnt,
+        CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+        mean_wlen,
+        CAST(CASE WHEN n_words >= 20 AND n_words <= 2000
+          AND mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+        FROM (SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(list_filter(ws, w -> w IN ($stopIn))) AS BIGINT) AS stop_cnt,
+          CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_wlen
+          FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t) q
+        ORDER BY doc_id""")),
+
+    OpQuery("q15_lang_id",
+      // n-gram/stopword language-ID heuristic: hit counts per language
+      // profile, deterministic argmax with fixed precedence en > de > fr
+      (s, d) => {
+        val en = Seq("the", "and", "of", "to", "is", "in", "that", "it")
+        val de = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+        val fr = Seq("le", "la", "les", "et", "est", "un", "une", "que")
+        def hits(set: Seq[String]) =
+          expr(s"CAST(size(filter(ws, w -> w IN (${set.map(w => s"'$w'").mkString(",")}))) AS BIGINT)")
+        ld(s, d, "documents")
+          .withColumn("ws", expr(wordsSpark))
+          .withColumn("en_hits", hits(en))
+          .withColumn("de_hits", hits(de))
+          .withColumn("fr_hits", hits(fr))
+          .withColumn("lang_guess",
+            when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+              .when(col("de_hits") >= col("fr_hits"), "de")
+              .otherwise("fr"))
+          .select("doc_id", "en_hits", "de_hits", "fr_hits", "lang_guess")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, en_hits, de_hits, fr_hits,
+        CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+             WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_guess
+        FROM (SELECT doc_id,
+          CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS BIGINT) AS de_hits,
+          CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','est','un','une','que'))) AS BIGINT) AS fr_hits
+          FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t) q
+        ORDER BY doc_id""")),
+
+    OpQuery("q16_fingerprint",
+      // exact fingerprint (md5 of normalized text) + rolling 3-shingle
+      // min-hash fingerprint (md5-derived 60-bit ints, min over shingles)
+      (s, d) => {
+        ld(s, d, "documents")
+          .withColumn("ws", expr(wordsSpark))
+          .withColumn("norm", concat_ws(" ", col("ws")))
+          .withColumn("exact_fp", md5(col("norm").cast("binary")))
+          .withColumn("shingles",
+            expr("CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END"))
+          .withColumn("min_fp",
+            expr("array_min(transform(shingles, s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT)))"))
+          .select("doc_id", "exact_fp", "min_fp")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, md5(norm) AS exact_fp,
+        list_aggregate(list_transform(shingles,
+          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)), 'min') AS min_fp
+        FROM (SELECT doc_id, norm,
+          list_transform(range(len(ws) - 2),
+            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shingles
+          FROM (SELECT doc_id, $wordsDuck AS ws,
+            array_to_string($wordsDuck, ' ') AS norm FROM documents) t) q
+        ORDER BY doc_id"""))
+  )
+}
