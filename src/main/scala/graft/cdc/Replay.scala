@@ -26,20 +26,31 @@ object Replay {
   }
 
   /** Decode one epoch's events and shape them for the MERGE: data columns
-    * (with field-ID metadata) + seq + op. Error/invalid rows go to the
-    * dead-letter sink under the table dir. */
+    * (with field-ID metadata) + seq + op.
+    *
+    * Dead letters cost ZERO extra decode passes in the happy path: an
+    * Observation on the decode output counts non-success rows during the
+    * merge's own action; only when that count is > 0 does the returned
+    * callback re-run decode to persist the dead letters. */
   def decodeForMerge(
       events: Dataset[ChangeEvent],
       registry: Broadcast[DescriptorRegistry],
-      deadLetterDir: Option[String]): DataFrame = {
+      deadLetterDir: Option[String]): (DataFrame, () => Long) = {
 
     val defaultKey = SchemaKey(Cdc.SchemaId, -1) // latest version in registry
-    val decoded = Decode.decode(events, registry, defaultKey, Cdc.MessageType, Framing.Raw)
+    val decoded0 = Decode.decode(events, registry, defaultKey, Cdc.MessageType, Framing.Raw)
 
-    deadLetterDir.foreach { dld =>
-      val dl = Decode.deadLetter(decoded)
-      // cheap guard: only pay the write when something actually failed
-      if (!dl.isEmpty) dl.write.mode("append").parquet(dld)
+    val obs = org.apache.spark.sql.Observation()
+    val decoded = decoded0.observe(obs,
+      sum(when(col("route") =!= "success", 1L).otherwise(0L)).as("bad"))
+
+    val flushDeadLetters: () => Long = () => {
+      val bad = Option(obs.get("bad")).collect { case l: Long => l }.getOrElse(0L)
+      if (bad > 0L) deadLetterDir.foreach { dld =>
+        Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, Framing.Raw))
+          .write.mode("append").parquet(dld)
+      }
+      bad
     }
 
     val ok = Decode.success(decoded)
@@ -53,7 +64,7 @@ object Replay {
       col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
         .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
     } ++ Seq(col("seq"), col("op"))
-    ok.select(cols: _*)
+    (ok.select(cols: _*), flushDeadLetters)
   }
 
   final case class ReplayResult(epochs: Int, stats: Seq[Merge.MergeStats])
@@ -79,8 +90,9 @@ object Replay {
         .filter(col("epoch") === e) // partition-dir prune
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[ChangeEvent]
-      val updates = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
+      val (updates, flushDL) = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
       val st = Merge.mergeEpoch(spark, tableDir, updates, "seq", "op", e)
+      if (st.applied) flushDL()
       Lineage.append(spark, tableDir, st)
       st
     }
@@ -96,7 +108,7 @@ object Replay {
     val ev = spark.read.parquet(logDir)
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
       .as[ChangeEvent]
-    val upd = decodeForMerge(ev, registry, None)
+    val (upd, _) = decodeForMerge(ev, registry, None)
     val cols = upd.columns
     upd.groupBy(col("repo"), col("path"))
       .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))

@@ -37,8 +37,9 @@ object Tail {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
-        val updates = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
+        val (updates, flushDL) = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
         val st = Merge.mergeEpoch(batch.sparkSession, tableDir, updates, "seq", "op", batchId)
+        if (st.applied) flushDL()
         Lineage.append(batch.sparkSession, tableDir, st)
         ()
       }

@@ -77,6 +77,19 @@ object Decode {
       // reader-side (output) descriptor: rows are projected into THIS shape
       // by field number, whatever descriptor version wrote the event
       val (fsOut, descOut) = reg.descriptor(defaultKey, messageType).get
+      // row-compiled decoders, one per writer schema version seen (memoized)
+      val decoders = new java.util.HashMap[(SchemaKey, String), RowDecoder]()
+      def decoderFor(key: SchemaKey, mt: String, writerDesc: graft.proto.Descriptors.MessageDesc): RowDecoder = {
+        val k = (reg.resolveKey(key), mt)
+        var dec = decoders.get(k)
+        if (dec == null) {
+          dec =
+            if (writerDesc eq descOut) new RowDecoder(fsOut, descOut)
+            else new RowDecoder(fsOut, descOut, Some(writerDesc.fields.map(_.number).toSet))
+          decoders.put(k, dec)
+        }
+        dec
+      }
       iter.flatMap { ev =>
         val key =
           if (ev.schemaId == null || ev.schemaId.isEmpty) defaultKey
@@ -91,20 +104,30 @@ object Decode {
               else Route.Error // unknown message type (ProtobufService.java:59-61)
             Iterator.single(routedRow(route, s"schema=$key type=$mt unresolved", ev, null, msgOrdinal))
           case Some((fs, desc)) =>
+            val dec = decoderFor(key, mt, desc)
             framing match {
               case Framing.Raw =>
                 try {
-                  val row = SparkSchema.toRowAs(fsOut, descOut, DynMsg.decode(fs, desc, ev.payload))
+                  val row = dec.decode(ev.payload)
                   Iterator.single(routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false))
                 } catch {
                   case e: Exception =>
                     Iterator.single(routedRow(Route.Error, e.getMessage, ev, null, msgOrdinal))
                 }
               case Framing.VarintDelimited =>
-                val (msgs, err) = DynMsg.decodeDelimited(fs, desc, ev.payload)
-                val good = msgs.iterator.map(m =>
-                  routedRow(Route.Success, null, ev, SparkSchema.toRowAs(fsOut, descOut, m), msgOrdinal, keepPayload = false))
-                val bad = err.iterator.map(e =>
+                // good-prefix semantics: decode until the first malformed frame
+                val r = new graft.proto.Wire.Reader(ev.payload)
+                var err: String = null
+                val out = Vector.newBuilder[Row]
+                while (r.hasRemaining && err == null) {
+                  try {
+                    val (p, len) = r.readSlice()
+                    out += dec.decode(new graft.proto.Wire.Reader(r.buf, p, p + len))
+                  } catch { case e: Exception => err = e.getMessage }
+                }
+                val good = out.result().iterator.map(row =>
+                  routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false))
+                val bad = Option(err).iterator.map(e =>
                   routedRow(Route.Error, s"malformed tail: $e", ev, null, msgOrdinal))
                 good ++ bad
             }

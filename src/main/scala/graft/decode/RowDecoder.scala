@@ -1,0 +1,200 @@
+package graft.decode
+
+import org.apache.spark.sql.Row
+import scala.collection.mutable.ArrayBuffer
+import graft.proto.Wire
+import graft.proto.Wire.{Reader, ProtoParseException}
+import graft.proto.Descriptors._
+import graft.proto.Descriptors.FType._
+import graft.proto.ProtoJson
+
+/** Row-compiled wire decoder — the decode hot path. Where DynMsg builds a
+  * generic value tree (TreeMap per message), this pre-compiles the READER
+  * descriptor into flat arrays (field number → ordinal/type/nested decoder)
+  * and decodes wire bytes straight into the Row value array:
+  * no intermediate tree, no per-field map lookups, no re-projection.
+  * Still fully descriptor-driven (any message shape, any writer version —
+  * resolution is by field number), built once per partition from the
+  * broadcast registry. Unknown fields are skipped, proto3 defaults prefilled.
+  */
+final class RowDecoder(fs: FileSet, val desc: MessageDesc,
+    /** restrict decoded field numbers to the WRITER descriptor's set (top
+      * level): a v1-tagged event never surfaces v2-only fields even if the
+      * bytes carry them — attribute-over-property trust semantics. */
+    allowed: Option[Set[Int]] = None) extends Serializable {
+
+  private val fields: Array[FieldDesc] = desc.fieldsInNumberOrder.toArray
+  private val nFields = fields.length
+  private val maxNum: Int = if (nFields == 0) 0 else fields.map(_.number).max
+
+  // field number → ordinal (dense array for small numbers — the common case)
+  private val ordByNum: Array[Int] = {
+    val a = Array.fill(maxNum + 1)(-1)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.number <= maxNum && allowed.forall(_.contains(f.number))) a(f.number) = i
+    }
+    a
+  }
+
+  private val isMap: Array[Boolean] = fields.map(f => ProtoJson.isMapField(fs, f))
+  private val isTimestamp: Array[Boolean] = fields.map(f =>
+    f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
+      fs.messageFor(f).fullName == "google.protobuf.Timestamp")
+  private val nestedDec: Array[RowDecoder] = fields.map { f =>
+    if (f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
+      fs.messageFor(f).fullName != "google.protobuf.Timestamp")
+      new RowDecoder(fs, fs.messageFor(f))
+    else null
+  }
+  // map-entry sub-decoders: (keyField, valueField, valueNested)
+  private val mapEntry: Array[(FieldDesc, FieldDesc, RowDecoder)] = fields.zipWithIndex.map { case (f, i) =>
+    if (isMap(i)) {
+      val e = fs.messageFor(f)
+      val vf = e.fieldByNumber(2)
+      val vn = if (vf.tpe == TYPE_MESSAGE) new RowDecoder(fs, fs.messageFor(vf)) else null
+      (e.fieldByNumber(1), vf, vn)
+    } else null
+  }
+  private val enumNames: Array[Map[Int, String]] = fields.map { f =>
+    if (f.tpe == TYPE_ENUM) fs.enumFor(f).byNumber else null
+  }
+
+  private val defaults: Array[Any] = fields.zipWithIndex.map { case (f, i) =>
+    if (isMap(i)) Map.empty[Any, Any]
+    else if (f.repeated) Vector.empty
+    else f.tpe match {
+      case TYPE_MESSAGE => null
+      case TYPE_STRING => ""
+      case TYPE_BYTES => Array.emptyByteArray
+      case TYPE_BOOL => java.lang.Boolean.FALSE
+      case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
+      case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
+      case TYPE_ENUM => enumNames(i).getOrElse(0, "0")
+      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+      case _ => java.lang.Long.valueOf(0L)
+    }
+  }
+
+  def decode(bytes: Array[Byte]): Row = decode(new Reader(bytes))
+
+  def decode(r: Reader): Row = {
+    val vals: Array[Any] = defaults.clone()
+    var bufs: Array[AnyRef] = null // lazily allocated ArrayBuffer / Map builder per repeated/map ordinal
+    while (r.hasRemaining) {
+      val (fn, wt) = r.readTag()
+      val ord = if (fn <= maxNum && fn >= 0) ordByNum(fn) else -1
+      if (ord < 0) r.skip(wt)
+      else {
+        val f = fields(ord)
+        if (isMap(ord)) {
+          if (wt != Wire.WtLen) throw new ProtoParseException(s"map field ${f.name}: bad wire type $wt")
+          if (bufs == null) bufs = new Array[AnyRef](nFields)
+          if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Any, Any)]
+          val (p, len) = r.readSlice()
+          bufs(ord).asInstanceOf[ArrayBuffer[(Any, Any)]] += decodeMapEntry(ord, new Reader(r.buf, p, p + len))
+        } else if (f.repeated) {
+          if (bufs == null) bufs = new Array[AnyRef](nFields)
+          if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[Any]
+          val buf = bufs(ord).asInstanceOf[ArrayBuffer[Any]]
+          if (isPackable(f.tpe) && wt == Wire.WtLen) {
+            val (p, len) = r.readSlice()
+            val sub = new Reader(r.buf, p, p + len)
+            while (sub.hasRemaining) buf += readScalar(ord, f, sub)
+          } else buf += readOne(ord, f, r, wt)
+        } else {
+          vals(ord) = readOne(ord, f, r, wt)
+        }
+      }
+    }
+    if (bufs != null) {
+      var i = 0
+      while (i < nFields) {
+        val b = bufs(i)
+        if (b != null) {
+          vals(i) =
+            if (isMap(i)) b.asInstanceOf[ArrayBuffer[(Any, Any)]].toMap
+            else b.asInstanceOf[ArrayBuffer[Any]].toVector
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+  }
+
+  private def decodeMapEntry(ord: Int, r: Reader): (Any, Any) = {
+    val (kf, vf, vn) = mapEntry(ord)
+    var k: Any = kf.tpe match {
+      case TYPE_STRING => ""; case TYPE_BOOL => java.lang.Boolean.FALSE
+      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+      case _ => java.lang.Long.valueOf(0L)
+    }
+    var v: Any = vf.tpe match {
+      case TYPE_MESSAGE => null; case TYPE_STRING => ""
+      case TYPE_BOOL => java.lang.Boolean.FALSE
+      case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
+      case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
+      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+      case _ => java.lang.Long.valueOf(0L)
+    }
+    while (r.hasRemaining) {
+      val (fn, wt) = r.readTag()
+      if (fn == 1) k = readScalarField(kf, r, wt)
+      else if (fn == 2) {
+        v = if (vf.tpe == TYPE_MESSAGE) {
+          val (p, len) = r.readSlice()
+          vn.decode(new Reader(r.buf, p, p + len))
+        } else readScalarField(vf, r, wt)
+      } else r.skip(wt)
+    }
+    (k, v)
+  }
+
+  private def readOne(ord: Int, f: FieldDesc, r: Reader, wt: Int): Any = f.tpe match {
+    case TYPE_MESSAGE =>
+      if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+      val (p, len) = r.readSlice()
+      if (isTimestamp(ord)) decodeTimestamp(new Reader(r.buf, p, p + len))
+      else nestedDec(ord).decode(new Reader(r.buf, p, p + len))
+    case TYPE_STRING =>
+      if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+      new String(r.readBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    case TYPE_BYTES =>
+      if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+      r.readBytes()
+    case _ => readScalar(ord, f, r)
+  }
+
+  private def readScalar(ord: Int, f: FieldDesc, r: Reader): Any = f.tpe match {
+    case TYPE_ENUM =>
+      val n = r.readVarint64().toInt
+      enumNames(ord).getOrElse(n, n.toString)
+    case _ => readScalarField(f, r, f.wireType)
+  }
+
+  private def readScalarField(f: FieldDesc, r: Reader, wt: Int): Any = f.tpe match {
+    case TYPE_DOUBLE => java.lang.Double.longBitsToDouble(r.readFixed64())
+    case TYPE_FLOAT => java.lang.Float.intBitsToFloat(r.readFixed32())
+    case TYPE_INT64 | TYPE_UINT64 => r.readVarint64()
+    case TYPE_INT32 => r.readVarint64().toInt
+    case TYPE_UINT32 => r.readVarint64().toInt & 0xffffffffL
+    case TYPE_FIXED64 | TYPE_SFIXED64 => r.readFixed64()
+    case TYPE_FIXED32 => r.readFixed32() & 0xffffffffL
+    case TYPE_SFIXED32 => r.readFixed32()
+    case TYPE_SINT32 => Wire.zigzagDecode32(r.readVarint64().toInt)
+    case TYPE_SINT64 => Wire.zigzagDecode64(r.readVarint64())
+    case TYPE_BOOL => r.readVarint64() != 0L
+    case TYPE_ENUM => r.readVarint64().toInt.toString // resolved by caller normally
+    case other => throw new ProtoParseException(s"not a scalar: $other")
+  }
+
+  private def decodeTimestamp(r: Reader): java.sql.Timestamp = {
+    var secs = 0L; var nanos = 0L
+    while (r.hasRemaining) {
+      val (fn, wt) = r.readTag()
+      if (fn == 1 && wt == Wire.WtVarint) secs = r.readVarint64()
+      else if (fn == 2 && wt == Wire.WtVarint) nanos = r.readVarint64()
+      else r.skip(wt)
+    }
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(secs, nanos))
+  }
+}

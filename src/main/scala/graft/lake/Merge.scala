@@ -89,8 +89,14 @@ object Merge {
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
 
     deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = deduped.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
-    val batchRows = deduped.count()
+    // ONE action for all batch stats: per-bucket row/delete counts (≤ B rows)
+    val bucketStats = deduped.groupBy("__bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(opCol) === "DELETE", 1L).otherwise(0L)).as("dels"))
+      .collect()
+    val touched = bucketStats.map(_.getInt(0)).toSet
+    val batchRows = bucketStats.map(_.getLong(1)).sum
+    val deletes = bucketStats.map(_.getLong(2)).sum
 
     if (batchRows == 0) {
       deduped.unpersist()
@@ -137,21 +143,20 @@ object Merge {
           .otherwise(coalesce(col("__t_del"), lit(false))).as(IceLite.DelCol.name)): _*)
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
 
-    // ---- 4. rewrite touched buckets, one file per bucket per epoch
+    // ---- 4. rewrite touched buckets, one file per bucket per epoch; row
+    // count rides the write job as an Observation (no second scan)
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId").toString
+    val obs = org.apache.spark.sql.Observation(s"merge-rows-$epochId")
     merged
       .repartition(math.max(touched.size, 1), col("__bucket"))
       .sortWithinPartitions(col("__bucket") +: keyCols.map(col): _*) // key-clustered files
+      .observe(obs, count(lit(1)).as("rows"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(epochDir)
+    val rewrittenRows = obs.get("rows").asInstanceOf[Long]
 
-    // ---- 5. snapshot: carried-forward + new files (row count for stats is a
-    // single parquet-footer-only query — no data scan)
+    // ---- 5. snapshot: carried-forward + new files
     val newFiles = listBucketFiles(epochDir, schemaVersion)
-    val rewrittenRows =
-      if (newFiles.isEmpty) 0L
-      else spark.read.parquet(newFiles.map(_.path): _*).count()
     val carried = base.files.filterNot(f => touched.contains(f.bucket))
-    val deletes = deduped.filter(col(opCol) === "DELETE").count()
     deduped.unpersist()
 
     val next = base.copy(

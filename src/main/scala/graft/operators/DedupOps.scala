@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables.ld
 
 /** Deduplication operators for a training-data pipeline: exact (hash
@@ -8,9 +9,12 @@ import Tables.ld
   * SimHash, n-gram Jaccard. All deterministic: hash functions are
   * md5-derived 60-bit ints reproduced verbatim in the DuckDB oracle.
   *
-  * Scale shape: exact dedup is one hash aggregate; MinHash/LSH turns the
-  * O(n²) pair problem into per-band hash-bucket joins (shuffles keyed on
-  * band value — no cross join anywhere).
+  * Performance shape:
+  *  - each shingle/word is md5-hashed ONCE (`hs`), the K minhash functions
+  *    are cheap affine transforms over those ints;
+  *  - LSH candidates come from band-bucket hash joins (never a cross join),
+  *    mega-buckets are capped (window count ≤ 50) before pairing;
+  *  - Jaccard is computed on hashed-shingle int sets, not strings.
   */
 object DedupOps {
 
@@ -32,13 +36,33 @@ object DedupOps {
   private val shinglesDuck =
     "list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
 
+  // hashed shingles, one md5 per shingle
+  private val hsSpark = s"transform(shingles, s -> ${hSpark("s")} % $P)"
+  private val hsDuck = s"list_transform(shingles, s -> ${hDuck("s")} % $P)"
+
   private def minhashSpark(k: Int): String = {
     val (a, b) = hashParams(k)
-    s"array_min(transform(shingles, s -> ($a * (${hSpark("s")} % $P) + $b) % $P))"
+    s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
   }
   private def minhashDuck(k: Int): String = {
     val (a, b) = hashParams(k)
-    s"list_aggregate(list_transform(shingles, s -> ($a * (${hDuck("s")} % $P) + $b) % $P), 'min')"
+    s"list_aggregate(list_transform(hs, h -> ($a * h + $b) % $P), 'min')"
+  }
+
+  private val sigDuckBase =
+    s"""(SELECT doc_id, hs, ${(0 until 8).map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")}
+       | FROM (SELECT doc_id, $hsDuck AS hs
+       |   FROM (SELECT doc_id, $shinglesDuck AS shingles
+       |     FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) w) s0
+       |   WHERE len(shingles) > 0) s1)""".stripMargin.replace("\n", " ")
+
+  private def sigSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = ld(s, d, "documents")
+      .withColumn("ws", expr(wordsSpark))
+      .withColumn("shingles", expr(shinglesSpark))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hs", expr(hsSpark))
+    (0 until 8).foldLeft(base) { (df, k) => df.withColumn(s"mh$k", expr(minhashSpark(k))) }
   }
 
   val queries: Seq[OpQuery] = Seq(
@@ -55,76 +79,70 @@ object DedupOps {
         ORDER BY canonical_id""")),
 
     OpQuery("q17_minhash_sig",
-      (s, d) => {
-        val base = ld(s, d, "documents")
-          .withColumn("ws", expr(wordsSpark))
-          .withColumn("shingles", expr(shinglesSpark))
-          .filter(size(col("shingles")) > 0)
-        val withSig = (0 until 8).foldLeft(base) { (df, k) =>
-          df.withColumn(s"mh$k", expr(minhashSpark(k)))
-        }
-        withSig.select((col("doc_id") +: (0 until 8).map(k => col(s"mh$k"))): _*)
-          .orderBy("doc_id")
-      },
-      Some(s"""SELECT doc_id, ${(0 until 8).map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")}
-        FROM (SELECT doc_id, $shinglesDuck AS shingles
-          FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) w) t
-        WHERE len(shingles) > 0 ORDER BY doc_id""")),
+      (s, d) => sigSpark(s, d)
+        .select((col("doc_id") +: (0 until 8).map(k => col(s"mh$k"))): _*)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${(0 until 8).map(k => s"mh$k").mkString(", ")}
+        FROM $sigDuckBase sig ORDER BY doc_id""")),
 
     OpQuery("q18_lsh_candidate_pairs",
-      // 4 bands × 2 rows: docs sharing any band are candidates; verified
-      // with exact Jaccard on distinct shingle sets, threshold 0.2
+      // 4 bands × 2 rows → candidates share a band; mega-buckets (>50 docs)
+      // dropped; Jaccard verified on hashed-shingle int sets, threshold 0.2
       (s, d) => {
-        val sig = ld(s, d, "documents")
-          .withColumn("ws", expr(wordsSpark))
-          .withColumn("shingles", expr(shinglesSpark))
-          .filter(size(col("shingles")) > 0)
-        val withMh = (0 until 8).foldLeft(sig) { (df, k) =>
-          df.withColumn(s"mh$k", expr(minhashSpark(k)))
-        }
-        val banded = withMh.select(col("doc_id"), col("shingles"),
-          array((0 until 4).map(b =>
-            struct(lit(b).as("band"), concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*).as("bands"))
-          .select(col("doc_id"), col("shingles"), explode(col("bands")).as("b"))
-          .select(col("doc_id"), col("shingles"), col("b.band"), col("b.sig"))
-        val l = banded.select(col("band"), col("sig"), col("doc_id").as("a"), col("shingles").as("sa"))
-        val r = banded.select(col("band"), col("sig"), col("doc_id").as("b"), col("shingles").as("sb"))
-        l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
-          .select(col("a"), col("b"),
-            (size(array_intersect(expr("array_distinct(sa)"), expr("array_distinct(sb)"))).cast("double") /
-              size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
+        val sig = sigSpark(s, d)
+        val banded = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("b"))
+          .select(col("doc_id"), col("b.band"), col("b.sig"))
+        val capped = banded
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
+          .filter(col("bn") <= 50)
+        val pairs = capped.as("l").join(capped.as("r"),
+            col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
           .distinct()
+        val sets = sig.select(col("doc_id"), array_distinct(col("hs")).as("hset"))
+        pairs
+          .join(sets.select(col("doc_id").as("a"), col("hset").as("ha")), Seq("a"))
+          .join(sets.select(col("doc_id").as("b"), col("hset").as("hb")), Seq("b"))
+          .select(col("a"), col("b"),
+            (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+              size(array_union(col("ha"), col("hb"))).cast("double")).as("jaccard"))
           .filter(col("jaccard") >= 0.2)
           .orderBy("a", "b")
       },
-      Some(s"""WITH sig AS (
-          SELECT doc_id, shingles,
-            ${(0 until 8).map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")}
-          FROM (SELECT doc_id, $shinglesDuck AS shingles
-            FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) w) t
-          WHERE len(shingles) > 0),
+      Some(s"""WITH sig AS ${sigDuckBase.trim},
         banded AS (
-          SELECT doc_id, shingles, unnest([0,1,2,3]) AS band,
+          SELECT doc_id, unnest([0,1,2,3]) AS band,
             unnest([mh0 || ':' || mh1, mh2 || ':' || mh3, mh4 || ':' || mh5, mh6 || ':' || mh7]) AS sig2
-          FROM sig)
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-          CAST(len(list_filter(list_distinct(l.shingles), x -> list_contains(list_distinct(r.shingles), x))) AS DOUBLE) /
-          CAST(len(list_distinct(l.shingles || r.shingles)) AS DOUBLE) AS jaccard
-        FROM banded l JOIN banded r ON l.band = r.band AND l.sig2 = r.sig2 AND l.doc_id < r.doc_id
-        WHERE CAST(len(list_filter(list_distinct(l.shingles), x -> list_contains(list_distinct(r.shingles), x))) AS DOUBLE) /
-          CAST(len(list_distinct(l.shingles || r.shingles)) AS DOUBLE) >= 0.2
-        ORDER BY a, b""")),
+          FROM sig),
+        capped AS (
+          SELECT * FROM (SELECT doc_id, band, sig2,
+            count(*) OVER (PARTITION BY band, sig2) AS bn FROM banded) c WHERE bn <= 50),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM capped l JOIN capped r
+            ON l.band = r.band AND l.sig2 = r.sig2 AND l.doc_id < r.doc_id),
+        sets AS (SELECT doc_id, list_distinct(hs) AS hset FROM sig)
+        SELECT a, b, jaccard FROM (
+          SELECT a, b,
+            CAST(len(list_filter(sa.hset, x -> list_contains(sb.hset, x))) AS DOUBLE) /
+            CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE) AS jaccard
+          FROM pairs JOIN sets sa ON pairs.a = sa.doc_id JOIN sets sb ON pairs.b = sb.doc_id) j
+        WHERE jaccard >= 0.2 ORDER BY a, b""")),
 
     OpQuery("q19_simhash",
-      // 16-bit SimHash over word multiset: bit b set iff sum of ±1 votes
-      // (by bit b of each word hash) is positive
+      // 16-bit SimHash over the word multiset: one md5 per word, bit b set
+      // iff the sum of ±1 votes (bit b of each word hash) is positive
       (s, d) => {
         val bits = (0 until 16).map { b =>
-          expr(s"CAST(aggregate(ws, 0L, (acc, w) -> acc + CASE WHEN (${hSpark("w")} >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 AS INT) * ${1 << b}")
+          expr(s"CAST(aggregate(hw, 0L, (acc, h) -> acc + CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 AS INT) * ${1 << b}")
         }.reduce(_ + _)
         ld(s, d, "documents")
           .withColumn("ws", expr(wordsSpark))
           .filter(size(col("ws")) > 0)
+          .withColumn("hw", expr(s"transform(ws, w -> ${hSpark("w")})"))
           .withColumn("simhash", bits.cast("long"))
           .withColumn("bucket", (col("simhash") / 256).cast("long"))
           .select("doc_id", "simhash", "bucket")
@@ -132,8 +150,9 @@ object DedupOps {
       },
       Some(s"""SELECT doc_id, simhash, simhash // 256 AS bucket FROM (
         SELECT doc_id, CAST(${(0 until 16).map(b =>
-          s"(CASE WHEN list_sum(list_transform(ws, w -> CASE WHEN (${hDuck("w")} >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) * ${1 << b}").mkString(" + ")} AS BIGINT) AS simhash
-        FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t WHERE len(ws) > 0) q
+          s"(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) * ${1 << b}").mkString(" + ")} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_transform(ws, w -> ${hDuck("w")}) AS hw
+          FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t WHERE len(ws) > 0) h) q
         ORDER BY doc_id"""))
   )
 }

@@ -220,7 +220,7 @@ class PipelineSpec extends AnyFunSuite {
     val oracle = {
       val reg = spark.sparkContext.broadcast(Cdc.registry)
       val ev = logDf.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset").as[ChangeEvent]
-      val upd = Replay.decodeForMerge(ev, reg, None)
+      val (upd, _) = Replay.decodeForMerge(ev, reg, None)
       val cols = upd.columns
       upd.groupBy(col("repo"), col("path"))
         .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
