@@ -19,11 +19,28 @@ object CdcCli {
       .master(s"local[$cpus]")
       .appName("graft-cdc")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      // keep scan parallelism >= cores: default 128MB splits pack an epoch
+      // into ~7 partitions and starve the decode stage at local[32]
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+          val cpu = si.taskMetrics.executorRunTime / 1000.0
+          val gc = si.taskMetrics.jvmGCTime / 1000.0
+          val cpuT = si.taskMetrics.executorCpuTime / 1e9
+          val m = si.taskMetrics
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d wall=$wall%6.1fs taskTime=$cpu%7.1fs cpuTime=$cpuT%7.1fs gc=$gc%6.1fs in=${m.inputMetrics.bytesRead / 1e9}%5.1fG sr=${m.shuffleReadMetrics.totalBytesRead / 1e9}%5.1fG sw=${m.shuffleWriteMetrics.bytesWritten / 1e9}%5.1fG ${si.name.take(30)}")
+        }
+      })
+    }
     try run(spark, args) finally spark.stop()
   }
 
@@ -45,6 +62,31 @@ object CdcCli {
       val q = Tail.start(spark, streamDir, tableDir, ckpt, buckets)
       q.awaitTermination()
       println(s"tail drained into $tableDir")
+    case "replay-bench" :: logDir :: tableDir :: rest =>
+      // the bench path: no keys pre-pass (all buckets rewritten)
+      val buckets = rest.headOption.map(_.toInt).getOrElse(64)
+      val t0 = System.nanoTime()
+      val r = Replay.replayLog(spark, logDir, tableDir, buckets, pruneBuckets = false)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = r.stats.map(_.batchRows).sum
+      println(f"replayed ${r.epochs} epochs, $rows events in $sec%.1f s (${rows / sec}%.0f events/s)")
+    case "decode-bench" :: logDir :: Nil =>
+      import spark.implicits._
+      val registry = spark.sparkContext.broadcast(Cdc.registry)
+      val ev = spark.read.parquet(logDir)
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[graft.decode.ChangeEvent]
+      val t0 = System.nanoTime()
+      val n = graft.decode.Decode.decode(ev, registry,
+        graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType)
+        .filter(col("route") === "success").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"decoded $n events in $sec%.1f s (${n / sec}%.0f events/s)")
+    case "read-bench" :: logDir :: Nil =>
+      val t0 = System.nanoTime()
+      val n = spark.read.parquet(logDir).select("payload").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"read $n payloads in $sec%.1f s (${n / sec}%.0f rows/s)")
     case "show" :: tableDir :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(10)
       val snap = IceLite.load(tableDir)

@@ -17,11 +17,15 @@ object Lineage {
       touchedBuckets: Int,
       rewrittenRows: Long)
 
-  def append(spark: SparkSession, tableDir: String, st: MergeStats): Unit = {
+  def append(spark: SparkSession, tableDir: String, st: MergeStats): Unit =
+    appendAll(spark, tableDir, Seq(st))
+
+  def appendAll(spark: SparkSession, tableDir: String, sts: Seq[MergeStats]): Unit = {
     import spark.implicits._
-    Seq(Entry(st.epochId, st.applied, st.batchRows, st.upserts, st.deletes,
+    if (sts.isEmpty) return
+    sts.map(st => Entry(st.epochId, st.applied, st.batchRows, st.upserts, st.deletes,
       st.touchedBuckets, st.rewrittenRows))
-      .toDS().write.mode("append").parquet(s"$tableDir/_lineage")
+      .toDS().coalesce(1).write.mode("append").parquet(s"$tableDir/_lineage")
   }
 
   def read(spark: SparkSession, tableDir: String): DataFrame =

@@ -153,12 +153,59 @@ object LogGen {
     }
   }
 
+  /** Varint-delimited segment log: many messages per payload (the log-segment
+    * framing from SURVEY.md §2.1). Each segment is one ChangeEvent whose
+    * payload is writeDelimitedTo-style concatenation of `msgsPerSegment`
+    * messages; offset = first seq in the segment. */
+  def segmentEvents(spark: SparkSession, p: Params, msgsPerSegment: Int,
+      partitions: Int = 0): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val v1Cut = (p.nEvents * p.v1Fraction).toLong
+    val nSegments = (p.nEvents + msgsPerSegment - 1) / msgsPerSegment
+    spark.range(0, nSegments, 1, parts).mapPartitions { it =>
+      val fs1 = Cdc.fsV1; val d1 = fs1.findMessage(Cdc.MessageType).get
+      val fs2 = Cdc.fsV2; val d2 = fs2.findMessage(Cdc.MessageType).get
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map { seg =>
+        val first = seg * msgsPerSegment
+        val last = math.min(first + msgsPerSegment, p.nEvents)
+        val v1 = first < v1Cut
+        val w = new graft.proto.Wire.Writer
+        var id = first
+        while (id < last) {
+          val c = rawChange(id, p)
+          val bytes =
+            if (v1) encodeChange(c, d1, fs1, includeAuthor = false)
+            else encodeChange(c, d2, fs2, includeAuthor = true)
+          w.writeVarint64(bytes.length.toLong)
+          w.writeRaw(bytes)
+          id += 1
+        }
+        ChangeEvent(w.toBytes, Cdc.SchemaId, if (v1) 1 else 2, Cdc.MessageType, pid, first)
+      }
+    }
+  }
+
+  /** Write a delimited-segment log partitioned by epoch. */
+  def writeSegmentLog(spark: SparkSession, p: Params, dir: String, epochs: Int,
+      msgsPerSegment: Int = 100): Unit = {
+    val perEpoch = math.max(1L, (p.nEvents + epochs - 1) / epochs)
+    segmentEvents(spark, p, msgsPerSegment)
+      .withColumn("epoch", (col("offset") / perEpoch).cast("long"))
+      .write.option("parquet.block.size", 16 * 1024 * 1024)
+      .partitionBy("epoch").mode("overwrite").parquet(dir)
+  }
+
   /** Write the log to parquet partitioned by epoch (offset-range buckets) —
     * the replayable binlog. Epoch pruning on read is a partition-dir prune. */
   def writeLog(spark: SparkSession, p: Params, dir: String, epochs: Int): Unit = {
     val perEpoch = math.max(1L, (p.nEvents + epochs - 1) / epochs)
     events(spark, p)
       .withColumn("epoch", (col("offset") / perEpoch).cast("long"))
-      .write.partitionBy("epoch").mode("overwrite").parquet(dir)
+      // small row groups: parquet splits align to row groups, so 128MB
+      // groups would cap replay read-parallelism at ~size/128MB tasks
+      .write.option("parquet.block.size", 16 * 1024 * 1024)
+      .partitionBy("epoch").mode("overwrite").parquet(dir)
   }
 }

@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.decode.{ChangeEvent, Decode, Framing, SparkSchema}
 import graft.lake.{IceLite, Merge}
 import graft.registry.{DescriptorRegistry, SchemaKey}
@@ -35,10 +36,11 @@ object Replay {
   def decodeForMerge(
       events: Dataset[ChangeEvent],
       registry: Broadcast[DescriptorRegistry],
-      deadLetterDir: Option[String]): (DataFrame, () => Long) = {
+      deadLetterDir: Option[String],
+      framing: Framing.Value = Framing.Raw): (DataFrame, () => Long) = {
 
     val defaultKey = SchemaKey(Cdc.SchemaId, -1) // latest version in registry
-    val decoded0 = Decode.decode(events, registry, defaultKey, Cdc.MessageType, Framing.Raw)
+    val decoded0 = Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing)
 
     val obs = org.apache.spark.sql.Observation()
     val decoded = decoded0.observe(obs,
@@ -47,7 +49,7 @@ object Replay {
     val flushDeadLetters: () => Long = () => {
       val bad = Option(obs.get("bad")).collect { case l: Long => l }.getOrElse(0L)
       if (bad > 0L) deadLetterDir.foreach { dld =>
-        Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, Framing.Raw))
+        Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing))
           .write.mode("append").parquet(dld)
       }
       bad
@@ -76,39 +78,51 @@ object Replay {
       spark: SparkSession,
       logDir: String,
       tableDir: String,
-      buckets: Int = 32): ReplayResult = {
+      buckets: Int = 32,
+      framing: Framing.Value = Framing.Raw,
+      /** keys-only pre-pass for touched-bucket pruning; turn off for large
+        * batches that touch every bucket anyway (saves one payload scan). */
+      pruneBuckets: Boolean = true): ReplayResult = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
     val registry = spark.sparkContext.broadcast(Cdc.registry)
 
-    val epochs = spark.read.parquet(logDir).select("epoch").distinct()
-      .as[Long].collect().sorted
+    // epoch list from the partition directories — no Spark job
+    val epochs = java.nio.file.Files.list(java.nio.file.Paths.get(logDir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toLong }
+      .toVector.sorted
 
     val stats = epochs.map { e =>
       val ev = spark.read.parquet(logDir)
         .filter(col("epoch") === e) // partition-dir prune
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[ChangeEvent]
-      val (updates, flushDL) = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
-      val st = Merge.mergeEpoch(spark, tableDir, updates, "seq", "op", e)
+      val (updates, flushDL) = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"), framing)
+      val keys = if (pruneBuckets)
+        Some(Decode.decodeKeys(ev, registry, SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType,
+          Seq("repo", "path"), framing))
+      else None
+      val st = Merge.mergeEpoch(spark, tableDir, updates, "seq", "op", e, keys)
       if (st.applied) flushDL()
-      Lineage.append(spark, tableDir, st)
       st
     }
+    Lineage.appendAll(spark, tableDir, stats) // one ledger write per replay
     ReplayResult(epochs.length, stats.toSeq)
   }
 
   /** The oracle fold (FIXTURES.md §C): expected final state computed directly
     * from the decoded log with plain Spark ops — last-writer-wins by seq,
     * DELETE removes the key. */
-  def oracleFold(spark: SparkSession, logDir: String): DataFrame = {
+  def oracleFold(spark: SparkSession, logDir: String,
+      framing: Framing.Value = Framing.Raw): DataFrame = {
     import spark.implicits._
     val registry = spark.sparkContext.broadcast(Cdc.registry)
     val ev = spark.read.parquet(logDir)
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
       .as[ChangeEvent]
-    val (upd, _) = decodeForMerge(ev, registry, None)
+    val (upd, _) = decodeForMerge(ev, registry, None, framing)
     val cols = upd.columns
     upd.groupBy(col("repo"), col("path"))
       .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))

@@ -38,7 +38,9 @@ object Tail {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
         val (updates, flushDL) = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
-        val st = Merge.mergeEpoch(batch.sparkSession, tableDir, updates, "seq", "op", batchId)
+        val keys = Some(graft.decode.Decode.decodeKeys(batch, registry,
+          graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
+        val st = Merge.mergeEpoch(batch.sparkSession, tableDir, updates, "seq", "op", batchId, keys)
         if (st.applied) flushDL()
         Lineage.append(batch.sparkSession, tableDir, st)
         ()

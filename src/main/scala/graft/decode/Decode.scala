@@ -148,6 +148,48 @@ object Decode {
     Row.fromSeq(vals.toIndexedSeq)
   }
 
+  /** Keys-only decode: a reduced descriptor keeps just `keyFields`, so every
+    * other field is wire-SKIPPED (length-delimited skip is an O(1) jump —
+    * the payload body is never materialized). Used for touched-bucket
+    * discovery before a MERGE; errors yield no row. */
+  def decodeKeys(
+      events: Dataset[ChangeEvent],
+      registry: Broadcast[DescriptorRegistry],
+      defaultKey: SchemaKey,
+      messageType: String,
+      keyFields: Seq[String],
+      framing: Framing.Value = Framing.Raw): DataFrame = {
+
+    val (fsOut, descOut) = registry.value.descriptor(defaultKey, messageType).getOrElse(
+      throw new Descriptors.UnknownMessageTypeException(messageType))
+    val reduced = descOut.copy(fields = descOut.fields.filter(f => keyFields.contains(f.name)))
+    val schema = SparkSchema.structFor(fsOut, reduced)
+
+    events.mapPartitions { iter =>
+      val reg = registry.value
+      val fs = reg.fileSet(defaultKey).get
+      val dec = new RowDecoder(fs, reduced)
+      iter.flatMap { ev =>
+        try {
+          framing match {
+            case Framing.Raw => Iterator.single(dec.decode(ev.payload))
+            case Framing.VarintDelimited =>
+              val r = new graft.proto.Wire.Reader(ev.payload)
+              val out = Vector.newBuilder[Row]
+              var ok = true
+              while (r.hasRemaining && ok) {
+                try {
+                  val (p, len) = r.readSlice()
+                  out += dec.decode(new graft.proto.Wire.Reader(r.buf, p, p + len))
+                } catch { case _: Exception => ok = false }
+              }
+              out.result().iterator
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Route splits (filter on the computed column → 3 sinks). */
   def success(decoded: DataFrame): DataFrame =
     decoded.filter(decoded("route") === Route.Success).select("partition", "offset", "msg.*")

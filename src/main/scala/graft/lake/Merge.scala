@@ -66,7 +66,20 @@ object Merge {
       updates: DataFrame,
       seqCol: String,
       opCol: String,
-      epochId: Long): MergeStats = {
+      epochId: Long,
+      /** key columns only, from a cheap keys-only decode (wire-skips the
+        * payload body): enables touched-bucket pruning without caching or
+        * double-decoding the full batch. None → all buckets are rewritten
+        * (right for large batches that touch every bucket anyway). */
+      updateKeys: Option[DataFrame] = None): MergeStats = {
+
+    val timing = sys.env.contains("SPARK_GRAFT_TIMING")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (timing) {
+      val t1 = System.nanoTime()
+      println(f"[timing] epoch=$epochId $tag ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
 
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) // exactly-once fence: replayed epoch is a no-op
@@ -79,91 +92,92 @@ object Merge {
     val schemas = if (newSchema == base.currentSchema) base.schemas else base.schemas :+ newSchema
     val schemaVersion = schemas.length - 1
 
-    // ---- 1. dedup to one row per key: hash agg (partial+final), no sort
-    val allCols = updates.columns
-    val deduped = updates
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(allCols.map(col): _*), col(seqCol)).as("__r"))
-      .select((keyCols.map(k => col(k)) ++
-        allCols.filterNot(keyCols.contains).map(c => col(s"__r.$c").as(c))): _*)
-      .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
-
-    deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE action for all batch stats: per-bucket row/delete counts (≤ B rows)
-    val bucketStats = deduped.groupBy("__bucket")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col(opCol) === "DELETE", 1L).otherwise(0L)).as("dels"))
-      .collect()
-    val touched = bucketStats.map(_.getInt(0)).toSet
-    val batchRows = bucketStats.map(_.getLong(1)).sum
-    val deletes = bucketStats.map(_.getLong(2)).sum
-
-    if (batchRows == 0) {
-      deduped.unpersist()
-      val next = base.copy(epochs = base.epochs :+ epochId, schemas = schemas)
-      IceLite.commit(dir, base, next, epochId)
-      return MergeStats(epochId, applied = true, 0, 0, 0, 0, 0)
-    }
-
-    // ---- 2. target side: only touched buckets, mapped to the evolved schema,
-    // WITH the hidden CDC columns (__seq per key, __del tombstone)
-    val target = IceLite.read(spark, base.copy(schemas = schemas),
-      f => touched.contains(f.bucket), includeHidden = true)
-
-    // ---- 3. version-ordered full-outer merge on the key: the update wins
-    // only if its seq is newer than the last applied seq — late, duplicate
-    // and out-of-order events (across epochs) are absorbed; DELETEs persist
-    // as tombstones so a late lower-seq upsert cannot resurrect a key
+    // ---- 1. normalize the batch to the evolved (visible) schema + CDC cols:
+    // (__seq = event seq, __del = op == DELETE), null-filling columns the
+    // evolved table has that this batch lacks (old-descriptor events)
     val visible = newSchema.filterNot(_.hidden)
     val visCols = visible.map(_.name)
-    // updates may lack columns the evolved table has (old-descriptor events
-    // into an evolved table) — null-fill those, Iceberg-style
-    val updCols = deduped.columns.toSet
-    val u = deduped.select(
+    val updCols = updates.columns.toSet
+    val batch = updates.select(
       (visible.map(cd =>
         (if (updCols(cd.name)) col(cd.name).cast(cd.sparkType)
-         else lit(null).cast(cd.sparkType)).as(s"__u_${cd.name}")) :+
-        col(seqCol).as("__u_seq") :+ col(opCol).as("__u_op")): _*)
-    val t = target.select(
-      (visCols.map(c => col(c).as(s"__t_$c")) :+
-        col(IceLite.SeqCol.name).as("__t_seq") :+
-        col(IceLite.DelCol.name).as("__t_del")): _*)
-
-    val joined = t.join(u,
-      keyCols.map(k => t(s"__t_$k") === u(s"__u_$k")).reduce(_ && _),
-      "full_outer")
-
-    val uWins = col("__u_seq").isNotNull &&
-      (col("__t_seq").isNull || col("__u_seq") > col("__t_seq"))
-    val merged = joined
-      .select((visCols.map(c =>
-        when(uWins, col(s"__u_$c")).otherwise(col(s"__t_$c")).as(c)) :+
-        when(uWins, col("__u_seq")).otherwise(col("__t_seq")).as(IceLite.SeqCol.name) :+
-        when(uWins, col("__u_op") === "DELETE")
-          .otherwise(coalesce(col("__t_del"), lit(false))).as(IceLite.DelCol.name)): _*)
+         else lit(null).cast(cd.sparkType)).as(cd.name)) :+
+        col(seqCol).cast("long").as(IceLite.SeqCol.name) :+
+        (col(opCol) === "DELETE").as(IceLite.DelCol.name)): _*)
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
 
-    // ---- 4. rewrite touched buckets, one file per bucket per epoch; row
+    // touched buckets: from the keys-only pre-pass when available (narrow
+    // distinct over just the key columns — the payload body is wire-skipped,
+    // never decoded); otherwise all buckets
+    val touched: Set[Int] = updateKeys match {
+      case Some(keys) =>
+        keys.select(bucketExpr(keyCols, base.buckets).as("__bucket"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      case None => (0 until base.buckets).toSet
+    }
+    lap("touched-buckets")
+
+    // batch stats ride the merge job as an Observation — no extra pass
+    val batchObs = org.apache.spark.sql.Observation(s"merge-batch-$epochId")
+    val observedBatch = batch.observe(batchObs,
+      count(lit(1)).as("n"),
+      sum(when(col(IceLite.DelCol.name), 1L).otherwise(0L)).as("dels"))
+
+    // ---- 2. SINGLE-SHUFFLE version-ordered merge: union(batch, touched
+    // target rows) → one hash repartition by bucket → in-partition sort by
+    // (key, seq DESC) → keep the first row per key. LWW per key across the
+    // batch AND the stored state in one exchange — no dedup pre-shuffle, no
+    // full-outer join, no second repartition for the bucketed write.
+    // Late/duplicate/out-of-order events are absorbed (stored row wins when
+    // newer); DELETEs persist as tombstones so a late lower-seq upsert
+    // cannot resurrect a key.
+    val target = IceLite.read(spark, base.copy(schemas = schemas),
+      f => touched.contains(f.bucket), includeHidden = true)
+      .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
+
+    val unioned = observedBatch.unionByName(target)
+    val outSchema = unioned.schema
+    val keyIdx = keyCols.map(outSchema.fieldIndex)
+    val bucketIdx = outSchema.fieldIndex("__bucket")
+
+    val merged = unioned
+      .repartition(math.max(touched.size, 1), col("__bucket"))
+      .sortWithinPartitions(
+        (col("__bucket") +: keyCols.map(col)) :+ col(IceLite.SeqCol.name).desc: _*)
+      .mapPartitions { it =>
+        // rows arrive clustered by key, newest first — emit the winner only
+        var prev: Array[Any] = null
+        it.flatMap { row =>
+          val k = keyIdx.map(row.get) :+ row.get(bucketIdx)
+          if (prev != null && java.util.Arrays.equals(
+              prev.asInstanceOf[Array[AnyRef]], k.toArray.asInstanceOf[Array[AnyRef]])) None
+          else { prev = k.toArray; Some(row) }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+
+    // ---- 3. rewrite touched buckets, one file per bucket per epoch; row
     // count rides the write job as an Observation (no second scan)
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId").toString
     val obs = org.apache.spark.sql.Observation(s"merge-rows-$epochId")
     merged
-      .repartition(math.max(touched.size, 1), col("__bucket"))
-      .sortWithinPartitions(col("__bucket") +: keyCols.map(col): _*) // key-clustered files
       .observe(obs, count(lit(1)).as("rows"))
-      .write.partitionBy("__bucket").mode("overwrite").parquet(epochDir)
+      .write.option("parquet.block.size", 16 * 1024 * 1024)
+      .partitionBy("__bucket").mode("overwrite").parquet(epochDir)
     val rewrittenRows = obs.get("rows").asInstanceOf[Long]
+    val batchRows = Option(batchObs.get("n")).collect { case l: Long => l }.getOrElse(0L)
+    val deletes = Option(batchObs.get("dels")).collect { case l: Long => l }.getOrElse(0L)
+    lap("merge+write")
 
     // ---- 5. snapshot: carried-forward + new files
     val newFiles = listBucketFiles(epochDir, schemaVersion)
     val carried = base.files.filterNot(f => touched.contains(f.bucket))
-    deduped.unpersist()
 
     val next = base.copy(
       epochs = base.epochs :+ epochId,
       schemas = schemas,
       files = carried ++ newFiles)
     IceLite.commit(dir, base, next, epochId)
+    lap("commit")
 
     MergeStats(epochId, applied = true, batchRows, batchRows - deletes, deletes,
       touched.size, rewrittenRows)

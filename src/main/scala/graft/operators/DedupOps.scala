@@ -21,7 +21,9 @@ object DedupOps {
   import TextOps.{wordsSpark, wordsDuck}
 
   // 60-bit hash from md5 hex — identical in Spark and DuckDB
-  private def hSpark(e: String) = s"CAST(conv(substring(md5(CAST($e AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+  // Spark side uses the codegen'd native expression (graft.functions.Hash60);
+  // numerically identical to the DuckDB md5-hex form below
+  private def hSpark(e: String) = s"hash60($e)"
   private def hDuck(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
   // K=8 universal-hash params over p = 2^31-1 (products stay < 2^62)
@@ -57,11 +59,17 @@ object DedupOps {
        |   WHERE len(shingles) > 0) s1)""".stripMargin.replace("\n", " ")
 
   private def sigSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.Hash60.register(s)
+    // persist = a CollapseProject barrier: without it every mh_k projection
+    // re-inlines the whole tokenize->shingle->md5 chain (8x recompute; HOFs
+    // get no codegen CSE). With it, hs is computed once.
     val base = ld(s, d, "documents")
       .withColumn("ws", expr(wordsSpark))
       .withColumn("shingles", expr(shinglesSpark))
       .filter(size(col("shingles")) > 0)
       .withColumn("hs", expr(hsSpark))
+      .select("doc_id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (0 until 8).foldLeft(base) { (df, k) => df.withColumn(s"mh$k", expr(minhashSpark(k))) }
   }
 
@@ -136,6 +144,7 @@ object DedupOps {
       // 16-bit SimHash over the word multiset: one md5 per word, bit b set
       // iff the sum of ±1 votes (bit b of each word hash) is positive
       (s, d) => {
+        graft.functions.Hash60.register(s)
         val bits = (0 until 16).map { b =>
           expr(s"CAST(aggregate(hw, 0L, (acc, h) -> acc + CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 AS INT) * ${1 << b}")
         }.reduce(_ + _)
@@ -143,6 +152,8 @@ object DedupOps {
           .withColumn("ws", expr(wordsSpark))
           .filter(size(col("ws")) > 0)
           .withColumn("hw", expr(s"transform(ws, w -> ${hSpark("w")})"))
+          .select("doc_id", "hw")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // same 16x-recompute barrier
           .withColumn("simhash", bits.cast("long"))
           .withColumn("bucket", (col("simhash") / 256).cast("long"))
           .select("doc_id", "simhash", "bucket")

@@ -29,7 +29,7 @@ object SimilarityOps {
   // the same deterministic pseudo-randomness in both engines
   private def signSpark(p: Int) =
     s"""aggregate(zip_with(embedding, sequence(0, 63), (x, i) ->
-       | CAST(x AS DOUBLE) * (CAST(conv(substring(md5(CAST(concat('$p:', CAST(i AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2 * 2 - 1)),
+       | CAST(x AS DOUBLE) * (hash60(concat('$p:', CAST(i AS STRING))) % 2 * 2 - 1)),
        | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
   private def signDuck(p: Int) =
     s"""list_reduce(list_transform(list_zip(embedding, range(0, 64)), q ->
@@ -86,6 +86,7 @@ object SimilarityOps {
       // the scale path: 8 random-hyperplane signs → 8-bit bucket; ANN then
       // probes only same-bucket candidates (bucket join, no cross join)
       (s, d) => {
+        graft.functions.Hash60.register(s)
         val e = ld(s, d, "embeddings")
         val bucketBits = (0 until 8).map(p =>
           expr(s"CAST(${signSpark(p)} > 0 AS INT) * ${1 << p}")).reduce(_ + _)

@@ -101,6 +101,7 @@ object TextOps {
       // exact fingerprint (md5 of normalized text) + rolling 3-shingle
       // min-hash fingerprint (md5-derived 60-bit ints, min over shingles)
       (s, d) => {
+        graft.functions.Hash60.register(s)
         ld(s, d, "documents")
           .withColumn("ws", expr(wordsSpark))
           .withColumn("norm", concat_ws(" ", col("ws")))
@@ -108,7 +109,7 @@ object TextOps {
           .withColumn("shingles",
             expr("CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END"))
           .withColumn("min_fp",
-            expr("array_min(transform(shingles, s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT)))"))
+            expr("array_min(transform(shingles, s -> hash60(s)))"))
           .select("doc_id", "exact_fp", "min_fp")
           .orderBy("doc_id")
       },

@@ -134,7 +134,7 @@ class PipelineSpec extends AnyFunSuite {
       ("r1", "a", "old", 1L, "UPSERT"),
       ("r1", "a", "new", 3L, "UPSERT"),
       ("r1", "b", "bee", 2L, "UPSERT"))), "seq", "op", 0L)
-    assert(st0.applied && st0.batchRows == 2)
+    assert(st0.applied && st0.batchRows == 3) // 3 input events (2 keys after LWW)
     val t0 = IceLite.read(spark, IceLite.load(dir))
     assert(t0.count() == 2)
     assert(t0.filter($"path" === "a").select("content").as[String].head() == "new")
@@ -199,6 +199,45 @@ class PipelineSpec extends AnyFunSuite {
     val w = sortedRows(want.select("repo", "path", "content", "author"))
     assert(g == w)
     assert(t.filter(col("author").isNotNull && col("author") =!= "").count() > 0)
+  }
+
+  test("delimited-segment log replays to the same state as the raw log") {
+    val rawDir = tmp("rawlog"); val segDir = tmp("seglog")
+    val t1 = tmp("rawtable"); val t2 = tmp("segtable")
+    val p = LogGen.Params(nEvents = 5000, nRepos = 30, pathsPerRepo = 30, v1Fraction = 0.5)
+    LogGen.writeLog(spark, p, rawDir, epochs = 2)
+    LogGen.writeSegmentLog(spark, p, segDir, epochs = 2, msgsPerSegment = 64)
+    Replay.replayLog(spark, rawDir, t1, buckets = 8)
+    Replay.replayLog(spark, segDir, t2, buckets = 8, framing = graft.decode.Framing.VarintDelimited)
+    val a = sortedRows(IceLite.read(spark, IceLite.load(t1)).select("repo", "path", "content"))
+    val b = sortedRows(IceLite.read(spark, IceLite.load(t2)).select("repo", "path", "content"))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("compaction: state preserved, one file per bucket, tombstones purged, vacuum removes garbage") {
+    val logDir = tmp("clog"); val tableDir = tmp("ctable")
+    val p = LogGen.Params(nEvents = 5000, nRepos = 30, pathsPerRepo = 30)
+    LogGen.writeLog(spark, p, logDir, epochs = 4)
+    Replay.replayLog(spark, logDir, tableDir, buckets = 8)
+    val before = sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content"))
+    val filesBefore = IceLite.load(tableDir).files.size
+    val st = graft.lake.Compaction.compact(spark, tableDir, epochId = 1000L)
+    assert(st.rowsAfter > 0)
+    val snap = IceLite.load(tableDir)
+    assert(snap.files.size <= 8) // one file per bucket
+    assert(snap.files.size < filesBefore || filesBefore <= 8)
+    val after = sortedRows(IceLite.read(spark, snap).select("repo", "path", "content"))
+    assert(before == after)
+    // tombstones gone from the physical files
+    val hid = IceLite.read(spark, snap, includeHidden = true)
+    assert(hid.filter(col("__del") === true).count() == 0)
+    // vacuum removes now-unreferenced epoch files; table still reads
+    val removed = graft.lake.Compaction.vacuum(tableDir)
+    assert(removed > 0)
+    assert(sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content")) == before)
+    // compaction is epoch-fenced too
+    val st2 = graft.lake.Compaction.compact(spark, tableDir, epochId = 1000L)
+    assert(st2.buckets == 0)
   }
 
   // ------------------------------------------------------------- streaming
