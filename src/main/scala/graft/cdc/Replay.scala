@@ -94,8 +94,11 @@ object Replay {
       .collect { case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toLong }
       .toVector.sorted
 
+    // ONE relation (file listing + schema) reused across epochs — a fresh
+    // spark.read.parquet per epoch costs a serial driver job each time
+    val log = spark.read.parquet(logDir)
     val stats = epochs.map { e =>
-      val ev = spark.read.parquet(logDir)
+      val ev = log
         .filter(col("epoch") === e) // partition-dir prune
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[ChangeEvent]
