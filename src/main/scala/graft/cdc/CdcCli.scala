@@ -94,6 +94,13 @@ object CdcCli {
       val df = IceLite.read(spark, snap)
       println(s"rows=${df.count()}")
       df.orderBy("repo", "path").show(n, truncate = 40)
+    case "compact" :: tableDir :: rest =>
+      val epochId = rest.headOption.map(_.toLong).getOrElse(System.nanoTime())
+      val st = graft.lake.Compaction.compact(spark, tableDir, epochId)
+      println(s"compacted ${st.buckets} buckets: rows=${st.rowsAfter}, files rewritten=${st.filesRemoved}")
+    case "vacuum" :: tableDir :: Nil =>
+      val removed = graft.lake.Compaction.vacuum(tableDir)
+      println(s"vacuumed $removed unreferenced data files")
     case "verify" :: logDir :: tableDir :: Nil =>
       val got = IceLite.read(spark, IceLite.load(tableDir))
         .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
