@@ -70,6 +70,21 @@ object CdcCli {
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = r.stats.map(_.batchRows).sum
       println(f"replayed ${r.epochs} epochs, $rows events in $sec%.1f s (${rows / sec}%.0f events/s)")
+    case "roundtrip-bench" :: n :: Nil =>
+      // distributed encode stage -> decode stage, no disk: codec throughput
+      import spark.implicits._
+      val reg = spark.sparkContext.broadcast(Cdc.registry)
+      val rows = spark.range(0, n.toLong)
+        .map(i => LogGen.rawChange(i, LogGen.Params(nEvents = n.toLong))).toDF()
+      val t0 = System.nanoTime()
+      val events = graft.decode.Encode.encode(rows, reg, Cdc.KeyV2, Cdc.MessageType)
+        .map(b => graft.decode.ChangeEvent(b, Cdc.SchemaId, 2, Cdc.MessageType, 0, 0L))
+      val ok = graft.decode.Decode.success(graft.decode.Decode.decode(
+        events, reg, graft.registry.SchemaKey(Cdc.SchemaId, 2), Cdc.MessageType))
+        .filter(col("repo").isNotNull).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"round-tripped $ok of $n messages (encode+decode) in $sec%.1f s (${ok / sec}%.0f msgs/s)")
+      if (ok != n.toLong) sys.exit(1)
     case "decode-bench" :: logDir :: Nil =>
       import spark.implicits._
       val registry = spark.sparkContext.broadcast(Cdc.registry)

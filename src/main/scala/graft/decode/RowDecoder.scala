@@ -136,15 +136,19 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
       case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
       case _ => java.lang.Long.valueOf(0L)
     }
+    def kvValue(f: FieldDesc): Any = f.tpe match {
+      case TYPE_STRING => new String(r.readBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      case TYPE_BYTES => r.readBytes()
+      case TYPE_MESSAGE =>
+        val (p, len) = r.readSlice()
+        vn.decode(new Reader(r.buf, p, p + len))
+      case _ => readScalarField(f, r, f.wireType)
+    }
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
-      if (fn == 1) k = readScalarField(kf, r, wt)
-      else if (fn == 2) {
-        v = if (vf.tpe == TYPE_MESSAGE) {
-          val (p, len) = r.readSlice()
-          vn.decode(new Reader(r.buf, p, p + len))
-        } else readScalarField(vf, r, wt)
-      } else r.skip(wt)
+      if (fn == 1) k = kvValue(kf)
+      else if (fn == 2) v = kvValue(vf)
+      else r.skip(wt)
     }
     (k, v)
   }
