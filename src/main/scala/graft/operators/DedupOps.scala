@@ -58,19 +58,49 @@ object DedupOps {
        |     FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) w) s0
        |   WHERE len(shingles) > 0) s1)""".stripMargin.replace("\n", " ")
 
+  /** one row of the MinHash signature table. */
+  final case class SigRow(doc_id: Long, hs: Seq[Long],
+      mh0: Long, mh1: Long, mh2: Long, mh3: Long,
+      mh4: Long, mh5: Long, mh6: Long, mh7: Long)
+
+  /** Single-pass signatures via typed mapPartitions: one tokenize + one md5
+    * per shingle + all 8 affine minhashes in the same loop. (The
+    * expression-chain formulation recomputed the whole chain per minhash
+    * column — CollapseProject inlining with no codegen CSE for HOFs.)
+    * Values are identical to the DuckDB oracle formulation. */
   private def sigSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
-    graft.functions.Hash60.register(s)
-    // persist = a CollapseProject barrier: without it every mh_k projection
-    // re-inlines the whole tokenize->shingle->md5 chain (8x recompute; HOFs
-    // get no codegen CSE). With it, hs is computed once.
-    val base = ld(s, d, "documents")
-      .withColumn("ws", expr(wordsSpark))
-      .withColumn("shingles", expr(shinglesSpark))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("hs", expr(hsSpark))
-      .select("doc_id", "hs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (0 until 8).foldLeft(base) { (df, k) => df.withColumn(s"mh$k", expr(minhashSpark(k))) }
+    import s.implicits._
+    val params = hashParams.toArray
+    val p = P
+    ld(s, d, "documents").select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.flatMap { case (id, text) =>
+          val m = re.matcher(text.toLowerCase(java.util.Locale.ROOT))
+          val ws = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) ws += m.group()
+          if (ws.length < 3) None
+          else {
+            val hs = new Array[Long](ws.length - 2)
+            val mh = Array.fill(8)(Long.MaxValue)
+            var i = 0
+            while (i < hs.length) {
+              val h = graft.functions.Hash60.hash(
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  ws(i) + " " + ws(i + 1) + " " + ws(i + 2))) % p
+              hs(i) = h
+              var k = 0
+              while (k < 8) {
+                val v = (params(k)._1 * h + params(k)._2) % p
+                if (v < mh(k)) mh(k) = v
+                k += 1
+              }
+              i += 1
+            }
+            Some(SigRow(id, hs.toSeq, mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7)))
+          }
+        }
+      }.toDF()
   }
 
   val queries: Seq[OpQuery] = Seq(
