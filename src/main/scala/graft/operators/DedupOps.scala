@@ -33,19 +33,12 @@ object DedupOps {
     (22695477L, 1L), (134775813L, 2531011L), (214013L, 2531011L),
     (69069L, 12345L), (1566083941L, 362436069L))
 
-  private val shinglesSpark =
-    "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END"
   private val shinglesDuck =
     "list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
 
   // hashed shingles, one md5 per shingle
-  private val hsSpark = s"transform(shingles, s -> ${hSpark("s")} % $P)"
   private val hsDuck = s"list_transform(shingles, s -> ${hDuck("s")} % $P)"
 
-  private def minhashSpark(k: Int): String = {
-    val (a, b) = hashParams(k)
-    s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
-  }
   private def minhashDuck(k: Int): String = {
     val (a, b) = hashParams(k)
     s"list_aggregate(list_transform(hs, h -> ($a * h + $b) % $P), 'min')"

@@ -198,7 +198,7 @@ object ProtoJson {
     if (desc.fullName == "google.protobuf.Timestamp" && node.getNodeType == JsonNodeType.STRING)
       return rfc3339ToTimestamp(desc, node.asText())
     var fields = TreeMap.empty[Int, PValue]
-    val it = node.fields()
+    val it = node.properties().iterator()
     while (it.hasNext) {
       val e = it.next()
       val f = desc.fieldByJsonName.getOrElse(e.getKey,
@@ -211,7 +211,7 @@ object ProtoJson {
           val keyF = entryDesc.fieldByNumber(1)
           val valF = entryDesc.fieldByNumber(2)
           var entries = Vector.empty[PValue]
-          val mit = v.fields()
+          val mit = v.properties().iterator()
           while (mit.hasNext) {
             val me = mit.next()
             val kv = parseMapKey(keyF, me.getKey)

@@ -270,7 +270,7 @@ object ProtoTextParser {
 
     private def entryNameFor(fieldName: String): String = {
       // protoc: field name snake_case → CamelCase + "Entry"
-      val camel = fieldName.split("_").filter(_.nonEmpty).map(s => s.head.toUpper + s.tail).mkString
+      val camel = fieldName.split("_").filter(_.nonEmpty).map(s => s"${s.head.toUpper}${s.tail}").mkString
       camel + "Entry"
     }
 
