@@ -39,16 +39,38 @@ object SimilarityOps {
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q20_embedding_neardup",
-      // near-duplicate pairs by cosine ≥ 0.35 over a label-blocked join
-      // (same label only — the blocking that keeps this off a full n²)
+      // near-duplicate pairs by cosine ≥ 0.35 over label blocking (same
+      // label only — the blocking that keeps this off a full n²). Typed
+      // flatMapGroups: each label's block is paired in one tight loop —
+      // double math in the same element order as the DuckDB oracle's
+      // list_reduce, so values are bit-identical.
       (s, d) => {
+        import s.implicits._
         val e = ld(s, d, "embeddings")
-        val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-        val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
-        a.join(b, Seq("label")).filter(col("a") < col("b"))
-          .withColumn("cos", expr(sparkCos))
-          .filter(col("cos") >= 0.35)
-          .select("a", "b", "cos")
+          .select(col("label"), col("vec_id"), col("embedding"))
+          .as[(Int, Long, Seq[Float])]
+        e.groupByKey(_._1)
+          .flatMapGroups { (_, it) =>
+            val vs = it.map { case (_, id, emb) => (id, emb.toArray) }.toArray.sortBy(_._1)
+            val norms = vs.map { case (_, a) =>
+              var n = 0.0; var i = 0
+              while (i < a.length) { n += a(i).toDouble * a(i).toDouble; i += 1 }
+              math.sqrt(n)
+            }
+            for {
+              i <- vs.indices.iterator
+              j <- (i + 1) until vs.length
+              dot = {
+                val x = vs(i)._2; val y = vs(j)._2
+                var acc = 0.0; var k = 0
+                while (k < x.length) { acc += x(k).toDouble * y(k).toDouble; k += 1 }
+                acc
+              }
+              cos = dot / (norms(i) * norms(j))
+              if cos >= 0.35
+            } yield (vs(i)._1, vs(j)._1, cos)
+          }
+          .toDF("a", "b", "cos")
           .orderBy("a", "b")
       },
       Some(s"""SELECT a, b, cos FROM (
