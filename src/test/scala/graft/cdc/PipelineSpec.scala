@@ -242,6 +242,36 @@ class PipelineSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- streaming
 
+  test("streaming tail: live arrivals — new segments land between runs and are applied incrementally") {
+    import spark.implicits._
+    val streamDir = tmp("live"); val tableDir = tmp("ltable"); val ckpt = tmp("lckpt")
+    val p1 = LogGen.Params(nEvents = 1000, nRepos = 10, pathsPerRepo = 10)
+    // wave 1
+    LogGen.events(spark, p1).filter(col("offset") < 600).repartition(2)
+      .write.mode("append").parquet(streamDir)
+    Tail.start(spark, streamDir, tableDir, ckpt, buckets = 4).awaitTermination()
+    val v1 = IceLite.load(tableDir).version
+    val rows1 = IceLite.read(spark, IceLite.load(tableDir)).count()
+    assert(rows1 > 0)
+    // wave 2 arrives later: only the NEW files are processed (offsets 600+)
+    LogGen.events(spark, p1).filter(col("offset") >= 600).repartition(2)
+      .write.mode("append").parquet(streamDir)
+    Tail.start(spark, streamDir, tableDir, ckpt, buckets = 4).awaitTermination()
+    assert(IceLite.load(tableDir).version > v1)
+    // final state equals the full-log oracle fold
+    val reg = spark.sparkContext.broadcast(Cdc.registry)
+    val ev = spark.read.parquet(streamDir)
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[ChangeEvent]
+    val (upd, _) = Replay.decodeForMerge(ev, reg, None)
+    val cols = upd.columns
+    val oracle = upd.groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
+      .select(col("__r.*")).filter(col("op") =!= "DELETE")
+    assert(sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content")) ==
+      sortedRows(oracle.select("repo", "path", "content")))
+  }
+
   test("streaming tail: AvailableNow over segments, checkpoint resume is exactly-once") {
     import spark.implicits._
     val streamDir = tmp("stream")
