@@ -109,6 +109,11 @@ object CdcCli {
       val df = IceLite.read(spark, snap)
       println(s"rows=${df.count()}")
       df.orderBy("repo", "path").show(n, truncate = 40)
+    case "get" :: tableDir :: repo :: path :: Nil =>
+      val snap = IceLite.load(tableDir)
+      val row = IceLite.lookup(spark, snap, Map("repo" -> repo, "path" -> path))
+      row.show(5, truncate = 60)
+      println(s"found ${row.count()} row(s)")
     case "compact" :: tableDir :: rest =>
       val epochId = rest.headOption.map(_.toLong).getOrElse(System.nanoTime())
       val st = graft.lake.Compaction.compact(spark, tableDir, epochId)

@@ -226,4 +226,19 @@ object IceLite {
     * the merge join is handled by AQE + salting in Merge. */
   def bucketExpr(keyCols: Seq[String], buckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
+
+  /** Point lookup by full key: computes the key's bucket, reads ONLY that
+    * bucket's files (1/B of the table), applies the key filter (pushed to
+    * the parquet scan — files are key-sorted within buckets, so row-group
+    * stats prune further). The lake's O(table/B) primary-key get. */
+  def lookup(spark: SparkSession, snap: Snapshot, key: Map[String, Any]): DataFrame = {
+    require(snap.keyCols.forall(key.contains), s"need all key cols ${snap.keyCols}")
+    val bucket = spark.range(1)
+      .select(snap.keyCols.map(k => lit(key(k)).as(k)): _*)
+      .select(bucketExpr(snap.keyCols, snap.buckets))
+      .head().getInt(0)
+    snap.keyCols.foldLeft(readBuckets(spark, snap, Set(bucket))) { (df, k) =>
+      df.filter(col(k) === lit(key(k)))
+    }
+  }
 }

@@ -151,6 +151,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(IceLite.read(spark, IceLite.load(dir)).count() == 2)
   }
 
+  test("point lookup: bucket-pruned key get returns current row; deleted key returns none") {
+    import spark.implicits._
+    val dir = tmp("lkp")
+    Replay.createTable(dir, buckets = 8)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r1", "a", "alpha", 1L, "UPSERT"),
+      ("r1", "b", "beta", 2L, "UPSERT"),
+      ("r2", "a", "gone", 3L, "DELETE"))), "seq", "op", 0L)
+    val snap = IceLite.load(dir)
+    val hit = IceLite.lookup(spark, snap, Map("repo" -> "r1", "path" -> "b"))
+    assert(hit.select("content").as[String].collect().toSeq == Seq("beta"))
+    assert(IceLite.lookup(spark, snap, Map("repo" -> "r2", "path" -> "a")).count() == 0) // tombstoned
+    assert(IceLite.lookup(spark, snap, Map("repo" -> "rX", "path" -> "z")).count() == 0)
+  }
+
   // ------------------------------------------------------------- replay e2e
 
   test("replay equivalence: final table == oracle fold, sha256 invariant, idempotent rerun") {
