@@ -6,22 +6,38 @@ import graft.cdc.{Cdc, LogGen, Replay}
 import graft.lake.IceLite
 
 /** The engine's own CDC operators surfaced through the driver gate.
-  * q00 has no SQL oracle (it runs on its own generated protobuf log, not on
-  * the shared parquet tables) — the driver records a rows-only check; its
-  * real correctness gate is PipelineSpec's oracle-fold + sha256 equality. */
+  * q00 is the flagship: it generates a seeded protobuf change log, replays
+  * it through decode → version-ordered MERGE → IceLite commit, and returns
+  * the final table state. Its DuckDB oracle folds the DECODED change log
+  * (dumped as parquet by the same query run) with a seq-ordered
+  * last-writer-wins + DELETE filter — an independent re-derivation of the
+  * MERGE semantics, gated on rows/schema/hash incl. per-row content sha256
+  * (the reference's round-trip contract, ProtobufEncoderTest.java:85-88). */
 object CdcQueries {
 
   /** Deterministic tmp table path per (tag, sf dir) — reruns overwrite. */
   private def workDir(tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-$tag"
 
-  def replayFinalState(spark: SparkSession, nEvents: Long, tag: String): DataFrame = {
+  def replayFinalState(spark: SparkSession, nEvents: Long, tag: String,
+      dumpDecodedLog: Boolean = false): DataFrame = {
     val root = workDir(tag)
     val logDir = s"$root/log"
     val tableDir = s"$root/table"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     LogGen.writeLog(spark, LogGen.Params(nEvents = nEvents, nRepos = 50,
       pathsPerRepo = 40, v1Fraction = 0.7), logDir, epochs = 2)
+    if (dumpDecodedLog) {
+      // the oracle's input: the decoded change rows (data cols + seq + op),
+      // so DuckDB can re-derive the final state independently of the MERGE
+      import spark.implicits._
+      val registry = spark.sparkContext.broadcast(Cdc.registry)
+      val ev = spark.read.parquet(logDir)
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[graft.decode.ChangeEvent]
+      val (upd, _) = Replay.decodeForMerge(ev, registry, None)
+      upd.write.mode("overwrite").parquet(s"$root/decoded")
+    }
     Replay.replayLog(spark, logDir, tableDir, buckets = 8)
     IceLite.read(spark, IceLite.load(tableDir))
       .select(col("repo"), col("path"), col("commit"), col("lang"),
@@ -31,7 +47,10 @@ object CdcQueries {
 
   val queries: Seq[OpQuery] = Seq(
     OpQuery("q00_cdc_replay",
-      (s, _) => replayFinalState(s, nEvents = 5000, tag = "q00"),
-      None)
+      (s, _) => replayFinalState(s, nEvents = 5000, tag = "q00", dumpDecodedLog = true),
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q00")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }

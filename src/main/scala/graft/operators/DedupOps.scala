@@ -18,12 +18,12 @@ import Tables.ld
   */
 object DedupOps {
 
-  import TextOps.{wordsSpark, wordsDuck}
+  import TextOps.wordsDuck
 
   // 60-bit hash from md5 hex — identical in Spark and DuckDB
-  // Spark side uses the codegen'd native expression (graft.functions.Hash60);
-  // numerically identical to the DuckDB md5-hex form below
-  private def hSpark(e: String) = s"hash60($e)"
+  // Spark side uses graft.functions.Hash60 (same function the codegen'd
+  // hash60 SQL expression wraps); numerically identical to the DuckDB
+  // md5-hex form below
   private def hDuck(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
   // K=8 universal-hash params over p = 2^31-1 (products stay < 2^62)
@@ -55,6 +55,9 @@ object DedupOps {
   final case class SigRow(doc_id: Long, hs: Seq[Long],
       mh0: Long, mh1: Long, mh2: Long, mh3: Long,
       mh4: Long, mh5: Long, mh6: Long, mh7: Long)
+
+  /** one row of the SimHash table (q19). */
+  final case class SimRow(doc_id: Long, simhash: Long, bucket: Long)
 
   /** Single-pass signatures via typed mapPartitions: one tokenize + one md5
     * per shingle + all 8 affine minhashes in the same loop. (The
@@ -120,7 +123,15 @@ object DedupOps {
       // 4 bands × 2 rows → candidates share a band; mega-buckets (>50 docs)
       // dropped; Jaccard verified on hashed-shingle int sets, threshold 0.2
       (s, d) => {
+        // ONE tokenize+MinHash pass: the signature stage feeds four plan
+        // references (band self-join l/r + set join a/b), so it is reduced
+        // to its tiny projection (id + 8 minhashes + hashed-shingle set —
+        // orders of magnitude smaller than the corpus) and localCheckpoint'd.
+        // Downstream reads stored blocks; the corpus is decoded exactly once.
         val sig = sigSpark(s, d)
+          .select(col("doc_id") +: array_distinct(col("hs")).as("hset") +:
+            (0 until 8).map(k => col(s"mh$k")): _*)
+          .localCheckpoint()
         val banded = sig.select(col("doc_id"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"), concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("b"))
@@ -133,7 +144,7 @@ object DedupOps {
               col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
           .distinct()
-        val sets = sig.select(col("doc_id"), array_distinct(col("hs")).as("hset"))
+        val sets = sig.select(col("doc_id"), col("hset"))
         pairs
           .join(sets.select(col("doc_id").as("a"), col("hset").as("ha")), Seq("a"))
           .join(sets.select(col("doc_id").as("b"), col("hset").as("hb")), Seq("b"))
@@ -165,22 +176,40 @@ object DedupOps {
 
     OpQuery("q19_simhash",
       // 16-bit SimHash over the word multiset: one md5 per word, bit b set
-      // iff the sum of ±1 votes (bit b of each word hash) is positive
+      // iff the sum of ±1 votes (bit b of each word hash) is positive.
+      // Single typed pass (the q17 sigSpark pattern): one tokenize + one
+      // hash per word, all 16 bit-votes accumulated in the same loop — no
+      // cache barrier, no 16× HOF recompute. Tokenizer and hash are the
+      // shared wordsSpark / hash60 definitions, so values are identical to
+      // the DuckDB oracle formulation below.
       (s, d) => {
-        graft.functions.Hash60.register(s)
-        val bits = (0 until 16).map { b =>
-          expr(s"CAST(aggregate(hw, 0L, (acc, h) -> acc + CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 AS INT) * ${1 << b}")
-        }.reduce(_ + _)
-        ld(s, d, "documents")
-          .withColumn("ws", expr(wordsSpark))
-          .filter(size(col("ws")) > 0)
-          .withColumn("hw", expr(s"transform(ws, w -> ${hSpark("w")})"))
-          .select("doc_id", "hw")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // same 16x-recompute barrier
-          .withColumn("simhash", bits.cast("long"))
-          .withColumn("bucket", (col("simhash") / 256).cast("long"))
-          .select("doc_id", "simhash", "bucket")
-          .orderBy("doc_id")
+        import s.implicits._
+        ld(s, d, "documents").select("doc_id", "text").as[(Long, String)]
+          .mapPartitions { it =>
+            val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+            it.flatMap { case (id, text) =>
+              val m = re.matcher(text.toLowerCase(java.util.Locale.ROOT))
+              val votes = new Array[Int](16)
+              var n = 0
+              while (m.find()) {
+                val h = graft.functions.Hash60.hash(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(m.group()))
+                var b = 0
+                while (b < 16) {
+                  if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+                  b += 1
+                }
+                n += 1
+              }
+              if (n == 0) None
+              else {
+                var sim = 0L
+                var b = 0
+                while (b < 16) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+                Some(SimRow(id, sim, sim / 256))
+              }
+            }
+          }.toDF().orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, simhash, simhash // 256 AS bucket FROM (
         SELECT doc_id, CAST(${(0 until 16).map(b =>

@@ -36,43 +36,62 @@ object SimilarityOps {
        | CAST(q[1] AS DOUBLE) * (CAST('0x' || substr(md5('$p:' || q[2]), 1, 15) AS BIGINT) % 2 * 2 - 1)),
        | (a, b) -> a + b)""".stripMargin.replace("\n", " ")
 
+  /** q20 impl: near-duplicate pairs by cosine ≥ 0.35 within label blocks,
+    * EXACT at any block size but memory-bounded. Two tiers:
+    *  - labels with ≤ `blockCap` vectors: typed flatMapGroups pairs the
+    *    block in one tight loop (fast path — the common case);
+    *  - hotter labels: a label-keyed self-join, which Spark executes as a
+    *    sort-merge join whose buffered side SPILLS
+    *    (ExternalAppendOnlyUnsafeRowArray) — no unbounded `.toArray` of a
+    *    group on one executor thread, so a hot label at 100× data streams
+    *    instead of OOMing.
+    * Both tiers do the identical double math (sequential left fold, same
+    * element order as the DuckDB oracle's list_reduce) so results are
+    * bit-identical whichever tier a label takes. */
+  def neardupPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      blockCap: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = ld(s, d, "embeddings").select(col("label"), col("vec_id"), col("embedding"))
+    val counts = e.groupBy("label").agg(count(lit(1)).as("__n")) // tiny: one row per label
+    val tagged = e.join(broadcast(counts), Seq("label"))
+    val small = tagged.filter(col("__n") <= blockCap)
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val vs = it.map { case (_, id, emb) => (id, emb.toArray) }.toArray.sortBy(_._1)
+        val norms = vs.map { case (_, a) =>
+          var n = 0.0; var i = 0
+          while (i < a.length) { n += a(i).toDouble * a(i).toDouble; i += 1 }
+          math.sqrt(n)
+        }
+        for {
+          i <- vs.indices.iterator
+          j <- (i + 1) until vs.length
+          dot = {
+            val x = vs(i)._2; val y = vs(j)._2
+            var acc = 0.0; var k = 0
+            while (k < x.length) { acc += x(k).toDouble * y(k).toDouble; k += 1 }
+            acc
+          }
+          cos = dot / (norms(i) * norms(j))
+          if cos >= 0.35
+        } yield (vs(i)._1, vs(j)._1, cos)
+      }
+      .toDF("a", "b", "cos")
+    val big = tagged.filter(col("__n") > blockCap)
+    val bigPairs = big.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+      .join(big.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb")), Seq("label"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), expr(sparkCos).as("cos"))
+      .filter(col("cos") >= 0.35)
+    small.unionByName(bigPairs).orderBy("a", "b")
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q20_embedding_neardup",
-      // near-duplicate pairs by cosine ≥ 0.35 over label blocking (same
-      // label only — the blocking that keeps this off a full n²). Typed
-      // flatMapGroups: each label's block is paired in one tight loop —
-      // double math in the same element order as the DuckDB oracle's
-      // list_reduce, so values are bit-identical.
-      (s, d) => {
-        import s.implicits._
-        val e = ld(s, d, "embeddings")
-          .select(col("label"), col("vec_id"), col("embedding"))
-          .as[(Int, Long, Seq[Float])]
-        e.groupByKey(_._1)
-          .flatMapGroups { (_, it) =>
-            val vs = it.map { case (_, id, emb) => (id, emb.toArray) }.toArray.sortBy(_._1)
-            val norms = vs.map { case (_, a) =>
-              var n = 0.0; var i = 0
-              while (i < a.length) { n += a(i).toDouble * a(i).toDouble; i += 1 }
-              math.sqrt(n)
-            }
-            for {
-              i <- vs.indices.iterator
-              j <- (i + 1) until vs.length
-              dot = {
-                val x = vs(i)._2; val y = vs(j)._2
-                var acc = 0.0; var k = 0
-                while (k < x.length) { acc += x(k).toDouble * y(k).toDouble; k += 1 }
-                acc
-              }
-              cos = dot / (norms(i) * norms(j))
-              if cos >= 0.35
-            } yield (vs(i)._1, vs(j)._1, cos)
-          }
-          .toDF("a", "b", "cos")
-          .orderBy("a", "b")
-      },
+      (s, d) => neardupPairs(s, d),
       Some(s"""SELECT a, b, cos FROM (
         SELECT l.vec_id AS a, r.vec_id AS b,
           $duckCos AS cos
@@ -121,5 +140,46 @@ object SimilarityOps {
         FROM (SELECT vec_id, CAST(${(0 until 8).map(p =>
           s"(CASE WHEN ${signDuck(p)} > 0 THEN 1 ELSE 0 END) * ${1 << p}").mkString(" + ")} AS BIGINT) AS bucket
         FROM embeddings) t GROUP BY bucket ORDER BY bucket"""))
+  ,
+
+    OpQuery("q26_ann_lsh_probe_topk",
+      // the ANN SCALE PATH completed: each query probes its own LSH bucket
+      // plus the 8 buckets at Hamming distance 1 (multiprobe), top-10 by
+      // cosine WITHIN the probed candidates only. Cost per query is
+      // O(candidates in 9/256 of the space), not O(N) — the bucket join is
+      // an equi-join on `bucket`, never a cross join. Recall vs the exact
+      // q21 baseline is measured in Bench (ann_recall).
+      (s, d) => {
+        graft.functions.Hash60.register(s)
+        val e = ld(s, d, "embeddings")
+        val bucketBits = (0 until 8).map(p =>
+          expr(s"CAST(${signSpark(p)} > 0 AS INT) * ${1 << p}")).reduce(_ + _)
+        val bucketed = e.withColumn("bucket", bucketBits.cast("long"))
+        val cand = bucketed.select(col("vec_id").as("cand"), col("embedding").as("vb"), col("bucket"))
+        val probes = bucketed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("va"),
+            explode(array(col("bucket") +: (0 until 8).map(p =>
+              col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("probe"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
+        probes.join(cand, probes("probe") === cand("bucket") && col("qid") =!= col("cand"))
+          .withColumn("cos", expr(sparkCos))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select("qid", "rank", "cand", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, CAST(${(0 until 8).map(p =>
+          s"(CASE WHEN ${signDuck(p)} > 0 THEN 1 ELSE 0 END) * ${1 << p}").mkString(" + ")} AS BIGINT) AS bucket
+          FROM embeddings),
+        p AS (SELECT vec_id AS qid, embedding AS va,
+          unnest([bucket, ${(0 until 8).map(k => s"xor(bucket, ${1L << k})").mkString(", ")}]) AS probe
+          FROM b WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cand, embedding AS vb, bucket FROM b)
+        SELECT qid, rank, cand, cos FROM (
+          SELECT qid, cand, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rank
+          FROM (SELECT qid, cand, $duckCos AS cos
+            FROM p JOIN c ON p.probe = c.bucket AND p.qid <> c.cand) t) r
+        WHERE rank <= 10 ORDER BY qid, rank"""))
   )
 }
