@@ -115,9 +115,9 @@ object CdcCli {
       row.show(5, truncate = 60)
       println(s"found ${row.count()} row(s)")
     case "compact" :: tableDir :: rest =>
-      val epochId = rest.headOption.map(_.toLong).getOrElse(System.nanoTime())
+      val epochId = rest.headOption.getOrElse(s"compact-${System.nanoTime()}")
       val st = graft.lake.Compaction.compact(spark, tableDir, epochId)
-      println(s"compacted ${st.buckets} buckets: rows=${st.rowsAfter}, files rewritten=${st.filesRemoved}")
+      println(s"compacted ${st.buckets} buckets: rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
     case "vacuum" :: tableDir :: Nil =>
       val removed = graft.lake.Compaction.vacuum(tableDir)
       println(s"vacuumed $removed unreferenced data files")

@@ -1,31 +1,41 @@
 package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.decode.RouteStatsAccumulator
 import graft.lake.Merge.MergeStats
 
 /** Per-epoch lineage + metrics ledger (north rule: "per-partition lineage +
   * metrics"), appended as a parquet table next to the data. NiFi provenance
-  * equivalent (SURVEY.md §1.2). */
+  * equivalent (SURVEY.md §1.2). Each entry carries per-ROUTE counts
+  * (success / invalid_schema / error — the dead-letter breakdown) and
+  * per-source-PARTITION event counts, both captured by an accumulator that
+  * rides the merge's own decode pass (zero extra jobs). */
 object Lineage {
 
   final case class Entry(
-      epochId: Long,
+      epochId: String,
       applied: Boolean,
       batchRows: Long,
       upserts: Long,
       deletes: Long,
       touchedBuckets: Int,
-      rewrittenRows: Long)
+      rewrittenRows: Long,
+      /** decode-route counts: success / invalid_schema / error. */
+      routes: Map[String, Long],
+      /** events per source log partition. */
+      partitions: Map[Int, Long])
 
-  def append(spark: SparkSession, tableDir: String, st: MergeStats): Unit =
-    appendAll(spark, tableDir, Seq(st))
+  def entry(st: MergeStats, acc: RouteStatsAccumulator): Entry =
+    Entry(st.epochId, st.applied, st.batchRows, st.upserts, st.deletes,
+      st.touchedBuckets, st.rewrittenRows, acc.byRoute, acc.byPartition)
 
-  def appendAll(spark: SparkSession, tableDir: String, sts: Seq[MergeStats]): Unit = {
+  def append(spark: SparkSession, tableDir: String, e: Entry): Unit =
+    appendAll(spark, tableDir, Seq(e))
+
+  def appendAll(spark: SparkSession, tableDir: String, es: Seq[Entry]): Unit = {
     import spark.implicits._
-    if (sts.isEmpty) return
-    sts.map(st => Entry(st.epochId, st.applied, st.batchRows, st.upserts, st.deletes,
-      st.touchedBuckets, st.rewrittenRows))
-      .toDS().coalesce(1).write.mode("append").parquet(s"$tableDir/_lineage")
+    if (es.isEmpty) return
+    es.toDS().coalesce(1).write.mode("append").parquet(s"$tableDir/_lineage")
   }
 
   def read(spark: SparkSession, tableDir: String): DataFrame =

@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
-import graft.decode.{ChangeEvent, Decode, Framing, SparkSchema}
+import graft.decode.{ChangeEvent, Decode, Framing, RouteStatsAccumulator, SparkSchema}
 import graft.lake.{IceLite, Merge}
 import graft.registry.{DescriptorRegistry, SchemaKey}
 
@@ -26,6 +26,14 @@ object Replay {
     IceLite.create(dir, IceLite.withCdcCols(cols), Vector("repo", "path"), buckets)
   }
 
+  /** A decoded batch ready to MERGE: update rows, the lazy dead-letter
+    * flush, and the (partition, route) lineage counters that ride the merge
+    * action itself (read them AFTER the merge). */
+  final case class DecodedBatch(
+      updates: DataFrame,
+      flushDeadLetters: () => Long,
+      routeStats: RouteStatsAccumulator)
+
   /** Decode one epoch's events and shape them for the MERGE: data columns
     * (with field-ID metadata) + seq + op.
     *
@@ -37,17 +45,26 @@ object Replay {
       events: Dataset[ChangeEvent],
       registry: Broadcast[DescriptorRegistry],
       deadLetterDir: Option[String],
-      framing: Framing.Value = Framing.Raw): (DataFrame, () => Long) = {
+      framing: Framing.Value = Framing.Raw): DecodedBatch = {
 
     val defaultKey = SchemaKey(Cdc.SchemaId, -1) // latest version in registry
-    val decoded0 = Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing)
+    val acc = new RouteStatsAccumulator
+    events.sparkSession.sparkContext.register(acc, "graft.decode.routeStats")
+    val decoded0 = Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing,
+      stats = Some(acc))
 
     val obs = org.apache.spark.sql.Observation()
     val decoded = decoded0.observe(obs,
       sum(when(col("route") =!= "success", 1L).otherwise(0L)).as("bad"))
 
     val flushDeadLetters: () => Long = () => {
-      val bad = Option(obs.get("bad")).collect { case l: Long => l }.getOrElse(0L)
+      // When a batch yields ZERO update rows (all events dead-lettered),
+      // AQE's empty-relation propagation eliminates the observed branch and
+      // the metric goes missing — in that rare case count dead letters
+      // directly rather than silently dropping them.
+      val bad = obs.get.get("bad").collect { case l: Long => l }.getOrElse {
+        Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing)).count()
+      }
       if (bad > 0L) deadLetterDir.foreach { dld =>
         Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing))
           .write.mode("append").parquet(dld)
@@ -66,7 +83,7 @@ object Replay {
       col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
         .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
     } ++ Seq(col("seq"), col("op"))
-    (ok.select(cols: _*), flushDeadLetters)
+    DecodedBatch(ok.select(cols: _*), flushDeadLetters, acc)
   }
 
   final case class ReplayResult(epochs: Int, stats: Seq[Merge.MergeStats])
@@ -82,11 +99,32 @@ object Replay {
       framing: Framing.Value = Framing.Raw,
       /** keys-only pre-pass for touched-bucket pruning; turn off for large
         * batches that touch every bucket anyway (saves one payload scan). */
-      pruneBuckets: Boolean = true): ReplayResult = {
+      pruneBuckets: Boolean = true,
+      /** get-or-load escape hatch (mirrors the reference resolving schema
+        * files named per record, ProtobufService.java:85-87, without the
+        * per-record cost): when set, (schemaId, version) pairs referenced by
+        * the log but absent from the registry are loaded from this directory
+        * (files named `<schemaId>-v<version>.desc` / `.proto`) on the DRIVER
+        * before the broadcast — executors never do I/O for schemas. */
+      schemaDir: Option[String] = None): ReplayResult = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
-    val registry = spark.sparkContext.broadcast(Cdc.registry)
+
+    // ONE relation (file listing + schema) reused across epochs — a fresh
+    // spark.read.parquet per epoch costs a serial driver job each time
+    val log = spark.read.parquet(logDir)
+
+    val reg0 = Cdc.registry
+    val reg = schemaDir match {
+      case Some(dir) =>
+        // cheap columnar scan (payload never read) for referenced keys
+        val seen = log.select("schemaId", "schemaVersion").distinct().collect()
+          .map(r => SchemaKey(r.getString(0), r.getInt(1)))
+        reg0.withLoadedFrom(java.nio.file.Paths.get(dir), seen.toSeq)
+      case None => reg0
+    }
+    val registry = spark.sparkContext.broadcast(reg)
 
     // epoch list from the partition directories — no Spark job
     val epochs = java.nio.file.Files.list(java.nio.file.Paths.get(logDir))
@@ -94,25 +132,26 @@ object Replay {
       .collect { case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toLong }
       .toVector.sorted
 
-    // ONE relation (file listing + schema) reused across epochs — a fresh
-    // spark.read.parquet per epoch costs a serial driver job each time
-    val log = spark.read.parquet(logDir)
-    val stats = epochs.map { e =>
+    val results = epochs.map { e =>
       val ev = log
         .filter(col("epoch") === e) // partition-dir prune
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[ChangeEvent]
-      val (updates, flushDL) = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"), framing)
+      val batch = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"), framing)
       val keys = if (pruneBuckets)
         Some(Decode.decodeKeys(ev, registry, SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType,
           Seq("repo", "path"), framing))
       else None
-      val st = Merge.mergeEpoch(spark, tableDir, updates, "seq", "op", e, keys)
-      if (st.applied) flushDL()
-      st
+      // namespaced fence id: replay partition numbers can never collide with
+      // a streaming tail's batchIds on the same table
+      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", s"replay-$e", keys)
+      if (st.applied) batch.flushDeadLetters()
+      (st, batch.routeStats)
     }
-    Lineage.appendAll(spark, tableDir, stats) // one ledger write per replay
-    ReplayResult(epochs.length, stats.toSeq)
+    Lineage.appendAll(spark, tableDir, results.map { case (st, acc) =>
+      Lineage.entry(st, acc)
+    }) // one ledger write per replay
+    ReplayResult(epochs.length, results.map(_._1).toSeq)
   }
 
   /** The oracle fold (FIXTURES.md §C): expected final state computed directly
@@ -125,7 +164,7 @@ object Replay {
     val ev = spark.read.parquet(logDir)
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
       .as[ChangeEvent]
-    val (upd, _) = decodeForMerge(ev, registry, None, framing)
+    val upd = decodeForMerge(ev, registry, None, framing).updates
     val cols = upd.columns
     upd.groupBy(col("repo"), col("path"))
       .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))

@@ -9,10 +9,33 @@ import graft.lake.{IceLite, Merge}
   * (north_star: "change-event tail ... foreachBatch ... MERGE INTO").
   *
   * Exactly-once: Spark checkpoints source offsets per micro-batch; the sink
-  * fences on epochId = batchId inside the IceLite commit, so a replayed
-  * batch after crash/restart is a provable no-op (SURVEY.md §2.3).
+  * fences on epochId inside the IceLite commit, so a replayed batch after
+  * crash/restart is a provable no-op (SURVEY.md §2.3).
+  *
+  * Fence namespacing: streaming batchIds restart at 0 with a fresh/wiped
+  * checkpoint, and batch replays fence on log partition numbers — raw ids
+  * from the two namespaces against the same table would make hasEpoch()
+  * silently drop whole batches. Each CHECKPOINT therefore owns a random
+  * source id (persisted as `graft-source-id` inside the checkpoint dir):
+  * restart-with-same-checkpoint → same id → replayed batchIds fence
+  * correctly; fresh checkpoint → new id → nothing false-fences, and
+  * re-applied events are absorbed by the version-ordered MERGE (LWW by seq,
+  * tombstones persist), so state stays correct either way.
   */
 object Tail {
+
+  /** Per-checkpoint fence namespace, created on first use. */
+  def sourceId(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir, "graft-source-id")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val id = "tail-" + java.util.UUID.randomUUID().toString.take(8)
+      java.nio.file.Files.write(p, id.getBytes("UTF-8"))
+      id
+    }
+  }
 
   def start(
       spark: SparkSession,
@@ -25,6 +48,7 @@ object Tail {
 
     if (!IceLite.exists(tableDir)) Replay.createTable(tableDir, buckets)
     val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val src = sourceId(checkpointDir)
 
     val eventSchema = implicitly[org.apache.spark.sql.Encoder[ChangeEvent]].schema
     val stream = spark.readStream
@@ -37,12 +61,13 @@ object Tail {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
-        val (updates, flushDL) = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
+        val dec = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
         val keys = Some(graft.decode.Decode.decodeKeys(batch, registry,
           graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
-        val st = Merge.mergeEpoch(batch.sparkSession, tableDir, updates, "seq", "op", batchId, keys)
-        if (st.applied) flushDL()
-        Lineage.append(batch.sparkSession, tableDir, st)
+        val st = Merge.mergeEpoch(batch.sparkSession, tableDir, dec.updates, "seq", "op",
+          s"$src-$batchId", keys)
+        if (st.applied) dec.flushDeadLetters()
+        Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
         ()
       }
       .start()

@@ -37,6 +37,35 @@ object Route {
   val Error = "error"
 }
 
+/** Per-(source partition, route) counters that RIDE the decode pass of
+  * whatever action consumes it — lineage metrics cost zero extra jobs.
+  * Spark accumulator semantics in transformations: task retries can
+  * over-count; these are operational metrics, never data. */
+final class RouteStatsAccumulator
+    extends org.apache.spark.util.AccumulatorV2[(Int, String), Map[(Int, String), Long]] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[(Int, String), Long]()
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): RouteStatsAccumulator = {
+    val c = new RouteStatsAccumulator
+    m.forEach((k, v) => c.m.put(k, v))
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(kv: (Int, String)): Unit =
+    m.merge(kv, 1L, (a, b) => a + b)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[(Int, String), Map[(Int, String), Long]]): Unit =
+    other.value.foreach { case (k, v) => m.merge(k, v, (a, b) => a + b) }
+  override def value: Map[(Int, String), Long] = {
+    val b = Map.newBuilder[(Int, String), Long]
+    m.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+  def byRoute: Map[String, Long] =
+    value.groupMapReduce(_._1._2)(_._2)(_ + _)
+  def byPartition: Map[Int, Long] =
+    value.groupMapReduce(_._1._1)(_._2)(_ + _)
+}
+
 /** The decode operator: Dataset[ChangeEvent] → routed DataFrame, descriptor
   * resolved once per partition from a broadcast registry inside a
   * Catalyst-typed mapPartitions — never a per-row UDF (SURVEY.md §2.1 #1).
@@ -67,7 +96,10 @@ object Decode {
       registry: Broadcast[DescriptorRegistry],
       defaultKey: SchemaKey,
       messageType: String,
-      framing: Framing.Value = Framing.Raw): DataFrame = {
+      framing: Framing.Value = Framing.Raw,
+      /** when set, every emitted row also bumps (source partition, route) —
+        * per-partition lineage metrics riding the same pass. */
+      stats: Option[RouteStatsAccumulator] = None): DataFrame = {
 
     val schema = outputSchema(registry.value, defaultKey, messageType)
     val msgOrdinal = schema.fieldIndex("msg")
@@ -96,23 +128,23 @@ object Decode {
           else SchemaKey(ev.schemaId, ev.schemaVersion)
         val mt = if (ev.messageType == null || ev.messageType.isEmpty) messageType else ev.messageType
         if (mt == null || mt.isEmpty) {
-          Iterator.single(routedRow(Route.Error, "no message type", ev, null, msgOrdinal))
+          Iterator.single(routedRow(Route.Error, "no message type", ev, null, msgOrdinal, stats = stats))
         } else reg.descriptor(key, mt) match {
           case None =>
             val route =
               if (reg.fileSet(key).isEmpty) Route.InvalidSchema // schema missing (ProtobufDecoder.java:65-68)
               else Route.Error // unknown message type (ProtobufService.java:59-61)
-            Iterator.single(routedRow(route, s"schema=$key type=$mt unresolved", ev, null, msgOrdinal))
+            Iterator.single(routedRow(route, s"schema=$key type=$mt unresolved", ev, null, msgOrdinal, stats = stats))
           case Some((fs, desc)) =>
             val dec = decoderFor(key, mt, desc)
             framing match {
               case Framing.Raw =>
                 try {
                   val row = dec.decode(ev.payload)
-                  Iterator.single(routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false))
+                  Iterator.single(routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false, stats = stats))
                 } catch {
                   case e: Exception =>
-                    Iterator.single(routedRow(Route.Error, e.getMessage, ev, null, msgOrdinal))
+                    Iterator.single(routedRow(Route.Error, e.getMessage, ev, null, msgOrdinal, stats = stats))
                 }
               case Framing.VarintDelimited =>
                 // good-prefix semantics: decode until the first malformed frame
@@ -126,9 +158,9 @@ object Decode {
                   } catch { case e: Exception => err = e.getMessage }
                 }
                 val good = out.result().iterator.map(row =>
-                  routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false))
+                  routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false, stats = stats))
                 val bad = Option(err).iterator.map(e =>
-                  routedRow(Route.Error, s"malformed tail: $e", ev, null, msgOrdinal))
+                  routedRow(Route.Error, s"malformed tail: $e", ev, null, msgOrdinal, stats = stats))
                 good ++ bad
             }
         }
@@ -137,7 +169,9 @@ object Decode {
   }
 
   private def routedRow(route: String, error: String, ev: ChangeEvent,
-      msg: Row, msgOrdinal: Int, keepPayload: Boolean = true): Row = {
+      msg: Row, msgOrdinal: Int, keepPayload: Boolean = true,
+      stats: Option[RouteStatsAccumulator] = None): Row = {
+    stats.foreach(_.add((ev.partition, route)))
     val vals = new Array[Any](msgOrdinal + 1)
     vals(0) = route
     vals(1) = error

@@ -19,13 +19,17 @@ import IceLite._
   */
 object Compaction {
 
-  final case class CompactionStats(buckets: Int, rowsBefore: Long, rowsAfter: Long, filesRemoved: Int)
+  final case class CompactionStats(buckets: Int, rowsBefore: Long, rowsAfter: Long, filesReplaced: Int)
 
-  def compact(spark: SparkSession, dir: String, epochId: Long): CompactionStats = {
+  def compact(spark: SparkSession, dir: String, epochId: String): CompactionStats = {
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) return CompactionStats(0, 0, 0, 0)
 
+    // rowsBefore (incl. tombstones) rides the same job as an Observation on
+    // the pre-filter scan — DataFile.rows is unknown (-1) by design
+    val preObs = org.apache.spark.sql.Observation(s"compact-pre-$epochId")
     val cur = IceLite.read(spark, base, includeHidden = true)
+      .observe(preObs, count(lit(1)).as("rows"))
     val live = cur.where(!coalesce(col(DelCol.name), lit(false))) // purge tombstones
       .withColumn("__bucket", bucketExpr(base.keyCols, base.buckets))
 
@@ -37,13 +41,16 @@ object Compaction {
       .observe(obs, count(lit(1)).as("rows"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(epochDir)
     val rowsAfter = obs.get("rows").asInstanceOf[Long]
+    val rowsBefore = preObs.get("rows").asInstanceOf[Long]
 
     val newFiles = listBucketFiles(epochDir, base.currentSchemaVersion)
-    val next = base.copy(
-      epochs = base.epochs :+ epochId,
-      files = newFiles)
-    IceLite.commit(dir, base, next, epochId)
-    CompactionStats(base.buckets, base.files.map(_.rows).sum, rowsAfter, base.files.size)
+    // a compaction touches EVERY bucket — any concurrent commit conflicts
+    // (IceLite.commit fails loudly rather than losing its files)
+    IceLite.commit(dir, base, IceLite.CommitDelta(
+      epochId, (0 until base.buckets).toSet, newFiles, base.currentSchema))
+    // filesReplaced: superseded by the new per-bucket files; physical removal
+    // happens in vacuum once time travel can go
+    CompactionStats(base.buckets, rowsBefore, rowsAfter, base.files.size)
   }
 
   /** Remove data files not referenced by the latest snapshot (ends time

@@ -2,7 +2,7 @@ package graft.lake
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType, MetadataBuilder}
@@ -17,9 +17,9 @@ import scala.jdk.CollectionConverters._
   *   <dir>/meta/v00000.json …   — snapshots; latest = max version
   *   <dir>/data/epoch=<e>/…     — parquet data files, hash-bucketed on key
   *
-  * On a production object store the create-if-absent rename would be a
-  * catalog swap (Iceberg's commit protocol); the local-FS atomic move has
-  * the same linearizability contract.
+  * On a production object store the create-if-absent link would be a
+  * conditional PUT / catalog compare-and-swap (Iceberg's commit protocol);
+  * the local-FS link(2) has the same linearizability contract.
   */
 object IceLite {
 
@@ -43,7 +43,11 @@ object IceLite {
 
   final case class Snapshot(
       version: Int,
-      epochs: Vector[Long],
+      /** committed epoch ids. NAMESPACED strings ("replay-3", "tail-<uuid>-7")
+        * so fences from different sources (batch replay partition numbers vs
+        * streaming batchIds, which restart at 0 with a fresh checkpoint)
+        * can never collide and silently drop each other's batches. */
+      epochs: Vector[String],
       /** all schema versions ever committed; last = current. Index = schemaVersion. */
       schemas: Vector[Vector[ColDef]],
       keyCols: Vector[String],
@@ -52,7 +56,7 @@ object IceLite {
     def currentSchemaVersion: Int = schemas.length - 1
     def currentSchema: Vector[ColDef] = schemas.last
     def currentStruct: StructType = structOf(currentSchema)
-    def hasEpoch(e: Long): Boolean = epochs.contains(e)
+    def hasEpoch(e: String): Boolean = epochs.contains(e)
   }
 
   def structOf(cols: Seq[ColDef]): StructType = StructType(cols.map { c =>
@@ -100,7 +104,7 @@ object IceLite {
     val n = mapper.readTree(json)
     Snapshot(
       version = n.get("version").asInt(),
-      epochs = n.get("epochs").elements().asScala.map(_.asLong()).toVector,
+      epochs = n.get("epochs").elements().asScala.map(_.asText()).toVector,
       schemas = n.get("schemas").elements().asScala.map { arr =>
         arr.elements().asScala.map(c =>
           ColDef(c.get("id").asInt(), c.get("name").asText(), c.get("type").asText())).toVector
@@ -155,36 +159,74 @@ object IceLite {
   def loadVersion(dir: String, v: Int): Snapshot =
     fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
 
-  /** Atomic create-if-absent: tmp file + ATOMIC_MOVE (no REPLACE) — two
-    * racing committers of the same version: exactly one wins. */
+  /** Atomic create-if-absent: write a tmp file, then hard-LINK it to the
+    * snapshot name — link(2) fails atomically with EEXIST when the target
+    * exists, so of two racing committers of the same version exactly one
+    * wins. (A plain rename/ATOMIC_MOVE silently REPLACES on POSIX — that
+    * would be last-writer-wins, i.e. a lost update.) On an object store
+    * this is a conditional PUT / catalog compare-and-swap. */
   private def writeAtomic(dir: String, snap: Snapshot): Boolean = {
     val tmp = Files.createTempFile(metaDir(dir), ".tmp-snap", ".json")
-    Files.write(tmp, toJson(snap).getBytes("UTF-8"))
     try {
-      Files.move(tmp, snapPath(dir, snap.version), StandardCopyOption.ATOMIC_MOVE)
+      Files.write(tmp, toJson(snap).getBytes("UTF-8"))
+      Files.createLink(snapPath(dir, snap.version), tmp)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
-  /** Commit `next` on top of `base`. Returns the committed snapshot, or the
+  /** What one epoch changes: which buckets' files it replaces, the files it
+    * adds (their `schemaVersion` is assigned at commit time against whatever
+    * snapshot the commit lands on), and the schema those files conform to. */
+  final case class CommitDelta(
+      epochId: String,
+      touched: Set[Int],
+      addFiles: Vector[DataFile],
+      dataSchema: Vector[ColDef])
+
+  /** Commit `delta` on top of `base`. Returns the committed snapshot, or the
     * CURRENT snapshot unchanged if the epoch was already committed by someone
-    * else (idempotent replay — the exactly-once fence, SURVEY.md §2.3). */
-  def commit(dir: String, base: Snapshot, next: Snapshot, epochId: Long): Snapshot = {
-    var attempt = next.copy(version = base.version + 1)
-    while (true) {
-      val cur = load(dir)
-      if (cur.hasEpoch(epochId)) return cur // fenced: duplicate epoch is a no-op
-      if (cur.version != attempt.version - 1) {
-        // concurrent commit of a different epoch: rebase file list on top
-        attempt = attempt.copy(version = cur.version + 1)
+    * else (idempotent replay — the exactly-once fence, SURVEY.md §2.3).
+    *
+    * Concurrency contract: if another committer landed since `base` was read,
+    * the delta is REBASED onto the current snapshot — its file replacements
+    * and epoch entry are re-applied so the intervening commit's data files
+    * and epochs are preserved (no lost update). Rebase is only legal when the
+    * intervening commits are disjoint: if they replaced files in any of OUR
+    * touched buckets, or evolved the schema away from ours, our rewritten
+    * bucket files were derived from stale data — the commit FAILS LOUDLY with
+    * ConcurrentModificationException and the caller must re-run the merge
+    * (Iceberg's validation-then-retry protocol). */
+  def commit(dir: String, base: Snapshot, delta: CommitDelta): Snapshot = {
+    var cur = base
+    var guard = 0
+    while (guard < 10000) {
+      if (cur.hasEpoch(delta.epochId)) return cur // fenced: duplicate epoch is a no-op
+      if (cur.version != base.version) {
+        val oursAtBase = base.files.filter(f => delta.touched(f.bucket)).toSet
+        val oursAtCur = cur.files.filter(f => delta.touched(f.bucket)).toSet
+        if (oursAtBase != oursAtCur)
+          throw new java.util.ConcurrentModificationException(
+            s"epoch ${delta.epochId}: concurrent commit replaced files in touched buckets; re-run the merge against the current snapshot")
+        if (cur.schemas != base.schemas && cur.currentSchema != delta.dataSchema)
+          throw new java.util.ConcurrentModificationException(
+            s"epoch ${delta.epochId}: concurrent schema evolution; re-run the merge against the current snapshot")
       }
+      val schemas2 =
+        if (delta.dataSchema == cur.currentSchema) cur.schemas else cur.schemas :+ delta.dataSchema
+      val sv = schemas2.length - 1
+      val attempt = cur.copy(
+        version = cur.version + 1,
+        epochs = cur.epochs :+ delta.epochId,
+        schemas = schemas2,
+        files = cur.files.filterNot(f => delta.touched(f.bucket)) ++
+          delta.addFiles.map(_.copy(schemaVersion = sv)))
       if (writeAtomic(dir, attempt)) return attempt
-      // lost the race — loop re-reads and re-fences
+      cur = load(dir) // lost the race — re-read, re-fence, rebase or fail
+      guard += 1
     }
-    throw new IllegalStateException("unreachable")
+    throw new IllegalStateException("commit retry limit exceeded")
   }
 
   // ------------------------------------------------------------------ reads

@@ -23,7 +23,7 @@ import IceLite._
 object Merge {
 
   final case class MergeStats(
-      epochId: Long,
+      epochId: String,
       applied: Boolean,
       batchRows: Long,
       upserts: Long,
@@ -66,7 +66,7 @@ object Merge {
       updates: DataFrame,
       seqCol: String,
       opCol: String,
-      epochId: Long,
+      epochId: String,
       /** key columns only, from a cheap keys-only decode (wire-skips the
         * payload body): enables touched-bucket pruning without caching or
         * double-decoding the full batch. None → all buckets are rewritten
@@ -136,12 +136,30 @@ object Merge {
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
 
     val unioned = observedBatch.unionByName(target)
-    val outSchema = unioned.schema
+
+    // Task-count is NOT capped by bucket count: when the cluster has more
+    // slots than touched buckets, each bucket is hash-split on the key into
+    // `subSplits` shards (key → shard is deterministic, so all versions of a
+    // key still colocate and the first-row-per-key dedup stays correct). A
+    // 4N cluster gets ~4N merge tasks regardless of the table's bucket count;
+    // each shard becomes its own file under the bucket dir.
+    val minTasks = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism * 4)
+    val subSplits = math.max(1, math.ceil(minTasks.toDouble / math.max(touched.size, 1)).toInt)
+    val sharded =
+      if (subSplits == 1) unioned
+      else unioned.withColumn("__sub",
+        pmod(xxhash64(keyCols.map(col): _*), lit(subSplits.toLong)).cast("int"))
+    val shardCols =
+      if (subSplits == 1) Seq(col("__bucket")) else Seq(col("__bucket"), col("__sub"))
+
+    val outSchema = sharded.schema
     val keyIdx = keyCols.map(outSchema.fieldIndex)
     val bucketIdx = outSchema.fieldIndex("__bucket")
 
-    val merged = unioned
-      .repartition(math.max(touched.size, 1), col("__bucket"))
+    val merged = sharded
+      .repartition(math.max(touched.size * subSplits, 1), shardCols: _*)
       .sortWithinPartitions(
         (col("__bucket") +: keyCols.map(col)) :+ col(IceLite.SeqCol.name).desc: _*)
       .mapPartitions { it =>
@@ -155,28 +173,28 @@ object Merge {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
 
-    // ---- 3. rewrite touched buckets, one file per bucket per epoch; row
-    // count rides the write job as an Observation (no second scan)
+    // ---- 3. rewrite touched buckets (subSplits files per bucket per epoch);
+    // row count rides the write job as an Observation (no second scan)
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId").toString
     val obs = org.apache.spark.sql.Observation(s"merge-rows-$epochId")
-    merged
+    (if (subSplits == 1) merged else merged.drop("__sub"))
       .observe(obs, count(lit(1)).as("rows"))
       .write.option("parquet.block.size", 16 * 1024 * 1024)
       .partitionBy("__bucket").mode("overwrite").parquet(epochDir)
     val rewrittenRows = obs.get("rows").asInstanceOf[Long]
-    val batchRows = Option(batchObs.get("n")).collect { case l: Long => l }.getOrElse(0L)
-    val deletes = Option(batchObs.get("dels")).collect { case l: Long => l }.getOrElse(0L)
+    // an all-dead-letter batch has ZERO update rows: AQE's runtime
+    // empty-relation propagation can eliminate the observed branch entirely,
+    // delivering an EMPTY metrics map — absent metrics mean 0, not an error
+    val batchMetrics = batchObs.get
+    val batchRows = batchMetrics.get("n").collect { case l: Long => l }.getOrElse(0L)
+    val deletes = batchMetrics.get("dels").collect { case l: Long => l }.getOrElse(0L)
     lap("merge+write")
 
-    // ---- 5. snapshot: carried-forward + new files
+    // ---- 5. commit the delta: replaced-bucket files + epoch fence; on a
+    // concurrent disjoint commit the delta rebases, on overlap it fails
+    // loudly (see IceLite.commit)
     val newFiles = listBucketFiles(epochDir, schemaVersion)
-    val carried = base.files.filterNot(f => touched.contains(f.bucket))
-
-    val next = base.copy(
-      epochs = base.epochs :+ epochId,
-      schemas = schemas,
-      files = carried ++ newFiles)
-    IceLite.commit(dir, base, next, epochId)
+    IceLite.commit(dir, base, IceLite.CommitDelta(epochId, touched, newFiles, newSchema))
     lap("commit")
 
     MergeStats(epochId, applied = true, batchRows, batchRows - deletes, deletes,

@@ -35,7 +35,7 @@ object CdcQueries {
       val ev = spark.read.parquet(logDir)
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[graft.decode.ChangeEvent]
-      val (upd, _) = Replay.decodeForMerge(ev, registry, None)
+      val upd = Replay.decodeForMerge(ev, registry, None).updates
       upd.write.mode("overwrite").parquet(s"$root/decoded")
     }
     Replay.replayLog(spark, logDir, tableDir, buckets = 8)

@@ -39,6 +39,28 @@ final class DescriptorRegistry private (
 
   def withSchema(key: SchemaKey, fs: FileSet): DescriptorRegistry =
     new DescriptorRegistry(schemas + (key -> fs))
+
+  /** Get-or-load escape hatch: for every `key` not yet registered, look for
+    * `<schemaId>-v<version>.desc` or `.proto` under `dir` and load it. Runs
+    * on the DRIVER between epochs (the rebuilt registry is re-broadcast) —
+    * the reference resolves previously-unseen schema files named per record
+    * at process time (ProtobufService.java:85-87); this gives the same
+    * capability without per-record filesystem I/O on executors. Keys with
+    * no matching file stay unregistered (their events route invalid_schema,
+    * the dead-letter contract). */
+  def withLoadedFrom(dir: java.nio.file.Path, keys: Iterable[SchemaKey]): DescriptorRegistry =
+    keys.filter(k => k.version >= 0 && !schemas.contains(k)).foldLeft(this) { (reg, k) =>
+      Seq("desc", "proto")
+        .map(ext => dir.resolve(s"${k.schemaId}-v${k.version}.$ext"))
+        .find(java.nio.file.Files.isRegularFile(_)) match {
+        case Some(p) =>
+          val fs =
+            if (p.toString.endsWith(".proto")) ProtoTextParser.parseFile(p)
+            else DescParser.parseFile(p)
+          reg.withSchema(k, fs)
+        case None => reg
+      }
+    }
 }
 
 object DescriptorRegistry {

@@ -102,10 +102,12 @@ class PipelineSpec extends AnyFunSuite {
     val cols = Vector(IceLite.ColDef(1, "k", "STRING"), IceLite.ColDef(2, "v", "BIGINT"))
     val s0 = IceLite.create(dir, cols, Vector("k"), 8)
     assert(IceLite.load(dir).version == 0)
-    val s1 = IceLite.commit(dir, s0, s0.copy(epochs = Vector(7L)), 7L)
-    assert(s1.version == 1 && s1.hasEpoch(7L))
+    val s1 = IceLite.commit(dir, s0,
+      IceLite.CommitDelta("e7", Set.empty, Vector.empty, s0.currentSchema))
+    assert(s1.version == 1 && s1.hasEpoch("e7"))
     // duplicate epoch: no-op, returns current unchanged
-    val s2 = IceLite.commit(dir, s1, s1.copy(epochs = s1.epochs :+ 7L, version = 99), 7L)
+    val s2 = IceLite.commit(dir, s1,
+      IceLite.CommitDelta("e7", Set.empty, Vector.empty, s1.currentSchema))
     assert(s2.version == 1)
     assert(IceLite.history(dir) == Vector(0, 1))
   }
@@ -133,7 +135,7 @@ class PipelineSpec extends AnyFunSuite {
     val st0 = Merge.mergeEpoch(spark, dir, upd(Seq(
       ("r1", "a", "old", 1L, "UPSERT"),
       ("r1", "a", "new", 3L, "UPSERT"),
-      ("r1", "b", "bee", 2L, "UPSERT"))), "seq", "op", 0L)
+      ("r1", "b", "bee", 2L, "UPSERT"))), "seq", "op", "e0")
     assert(st0.applied && st0.batchRows == 3) // 3 input events (2 keys after LWW)
     val t0 = IceLite.read(spark, IceLite.load(dir))
     assert(t0.count() == 2)
@@ -141,12 +143,12 @@ class PipelineSpec extends AnyFunSuite {
     // epoch 1: delete a, add c
     Merge.mergeEpoch(spark, dir, upd(Seq(
       ("r1", "a", "", 10L, "DELETE"),
-      ("r2", "c", "sea", 11L, "UPSERT"))), "seq", "op", 1L)
+      ("r2", "c", "sea", 11L, "UPSERT"))), "seq", "op", "e1")
     val t1 = IceLite.read(spark, IceLite.load(dir))
     assert(sortedRows(t1.select("repo", "path")) == Seq("[r1,b]", "[r2,c]"))
     // replay epoch 1 (duplicate): fenced no-op
     val stDup = Merge.mergeEpoch(spark, dir, upd(Seq(
-      ("r9", "z", "zzz", 99L, "UPSERT"))), "seq", "op", 1L)
+      ("r9", "z", "zzz", 99L, "UPSERT"))), "seq", "op", "e1")
     assert(!stDup.applied)
     assert(IceLite.read(spark, IceLite.load(dir)).count() == 2)
   }
@@ -170,7 +172,7 @@ class PipelineSpec extends AnyFunSuite {
     Merge.mergeEpoch(spark, dir, upd(Seq(
       ("r1", "a", "alpha", 1L, "UPSERT"),
       ("r1", "b", "beta", 2L, "UPSERT"),
-      ("r2", "a", "gone", 3L, "DELETE"))), "seq", "op", 0L)
+      ("r2", "a", "gone", 3L, "DELETE"))), "seq", "op", "e0")
     val snap = IceLite.load(dir)
     val hit = IceLite.lookup(spark, snap, Map("repo" -> "r1", "path" -> "b"))
     assert(hit.select("content").as[String].collect().toSeq == Seq("beta"))
@@ -248,7 +250,7 @@ class PipelineSpec extends AnyFunSuite {
     Replay.replayLog(spark, logDir, tableDir, buckets = 8)
     val before = sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content"))
     val filesBefore = IceLite.load(tableDir).files.size
-    val st = graft.lake.Compaction.compact(spark, tableDir, epochId = 1000L)
+    val st = graft.lake.Compaction.compact(spark, tableDir, epochId = "compact-1000")
     assert(st.rowsAfter > 0)
     val snap = IceLite.load(tableDir)
     assert(snap.files.size <= 8) // one file per bucket
@@ -263,7 +265,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(removed > 0)
     assert(sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content")) == before)
     // compaction is epoch-fenced too
-    val st2 = graft.lake.Compaction.compact(spark, tableDir, epochId = 1000L)
+    val st2 = graft.lake.Compaction.compact(spark, tableDir, epochId = "compact-1000")
     assert(st2.buckets == 0)
   }
 
@@ -290,7 +292,7 @@ class PipelineSpec extends AnyFunSuite {
     val ev = spark.read.parquet(streamDir)
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
       .as[ChangeEvent]
-    val (upd, _) = Replay.decodeForMerge(ev, reg, None)
+    val upd = Replay.decodeForMerge(ev, reg, None).updates
     val cols = upd.columns
     val oracle = upd.groupBy(col("repo"), col("path"))
       .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
@@ -316,7 +318,7 @@ class PipelineSpec extends AnyFunSuite {
     val oracle = {
       val reg = spark.sparkContext.broadcast(Cdc.registry)
       val ev = logDf.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset").as[ChangeEvent]
-      val (upd, _) = Replay.decodeForMerge(ev, reg, None)
+      val upd = Replay.decodeForMerge(ev, reg, None).updates
       val cols = upd.columns
       upd.groupBy(col("repo"), col("path"))
         .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
@@ -330,5 +332,110 @@ class PipelineSpec extends AnyFunSuite {
     val q2 = Tail.start(spark, streamDir, tableDir, ckpt, buckets = 8, maxFilesPerTrigger = 2)
     q2.awaitTermination()
     assert(IceLite.load(tableDir).version == versBefore)
+  }
+
+  test("backfill replay then streaming tail on the same table: no false fencing across namespaces") {
+    import spark.implicits._
+    val logDir = tmp("bk-log"); val streamDir = tmp("bk-stream")
+    val tableDir = tmp("bk-table"); val ckpt = tmp("bk-ckpt")
+    val p = LogGen.Params(nEvents = 1000, nRepos = 10, pathsPerRepo = 10)
+    // backfill the first 600 events via batch replay (epochs replay-0, replay-1)
+    LogGen.events(spark, p).filter(col("offset") < 600)
+      .withColumn("epoch", (col("offset") / 300).cast("long"))
+      .write.partitionBy("epoch").mode("overwrite").parquet(logDir)
+    Replay.replayLog(spark, logDir, tableDir, buckets = 4)
+    assert(IceLite.load(tableDir).epochs.forall(_.startsWith("replay-")))
+    // tail the remainder into the SAME table; its batchId 0 must NOT be
+    // swallowed by the backfill's epoch 0 (the old single-namespace bug)
+    LogGen.events(spark, p).filter(col("offset") >= 600).repartition(2)
+      .write.mode("append").parquet(streamDir)
+    Tail.start(spark, streamDir, tableDir, ckpt, buckets = 4).awaitTermination()
+    // final state equals the full-log oracle fold
+    val reg = spark.sparkContext.broadcast(Cdc.registry)
+    val upd = Replay.decodeForMerge(LogGen.events(spark, p), reg, None).updates
+    val cols = upd.columns
+    val oracle = upd.groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
+      .select(col("__r.*")).filter(col("op") =!= "DELETE")
+    assert(sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content")) ==
+      sortedRows(oracle.select("repo", "path", "content")))
+  }
+
+  test("commit: concurrent disjoint commit rebases (no lost update); overlapping buckets fail loudly") {
+    val dir = tmp("cc")
+    val cols = IceLite.withCdcCols(Vector(IceLite.ColDef(1, "k", "STRING")))
+    val base = IceLite.create(dir, cols, Vector("k"), 8)
+    val fA = IceLite.DataFile("a.parquet", 1, -1, 0)
+    val fB = IceLite.DataFile("b.parquet", 2, -1, 0)
+    // writer A commits bucket 1
+    IceLite.commit(dir, base, IceLite.CommitDelta("A-0", Set(1), Vector(fA), base.currentSchema))
+    // writer B still holds the stale base and commits bucket 2 → rebases over
+    // A's commit: A's file AND epoch survive (the round-1 lost-update bug)
+    val after = IceLite.commit(dir, base, IceLite.CommitDelta("B-0", Set(2), Vector(fB), base.currentSchema))
+    assert(after.epochs == Vector("A-0", "B-0"))
+    assert(after.files.map(_.path).toSet == Set("a.parquet", "b.parquet"))
+    // writer C holds the stale base and touches bucket 1 (overlaps A's
+    // rewrite): silent loss is impossible — the commit fails loudly
+    val fC = IceLite.DataFile("c.parquet", 1, -1, 0)
+    intercept[java.util.ConcurrentModificationException] {
+      IceLite.commit(dir, base, IceLite.CommitDelta("C-0", Set(1), Vector(fC), base.currentSchema))
+    }
+  }
+
+  test("lineage ledger records per-route and per-partition decode counts incl. dead letters") {
+    import spark.implicits._
+    val logDir = tmp("dl-log"); val tableDir = tmp("dl-table")
+    val fs = Cdc.fsV1
+    val desc = fs.findMessage("RepoChange").get
+    val good = (1 to 8).map { i =>
+      val payload = LogGen.encodeChange(
+        LogGen.RawChange(s"r$i", "p", "c", "scala", "x", i.toLong, "UPSERT", ""), desc, fs, includeAuthor = false)
+      ChangeEvent(payload, "repo_change", 1, "RepoChange", i % 2, i.toLong)
+    }
+    val bad = Seq(
+      ChangeEvent(Array[Byte](0x0f, 0x01), "repo_change", 1, "RepoChange", 0, 100L), // malformed → error
+      ChangeEvent(good.head.payload, "no_such_schema", 1, "RepoChange", 1, 101L))    // invalid_schema
+    (good ++ bad).toDF().withColumn("epoch", lit(0L))
+      .write.partitionBy("epoch").mode("overwrite").parquet(logDir)
+    Replay.replayLog(spark, logDir, tableDir, buckets = 4)
+    val led = Lineage.read(spark, tableDir).collect()
+    assert(led.length == 1)
+    val routes = led(0).getAs[scala.collection.Map[String, Long]]("routes")
+    assert(routes("success") == 8L && routes("error") == 1L && routes("invalid_schema") == 1L)
+    val parts = led(0).getAs[scala.collection.Map[Int, Long]]("partitions")
+    assert(parts(0) == 5L && parts(1) == 5L && parts.values.sum == 10L)
+    // the dead letters themselves are persisted alongside
+    assert(spark.read.parquet(s"$tableDir/_deadletter").count() == 2)
+  }
+
+  test("registry get-or-load: unseen schema version loads from schemaDir; without it → invalid_schema") {
+    import spark.implicits._
+    import scala.collection.immutable.TreeMap
+    import graft.proto.{DynMsg, PValue}
+    import PValue._
+    val logDir = tmp("gl-log"); val t1 = tmp("gl-t1"); val t2 = tmp("gl-t2")
+    val schemaDir = tmp("gl-schemas")
+    // v3 adds `branch` (field 9); the built-in registry only knows v1/v2
+    val protoV3 = Cdc.protoV2.replace("string author  = 8;",
+      "string author  = 8;\n  string branch  = 9;")
+    Files.write(java.nio.file.Paths.get(schemaDir, "repo_change-v3.proto"), protoV3.getBytes("UTF-8"))
+    val fs3 = graft.proto.ProtoTextParser.parse(protoV3, "repo_change_v3.proto")
+    val d3 = fs3.findMessage("RepoChange").get
+    val payload = DynMsg.encode(fs3, DynMsg(d3, TreeMap(
+      1 -> PStr("r"), 2 -> PStr("p"), 3 -> PStr("c"), 4 -> PStr("scala"),
+      5 -> PStr("body"), 6 -> PLong(5L), 9 -> PStr("main"))))
+    Seq(ChangeEvent(payload, "repo_change", 3, "RepoChange", 0, 0L)).toDF()
+      .withColumn("epoch", lit(0L))
+      .write.partitionBy("epoch").mode("overwrite").parquet(logDir)
+    // without the escape hatch: v3 is unknown → routed invalid_schema, dead-lettered
+    Replay.replayLog(spark, logDir, t1, buckets = 4)
+    assert(IceLite.read(spark, IceLite.load(t1)).count() == 0)
+    assert(spark.read.parquet(s"$t1/_deadletter")
+      .filter(col("route") === "invalid_schema").count() == 1)
+    // with schemaDir: the driver loads repo_change-v3.proto between epochs → decodes
+    Replay.replayLog(spark, logDir, t2, buckets = 4, schemaDir = Some(schemaDir))
+    val t = IceLite.read(spark, IceLite.load(t2))
+    assert(t.count() == 1)
+    assert(t.select("repo", "content").as[(String, String)].head() == ("r", "body"))
   }
 }

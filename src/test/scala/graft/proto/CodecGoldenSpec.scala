@@ -111,7 +111,10 @@ class CodecGoldenSpec extends AnyFunSuite {
     assert(desc.fields.exists(_.name == "people"))
     val book = bookSet.findMessage("tutorial.AddressBook").get
     assert(bookSet.findMessage("google.protobuf.Timestamp").isDefined)
-    assert(book.fieldByName.contains("last_updated") ||
-      !book.fieldByName.contains("last_updated")) // field presence depends on fixture version
+    // the fixture's actual shape: AddressBook{people}, Person{..., last_updated: Timestamp}
+    assert(book.fieldByName.keySet == Set("people"))
+    val person = bookSet.findMessage("tutorial.Person").get
+    assert(person.fieldByName.contains("last_updated"))
+    assert(person.fieldByName("last_updated").typeName.contains("Timestamp"))
   }
 }
