@@ -58,6 +58,12 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
   private val enumNames: Array[Map[Int, String]] = fields.map { f =>
     if (f.tpe == TYPE_ENUM) fs.enumFor(f).byNumber else null
   }
+  /** singular embedded-message ordinals: occurrences MERGE per the protobuf
+    * spec (merging serialized messages ≡ concatenating their bytes), so
+    * their slices are buffered and decoded once at the end. */
+  private val isMsg: Array[Boolean] = fields.zipWithIndex.map { case (f, i) =>
+    !f.repeated && !isMap(i) && f.tpe == TYPE_MESSAGE
+  }
 
   private val defaults: Array[Any] = fields.zipWithIndex.map { case (f, i) =>
     if (isMap(i)) Map.empty[Any, Any]
@@ -101,6 +107,11 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
             val sub = new Reader(r.buf, p, p + len)
             while (sub.hasRemaining) buf += readScalar(ord, f, sub)
           } else buf += readOne(ord, f, r, wt)
+        } else if (isMsg(ord)) {
+          if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+          if (bufs == null) bufs = new Array[AnyRef](nFields)
+          if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Int, Int)]
+          bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += r.readSlice()
         } else {
           vals(ord) = readOne(ord, f, r, wt)
         }
@@ -113,6 +124,23 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
         if (b != null) {
           vals(i) =
             if (isMap(i)) b.asInstanceOf[ArrayBuffer[(Any, Any)]].toMap
+            else if (isMsg(i)) {
+              // merge = decode over the concatenation of all occurrences'
+              // bytes; the single-occurrence fast path decodes in place
+              val slices = b.asInstanceOf[ArrayBuffer[(Int, Int)]]
+              val sub =
+                if (slices.length == 1) new Reader(r.buf, slices(0)._1, slices(0)._1 + slices(0)._2)
+                else {
+                  val total = slices.iterator.map(_._2).sum
+                  val cat = new Array[Byte](total)
+                  var off = 0
+                  slices.foreach { case (p, len) =>
+                    System.arraycopy(r.buf, p, cat, off, len); off += len
+                  }
+                  new Reader(cat)
+                }
+              if (isTimestamp(i)) decodeTimestamp(sub) else nestedDec(i).decode(sub)
+            }
             else b.asInstanceOf[ArrayBuffer[Any]].toVector
         }
         i += 1

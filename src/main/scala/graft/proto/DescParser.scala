@@ -52,7 +52,7 @@ object DescParser {
     }
     val prefix = if (pkg.isEmpty) "" else pkg + "."
     enums = rawEnums.map { case (n, vs) => EnumDesc(n, prefix + n, vs) }
-    FileDesc(name, pkg, messages.map(qualify(prefix, _)), enums, syntax)
+    applySyntax(FileDesc(name, pkg, messages.map(qualify(prefix, _)), enums, syntax))
   }
 
   /** message parsed before its full name is known. */

@@ -73,12 +73,19 @@ object Descriptors {
       /** fully-qualified ".pkg.Msg" for message/enum fields, else "". */
       typeName: String,
       jsonName: String,
-      /** explicit packed option; None = proto3 default (packed for packable). */
+      /** explicit packed option; None = syntax default (proto3: packed,
+        * proto2: unpacked). */
       packedOpt: Option[Boolean] = None,
-      proto3Optional: Boolean = false
+      proto3Optional: Boolean = false,
+      /** field belongs to a proto2-syntax file (set by the parsers via
+        * [[applySyntax]]) — all singular proto2 fields have explicit
+        * presence and repeated scalars default to unpacked. */
+      proto2: Boolean = false
   ) extends Serializable {
     def repeated: Boolean = label == Label.REPEATED
-    def packed: Boolean = repeated && isPackable(tpe) && packedOpt.getOrElse(true)
+    /** a set-but-default-valued singular field must still serialize. */
+    def explicitPresence: Boolean = proto3Optional || proto2
+    def packed: Boolean = repeated && isPackable(tpe) && packedOpt.getOrElse(!proto2)
     def wireType: Int =
       if (isVarintType(tpe)) Wire.WtVarint
       else if (isFixed32Type(tpe)) Wire.WtFixed32
@@ -118,6 +125,18 @@ object Descriptors {
       enums: Vector[EnumDesc],
       syntax: String = "proto3"
   ) extends Serializable
+
+  /** Thread the file's syntax into its fields: proto2 files mark every
+    * field `proto2` (explicit presence, unpacked-by-default) and clear the
+    * proto3-only `proto3Optional` flag. Parsers call this once per file. */
+  def applySyntax(fd: FileDesc): FileDesc =
+    if (fd.syntax != "proto2") fd
+    else {
+      def fix(m: MessageDesc): MessageDesc = m.copy(
+        fields = m.fields.map(_.copy(proto2 = true, proto3Optional = false)),
+        nestedMessages = m.nestedMessages.map(fix))
+      fd.copy(messages = fd.messages.map(fix))
+    }
 
   /** A resolved set of files — equivalent of the reference's DynamicSchema
     * (descriptor pool). Message lookup accepts fully-qualified names and,

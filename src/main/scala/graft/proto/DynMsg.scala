@@ -67,12 +67,32 @@ object DynMsg {
                 case _ => Vector(v)
               }
               acc = acc.updated(fn, PList(vs))
-            } else acc = acc.updated(fn, v) // last-one-wins per spec
+            } else {
+              // repeated occurrences of a SINGULAR field: scalars are
+              // last-one-wins, but embedded messages MERGE per the protobuf
+              // spec (protobuf-java DynamicMessage merges too)
+              val merged = (acc.get(fn), v) match {
+                case (Some(PMsg(prev)), PMsg(next)) => PMsg(mergeMsg(prev, next))
+                case _ => v
+              }
+              acc = acc.updated(fn, merged)
+            }
           }
       }
     }
     DynMsg(desc, acc)
   }
+
+  /** Protobuf message-merge semantics: singular scalars replace, repeated
+    * fields concatenate, embedded messages merge recursively. */
+  private def mergeMsg(a: DynMsg, b: DynMsg): DynMsg =
+    DynMsg(a.desc, b.fields.foldLeft(a.fields) { case (acc, (fn, v)) =>
+      acc.updated(fn, (acc.get(fn), v) match {
+        case (Some(PList(xs)), PList(ys)) => PList(xs ++ ys)
+        case (Some(PMsg(x)), PMsg(y)) => PMsg(mergeMsg(x, y))
+        case _ => v
+      })
+    })
 
   private def readOne(fs: FileSet, f: FieldDesc, r: Wire.Reader, wt: Int): PValue = f.tpe match {
     case TYPE_MESSAGE =>
@@ -133,8 +153,10 @@ object DynMsg {
         case PList(vs) =>
           vs.foreach(writeField(fs, f, _, w))
         case single =>
-          // proto3 implicit presence: skip default-valued singular scalars
-          if (f.repeated || !isDefault(f, single)) writeField(fs, f, single, w)
+          // proto3 implicit presence: skip default-valued singular scalars —
+          // UNLESS the field has explicit presence (proto3 `optional` /
+          // proto2), where a set-but-default value still serializes
+          if (f.repeated || f.explicitPresence || !isDefault(f, single)) writeField(fs, f, single, w)
       }
     }
   }

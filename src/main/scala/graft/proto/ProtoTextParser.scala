@@ -127,7 +127,7 @@ object ProtoTextParser {
       }
       val fileMsgs = msgs.map(qualify(prefix, _))
       val fileEnums = enums.map { case (n, vs) => EnumDesc(n, prefix + n, vs) }
-      val fd = FileDesc(fileName, pkg, fileMsgs, fileEnums, syntax)
+      val fd = applySyntax(FileDesc(fileName, pkg, fileMsgs, fileEnums, syntax))
       val fs = FileSet(Vector(fd) ++ builtins)
       resolveTypes(fs)
     }
@@ -217,28 +217,32 @@ object ProtoTextParser {
         val f = FieldDesc(fname, num, FType.TYPE_MESSAGE, Label.REPEATED, "", defaultJsonName(fname))
         (RawField(f, "?MAP:" + entryName), Some(entry))
       } else {
-        val label = peek match {
-          case "repeated" => next(); Label.REPEATED
-          case "optional" => next(); Label.OPTIONAL
-          case "required" => next(); Label.REQUIRED
-          case _ => Label.OPTIONAL
+        val (label, explicitOpt) = peek match {
+          case "repeated" => next(); (Label.REPEATED, false)
+          case "optional" => next(); (Label.OPTIONAL, true)
+          case "required" => next(); (Label.REQUIRED, false)
+          case _ => (Label.OPTIONAL, false)
         }
-        (parseField(label, inOneof = false), None)
+        (parseField(label, inOneof = false, explicitOpt = explicitOpt), None)
       }
     }
 
-    private def parseField(label: Label, inOneof: Boolean): RawField = {
+    private def parseField(label: Label, inOneof: Boolean, explicitOpt: Boolean = false): RawField = {
       val tpeTok = next()
       val fname = next()
       expect("=")
       val num = next().toInt
       skipFieldOptionsAndSemi()
+      // an explicit `optional` keyword in a proto3 file = explicit presence;
+      // applySyntax clears this flag (and sets proto2 instead) for proto2 files
       scalarTypes.get(tpeTok) match {
         case Some(t) =>
-          RawField(FieldDesc(fname, num, t, label, "", defaultJsonName(fname)), "")
+          RawField(FieldDesc(fname, num, t, label, "", defaultJsonName(fname),
+            proto3Optional = explicitOpt), "")
         case None =>
           // message or enum — resolved in a second pass
-          RawField(FieldDesc(fname, num, FType.TYPE_MESSAGE, label, "", defaultJsonName(fname)), tpeTok)
+          RawField(FieldDesc(fname, num, FType.TYPE_MESSAGE, label, "", defaultJsonName(fname),
+            proto3Optional = explicitOpt), tpeTok)
       }
     }
 

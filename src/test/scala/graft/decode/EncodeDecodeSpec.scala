@@ -93,6 +93,58 @@ class EncodeDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("presence: proto3 `optional` and proto2 fields serialize set-but-default values") {
+    import scala.collection.immutable.TreeMap
+    import graft.proto.PValue._
+    // proto3: plain field drops a default value; `optional` keeps it
+    val p3 = ProtoTextParser.parse(
+      """syntax = "proto3";
+        |message P { int32 a = 1; optional int32 b = 2; }""".stripMargin, "p3.proto")
+    val d3 = p3.findMessage("P").get
+    assert(DynMsg.encode(p3, DynMsg(d3, TreeMap(1 -> PLong(0L)))).isEmpty)        // implicit: omitted
+    val b0 = DynMsg.encode(p3, DynMsg(d3, TreeMap(2 -> PLong(0L))))
+    assert(b0.nonEmpty)                                                           // explicit: kept
+    assert(DynMsg.decode(p3, d3, b0).get(2).contains(PLong(0L)))                  // round-trips presence
+    // proto2: ALL singular fields have explicit presence; repeated scalars
+    // default to UNPACKED
+    val p2 = ProtoTextParser.parse(
+      """syntax = "proto2";
+        |message Q { optional int32 a = 1; repeated int32 r = 2; }""".stripMargin, "p2.proto")
+    val d2 = p2.findMessage("Q").get
+    assert(DynMsg.encode(p2, DynMsg(d2, TreeMap(1 -> PLong(0L)))).nonEmpty)
+    assert(!d2.fieldByName("r").packed)
+    val rp = DynMsg.encode(p2, DynMsg(d2, TreeMap(2 -> PList(Vector(PLong(1L), PLong(2L))))))
+    // unpacked repeated: one tag per element (tag 0x10, value) ×2 = 4 bytes
+    assert(rp.sameElements(Array[Byte](0x10, 1, 0x10, 2)))
+  }
+
+  test("singular embedded message split across occurrences MERGES (protobuf merge semantics)") {
+    import scala.collection.immutable.TreeMap
+    import graft.proto.PValue._
+    val fs = ProtoTextParser.parse(
+      """syntax = "proto3";
+        |message Inner { string s = 1; int64 z = 2; repeated int64 r = 3; }
+        |message Outer { Inner inner = 1; }""".stripMargin, "m.proto")
+    val inner = fs.findMessage("Inner").get
+    val outer = fs.findMessage("Outer").get
+    // two occurrences of field 1: {s="x", r=[1]} then {z=5, r=[2]}
+    val part1 = DynMsg.encode(fs, DynMsg(outer, TreeMap(1 -> PMsg(
+      DynMsg(inner, TreeMap(1 -> PStr("x"), 3 -> PList(Vector(PLong(1L)))))))))
+    val part2 = DynMsg.encode(fs, DynMsg(outer, TreeMap(1 -> PMsg(
+      DynMsg(inner, TreeMap(2 -> PLong(5L), 3 -> PList(Vector(PLong(2L)))))))))
+    val split = part1 ++ part2
+    // DynMsg: scalars from both halves survive, repeated concatenates
+    val m = DynMsg.decode(fs, outer, split)
+    val PMsg(got) = m.get(1).get: @unchecked
+    assert(got.get(1).contains(PStr("x")) && got.get(2).contains(PLong(5L)))
+    assert(got.get(3).contains(PList(Vector(PLong(1L), PLong(2L)))))
+    // RowDecoder: same merged row
+    val row = new RowDecoder(fs, outer).decode(split)
+    val innerRow = row.getStruct(0)
+    assert(innerRow.getString(0) == "x" && innerRow.getLong(1) == 5L)
+    assert(innerRow.getSeq[Long](2) == Seq(1L, 2L))
+  }
+
   test("RowDecoder on the reference golden fixture matches expected values") {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(getClass.getResource("/data/Person.data").toURI))
