@@ -19,6 +19,7 @@ object Lineage {
       upserts: Long,
       deletes: Long,
       touchedBuckets: Int,
+      cowBuckets: Int,
       rewrittenRows: Long,
       /** decode-route counts: success / invalid_schema / error. */
       routes: Map[String, Long],
@@ -27,7 +28,7 @@ object Lineage {
 
   def entry(st: MergeStats, acc: RouteStatsAccumulator): Entry =
     Entry(st.epochId, st.applied, st.batchRows, st.upserts, st.deletes,
-      st.touchedBuckets, st.rewrittenRows, acc.byRoute, acc.byPartition)
+      st.touchedBuckets, st.cowBuckets, st.rewrittenRows, acc.byRoute, acc.byPartition)
 
   def append(spark: SparkSession, tableDir: String, e: Entry): Unit =
     appendAll(spark, tableDir, Seq(e))

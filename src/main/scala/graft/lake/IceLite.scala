@@ -39,7 +39,11 @@ object IceLite {
   val DelCol = ColDef(-2, "__del", "BOOLEAN")
   def withCdcCols(schema: Vector[ColDef]): Vector[ColDef] = schema :+ SeqCol :+ DelCol
 
-  final case class DataFile(path: String, bucket: Int, rows: Long, schemaVersion: Int)
+  /** `delta = true` marks a merge-on-read file: it holds ONLY one epoch's
+    * change rows for its bucket (newest-seq-wins against older files at
+    * read time) rather than the bucket's full resolved state. */
+  final case class DataFile(path: String, bucket: Int, rows: Long, schemaVersion: Int,
+      delta: Boolean = false)
 
   final case class Snapshot(
       version: Int,
@@ -96,6 +100,7 @@ object IceLite {
       val o = files.addObject()
       o.put("path", f.path); o.put("bucket", f.bucket)
       o.put("rows", f.rows); o.put("schemaVersion", f.schemaVersion)
+      if (f.delta) o.put("delta", true)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -113,7 +118,8 @@ object IceLite {
       buckets = n.get("buckets").asInt(),
       files = n.get("files").elements().asScala.map(f =>
         DataFile(f.get("path").asText(), f.get("bucket").asInt(),
-          f.get("rows").asLong(), f.get("schemaVersion").asInt())).toVector)
+          f.get("rows").asLong(), f.get("schemaVersion").asInt(),
+          delta = Option(f.get("delta")).exists(_.asBoolean()))).toVector)
   }
 
   // ---------------------------------------------------------------- commits
@@ -233,23 +239,49 @@ object IceLite {
 
   /** Read a set of data files, mapping each file's stored schema version to
     * the CURRENT schema by field id: renamed columns re-aliased, missing
-    * columns null-filled, widened columns cast (Iceberg read semantics). */
+    * columns null-filled, widened columns cast (Iceberg read semantics).
+    *
+    * Merge-on-read resolution: buckets carrying delta files are resolved to
+    * one row per key (newest __seq wins — one hash shuffle over ONLY those
+    * buckets' rows); buckets with base files alone are emitted as-is, no
+    * shuffle. Callers that run their own per-key LWW (the MERGE itself)
+    * pass `resolve = false` to avoid a redundant exchange. */
   def read(spark: SparkSession, snap: Snapshot, fileFilter: DataFile => Boolean = _ => true,
-      includeHidden: Boolean = false): DataFrame = {
+      includeHidden: Boolean = false, resolve: Boolean = true): DataFrame = {
+
     val cur = snap.currentSchema
-    val groups = snap.files.filter(fileFilter).groupBy(_.schemaVersion)
-    val parts = groups.toSeq.sortBy(_._1).map { case (sv, files) =>
-      val old = snap.schemas(sv)
-      val oldById = old.map(c => c.id -> c).toMap
-      val df = spark.read.schema(structOf(old)).parquet(files.map(_.path): _*)
-      df.select(cur.map { c =>
-        oldById.get(c.id) match {
-          case Some(oc) => col(oc.name).cast(c.sparkType).as(c.name)
-          case None => lit(null).cast(c.sparkType).as(c.name)
-        }
-      }: _*)
+    def mapped(files: Seq[DataFile]): Option[DataFrame] = {
+      val groups = files.groupBy(_.schemaVersion)
+      groups.toSeq.sortBy(_._1).map { case (sv, fs) =>
+        val old = snap.schemas(sv)
+        val oldById = old.map(c => c.id -> c).toMap
+        val df = spark.read.schema(structOf(old)).parquet(fs.map(_.path): _*)
+        df.select(cur.map { c =>
+          oldById.get(c.id) match {
+            case Some(oc) => col(oc.name).cast(c.sparkType).as(c.name)
+            case None => lit(null).cast(c.sparkType).as(c.name)
+          }
+        }: _*)
+      }.reduceOption(_.unionAll(_))
     }
-    val all = parts.reduceOption(_.unionAll(_)).getOrElse(
+
+    val selected = snap.files.filter(fileFilter)
+    val morBuckets = selected.filter(_.delta).map(_.bucket).toSet
+    val (unresolved, plain) =
+      if (resolve) selected.partition(f => morBuckets.contains(f.bucket))
+      else (Vector.empty[DataFile], selected)
+
+    val plainDf = mapped(plain)
+    val resolvedDf = mapped(unresolved).map { df =>
+      // newest version per key wins; ties impossible (seq is a total order
+      // per key). Tombstones survive resolution so downstream filtering /
+      // compaction sees them.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(snap.keyCols.map(col): _*).orderBy(col(SeqCol.name).desc)
+      df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    }
+
+    val all = (plainDf ++ resolvedDf).reduceOption(_.unionAll(_)).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.currentStruct))
     if (includeHidden) all
     else {

@@ -8,17 +8,22 @@ import scala.jdk.CollectionConverters._
 import IceLite._
 
 /** Key-partitioned MERGE INTO upsert (SURVEY.md §2.3):
-  * dedup batch to one row/key (max_by over the CDC sequence) →
-  * schema-evolve the table → full-outer join against only the touched
-  * buckets → rewrite those buckets → atomic epoch-fenced commit.
+  * schema-evolve the table → single-shuffle version-ordered LWW over
+  * union(batch, inline-compaction targets) → per-bucket write → atomic
+  * epoch-fenced commit.
   *
   * Scale notes (100 TB design point):
-  *  - the ONLY wide shuffle per epoch is the merge join, keyed on the table
-  *    key; both sides hash-partition identically, AQE handles residual skew
-  *    (hot keys are already spread because buckets hash (repo, path), not repo);
-  *  - untouched buckets are carried forward — merge cost is
-  *    O(batch + tableSize × touchedBuckets / totalBuckets), not O(tableSize);
-  *  - dedup is a partial-agg-friendly hash aggregate (max_by), no sort.
+  *  - MERGE-ON-READ steady state: an epoch writes O(batch) delta files;
+  *    a bucket is COW-compacted inline only when its file count reaches
+  *    `deltaThreshold`. Amortized epoch cost is O(batch + batch×table/(B×K))
+  *    — never the O(table × touched/total) full rewrite that kills 10^10-row
+  *    tables; read amplification is bounded at K files/bucket;
+  *  - the ONLY wide shuffle per epoch is the merge exchange, keyed on
+  *    (bucket, key-hash shard) — task count scales with the cluster, not
+  *    the bucket count; AQE handles residual skew (buckets hash
+  *    (repo, path), not repo, so hot repos don't produce hot buckets);
+  *  - untouched buckets are never read or rewritten;
+  *  - batch LWW is in-partition (sort + first-per-key), no pre-shuffle dedup.
   */
 object Merge {
 
@@ -29,6 +34,9 @@ object Merge {
       upserts: Long,
       deletes: Long,
       touchedBuckets: Int,
+      /** touched buckets compacted inline (COW) this epoch; the rest took
+        * the O(batch) delta path. */
+      cowBuckets: Int,
       rewrittenRows: Long)
 
   /** Evolve `current` schemas with the update batch's columns, matched by
@@ -69,9 +77,18 @@ object Merge {
       epochId: String,
       /** key columns only, from a cheap keys-only decode (wire-skips the
         * payload body): enables touched-bucket pruning without caching or
-        * double-decoding the full batch. None → all buckets are rewritten
+        * double-decoding the full batch. None → all buckets are touched
         * (right for large batches that touch every bucket anyway). */
-      updateKeys: Option[DataFrame] = None): MergeStats = {
+      updateKeys: Option[DataFrame] = None,
+      /** MERGE-ON-READ write policy: a touched bucket already holding fewer
+        * than this many files gets an O(batch) DELTA file (newest-seq-wins
+        * applied at read time); at or past it, the bucket is compacted
+        * inline — its files + the batch COW-rewrite into one base set. This
+        * bounds read amplification at `deltaThreshold` files/bucket while
+        * keeping the steady-state epoch cost O(batch), not
+        * O(table × touched/total) — at 10^10 events the per-epoch full
+        * rewrite is the scale-killer, not the decode. 0 forces COW always. */
+      deltaThreshold: Int = 8): MergeStats = {
 
     val timing = sys.env.contains("SPARK_GRAFT_TIMING")
     var t0 = System.nanoTime()
@@ -83,7 +100,7 @@ object Merge {
 
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) // exactly-once fence: replayed epoch is a no-op
-      return MergeStats(epochId, applied = false, 0, 0, 0, 0, 0)
+      return MergeStats(epochId, applied = false, 0, 0, 0, 0, 0, 0)
 
     val keyCols = base.keyCols
     val dataColDefs = colDefsOf(org.apache.spark.sql.types.StructType(
@@ -123,16 +140,25 @@ object Merge {
       count(lit(1)).as("n"),
       sum(when(col(IceLite.DelCol.name), 1L).otherwise(0L)).as("dels"))
 
-    // ---- 2. SINGLE-SHUFFLE version-ordered merge: union(batch, touched
+    // MERGE-ON-READ split: buckets under the file-count threshold take the
+    // delta path (no target read, O(batch) write); buckets at the threshold
+    // compact inline (COW: their files union the batch, full LWW rewrite)
+    val filesPerBucket = base.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+    val cowBuckets: Set[Int] =
+      touched.filter(b => filesPerBucket.getOrElse(b, 0) >= math.max(deltaThreshold, 0))
+
+    // ---- 2. SINGLE-SHUFFLE version-ordered merge: union(batch, COW-bucket
     // target rows) → one hash repartition by bucket → in-partition sort by
     // (key, seq DESC) → keep the first row per key. LWW per key across the
     // batch AND the stored state in one exchange — no dedup pre-shuffle, no
-    // full-outer join, no second repartition for the bucketed write.
+    // full-outer join, no second repartition for the bucketed write. For
+    // delta buckets the same operator is simply LWW within the batch.
     // Late/duplicate/out-of-order events are absorbed (stored row wins when
     // newer); DELETEs persist as tombstones so a late lower-seq upsert
     // cannot resurrect a key.
     val target = IceLite.read(spark, base.copy(schemas = schemas),
-      f => touched.contains(f.bucket), includeHidden = true)
+      f => cowBuckets.contains(f.bucket), includeHidden = true,
+      resolve = false /* this merge IS the resolution */)
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
 
     val unioned = observedBatch.unionByName(target)
@@ -190,15 +216,16 @@ object Merge {
     val deletes = batchMetrics.get("dels").collect { case l: Long => l }.getOrElse(0L)
     lap("merge+write")
 
-    // ---- 5. commit the delta: replaced-bucket files + epoch fence; on a
-    // concurrent disjoint commit the delta rebases, on overlap it fails
-    // loudly (see IceLite.commit)
+    // ---- 5. commit: COW buckets replace their files, delta buckets APPEND
+    // a delta file (append-only commits rebase over any concurrent commit);
+    // on an overlapping COW rewrite the commit fails loudly (IceLite.commit)
     val newFiles = listBucketFiles(epochDir, schemaVersion)
-    IceLite.commit(dir, base, IceLite.CommitDelta(epochId, touched, newFiles, newSchema))
+      .map(f => if (cowBuckets.contains(f.bucket)) f else f.copy(delta = true))
+    IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema))
     lap("commit")
 
     MergeStats(epochId, applied = true, batchRows, batchRows - deletes, deletes,
-      touched.size, rewrittenRows)
+      touched.size, cowBuckets.size, rewrittenRows)
   }
 
   private def listBucketFiles(epochDir: String, schemaVersion: Int): Vector[DataFile] = {

@@ -382,6 +382,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-read: epochs append O(batch) deltas, buckets COW-compact at the file threshold, reads resolve LWW") {
+    import spark.implicits._
+    val dir = tmp("mor")
+    Replay.createTable(dir, buckets = 2)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    // epochs 0..3 upsert the same two keys with rising seq; threshold 3 ⇒
+    // the first epochs write deltas, later ones COW-compact inline
+    val sts = (0 to 3).map { e =>
+      Merge.mergeEpoch(spark, dir, upd(Seq(
+        ("r1", "a", s"v$e", (10 + e).toLong, "UPSERT"),
+        ("r2", "b", s"w$e", (20 + e).toLong, if (e == 3) "DELETE" else "UPSERT"))),
+        "seq", "op", s"mor-$e", updateKeys = None, deltaThreshold = 3)
+    }
+    assert(sts(0).cowBuckets == 0, "first epoch must take the delta path")
+    assert(sts.exists(_.cowBuckets > 0), "threshold must trigger inline COW")
+    val snap = IceLite.load(dir)
+    assert(snap.files.exists(_.delta) || sts.last.cowBuckets == 2)
+    // read resolves newest-seq-wins across base+delta files; DELETE holds
+    val t = IceLite.read(spark, snap)
+    assert(sortedRows(t.select("repo", "path", "content")) == Seq("[r1,a,v3]"))
+    // compaction collapses every delta into one base file per bucket
+    graft.lake.Compaction.compact(spark, dir, "compact-mor")
+    val snap2 = IceLite.load(dir)
+    assert(!snap2.files.exists(_.delta) && snap2.files.size <= 2)
+    assert(sortedRows(IceLite.read(spark, snap2).select("repo", "path", "content")) == Seq("[r1,a,v3]"))
+  }
+
   test("lineage ledger records per-route and per-partition decode counts incl. dead letters") {
     import spark.implicits._
     val logDir = tmp("dl-log"); val tableDir = tmp("dl-table")
