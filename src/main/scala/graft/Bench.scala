@@ -134,7 +134,7 @@ object Bench {
       t2 = math.min(t2, spawnLevel(2, 1))
       extra += 1
     }
-    val t32 = spawnLevel(32, 2)
+    val t32 = spawnLevel(32, 3)
     val eps2 = nEvents / t2; val eps8 = nEvents / t8; val eps32 = nEvents / t32
     val eff28 = (t2 / t8) / 4.0
     val eff832 = (t8 / t32) / 4.0

@@ -64,6 +64,17 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
   private val isMsg: Array[Boolean] = fields.zipWithIndex.map { case (f, i) =>
     !f.repeated && !isMap(i) && f.tpe == TYPE_MESSAGE
   }
+  /** ordinal → peer ordinals of the same oneof group (cleared when this
+    * member is set: last member seen on the wire wins), null if none. */
+  private val oneofPeerOrds: Array[Array[Int]] = {
+    val ordOfNum = fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    fields.map { f =>
+      desc.oneofPeers.get(f.number) match {
+        case Some(peers) if peers.nonEmpty => peers.flatMap(ordOfNum.get).toArray
+        case _ => null
+      }
+    }
+  }
 
   private val defaults: Array[Any] = fields.zipWithIndex.map { case (f, i) =>
     if (isMap(i)) Map.empty[Any, Any]
@@ -109,10 +120,12 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
           } else buf += readOne(ord, f, r, wt)
         } else if (isMsg(ord)) {
           if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+          clearOneofPeers(ord, vals, bufs)
           if (bufs == null) bufs = new Array[AnyRef](nFields)
           if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Int, Int)]
           bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += r.readSlice()
         } else {
+          clearOneofPeers(ord, vals, bufs)
           vals(ord) = readOne(ord, f, r, wt)
         }
       }
@@ -147,6 +160,19 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+  }
+
+  /** last-set oneof member wins: reset this member's peers to defaults. */
+  private def clearOneofPeers(ord: Int, vals: Array[Any], bufs: Array[AnyRef]): Unit = {
+    val peers = oneofPeerOrds(ord)
+    if (peers != null) {
+      var i = 0
+      while (i < peers.length) {
+        vals(peers(i)) = defaults(peers(i))
+        if (bufs != null) bufs(peers(i)) = null
+        i += 1
+      }
+    }
   }
 
   private def decodeMapEntry(ord: Int, r: Reader): (Any, Any) = {

@@ -108,6 +108,7 @@ object DescParser {
     var name = ""; var number = 0; var label = Label.OPTIONAL
     var tpe: FType = FType.TYPE_STRING; var typeName = ""; var jsonName = ""
     var packedOpt: Option[Boolean] = None; var p3opt = false
+    var oneofIdx: Option[Int] = None
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
       (fn, wt) match {
@@ -124,13 +125,14 @@ object DescParser {
             if (ofn == 2 && owt == Wire.WtVarint) packedOpt = Some(opt.readVarint64() != 0L)
             else opt.skip(owt)
           }
+        case (9, Wire.WtVarint) => oneofIdx = Some(r.readVarint64().toInt)
         case (10, Wire.WtLen) => jsonName = str(r)
         case (17, Wire.WtVarint) => p3opt = r.readVarint64() != 0L
         case _ => r.skip(wt)
       }
     }
     if (jsonName.isEmpty) jsonName = defaultJsonName(name)
-    FieldDesc(name, number, tpe, label, typeName, jsonName, packedOpt, p3opt)
+    FieldDesc(name, number, tpe, label, typeName, jsonName, packedOpt, p3opt, oneofIndex = oneofIdx)
   }
 
   // EnumDescriptorProto: name=1 value=2; EnumValueDescriptorProto: name=1 number=2

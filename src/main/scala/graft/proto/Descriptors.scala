@@ -80,11 +80,16 @@ object Descriptors {
       /** field belongs to a proto2-syntax file (set by the parsers via
         * [[applySyntax]]) — all singular proto2 fields have explicit
         * presence and repeated scalars default to unpacked. */
-      proto2: Boolean = false
+      proto2: Boolean = false,
+      /** oneof group this field belongs to (per-message index). Members
+        * have explicit presence; the last member seen on the wire CLEARS
+        * its peers. proto3 `optional` compiles to a synthetic single-member
+        * oneof, which these semantics cover trivially. */
+      oneofIndex: Option[Int] = None
   ) extends Serializable {
     def repeated: Boolean = label == Label.REPEATED
     /** a set-but-default-valued singular field must still serialize. */
-    def explicitPresence: Boolean = proto3Optional || proto2
+    def explicitPresence: Boolean = proto3Optional || proto2 || oneofIndex.isDefined
     def packed: Boolean = repeated && isPackable(tpe) && packedOpt.getOrElse(!proto2)
     def wireType: Int =
       if (isVarintType(tpe)) Wire.WtVarint
@@ -116,6 +121,14 @@ object Descriptors {
       fields.map(f => f.jsonName -> f).toMap ++ fields.map(f => f.name -> f).toMap
     /** fields sorted by number — protobuf canonical serialization order. */
     @transient lazy val fieldsInNumberOrder: Vector[FieldDesc] = fields.sortBy(_.number)
+    /** field number → the OTHER members of its oneof group (to clear when
+      * this member is set; spec: last member seen on the wire wins). */
+    @transient lazy val oneofPeers: Map[Int, Vector[Int]] = {
+      val byGroup = fields.filter(_.oneofIndex.isDefined).groupBy(_.oneofIndex.get)
+      byGroup.values.flatMap { grp =>
+        grp.map(f => f.number -> grp.map(_.number).filterNot(_ == f.number))
+      }.toMap
+    }
   }
 
   final case class FileDesc(

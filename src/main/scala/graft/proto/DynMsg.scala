@@ -75,6 +75,8 @@ object DynMsg {
                 case (Some(PMsg(prev)), PMsg(next)) => PMsg(mergeMsg(prev, next))
                 case _ => v
               }
+              // oneof: the last member seen clears its peers
+              desc.oneofPeers.get(fn).foreach(_.foreach(peer => acc = acc.removed(peer)))
               acc = acc.updated(fn, merged)
             }
           }
@@ -86,7 +88,10 @@ object DynMsg {
   /** Protobuf message-merge semantics: singular scalars replace, repeated
     * fields concatenate, embedded messages merge recursively. */
   private def mergeMsg(a: DynMsg, b: DynMsg): DynMsg =
-    DynMsg(a.desc, b.fields.foldLeft(a.fields) { case (acc, (fn, v)) =>
+    DynMsg(a.desc, b.fields.foldLeft(a.fields) { case (acc0, (fn, v)) =>
+      // a oneof member set in `b` clears `a`'s other members of the group
+      val acc = a.desc.oneofPeers.get(fn)
+        .map(_.foldLeft(acc0)(_ removed _)).getOrElse(acc0)
       acc.updated(fn, (acc.get(fn), v) match {
         case (Some(PList(xs)), PList(ys)) => PList(xs ++ ys)
         case (Some(PMsg(x)), PMsg(y)) => PMsg(mergeMsg(x, y))

@@ -166,6 +166,7 @@ object ProtoTextParser {
       var nested = Vector.empty[RawMsg]
       var enums = Vector.empty[(String, Vector[(String, Int)])]
       var mapEntries = Vector.empty[RawMsg]
+      var oneofIdx = -1
       var done = false
       while (!done) {
         peek match {
@@ -176,11 +177,16 @@ object ProtoTextParser {
           case "option" => skipOption()
           case "reserved" => while (peek != ";" && peek != "") next(); next()
           case "oneof" =>
-            // flatten oneof members into plain optional fields
+            // members become optional fields tagged with their group index:
+            // explicit presence + last-member-wins clearing on decode
             next(); next(); expect("{")
+            oneofIdx += 1
             while (peek != "}" && peek != "") {
               if (peek == "option") skipOption()
-              else fields :+= parseField(Label.OPTIONAL, inOneof = true)
+              else {
+                val rf = parseField(Label.OPTIONAL, inOneof = true)
+                fields :+= rf.copy(f = rf.f.copy(oneofIndex = Some(oneofIdx)))
+              }
             }
             expect("}")
           case ";" => next()

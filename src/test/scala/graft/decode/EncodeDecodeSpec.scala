@@ -145,6 +145,37 @@ class EncodeDecodeSpec extends AnyFunSuite {
     assert(innerRow.getSeq[Long](2) == Seq(1L, 2L))
   }
 
+  test("oneof: members have explicit presence; last member on the wire clears its peers") {
+    import scala.collection.immutable.TreeMap
+    import graft.proto.PValue._
+    val fs = ProtoTextParser.parse(
+      """syntax = "proto3";
+        |message O {
+        |  string k = 1;
+        |  oneof body { string a = 2; int64 b = 3; }
+        |}""".stripMargin, "oneof.proto")
+    val d = fs.findMessage("O").get
+    assert(d.fieldByName("a").oneofIndex.contains(0) && d.fieldByName("b").oneofIndex.contains(0))
+    // explicit presence: a set-but-default member still serializes
+    val e0 = DynMsg.encode(fs, DynMsg(d, TreeMap(2 -> PStr(""))))
+    assert(e0.nonEmpty)
+    assert(DynMsg.decode(fs, d, e0).get(2).contains(PStr("")))
+    // two members on the wire (a then b): ONLY the last survives
+    val both = DynMsg.encode(fs, DynMsg(d, TreeMap(2 -> PStr("x")))) ++
+      DynMsg.encode(fs, DynMsg(d, TreeMap(3 -> PLong(7L))))
+    val m = DynMsg.decode(fs, d, both)
+    assert(m.get(2).isEmpty && m.get(3).contains(PLong(7L)))
+    // RowDecoder agrees: a reset to its default, b set
+    val row = new RowDecoder(fs, d).decode(both)
+    val schema = SparkSchema.structFor(fs, d)
+    assert(row.getString(schema.fieldIndex("a")) == "")
+    assert(row.getLong(schema.fieldIndex("b")) == 7L)
+    // reversed order: a wins
+    val rev = DynMsg.decode(fs, d, DynMsg.encode(fs, DynMsg(d, TreeMap(3 -> PLong(7L)))) ++
+      DynMsg.encode(fs, DynMsg(d, TreeMap(2 -> PStr("y")))))
+    assert(rev.get(3).isEmpty && rev.get(2).contains(PStr("y")))
+  }
+
   test("RowDecoder on the reference golden fixture matches expected values") {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(getClass.getResource("/data/Person.data").toURI))
