@@ -60,6 +60,44 @@ object Multimodal {
         CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS height,
         CAST(3 AS BIGINT) AS channels,
         CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS n_frames
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    OpQuery("q28_frame_sample",
+      // frame sampling over the opaque media payload: the container is
+      // split into its n_frames (q23's stub framing), one ROW PER FRAME
+      // with byte extent + a content fingerprint — the explode/flatten
+      // plumbing a video pipeline needs (at scale: narrow explode, no
+      // shuffle; frames of one media row stay in its partition). The
+      // "decode" is the same honest stub (even byte split standing in for
+      // container parsing); the fingerprint hashes the frame's hex form so
+      // the arithmetic is string-identical in both engines.
+      (s, d) => {
+        graft.functions.Hash60.register(s)
+        ld(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            hex(col("text").cast("binary")).as("hx"),
+            octet_length(col("text")).cast("long").as("n"))
+          .withColumn("k", lit(1L) + col("n") % 24L)
+          .select(col("doc_id"), col("hx"), col("n"), col("k"),
+            explode(expr("sequence(0L, k - 1L)")).as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            expr("(frame_idx * n) div k").as("frame_offset"),
+            expr("((frame_idx + 1) * n) div k - (frame_idx * n) div k").as("frame_len"),
+            expr("hash60(substring(hx, CAST((frame_idx * n) div k AS INT) * 2 + 1, CAST(((frame_idx + 1) * n) div k - (frame_idx * n) div k AS INT) * 2))").as("frame_hash"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, frame_idx, frame_offset, frame_len,
+          CAST('0x' || substr(md5(substring(hx, CAST(frame_offset AS INT) * 2 + 1, CAST(frame_len AS INT) * 2)), 1, 15) AS BIGINT) AS frame_hash
+        FROM (
+          SELECT doc_id, hx, frame_idx,
+            (frame_idx * n) // k AS frame_offset,
+            ((frame_idx + 1) * n) // k - (frame_idx * n) // k AS frame_len
+          FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, hex(encode(text)) AS hx,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n,
+              CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS k,
+              unnest(range(0, 1 + octet_length(encode(text)) % 24)) AS frame_idx
+            FROM documents) f) g
+        ORDER BY doc_id, frame_idx"""))
   )
 }

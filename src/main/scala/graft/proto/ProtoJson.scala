@@ -38,7 +38,10 @@ object ProtoJson {
     }
     val entries = m.desc.fieldsInNumberOrder.flatMap { f =>
       m.fields.get(f.number).flatMap { v =>
-        if (!f.repeated && DynMsg.isDefault(f, v)) None else Some((f, v))
+        // proto3 canonical JSON omits default-valued singular fields —
+        // EXCEPT fields with explicit presence (proto3 optional, oneof
+        // members, proto2): set-but-default still prints (JsonFormat parity)
+        if (!f.repeated && !f.explicitPresence && DynMsg.isDefault(f, v)) None else Some((f, v))
       }
     }
     if (entries.isEmpty) { sb.append("{}"); return }
