@@ -11,6 +11,7 @@ import graft.lake.IceLite
   *   runMain graft.cdc.CdcCli tail    <streamDir> <tableDir> <ckptDir> [buckets]
   *   runMain graft.cdc.CdcCli show    <tableDir> [n]
   *   runMain graft.cdc.CdcCli verify  <logDir> <tableDir>   — replay-equality check
+  *   runMain graft.cdc.CdcCli changes <tableDir> <fromV> <toV> — incremental change feed
   */
 object CdcCli {
   def main(args: Array[String]): Unit = {
@@ -121,6 +122,11 @@ object CdcCli {
     case "vacuum" :: tableDir :: Nil =>
       val removed = graft.lake.Compaction.vacuum(tableDir)
       println(s"vacuumed $removed unreferenced data files")
+    case "changes" :: tableDir :: fromV :: toV :: Nil =>
+      // incremental change feed between two snapshot versions (CDC out)
+      val df = IceLite.changes(spark, tableDir, fromV.toInt, toV.toInt)
+      df.orderBy("__seq").show(50, truncate = 40)
+      println(s"changes v$fromV -> v$toV: ${df.count()} rows (incl. tombstones)")
     case "verify" :: logDir :: tableDir :: Nil =>
       val got = IceLite.read(spark, IceLite.load(tableDir))
         .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))

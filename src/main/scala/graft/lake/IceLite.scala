@@ -56,7 +56,11 @@ object IceLite {
       schemas: Vector[Vector[ColDef]],
       keyCols: Vector[String],
       buckets: Int,
-      files: Vector[DataFile]) {
+      files: Vector[DataFile],
+      /** highest __seq ever committed — the change-feed watermark: rows in
+        * later snapshots with __seq above OUR maxSeq are exactly the
+        * changes applied after this snapshot. */
+      maxSeq: Long = -1L) {
     def currentSchemaVersion: Int = schemas.length - 1
     def currentSchema: Vector[ColDef] = schemas.last
     def currentStruct: StructType = structOf(currentSchema)
@@ -95,6 +99,7 @@ object IceLite {
     }
     val keys = root.putArray("keyCols"); s.keyCols.foreach(keys.add)
     root.put("buckets", s.buckets)
+    root.put("maxSeq", s.maxSeq)
     val files = root.putArray("files")
     s.files.foreach { f =>
       val o = files.addObject()
@@ -116,6 +121,7 @@ object IceLite {
       }.toVector,
       keyCols = n.get("keyCols").elements().asScala.map(_.asText()).toVector,
       buckets = n.get("buckets").asInt(),
+      maxSeq = Option(n.get("maxSeq")).map(_.asLong()).getOrElse(-1L),
       files = n.get("files").elements().asScala.map(f =>
         DataFile(f.get("path").asText(), f.get("bucket").asInt(),
           f.get("rows").asLong(), f.get("schemaVersion").asInt(),
@@ -189,7 +195,9 @@ object IceLite {
       epochId: String,
       touched: Set[Int],
       addFiles: Vector[DataFile],
-      dataSchema: Vector[ColDef])
+      dataSchema: Vector[ColDef],
+      /** highest __seq in this epoch's batch (-1 = none/unknown). */
+      maxSeq: Long = -1L)
 
   /** Commit `delta` on top of `base`. Returns the committed snapshot, or the
     * CURRENT snapshot unchanged if the epoch was already committed by someone
@@ -227,7 +235,8 @@ object IceLite {
         epochs = cur.epochs :+ delta.epochId,
         schemas = schemas2,
         files = cur.files.filterNot(f => delta.touched(f.bucket)) ++
-          delta.addFiles.map(_.copy(schemaVersion = sv)))
+          delta.addFiles.map(_.copy(schemaVersion = sv)),
+        maxSeq = math.max(cur.maxSeq, delta.maxSeq))
       if (writeAtomic(dir, attempt)) return attempt
       cur = load(dir) // lost the race — re-read, re-fence, rebase or fail
       guard += 1
@@ -294,6 +303,24 @@ object IceLite {
 
   def readBuckets(spark: SparkSession, snap: Snapshot, buckets: Set[Int]): DataFrame =
     read(spark, snap, f => buckets.contains(f.bucket))
+
+  /** Incremental CHANGE FEED between two committed snapshot versions: every
+    * change row applied after `fromVersion`, up to and including
+    * `toVersion` — upserts plus DELETE tombstones (__del = true), with
+    * __seq exposed for downstream ordering. Cost is O(changed files): only
+    * files added after `fromVersion` are read (with merge-on-read those are
+    * the epochs' delta files), filtered by the from-snapshot's __seq
+    * watermark so rows carried along by inline COW compactions are
+    * excluded. This is the "CDC out" side of the engine: a downstream
+    * consumer can tail the table itself incrementally. */
+  def changes(spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val from = loadVersion(dir, fromVersion)
+    val to = loadVersion(dir, toVersion)
+    val old = from.files.map(_.path).toSet
+    val changed = read(spark, to, f => !old.contains(f.path),
+      includeHidden = true, resolve = false)
+    changed.filter(col(SeqCol.name) > from.maxSeq)
+  }
 
   /** The bucket expression — xxhash64 on the key columns mod B. Balanced
     * (not repo-only) so hot repos don't produce hot buckets; hot-KEY skew in

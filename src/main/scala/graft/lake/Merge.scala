@@ -138,7 +138,8 @@ object Merge {
     val batchObs = org.apache.spark.sql.Observation(s"merge-batch-$epochId")
     val observedBatch = batch.observe(batchObs,
       count(lit(1)).as("n"),
-      sum(when(col(IceLite.DelCol.name), 1L).otherwise(0L)).as("dels"))
+      sum(when(col(IceLite.DelCol.name), 1L).otherwise(0L)).as("dels"),
+      max(col(IceLite.SeqCol.name)).as("maxSeq"))
 
     // MERGE-ON-READ split: buckets under the file-count threshold take the
     // delta path (no target read, O(batch) write); buckets at the threshold
@@ -214,6 +215,7 @@ object Merge {
     val batchMetrics = batchObs.get
     val batchRows = batchMetrics.get("n").collect { case l: Long => l }.getOrElse(0L)
     val deletes = batchMetrics.get("dels").collect { case l: Long => l }.getOrElse(0L)
+    val batchMaxSeq = batchMetrics.get("maxSeq").collect { case l: Long => l }.getOrElse(-1L)
     lap("merge+write")
 
     // ---- 5. commit: COW buckets replace their files, delta buckets APPEND
@@ -221,7 +223,7 @@ object Merge {
     // on an overlapping COW rewrite the commit fails loudly (IceLite.commit)
     val newFiles = listBucketFiles(epochDir, schemaVersion)
       .map(f => if (cowBuckets.contains(f.bucket)) f else f.copy(delta = true))
-    IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema))
+    IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema, batchMaxSeq))
     lap("commit")
 
     MergeStats(epochId, applied = true, batchRows, batchRows - deletes, deletes,

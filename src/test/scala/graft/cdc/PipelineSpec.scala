@@ -420,6 +420,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(sortedRows(IceLite.read(spark, snap2).select("repo", "path", "content")) == Seq("[r1,a,v3]"))
   }
 
+  test("incremental change feed: changes between snapshot versions = later epochs' rows incl. tombstones") {
+    import spark.implicits._
+    val dir = tmp("feed")
+    Replay.createTable(dir, buckets = 2)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r1", "a", "v0", 1L, "UPSERT"),
+      ("r2", "b", "w0", 2L, "UPSERT"))), "seq", "op", "f-0")
+    val v1 = IceLite.load(dir).version
+    // force an inline COW on one epoch too (threshold 0) so the watermark
+    // filter must exclude carried-along old rows
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r1", "a", "v1", 10L, "UPSERT"),
+      ("r3", "c", "x1", 11L, "UPSERT"),
+      ("r2", "b", "", 12L, "DELETE"))), "seq", "op", "f-1", deltaThreshold = 0)
+    val v2 = IceLite.load(dir).version
+    val feed = IceLite.changes(spark, dir, v1, v2)
+      .select("repo", "path", "content", "__seq", "__del")
+    // exactly the second epoch's change rows — upserts AND the tombstone,
+    // none of epoch f-0's rows even though the COW rewrite carried them
+    assert(sortedRows(feed) == Seq("[r1,a,v1,10,false]", "[r2,b,,12,true]", "[r3,c,x1,11,false]"))
+  }
+
   test("lineage ledger records per-route and per-partition decode counts incl. dead letters") {
     import spark.implicits._
     val logDir = tmp("dl-log"); val tableDir = tmp("dl-table")
