@@ -43,11 +43,20 @@ object Tail {
       tableDir: String,
       checkpointDir: String,
       buckets: Int = 32,
-      maxFilesPerTrigger: Int = 4): StreamingQuery = {
+      maxFilesPerTrigger: Int = 4,
+      /** merge-on-read policy, forwarded to Merge.mergeEpoch. */
+      deltaThreshold: Int = 8,
+      /** get-or-load escape hatch: between micro-batches, (schemaId,
+        * version) pairs referenced by the batch but absent from the
+        * registry load from this directory on the DRIVER and the registry
+        * re-broadcasts — the streaming mirror of replayLog's schemaDir
+        * (reference: per-record schema paths, ProtobufService.java:85-87). */
+      schemaDir: Option[String] = None): StreamingQuery = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) Replay.createTable(tableDir, buckets)
-    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    var reg = Cdc.registry
+    var registry = spark.sparkContext.broadcast(reg)
     val src = sourceId(checkpointDir)
 
     val eventSchema = implicitly[org.apache.spark.sql.Encoder[ChangeEvent]].schema
@@ -61,11 +70,18 @@ object Tail {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
+        schemaDir.foreach { dir =>
+          // cheap columnar scan (payload column never read)
+          val seen = batch.select("schemaId", "schemaVersion").distinct().collect()
+            .map(r => graft.registry.SchemaKey(r.getString(0), r.getInt(1)))
+          val reg2 = reg.withLoadedFrom(java.nio.file.Paths.get(dir), seen.toSeq)
+          if (reg2 ne reg) { reg = reg2; registry = batch.sparkSession.sparkContext.broadcast(reg) }
+        }
         val dec = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
         val keys = Some(graft.decode.Decode.decodeKeys(batch, registry,
           graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
         val st = Merge.mergeEpoch(batch.sparkSession, tableDir, dec.updates, "seq", "op",
-          s"$src-$batchId", keys)
+          s"$src-$batchId", keys, deltaThreshold = deltaThreshold)
         if (st.applied) dec.flushDeadLetters()
         Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
         ()
