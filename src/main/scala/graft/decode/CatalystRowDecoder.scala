@@ -1,0 +1,269 @@
+package graft.decode
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable.ArrayBuffer
+import graft.proto.Wire
+import graft.proto.Wire.{Reader, ProtoParseException}
+import graft.proto.Descriptors._
+import graft.proto.Descriptors.FType._
+import graft.proto.ProtoJson
+
+/** Catalyst-native twin of [[RowDecoder]]: decodes wire bytes straight into
+  * `InternalRow` values — strings become ZERO-COPY `UTF8String` slices of
+  * the payload buffer (no `new String` materialization and no Row →
+  * InternalRow encoder pass afterwards; the exchange's UnsafeRow conversion
+  * is the single copy). Same semantics as RowDecoder: reader-schema
+  * projection by field number, writer-field gating, proto3 defaults,
+  * singular-message merge (slice concat), oneof last-member-wins, map /
+  * repeated / Timestamp handling. Equivalence is property-tested against
+  * RowDecoder (EncodeDecodeSpec).
+  */
+final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
+    allowed: Option[Set[Int]] = None) extends Serializable {
+
+  private val fields: Array[FieldDesc] = desc.fieldsInNumberOrder.toArray
+  private val nFields = fields.length
+  private val maxNum: Int = if (nFields == 0) 0 else fields.map(_.number).max
+
+  private val ordByNum: Array[Int] = {
+    val a = Array.fill(maxNum + 1)(-1)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.number <= maxNum && allowed.forall(_.contains(f.number))) a(f.number) = i
+    }
+    a
+  }
+
+  private val isMap: Array[Boolean] = fields.map(f => ProtoJson.isMapField(fs, f))
+  private val isTimestamp: Array[Boolean] = fields.map(f =>
+    f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
+      fs.messageFor(f).fullName == "google.protobuf.Timestamp")
+  private val nestedDec: Array[CatalystRowDecoder] = fields.map { f =>
+    if (f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
+      fs.messageFor(f).fullName != "google.protobuf.Timestamp")
+      new CatalystRowDecoder(fs, fs.messageFor(f))
+    else null
+  }
+  private val mapEntry: Array[(FieldDesc, FieldDesc, CatalystRowDecoder)] =
+    fields.zipWithIndex.map { case (f, i) =>
+      if (isMap(i)) {
+        val e = fs.messageFor(f)
+        val vf = e.fieldByNumber(2)
+        val vn = if (vf.tpe == TYPE_MESSAGE) new CatalystRowDecoder(fs, fs.messageFor(vf)) else null
+        (e.fieldByNumber(1), vf, vn)
+      } else null
+    }
+  private val enumNames: Array[Map[Int, UTF8String]] = fields.map { f =>
+    if (f.tpe == TYPE_ENUM)
+      fs.enumFor(f).byNumber.map { case (n, s) => n -> UTF8String.fromString(s) }
+    else null
+  }
+  private val isMsg: Array[Boolean] = fields.zipWithIndex.map { case (f, i) =>
+    !f.repeated && !isMap(i) && f.tpe == TYPE_MESSAGE
+  }
+  private val oneofPeerOrds: Array[Array[Int]] = {
+    val ordOfNum = fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    fields.map { f =>
+      desc.oneofPeers.get(f.number) match {
+        case Some(peers) if peers.nonEmpty => peers.flatMap(ordOfNum.get).toArray
+        case _ => null
+      }
+    }
+  }
+
+  private val emptyArray = new GenericArrayData(Array.empty[Any])
+  private val emptyMap = new ArrayBasedMapData(emptyArray, emptyArray)
+
+  private val defaults: Array[Any] = fields.zipWithIndex.map { case (f, i) =>
+    if (isMap(i)) emptyMap
+    else if (f.repeated) emptyArray
+    else f.tpe match {
+      case TYPE_MESSAGE => null
+      case TYPE_STRING => UTF8String.EMPTY_UTF8
+      case TYPE_BYTES => Array.emptyByteArray
+      case TYPE_BOOL => java.lang.Boolean.FALSE
+      case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
+      case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
+      case TYPE_ENUM => enumNames(i).getOrElse(0, UTF8String.fromString("0"))
+      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+      case _ => java.lang.Long.valueOf(0L)
+    }
+  }
+
+  def decode(bytes: Array[Byte]): InternalRow = decode(new Reader(bytes))
+
+  def decode(r: Reader): InternalRow = {
+    val vals: Array[Any] = defaults.clone()
+    var bufs: Array[AnyRef] = null
+    while (r.hasRemaining) {
+      val (fn, wt) = r.readTag()
+      val ord = if (fn <= maxNum && fn >= 0) ordByNum(fn) else -1
+      if (ord < 0) r.skip(wt)
+      else {
+        val f = fields(ord)
+        if (isMap(ord)) {
+          if (wt != Wire.WtLen) throw new ProtoParseException(s"map field ${f.name}: bad wire type $wt")
+          if (bufs == null) bufs = new Array[AnyRef](nFields)
+          if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Any, Any)]
+          val (p, len) = r.readSlice()
+          bufs(ord).asInstanceOf[ArrayBuffer[(Any, Any)]] += decodeMapEntry(ord, new Reader(r.buf, p, p + len))
+        } else if (f.repeated) {
+          if (bufs == null) bufs = new Array[AnyRef](nFields)
+          if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[Any]
+          val buf = bufs(ord).asInstanceOf[ArrayBuffer[Any]]
+          if (isPackable(f.tpe) && wt == Wire.WtLen) {
+            val (p, len) = r.readSlice()
+            val sub = new Reader(r.buf, p, p + len)
+            while (sub.hasRemaining) buf += readScalar(ord, f, sub)
+          } else buf += readOne(ord, f, r, wt)
+        } else if (isMsg(ord)) {
+          if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+          clearOneofPeers(ord, vals, bufs)
+          if (bufs == null) bufs = new Array[AnyRef](nFields)
+          if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Int, Int)]
+          bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += r.readSlice()
+        } else {
+          clearOneofPeers(ord, vals, bufs)
+          vals(ord) = readOne(ord, f, r, wt)
+        }
+      }
+    }
+    if (bufs != null) {
+      var i = 0
+      while (i < nFields) {
+        val b = bufs(i)
+        if (b != null) {
+          vals(i) =
+            if (isMap(i)) {
+              val entries = b.asInstanceOf[ArrayBuffer[(Any, Any)]]
+              // proto map semantics: last entry per key wins
+              val seen = new java.util.LinkedHashMap[Any, Any]()
+              entries.foreach { case (k, v) => seen.remove(k); seen.put(k, v) }
+              val ks = new Array[Any](seen.size); val vs = new Array[Any](seen.size)
+              var j = 0
+              seen.forEach { (k, v) => ks(j) = k; vs(j) = v; j += 1 }
+              new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+            } else if (isMsg(i)) {
+              val slices = b.asInstanceOf[ArrayBuffer[(Int, Int)]]
+              val sub =
+                if (slices.length == 1) new Reader(r.buf, slices(0)._1, slices(0)._1 + slices(0)._2)
+                else {
+                  val total = slices.iterator.map(_._2).sum
+                  val cat = new Array[Byte](total)
+                  var off = 0
+                  slices.foreach { case (p, len) =>
+                    System.arraycopy(r.buf, p, cat, off, len); off += len
+                  }
+                  new Reader(cat)
+                }
+              if (isTimestamp(i)) decodeTimestampMicros(sub) else nestedDec(i).decode(sub)
+            }
+            else new GenericArrayData(b.asInstanceOf[ArrayBuffer[Any]].toArray)
+        }
+        i += 1
+      }
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def clearOneofPeers(ord: Int, vals: Array[Any], bufs: Array[AnyRef]): Unit = {
+    val peers = oneofPeerOrds(ord)
+    if (peers != null) {
+      var i = 0
+      while (i < peers.length) {
+        vals(peers(i)) = defaults(peers(i))
+        if (bufs != null) bufs(peers(i)) = null
+        i += 1
+      }
+    }
+  }
+
+  private def decodeMapEntry(ord: Int, r: Reader): (Any, Any) = {
+    val (kf, vf, vn) = mapEntry(ord)
+    var k: Any = kf.tpe match {
+      case TYPE_STRING => UTF8String.EMPTY_UTF8
+      case TYPE_BOOL => java.lang.Boolean.FALSE
+      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+      case _ => java.lang.Long.valueOf(0L)
+    }
+    var v: Any = vf.tpe match {
+      case TYPE_MESSAGE => null
+      case TYPE_STRING => UTF8String.EMPTY_UTF8
+      case TYPE_BOOL => java.lang.Boolean.FALSE
+      case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
+      case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
+      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+      case _ => java.lang.Long.valueOf(0L)
+    }
+    def kvValue(f: FieldDesc): Any = f.tpe match {
+      case TYPE_STRING =>
+        val (p, len) = r.readSlice()
+        UTF8String.fromBytes(r.buf, p, len)
+      case TYPE_BYTES => r.readBytes()
+      case TYPE_MESSAGE =>
+        val (p, len) = r.readSlice()
+        vn.decode(new Reader(r.buf, p, p + len))
+      case _ => readScalarField(f, r)
+    }
+    while (r.hasRemaining) {
+      val (fn, wt) = r.readTag()
+      if (fn == 1) k = kvValue(kf)
+      else if (fn == 2) v = kvValue(vf)
+      else r.skip(wt)
+    }
+    (k, v)
+  }
+
+  private def readOne(ord: Int, f: FieldDesc, r: Reader, wt: Int): Any = f.tpe match {
+    case TYPE_MESSAGE =>
+      if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+      val (p, len) = r.readSlice()
+      if (isTimestamp(ord)) decodeTimestampMicros(new Reader(r.buf, p, p + len))
+      else nestedDec(ord).decode(new Reader(r.buf, p, p + len))
+    case TYPE_STRING =>
+      if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+      val (p, len) = r.readSlice()
+      UTF8String.fromBytes(r.buf, p, len) // zero-copy slice of the payload
+    case TYPE_BYTES =>
+      if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
+      r.readBytes()
+    case _ => readScalar(ord, f, r)
+  }
+
+  private def readScalar(ord: Int, f: FieldDesc, r: Reader): Any = f.tpe match {
+    case TYPE_ENUM =>
+      val n = r.readVarint64().toInt
+      enumNames(ord).getOrElse(n, UTF8String.fromString(n.toString))
+    case _ => readScalarField(f, r)
+  }
+
+  private def readScalarField(f: FieldDesc, r: Reader): Any = f.tpe match {
+    case TYPE_DOUBLE => java.lang.Double.longBitsToDouble(r.readFixed64())
+    case TYPE_FLOAT => java.lang.Float.intBitsToFloat(r.readFixed32())
+    case TYPE_INT64 | TYPE_UINT64 => r.readVarint64()
+    case TYPE_INT32 => r.readVarint64().toInt
+    case TYPE_UINT32 => r.readVarint64().toInt & 0xffffffffL
+    case TYPE_FIXED64 | TYPE_SFIXED64 => r.readFixed64()
+    case TYPE_FIXED32 => r.readFixed32() & 0xffffffffL
+    case TYPE_SFIXED32 => r.readFixed32()
+    case TYPE_SINT32 => Wire.zigzagDecode32(r.readVarint64().toInt)
+    case TYPE_SINT64 => Wire.zigzagDecode64(r.readVarint64())
+    case TYPE_BOOL => r.readVarint64() != 0L
+    case TYPE_ENUM => UTF8String.fromString(r.readVarint64().toInt.toString)
+    case other => throw new ProtoParseException(s"not a scalar: $other")
+  }
+
+  /** catalyst TimestampType = micros since epoch. */
+  private def decodeTimestampMicros(r: Reader): java.lang.Long = {
+    var secs = 0L; var nanos = 0L
+    while (r.hasRemaining) {
+      val (fn, wt) = r.readTag()
+      if (fn == 1 && wt == Wire.WtVarint) secs = r.readVarint64()
+      else if (fn == 2 && wt == Wire.WtVarint) nanos = r.readVarint64()
+      else r.skip(wt)
+    }
+    java.lang.Long.valueOf(secs * 1000000L + nanos / 1000L)
+  }
+}

@@ -90,7 +90,13 @@ object Decode {
 
   /** Generic decode. Error rows keep the ORIGINAL payload (dead-letter
     * contract, ProtobufDecoder.java:99-100); success rows drop it (saves the
-    * shuffle width downstream). */
+    * shuffle width downstream).
+    *
+    * Hot path is catalyst-native: wire bytes decode straight into
+    * InternalRows whose strings are zero-copy UTF8String slices of the
+    * payload buffer — no java.lang.String materialization and no
+    * Row→InternalRow encoder pass (the exchange's UnsafeRow conversion is
+    * the single copy). */
   def decode(
       events: Dataset[ChangeEvent],
       registry: Broadcast[DescriptorRegistry],
@@ -103,54 +109,84 @@ object Decode {
 
     val schema = outputSchema(registry.value, defaultKey, messageType)
     val msgOrdinal = schema.fieldIndex("msg")
+    val spark = events.sparkSession
 
-    events.mapPartitions { iter =>
+    val in = events.toDF().select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+    val rdd = org.apache.spark.sql.graft.InternalDf.toRdd(in).mapPartitions { iter =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+
       val reg = registry.value // one broadcast deref per partition
       // reader-side (output) descriptor: rows are projected into THIS shape
       // by field number, whatever descriptor version wrote the event
       val (fsOut, descOut) = reg.descriptor(defaultKey, messageType).get
       // row-compiled decoders, one per writer schema version seen (memoized)
-      val decoders = new java.util.HashMap[(SchemaKey, String), RowDecoder]()
-      def decoderFor(key: SchemaKey, mt: String, writerDesc: graft.proto.Descriptors.MessageDesc): RowDecoder = {
+      val decoders = new java.util.HashMap[(SchemaKey, String), CatalystRowDecoder]()
+      def decoderFor(key: SchemaKey, mt: String, writerDesc: graft.proto.Descriptors.MessageDesc): CatalystRowDecoder = {
         val k = (reg.resolveKey(key), mt)
         var dec = decoders.get(k)
         if (dec == null) {
           dec =
-            if (writerDesc eq descOut) new RowDecoder(fsOut, descOut)
-            else new RowDecoder(fsOut, descOut, Some(writerDesc.fields.map(_.number).toSet))
+            if (writerDesc eq descOut) new CatalystRowDecoder(fsOut, descOut)
+            else new CatalystRowDecoder(fsOut, descOut, Some(writerDesc.fields.map(_.number).toSet))
           decoders.put(k, dec)
         }
         dec
       }
-      iter.flatMap { ev =>
+      val successU = UTF8String.fromString(Route.Success)
+      val invalidU = UTF8String.fromString(Route.InvalidSchema)
+      val errorU = UTF8String.fromString(Route.Error)
+      def routed(routeU: UTF8String, route: String, error: String,
+          partition: Int, offset: Long, payload: Array[Byte], msg: InternalRow): InternalRow = {
+        stats.foreach(_.add((partition, route)))
+        val vals = new Array[Any](msgOrdinal + 1)
+        vals(0) = routeU
+        vals(1) = if (error == null) null else UTF8String.fromString(error)
+        vals(2) = partition
+        vals(3) = offset
+        vals(4) = payload
+        vals(msgOrdinal) = msg
+        new GenericInternalRow(vals)
+      }
+
+      iter.flatMap { ir =>
+        // copy fields out immediately — the scan reuses the row object
+        val payload = if (ir.isNullAt(0)) null else ir.getBinary(0)
+        val schemaId = if (ir.isNullAt(1)) null else ir.getUTF8String(1).toString
+        val schemaVersion = if (ir.isNullAt(2)) -1 else ir.getInt(2)
+        val mtEv = if (ir.isNullAt(3)) null else ir.getUTF8String(3).toString
+        val partition = if (ir.isNullAt(4)) 0 else ir.getInt(4)
+        val offset = if (ir.isNullAt(5)) 0L else ir.getLong(5)
+
         val key =
-          if (ev.schemaId == null || ev.schemaId.isEmpty) defaultKey
-          else SchemaKey(ev.schemaId, ev.schemaVersion)
-        val mt = if (ev.messageType == null || ev.messageType.isEmpty) messageType else ev.messageType
+          if (schemaId == null || schemaId.isEmpty) defaultKey
+          else SchemaKey(schemaId, schemaVersion)
+        val mt = if (mtEv == null || mtEv.isEmpty) messageType else mtEv
         if (mt == null || mt.isEmpty) {
-          Iterator.single(routedRow(Route.Error, "no message type", ev, null, msgOrdinal, stats = stats))
+          Iterator.single(routed(errorU, Route.Error, "no message type", partition, offset, payload, null))
         } else reg.descriptor(key, mt) match {
           case None =>
-            val route =
-              if (reg.fileSet(key).isEmpty) Route.InvalidSchema // schema missing (ProtobufDecoder.java:65-68)
-              else Route.Error // unknown message type (ProtobufService.java:59-61)
-            Iterator.single(routedRow(route, s"schema=$key type=$mt unresolved", ev, null, msgOrdinal, stats = stats))
+            val (ru, rs) =
+              if (reg.fileSet(key).isEmpty) (invalidU, Route.InvalidSchema) // schema missing (ProtobufDecoder.java:65-68)
+              else (errorU, Route.Error) // unknown message type (ProtobufService.java:59-61)
+            Iterator.single(routed(ru, rs, s"schema=$key type=$mt unresolved", partition, offset, payload, null))
           case Some((fs, desc)) =>
             val dec = decoderFor(key, mt, desc)
             framing match {
               case Framing.Raw =>
                 try {
-                  val row = dec.decode(ev.payload)
-                  Iterator.single(routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false, stats = stats))
+                  val row = dec.decode(payload)
+                  Iterator.single(routed(successU, Route.Success, null, partition, offset, null, row))
                 } catch {
                   case e: Exception =>
-                    Iterator.single(routedRow(Route.Error, e.getMessage, ev, null, msgOrdinal, stats = stats))
+                    Iterator.single(routed(errorU, Route.Error, e.getMessage, partition, offset, payload, null))
                 }
               case Framing.VarintDelimited =>
                 // good-prefix semantics: decode until the first malformed frame
-                val r = new graft.proto.Wire.Reader(ev.payload)
+                val r = new graft.proto.Wire.Reader(payload)
                 var err: String = null
-                val out = Vector.newBuilder[Row]
+                val out = Vector.newBuilder[InternalRow]
                 while (r.hasRemaining && err == null) {
                   try {
                     val (p, len) = r.readSlice()
@@ -158,28 +194,15 @@ object Decode {
                   } catch { case e: Exception => err = e.getMessage }
                 }
                 val good = out.result().iterator.map(row =>
-                  routedRow(Route.Success, null, ev, row, msgOrdinal, keepPayload = false, stats = stats))
+                  routed(successU, Route.Success, null, partition, offset, null, row))
                 val bad = Option(err).iterator.map(e =>
-                  routedRow(Route.Error, s"malformed tail: $e", ev, null, msgOrdinal, stats = stats))
+                  routed(errorU, Route.Error, s"malformed tail: $e", partition, offset, payload, null))
                 good ++ bad
             }
         }
       }
-    }(Encoders.row(schema))
-  }
-
-  private def routedRow(route: String, error: String, ev: ChangeEvent,
-      msg: Row, msgOrdinal: Int, keepPayload: Boolean = true,
-      stats: Option[RouteStatsAccumulator] = None): Row = {
-    stats.foreach(_.add((ev.partition, route)))
-    val vals = new Array[Any](msgOrdinal + 1)
-    vals(0) = route
-    vals(1) = error
-    vals(2) = ev.partition
-    vals(3) = ev.offset
-    vals(4) = if (keepPayload) ev.payload else null
-    vals(msgOrdinal) = msg
-    Row.fromSeq(vals.toIndexedSeq)
+    }
+    org.apache.spark.sql.graft.InternalDf.create(spark, rdd, schema)
   }
 
   /** Keys-only decode: a reduced descriptor keeps just `keyFields`, so every
@@ -199,17 +222,21 @@ object Decode {
     val reduced = descOut.copy(fields = descOut.fields.filter(f => keyFields.contains(f.name)))
     val schema = SparkSchema.structFor(fsOut, reduced)
 
-    events.mapPartitions { iter =>
+    val spark = events.sparkSession
+    val in = events.toDF().select("payload")
+    val rdd = org.apache.spark.sql.graft.InternalDf.toRdd(in).mapPartitions { iter =>
+      import org.apache.spark.sql.catalyst.InternalRow
       val reg = registry.value
       val fs = reg.fileSet(defaultKey).get
-      val dec = new RowDecoder(fs, reduced)
-      iter.flatMap { ev =>
+      val dec = new CatalystRowDecoder(fs, reduced)
+      iter.flatMap { ir =>
+        val payload = if (ir.isNullAt(0)) null else ir.getBinary(0)
         try {
           framing match {
-            case Framing.Raw => Iterator.single(dec.decode(ev.payload))
+            case Framing.Raw => Iterator.single(dec.decode(payload): InternalRow)
             case Framing.VarintDelimited =>
-              val r = new graft.proto.Wire.Reader(ev.payload)
-              val out = Vector.newBuilder[Row]
+              val r = new graft.proto.Wire.Reader(payload)
+              val out = Vector.newBuilder[InternalRow]
               var ok = true
               while (r.hasRemaining && ok) {
                 try {
@@ -221,7 +248,8 @@ object Decode {
           }
         } catch { case _: Exception => Iterator.empty }
       }
-    }(Encoders.row(schema))
+    }
+    org.apache.spark.sql.graft.InternalDf.create(spark, rdd, schema)
   }
 
   /** Route splits (filter on the computed column → 3 sinks). */

@@ -12,3 +12,20 @@ object ColumnShim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** RDD[InternalRow] ⇄ DataFrame bridge (private[sql] in Spark 4's classic
+  * session) — lets the decode hot path emit catalyst rows directly
+  * (UTF8String slices of the wire buffer, no java.lang.String round-trip,
+  * no Row→InternalRow encoder pass). */
+object InternalDf {
+  def create(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  def toRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
+}

@@ -80,6 +80,19 @@ class EncodeDecodeSpec extends AnyFunSuite {
       s"""{"d":$d,"i32":$i32,"s64":"$s64","str":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(str)},
          |"c":"GREEN","inner":{"s":"x","z":"5"},"ri":$riS,"rs":$rsS,"m":$mS}""".stripMargin.replace("\n", "")
     }
+    // order-insensitive normalization (proto maps have no defined order)
+    def normVal(v: Any): String = v match {
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, vv) => s"${normVal(k)}->${normVal(vv)}" }.toSeq.sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row => r.toSeq.map(normVal).mkString("[", ",", "]")
+      case sq: Seq[_] => sq.map(normVal).mkString("[", ",", "]")
+      case a: Array[Byte] => a.toSeq.toString
+      case other => String.valueOf(other)
+    }
+    val catDec = new CatalystRowDecoder(schema, desc)
+    val struct = SparkSchema.structFor(schema, desc)
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(struct)
+
     var seed = Seed(7L)
     (1 to 100).foreach { i =>
       gen.apply(Gen.Parameters.default.withSize(1 + i % 30), seed).foreach { json =>
@@ -88,6 +101,9 @@ class EncodeDecodeSpec extends AnyFunSuite {
         val viaRowDecoder = rowDec.decode(bytes)
         val viaDynMsg = SparkSchema.toRowAs(schema, desc, DynMsg.decode(schema, desc, bytes))
         assert(norm(viaRowDecoder) == norm(viaDynMsg), s"json=$json")
+        // the catalyst-native hot-path decoder agrees field-for-field
+        val viaCatalyst = toScala(catDec.decode(bytes)).asInstanceOf[org.apache.spark.sql.Row]
+        assert(normVal(viaCatalyst) == normVal(viaRowDecoder), s"catalyst diverges, json=$json")
       }
       seed = seed.next
     }
