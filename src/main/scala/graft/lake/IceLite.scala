@@ -312,7 +312,10 @@ object IceLite {
     * the epochs' delta files), filtered by the from-snapshot's __seq
     * watermark so rows carried along by inline COW compactions are
     * excluded. This is the "CDC out" side of the engine: a downstream
-    * consumer can tail the table itself incrementally. */
+    * consumer can tail the table itself incrementally. NOTE: if a COW
+    * compaction ran inside the version window, intermediate versions of a
+    * key collapse to the newest (net-change semantics); consume between
+    * adjacent versions for the full per-epoch change stream. */
   def changes(spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int): DataFrame = {
     val from = loadVersion(dir, fromVersion)
     val to = loadVersion(dir, toVersion)
