@@ -195,8 +195,10 @@ object Bench {
          !64-bit-signature + re-rank (q27) ${f"$r27%.3f"} at a 10% re-rank fraction.
          !""".stripMargin('!')
 
-    // BENCH.md: the scaling-evidence protocol report (BASELINE.md)
-    Files.writeString(Paths.get("BENCH.md"),
+    // BENCH.md: the scaling-evidence protocol report (BASELINE.md).
+    // NB: `measured` is appended OUTSIDE the stripMargin template — running
+    // markdown table rows through a '|' margin strip eats their pipes.
+    val benchHeader =
       s"""# BENCH — measured (this round)
          |
          |Protocol per BASELINE.md: identical job + input at two parallelism
@@ -215,9 +217,10 @@ object Bench {
          |faithful proxy for N → 4N executors. 8→32 is reported as
          |max-throughput evidence.
          |
-         |$measured
-         |Per-query seconds at local[32] on $sfDir are in the bench JSON line.
-         |""".stripMargin)
+         |""".stripMargin
+    Files.writeString(Paths.get("BENCH.md"),
+      benchHeader + measured +
+        s"\nPer-query seconds at local[32] on $sfDir are in the bench JSON line.\n")
 
     // BASELINE.md §Measured: regenerated from THIS run so the headline
     // artifact can never disagree with the gated bench capture.
@@ -233,7 +236,7 @@ object Bench {
              |     the gated BENCH capture. -->
              |## Measured
              |
-             |$measured""".stripMargin)
+             |""".stripMargin + measured)
       }
     }
   }
