@@ -420,6 +420,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sortedRows(IceLite.read(spark, snap2).select("repo", "path", "content")) == Seq("[r1,a,v3]"))
   }
 
+  test("crash recovery: an orphaned epoch dir (written but never committed) is overwritten on re-merge") {
+    val logDir = tmp("cr-log"); val tableDir = tmp("cr-table")
+    val p = LogGen.Params(nEvents = 2000, nRepos = 10, pathsPerRepo = 10)
+    LogGen.writeLog(spark, p, logDir, epochs = 2)
+    // simulate a crash between the data write and the commit: the epoch dir
+    // exists with junk, but the snapshot never fenced the epoch
+    Replay.createTable(tableDir, buckets = 4)
+    val orphan = java.nio.file.Paths.get(tableDir, "data", "epoch=replay-0", "__bucket=0")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
+    // replay re-runs the epoch: the orphan output is overwritten, the commit
+    // lands, and the final state still equals the oracle fold
+    val r = Replay.replayLog(spark, logDir, tableDir, buckets = 4)
+    assert(r.stats.forall(_.applied))
+    val got = IceLite.read(spark, IceLite.load(tableDir))
+    val want = Replay.oracleFold(spark, logDir)
+    assert(sortedRows(got.select("repo", "path", "content")) ==
+      sortedRows(want.select("repo", "path", "content")))
+    assert(got.count() > 0)
+  }
+
   test("incremental change feed: changes between snapshot versions = later epochs' rows incl. tombstones") {
     import spark.implicits._
     val dir = tmp("feed")
