@@ -501,6 +501,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tableDir/_deadletter").count() == 2)
   }
 
+  test("streaming get-or-load: tail decodes an unseen schema version via schemaDir between batches") {
+    import spark.implicits._
+    import scala.collection.immutable.TreeMap
+    import graft.proto.{DynMsg, PValue}
+    import PValue._
+    val streamDir = tmp("sgl-stream"); val tableDir = tmp("sgl-table")
+    val ckpt = tmp("sgl-ckpt"); val schemaDir = tmp("sgl-schemas")
+    val protoV3 = Cdc.protoV2.replace("string author  = 8;",
+      "string author  = 8;\n  string branch  = 9;")
+    Files.write(java.nio.file.Paths.get(schemaDir, "repo_change-v3.proto"), protoV3.getBytes("UTF-8"))
+    val fs3 = graft.proto.ProtoTextParser.parse(protoV3, "repo_change_v3.proto")
+    val d3 = fs3.findMessage("RepoChange").get
+    val payload = DynMsg.encode(fs3, DynMsg(d3, TreeMap(
+      1 -> PStr("r"), 2 -> PStr("p"), 3 -> PStr("c"), 4 -> PStr("scala"),
+      5 -> PStr("body"), 6 -> PLong(5L), 9 -> PStr("main"))))
+    Seq(ChangeEvent(payload, "repo_change", 3, "RepoChange", 0, 0L)).toDS()
+      .repartition(1).write.mode("overwrite").parquet(streamDir)
+    Tail.start(spark, streamDir, tableDir, ckpt, buckets = 4,
+      schemaDir = Some(schemaDir)).awaitTermination()
+    val t = IceLite.read(spark, IceLite.load(tableDir))
+    assert(t.count() == 1)
+    assert(t.select("repo", "content").as[(String, String)].head() == ("r", "body"))
+  }
+
   test("registry get-or-load: unseen schema version loads from schemaDir; without it → invalid_schema") {
     import spark.implicits._
     import scala.collection.immutable.TreeMap
