@@ -188,29 +188,76 @@ object SimilarityOps {
       // corpus' true top-10 neighbors sit at cos ≈ 0.3–0.4, so bucket LSH ≈
       // random sampling — q26 recall 0.10 at 5% candidates): a 64-bit
       // random-hyperplane signature per vector, candidates = top-200 by
-      // Hamming distance (an 8-byte popcount scan ~50× cheaper than float
+      // Hamming distance (an 8-byte popcount ~50× cheaper than a float
       // dot), exact cosine re-rank on the shortlist. Measured recall@10 =
       // 0.56 at a 10% re-rank fraction vs 0.20 at 17% for bucket-probing.
-      // At 10^9 vectors the signature scan reads 8 GB, not 256 GB of floats.
+      //
+      // Execution shape is the one that survives 10^9 vectors: query
+      // signatures BROADCAST, ONE typed pass over the corpus keeps a
+      // bounded per-(partition, query) heap of the best (hamming, cand)
+      // pairs — no query×corpus row explosion, no wide shuffle; only
+      // partitions×queries×M tiny tuples leave the scan. Exactness: the
+      // global top-M by the total order (hd, cand) is the union of
+      // per-partition top-Ms, so results are identical to the windowed
+      // formulation the DuckDB oracle uses.
       (s, d) => {
-        graft.functions.Hash60.register(s)
+        import s.implicits._
+        val M = 200
+        // the ±1 hyperplane matrix r(p, i) = hash60("p:i") % 2 * 2 - 1 —
+        // identical to the oracle's md5-derived signs
+        val signs = Array.tabulate(64, 64) { (p, i) =>
+          (graft.functions.Hash60.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"$p:$i")) % 2 * 2 - 1).toDouble
+        }
+        // sequential left fold per projection — the HOF aggregate()'s order,
+        // so proj doubles (and therefore sign bits) are bit-identical
+        def sigOf(emb: Seq[Float]): Long = {
+          var sig = 0L
+          var p = 0
+          while (p < 64) {
+            var acc = 0.0
+            var i = 0
+            val row = signs(p)
+            while (i < 64) { acc += emb(i).toDouble * row(i); i += 1 }
+            if (acc > 0) sig |= 1L << p
+            p += 1
+          }
+          sig
+        }
         val e = ld(s, d, "embeddings")
-        // one expression, 64 independent projections — no chained
-        // withColumns (CollapseProject would re-inline the chain per bit)
-        val sigBits = (0 until 64).map { p =>
-          val w = if (p < 63) (1L << p).toString else Long.MinValue.toString
-          expr(s"CAST(${signSpark(p)} > 0 AS BIGINT) * CAST($w AS BIGINT)")
-        }.reduce(_ + _)
-        val sigd = e.withColumn("sig", sigBits)
-        val q = sigd.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("va"), col("sig").as("qs"))
-        val c = sigd.select(col("vec_id").as("cand"), col("embedding").as("vb"), col("sig").as("cs"))
+        val typed = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        val qsigs = typed.filter(_._1 < 5).collect().map { case (id, emb) => (id, sigOf(emb)) }
+        val bq = s.sparkContext.broadcast(qsigs)
+        val ord = Ordering.Tuple2[Int, Long]
+        val short = typed.mapPartitions { it =>
+          val qs = bq.value
+          // max-heaps by (hd, cand): head = current worst of the best M
+          val heaps = qs.map { case (qid, _) =>
+            qid -> new scala.collection.mutable.PriorityQueue[(Int, Long)]()(ord) }.toMap
+          it.foreach { case (cand, emb) =>
+            val sig = sigOf(emb)
+            qs.foreach { case (qid, qsig) =>
+              if (cand != qid) {
+                val hd = java.lang.Long.bitCount(sig ^ qsig)
+                val h = heaps(qid)
+                if (h.size < M) h.enqueue((hd, cand))
+                else if (ord.lt((hd, cand), h.head)) { h.dequeue(); h.enqueue((hd, cand)) }
+              }
+            }
+          }
+          heaps.iterator.flatMap { case (qid, h) =>
+            h.iterator.map { case (hd, cand) => (qid, cand, hd) } }
+        }.toDF("qid", "cand", "hd")
+        // global exact top-M over the tiny per-partition union
         val wh = Window.partitionBy("qid").orderBy(col("hd").asc, col("cand").asc)
+        val shortlist = short.withColumn("hr", row_number().over(wh)).filter(col("hr") <= M)
+        // re-rank: broadcast the shortlist back against the corpus for the
+        // candidate vectors; query vectors are 5 rows (also broadcast)
+        val qv = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("va"))
         val wc = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
-        q.join(c, col("qid") =!= col("cand"))
-          .withColumn("hd", expr("bit_count(qs ^ cs)"))
-          .withColumn("hr", row_number().over(wh))
-          .filter(col("hr") <= 200)
+        e.select(col("vec_id").as("cand"), col("embedding").as("vb"))
+          .join(broadcast(shortlist.select("qid", "cand")), Seq("cand"))
+          .join(broadcast(qv), Seq("qid"))
           .withColumn("cos", expr(sparkCos))
           .withColumn("rank", row_number().over(wc).cast("long"))
           .filter(col("rank") <= 10)
