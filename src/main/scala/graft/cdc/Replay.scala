@@ -167,8 +167,8 @@ object Replay {
     val upd = decodeForMerge(ev, registry, None, framing).updates
     val cols = upd.columns
     upd.groupBy(col("repo"), col("path"))
-      .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
-      .select(cols.filterNot(Seq("repo", "path").contains).map(c => col(s"__r.$c").as(c)) ++
+      .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), col("seq")).as("__r"))
+      .select(cols.toIndexedSeq.filterNot(Seq("repo", "path").contains).map(c => col(s"__r.$c").as(c)) ++
         Seq(col("repo"), col("path")): _*)
       .filter(col("op") =!= "DELETE")
       .drop("op", "seq")

@@ -113,7 +113,6 @@ object Merge {
     // (__seq = event seq, __del = op == DELETE), null-filling columns the
     // evolved table has that this batch lacks (old-descriptor events)
     val visible = newSchema.filterNot(_.hidden)
-    val visCols = visible.map(_.name)
     val updCols = updates.columns.toSet
     val batch = updates.select(
       (visible.map(cd =>
