@@ -106,7 +106,10 @@ object CdcCli {
     case "show" :: tableDir :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(10)
       val snap = IceLite.load(tableDir)
-      println(s"table $tableDir v${snap.version}, epochs=${snap.epochs.size}, files=${snap.files.size}, schema=${snap.currentSchema.map(c => s"${c.name}#${c.id}").mkString(",")}")
+      val deltas = snap.files.count(_.delta)
+      println(s"table $tableDir v${snap.version}, epochs=${snap.epochs.size}, " +
+        s"files=${snap.files.size} (${deltas} delta / ${snap.files.size - deltas} base), " +
+        s"maxSeq=${snap.maxSeq}, schema=${snap.currentSchema.map(c => s"${c.name}#${c.id}").mkString(",")}")
       val df = IceLite.read(spark, snap)
       println(s"rows=${df.count()}")
       df.orderBy("repo", "path").show(n, truncate = 40)
