@@ -26,10 +26,9 @@ import graft.cdc.{LogGen, Replay}
   * past the ≥60 s floor BASELINE.md's protocol requires.
   *
   * Noise: the host has noisy co-tenants (3× wall swings observed), so each
-  * criterion level is measured best-of-N (3× local[2], 5× local[8]) after
-  * one untimed JIT-warmup replay per JVM, and the sampling deepens
-  * adaptively while the efficiency estimate sits inside the noise band of
-  * the 0.8 criterion.
+  * criterion level is measured best-of-N (4× local[2], 6× local[8], fixed
+  * up front — never deepened conditionally on the criterion) after one
+  * untimed JIT-warmup replay per JVM.
   */
 object Bench {
 
@@ -122,18 +121,13 @@ object Bench {
 
     // ---------- phase B: replay at parallelism levels, same input, one
     // child JVM per level; the scaling criterion rides t2/t8. Co-tenant
-    // noise swings single samples ±15%, so best-of-N is deepened
-    // ADAPTIVELY: while the efficiency estimate is inside the noise band of
-    // the 0.8 criterion, take more samples of BOTH legs and keep the min —
-    // more observations of the same measurement, never a different one.
-    var t2 = spawnLevel(2, 3)
-    var t8 = spawnLevel(8, 5)
-    var extra = 0
-    while ((t2 / t8) / 4.0 < 0.82 && extra < 2) {
-      t8 = math.min(t8, spawnLevel(8, 2))
-      t2 = math.min(t2, spawnLevel(2, 1))
-      extra += 1
-    }
+    // noise swings single samples ±15%, so each leg is best-of-N with the
+    // sample count FIXED UP FRONT (local[2]: 4, local[8]: 6) — an adaptive
+    // "deepen while below the criterion" rule is optional stopping
+    // conditioned on passing and can only bias the reported number upward.
+    val (reps2, reps8) = (4, 6)
+    val t2 = spawnLevel(2, reps2)
+    val t8 = spawnLevel(8, reps8)
     val t32 = spawnLevel(32, 3)
     val eps2 = nEvents / t2; val eps8 = nEvents / t8; val eps32 = nEvents / t32
     val eff28 = (t2 / t8) / 4.0
@@ -203,10 +197,12 @@ object Bench {
          |
          |Protocol per BASELINE.md: identical job + input at two parallelism
          |levels (N and 4N cores; shuffle.partitions = cores; one untimed JIT
-         |warmup replay per JVM; each level in its own child JVM; best-of-3 at
-         |local[2] and best-of-5 at local[8] against noisy co-tenants, deepened
-         |adaptively — more samples of the same measurement, min kept — while
-         |the efficiency estimate is inside the criterion's noise band).
+         |warmup replay per JVM; each level in its own child JVM). Sample
+         |counts are FIXED UP FRONT — best-of-4 at local[2], best-of-6 at
+         |local[8], best-of-3 at local[32] — so the efficiency evidence is
+         |never conditioned on crossing the 0.8 criterion (no adaptive
+         |stopping). Min-of-N against noisy co-tenants (±15% single-sample
+         |swings observed).
          |
          |**Primary N → 4N pair: local[2] → local[8].** This sandbox is a
          |single VM whose memory subsystem stops scaling past ~8 threads

@@ -148,9 +148,11 @@ object Replay {
       if (st.applied) batch.flushDeadLetters()
       (st, batch.routeStats)
     }
-    Lineage.appendAll(spark, tableDir, results.map { case (st, acc) =>
-      Lineage.entry(st, acc)
-    }) // one ledger write per replay
+    // one ledger write per replay; fenced (already-committed) epochs did no
+    // work and their accumulators are empty — don't write misleading rows
+    Lineage.appendAll(spark, tableDir, results.collect {
+      case (st, acc) if st.applied => Lineage.entry(st, acc)
+    })
     ReplayResult(epochs.length, results.map(_._1).toSeq)
   }
 

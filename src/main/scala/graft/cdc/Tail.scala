@@ -75,15 +75,25 @@ object Tail {
           val seen = batch.select("schemaId", "schemaVersion").distinct().collect()
             .map(r => graft.registry.SchemaKey(r.getString(0), r.getInt(1)))
           val reg2 = reg.withLoadedFrom(java.nio.file.Paths.get(dir), seen.toSeq)
-          if (reg2 ne reg) { reg = reg2; registry = batch.sparkSession.sparkContext.broadcast(reg) }
+          if (reg2 ne reg) {
+            reg = reg2
+            val superseded = registry
+            registry = batch.sparkSession.sparkContext.broadcast(reg)
+            superseded.unpersist(blocking = false) // don't leak the old registry
+          }
         }
         val dec = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
         val keys = Some(graft.decode.Decode.decodeKeys(batch, registry,
           graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
         val st = Merge.mergeEpoch(batch.sparkSession, tableDir, dec.updates, "seq", "op",
           s"$src-$batchId", keys, deltaThreshold = deltaThreshold)
-        if (st.applied) dec.flushDeadLetters()
-        Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
+        // a fenced (replayed) batch did no work: its epoch's real entry is
+        // already in the ledger and the accumulator holds zero-or-partial
+        // counts — appending would write a misleading row
+        if (st.applied) {
+          dec.flushDeadLetters()
+          Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
+        }
         ()
       }
       .start()

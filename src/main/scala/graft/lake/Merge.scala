@@ -173,10 +173,15 @@ object Merge {
       spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism * 4)
     val subSplits = math.max(1, math.ceil(minTasks.toDouble / math.max(touched.size, 1)).toInt)
+    // __sub must be INDEPENDENT of __bucket: both are mods of a key hash, so
+    // reusing xxhash64(keyCols) would make (h mod buckets) determine
+    // (h mod gcd(subSplits, buckets)) — with 64 buckets and subSplits=2 every
+    // row of a bucket lands in ONE shard and the sub-split is a no-op. A
+    // seed literal prepended to the key columns yields an unrelated hash.
     val sharded =
       if (subSplits == 1) unioned
       else unioned.withColumn("__sub",
-        pmod(xxhash64(keyCols.map(col): _*), lit(subSplits.toLong)).cast("int"))
+        pmod(xxhash64(lit("__graft_sub") +: keyCols.map(col): _*), lit(subSplits.toLong)).cast("int"))
     val shardCols =
       if (subSplits == 1) Seq(col("__bucket")) else Seq(col("__bucket"), col("__sub"))
 

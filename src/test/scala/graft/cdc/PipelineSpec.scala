@@ -207,8 +207,11 @@ class PipelineSpec extends AnyFunSuite {
     val rowsAfter = sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content"))
     assert(rowsBefore == rowsAfter)
 
-    // lineage ledger recorded both runs' epochs (applied + fenced)
-    assert(Lineage.read(spark, tableDir).count() == 8)
+    // lineage ledger recorded the first run's applied epochs ONLY — fenced
+    // re-runs did no work and write no (misleading) ledger rows
+    val ledger = Lineage.read(spark, tableDir)
+    assert(ledger.count() == 4)
+    assert(ledger.filter(col("applied") === false).count() == 0)
   }
 
   test("schema evolution: v1→v2 mid-log adds author column; old rows null/absent") {
@@ -418,6 +421,34 @@ class PipelineSpec extends AnyFunSuite {
     val snap2 = IceLite.load(dir)
     assert(!snap2.files.exists(_.delta) && snap2.files.size <= 2)
     assert(sortedRows(IceLite.read(spark, snap2).select("repo", "path", "content")) == Seq("[r1,a,v3]"))
+  }
+
+  test("merge sub-splits: shards are independent of buckets (gcd-correlation regression)") {
+    import spark.implicits._
+    // local[4] ⇒ minTasks = 16; 8 touched buckets ⇒ subSplits = 2, and
+    // gcd(2, 8) = 2: with the OLD __sub = xxhash64(keys) % 2 every row of a
+    // bucket landed in ONE shard (h % 8 determines h % 2) — the "task count
+    // decoupled from buckets" feature was a no-op. With the seeded hash the
+    // two shards of (nearly) every bucket are non-empty.
+    val dir = tmp("shard")
+    Replay.createTable(dir, buckets = 8)
+    val rows = (1 to 2000).map(i => (s"r${i % 37}", s"p$i", s"c$i", i.toLong, "UPSERT"))
+    val df0 = rows.toDF("repo", "path", "content", "seq", "op")
+      .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+    val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+    val df = df0.select(df0.columns.map { c =>
+      ids.get(c) match {
+        case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.fieldId", id.toLong).build())
+        case None => col(c)
+      }
+    }: _*)
+    Merge.mergeEpoch(spark, dir, df, "seq", "op", "shard-0")
+    // one parquet file per non-empty (bucket, shard): ≥2 files in (nearly)
+    // every bucket proves both shards carry rows
+    val filesPerBucket = IceLite.load(dir).files.groupBy(_.bucket).view.mapValues(_.size)
+    assert(filesPerBucket.values.count(_ >= 2) >= 6,
+      s"expected ≥2 shard files in most of the 8 buckets, got $filesPerBucket")
   }
 
   test("crash recovery: an orphaned epoch dir (written but never committed) is overwritten on re-merge") {
