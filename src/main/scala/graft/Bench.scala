@@ -137,26 +137,41 @@ object Bench {
     val skip = Set("q00_cdc_replay") // CDC is phase B, measured properly above
     val (queryTimes, recalls) = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) (Seq.empty, Map.empty[String, Double])
     else run(32, aqe = true) { spark =>
+      // one untimed warmup so the alphabetically-first query (q01) doesn't
+      // absorb the session's one-time costs (codegen/JIT/filesystem metadata
+      // — measured ~1.5 s, the source of q01's apparent r2 "regression")
+      try SparkEntry.queries("q23_media_meta")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save() catch { case _: Throwable => () }
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      // ANN recall vs the exact baseline (q21) for both approximate paths
-      def topk(name: String): Set[(Long, Long)] =
-        SparkEntry.queries(name)(spark, sfDir)
-          .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ANN recall vs the exact baseline (q21) for both approximate paths,
+      // plus q27 at a REALISTIC query count (Q=100, chunked so per-partition
+      // heap memory stays O(chunk × M) regardless of Q) with its latency
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def topk(name: String): Set[(Long, Long)] = pairs(SparkEntry.queries(name)(spark, sfDir))
       val recall = try {
         val exact = topk("q21_ann_bruteforce_topk")
+        val exact100 = pairs(graft.operators.SimilarityOps.bruteForceTopK(spark, sfDir, 100))
+        val tq = System.nanoTime()
+        val got100 = pairs(graft.operators.SimilarityOps.sigRerankTopK(spark, sfDir, 100))
+        val q100sec = (System.nanoTime() - tq) / 1e9
         Map(
           "q26_bucket_probe" -> topk("q26_ann_lsh_probe_topk").intersect(exact).size.toDouble / exact.size,
-          "q27_sig_rerank" -> topk("q27_ann_sig_rerank_topk").intersect(exact).size.toDouble / exact.size)
+          "q27_sig_rerank" -> topk("q27_ann_sig_rerank_topk").intersect(exact).size.toDouble / exact.size,
+          "q27_sig_rerank_q100" -> got100.intersect(exact100).size.toDouble / exact100.size,
+          "q27_q100_sec" -> q100sec)
       } catch { case _: Throwable => Map.empty[String, Double] }
       (times, recall)
     }
     val r26 = recalls.getOrElse("q26_bucket_probe", -1.0)
     val r27 = recalls.getOrElse("q27_sig_rerank", -1.0)
+    val r27q100 = recalls.getOrElse("q27_sig_rerank_q100", -1.0)
+    val q100sec = recalls.getOrElse("q27_q100_sec", -1.0)
 
     val total = t2 + t8 + t32 + queryTimes.map(_._2).filter(_ > 0).sum
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
@@ -165,7 +180,7 @@ object Bench {
       s""""cdc":{"events":$nEvents,"epochs":$epochs,"sec_local2":${f"$t2%.1f"},"sec_local8":${f"$t8%.1f"},"sec_local32":${f"$t32%.1f"},""" +
       s""""events_per_sec_local2":${f"$eps2%.0f"},"events_per_sec_local8":${f"$eps8%.0f"},"events_per_sec_local32":${f"$eps32%.0f"},""" +
       s""""scaling_efficiency_N_to_4N":${f"$eff28%.3f"},"scaling_efficiency_8_to_32":${f"$eff832%.3f"}},""" +
-      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"}},""" +
+      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"}},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
 
@@ -186,7 +201,9 @@ object Bench {
          !**Scaling efficiency (T_N / T_4N) / 4 = ${f"$eff28%.3f"}** (target ≥ 0.8).
          !Secondary 8→32 efficiency (single-box memory ceiling): ${f"$eff832%.3f"}.
          !ANN recall@10 vs exact (q21): bucket-probe (q26) ${f"$r26%.3f"};
-         !64-bit-signature + re-rank (q27) ${f"$r27%.3f"} at a 10% re-rank fraction.
+         !64-bit-signature + re-rank (q27) ${f"$r27%.3f"} at a 10% re-rank fraction;
+         !q27 at Q=100 queries (chunked, bounded heap memory): recall
+         !${f"$r27q100%.3f"} in ${f"$q100sec%.2f"} s.
          !""".stripMargin('!')
 
     // BENCH.md: the scaling-evidence protocol report (BASELINE.md).
