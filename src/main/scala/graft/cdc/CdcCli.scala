@@ -107,8 +107,10 @@ object CdcCli {
       val n = rest.headOption.map(_.toInt).getOrElse(10)
       val snap = IceLite.load(tableDir)
       val deltas = snap.files.count(_.delta)
-      println(s"table $tableDir v${snap.version}, epochs=${snap.epochs.size}, " +
-        s"files=${snap.files.size} (${deltas} delta / ${snap.files.size - deltas} base), " +
+      println(s"table $tableDir v${snap.version}, epochs=${snap.ledger.count} " +
+        s"(namespaces=${snap.ledger.namespaces.toSeq.sorted.mkString("/")}), " +
+        s"files=${snap.files.size} (${deltas} delta / ${snap.files.size - deltas} base) " +
+        s"in ${snap.manifests.size} manifests, " +
         s"maxSeq=${snap.maxSeq}, schema=${snap.currentSchema.map(c => s"${c.name}#${c.id}").mkString(",")}")
       val df = IceLite.read(spark, snap)
       println(s"rows=${df.count()}")
@@ -120,11 +122,16 @@ object CdcCli {
       println(s"found ${row.count()} row(s)")
     case "compact" :: tableDir :: rest =>
       val epochId = rest.headOption.getOrElse(s"compact-${System.nanoTime()}")
-      val st = graft.lake.Compaction.compact(spark, tableDir, epochId)
+      // optional 2nd arg: comma-separated bucket subset for incremental
+      // maintenance that doesn't conflict with live merges on other buckets
+      val buckets = rest.drop(1).headOption.map(_.split(',').map(_.toInt).toSet)
+      val st = graft.lake.Compaction.compact(spark, tableDir, epochId, buckets)
       println(s"compacted ${st.buckets} buckets: rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
-    case "vacuum" :: tableDir :: Nil =>
+    case "vacuum" :: tableDir :: rest =>
+      val keep = rest.headOption.map(_.toInt).getOrElse(1)
+      val expired = graft.lake.Compaction.expire(tableDir, keep)
       val removed = graft.lake.Compaction.vacuum(tableDir)
-      println(s"vacuumed $removed unreferenced data files")
+      println(s"expired $expired snapshots (kept last $keep), removed $removed unreferenced data/manifest files")
     case "changes" :: tableDir :: fromV :: toV :: Nil =>
       // incremental change feed between two snapshot versions (CDC out)
       val df = IceLite.changes(spark, tableDir, fromV.toInt, toV.toInt)

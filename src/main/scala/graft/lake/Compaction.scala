@@ -6,29 +6,39 @@ import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 import IceLite._
 
-/** Snapshot maintenance: every epoch leaves one file per touched bucket, so
-  * after E epochs a bucket may be referenced by its newest file only — but
-  * dropped tombstones and old epoch dirs accumulate on disk, and a
+/** Snapshot maintenance: every epoch leaves delta files per touched bucket,
+  * so dropped tombstones and old epoch dirs accumulate on disk, and a
   * long-running table benefits from rewriting buckets into fresh,
-  * key-sorted files (and purging tombstones older than the rewrite).
+  * key-sorted base files (purging tombstones older than the rewrite).
   *
-  * Compaction = a MERGE with an empty batch that rewrites every bucket:
-  * read current state (hidden cols included), drop tombstones, rewrite one
-  * sorted file per bucket, commit as a new snapshot (epoch-fenced like any
-  * other commit). Old files stay on disk for time travel until vacuum.
-  */
+  * Compaction = a MERGE with an empty batch that rewrites the chosen
+  * buckets: read their current state (hidden cols included), drop
+  * tombstones, rewrite one sorted base file per bucket, commit as a new
+  * snapshot (epoch-fenced like any other commit). INCREMENTAL by design:
+  * `compact` takes a bucket subset so maintenance interleaves with live
+  * merges — a concurrent merge on DISJOINT buckets rebases cleanly, while
+  * an overlapping one conflicts loudly (IceLite.commit validates both COW
+  * and delta-append buckets), because purging tombstones out from under an
+  * in-flight delta's LWW could resurrect deleted keys. Old files stay on
+  * disk for time travel until vacuum. */
 object Compaction {
 
   final case class CompactionStats(buckets: Int, rowsBefore: Long, rowsAfter: Long, filesReplaced: Int)
 
-  def compact(spark: SparkSession, dir: String, epochId: String): CompactionStats = {
+  def compact(spark: SparkSession, dir: String, epochId: String,
+      /** buckets to compact; None = every bucket (full maintenance pass).
+        * Compact in subsets on a live table: the conflict window is only
+        * the chosen buckets, not the whole table. */
+      buckets: Option[Set[Int]] = None): CompactionStats = {
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) return CompactionStats(0, 0, 0, 0)
+    val chosen: Set[Int] = buckets.getOrElse((0 until base.buckets).toSet)
+    val oldFiles = base.files.filter(f => chosen(f.bucket))
 
     // rowsBefore (incl. tombstones) rides the same job as an Observation on
-    // the pre-filter scan — DataFile.rows is unknown (-1) by design
+    // the pre-filter scan
     val preObs = org.apache.spark.sql.Observation(s"compact-pre-$epochId")
-    val cur = IceLite.read(spark, base, includeHidden = true)
+    val cur = IceLite.read(spark, base, f => chosen(f.bucket), includeHidden = true)
       .observe(preObs, count(lit(1)).as("rows"))
     val live = cur.where(!coalesce(col(DelCol.name), lit(false))) // purge tombstones
       .withColumn("__bucket", bucketExpr(base.keyCols, base.buckets))
@@ -36,47 +46,57 @@ object Compaction {
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId-compact").toString
     val obs = org.apache.spark.sql.Observation(s"compact-$epochId")
     live
-      .repartition(base.buckets, col("__bucket"))
+      .repartition(math.max(chosen.size, 1), col("__bucket"))
       .sortWithinPartitions(col("__bucket") +: base.keyCols.map(col): _*)
       .observe(obs, count(lit(1)).as("rows"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(epochDir)
     val rowsAfter = obs.get("rows").asInstanceOf[Long]
     val rowsBefore = preObs.get("rows").asInstanceOf[Long]
 
-    val newFiles = listBucketFiles(epochDir, base.currentSchemaVersion)
-    // a compaction touches EVERY bucket — any concurrent commit conflicts
-    // (IceLite.commit fails loudly rather than losing its files)
+    // compaction output is pure BASE state (no __origin dirs → origin 0 from
+    // the scan, overridden: these are not change rows)
+    val newFiles = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
+      .map { case (f, _) => f.copy(delta = false) }
+    // touches exactly the chosen buckets — any concurrent commit on them
+    // conflicts loudly (IceLite.commit) instead of losing files
     IceLite.commit(dir, base, IceLite.CommitDelta(
-      epochId, (0 until base.buckets).toSet, newFiles, base.currentSchema))
+      epochId, chosen, newFiles, base.currentSchema))
     // filesReplaced: superseded by the new per-bucket files; physical removal
     // happens in vacuum once time travel can go
-    CompactionStats(base.buckets, rowsBefore, rowsAfter, base.files.size)
+    CompactionStats(chosen.size, rowsBefore, rowsAfter, oldFiles.size)
   }
 
-  /** Remove data files not referenced by the latest snapshot (ends time
-    * travel for older snapshots — call after compact once history can go). */
+  /** Remove data files not referenced by any retained snapshot's manifests,
+    * and manifest files not referenced by any snapshot (orphans from lost
+    * commit races). Ends time travel for data superseded before the latest
+    * snapshot once older snapshot JSONs are dropped by `expire`. */
   def vacuum(dir: String): Int = {
-    val snap = IceLite.load(dir)
-    val live = snap.files.map(f => Paths.get(f.path).toAbsolutePath.toString).toSet
-    val dataRoot = Paths.get(dir, "data")
+    val versions = IceLite.history(dir)
+    val snaps = versions.map(v => IceLite.loadVersion(dir, v))
+    val liveData = snaps.flatMap(_.files.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet
+    val liveManifests = snaps.flatMap(_.manifests.map(m => Paths.get(m.path).toAbsolutePath.toString)).toSet
     var removed = 0
+    val dataRoot = Paths.get(dir, "data")
     java.nio.file.Files.walk(dataRoot).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet"))
-      .filterNot(p => live.contains(p.toAbsolutePath.toString))
+      .filterNot(p => liveData.contains(p.toAbsolutePath.toString))
+      .foreach { p => java.nio.file.Files.deleteIfExists(p); removed += 1 }
+    java.nio.file.Files.list(Paths.get(dir, "meta")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("m-"))
+      .filterNot(p => liveManifests.contains(p.toAbsolutePath.toString))
       .foreach { p => java.nio.file.Files.deleteIfExists(p); removed += 1 }
     removed
   }
 
-  private def listBucketFiles(epochDir: String, schemaVersion: Int): Vector[DataFile] = {
-    val root = Paths.get(epochDir)
-    if (!java.nio.file.Files.isDirectory(root)) return Vector.empty
-    java.nio.file.Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("__bucket="))
-      .flatMap { bdir =>
-        val bucket = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
-        java.nio.file.Files.list(bdir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => DataFile(p.toString, bucket, -1L, schemaVersion))
-      }.toVector
+  /** Drop snapshot JSONs older than `keepLast` versions (ends time travel
+    * to them); a following vacuum() then reclaims their exclusive data and
+    * manifest files. */
+  def expire(dir: String, keepLast: Int): Int = {
+    val versions = IceLite.history(dir)
+    val drop = versions.dropRight(math.max(keepLast, 1))
+    drop.foreach { v =>
+      java.nio.file.Files.deleteIfExists(Paths.get(dir, "meta", f"v$v%05d.json"))
+    }
+    drop.size
   }
 }

@@ -1,7 +1,6 @@
 package graft.lake
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,7 +14,26 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   *   <dir>/meta/v00000.json …   — snapshots; latest = max version
+  *   <dir>/meta/m-….json        — MANIFEST files: the data-file lists,
+  *                                grouped by bucket range (split out of the
+  *                                snapshot so a commit writes O(delta)
+  *                                metadata, not the full file list —
+  *                                Iceberg's manifest/manifest-list design)
   *   <dir>/data/epoch=<e>/…     — parquet data files, hash-bucketed on key
+  *
+  * Metadata scale (10^6-file design point):
+  *  - a snapshot JSON holds schemas + a bounded epoch LEDGER (per-namespace
+  *    watermark + out-of-order window, not the full epoch vector) + one
+  *    manifest REF per live manifest — O(ranges + recent epochs), never
+  *    O(files);
+  *  - a delta-append commit writes one manifest per bucket range it adds
+  *    files to (O(batch)); a COW commit additionally rewrites only the
+  *    manifests of ranges it replaces files in; a range whose manifest
+  *    count passes `manifestCompactAt` is merged as part of the commit
+  *    (amortized O(files/ranges), the log-structured-metadata trade);
+  *  - per-file min/max stats (key columns + __seq, from the parquet
+  *    footers) let point lookups and the change feed skip files inside a
+  *    bucket without opening them.
   *
   * On a production object store the create-if-absent link would be a
   * conditional PUT / catalog compare-and-swap (Iceberg's commit protocol);
@@ -41,31 +59,103 @@ object IceLite {
 
   /** `delta = true` marks a merge-on-read file: it holds ONLY one epoch's
     * change rows for its bucket (newest-seq-wins against older files at
-    * read time) rather than the bucket's full resolved state. */
+    * read time) rather than the bucket's full resolved state.
+    *
+    * Stats (from the parquet footer at commit time; absent = unknown =
+    * never pruned): `minSeq`/`maxSeq` bound __seq; `keyMin`/`keyMax` are
+    * per-key-column lower/upper bounds aligned with the table's keyCols —
+    * a file can be skipped when the probed key falls outside ANY column's
+    * bounds (conservative, Iceberg-style per-column pruning). */
   final case class DataFile(path: String, bucket: Int, rows: Long, schemaVersion: Int,
-      delta: Boolean = false)
+      delta: Boolean = false,
+      minSeq: Long = Long.MinValue, maxSeq: Long = Long.MaxValue,
+      keyMin: Vector[String] = Vector.empty, keyMax: Vector[String] = Vector.empty) {
+    def mayContainKey(keyVals: Seq[String]): Boolean =
+      keyMin.isEmpty || keyMax.isEmpty ||
+        keyVals.indices.forall(i => keyVals(i) >= keyMin(i) && keyVals(i) <= keyMax(i))
+  }
+
+  // ----------------------------------------------------------- epoch ledger
+
+  /** Committed-epoch set with BOUNDED state: epoch ids are namespaced
+    * ("replay-3", "tail-ab12cd34-7") and per namespace mostly contiguous,
+    * so instead of keeping every id ever committed (the r2 snapshot grew
+    * O(epochs) and fencing was a linear scan) we keep a per-namespace
+    * contiguous WATERMARK plus the out-of-order ids above it; non-numeric
+    * ids fall back to a plain set. `contains` is O(1). */
+  final case class EpochLedger(
+      watermarks: Map[String, Long],
+      recent: Map[String, Set[Long]],
+      other: Set[String]) {
+
+    def contains(e: String): Boolean = EpochLedger.split(e) match {
+      case Some((ns, n)) =>
+        n <= watermarks.getOrElse(ns, -1L) || recent.getOrElse(ns, Set.empty)(n)
+      case None => other(e)
+    }
+
+    def add(e: String): EpochLedger = EpochLedger.split(e) match {
+      case Some((ns, n)) =>
+        var w = watermarks.getOrElse(ns, -1L)
+        var r = recent.getOrElse(ns, Set.empty[Long]) + n
+        while (r(w + 1)) { w += 1; r -= w }
+        copy(
+          watermarks = watermarks.updated(ns, w),
+          recent = if (r.isEmpty) recent - ns else recent.updated(ns, r))
+      case None => copy(other = other + e)
+    }
+
+    def namespaces: Set[String] = watermarks.keySet ++ recent.keySet
+    /** committed-epoch count (exact: watermark+1 contiguous + stragglers). */
+    def count: Long =
+      watermarks.valuesIterator.map(_ + 1).sum + recent.valuesIterator.map(_.size.toLong).sum + other.size
+  }
+
+  object EpochLedger {
+    val empty: EpochLedger = EpochLedger(Map.empty, Map.empty, Set.empty)
+    /** "replay-3" → (replay, 3); "tail-ab12-7" → (tail-ab12, 7); "e7" → None. */
+    private[IceLite] def split(e: String): Option[(String, Long)] = {
+      val i = e.lastIndexOf('-')
+      if (i <= 0 || i == e.length - 1) None
+      else {
+        val suffix = e.substring(i + 1)
+        if (suffix.forall(_.isDigit)) Some((e.substring(0, i), suffix.toLong)) else None
+      }
+    }
+  }
+
+  /** A live manifest: `range` is the bucket-range group its files belong to
+    * (bucket / rangeWidth); refs are tiny — the file lists live in the
+    * manifest JSONs themselves. */
+  final case class ManifestRef(path: String, range: Int, fileCount: Int)
 
   final case class Snapshot(
       version: Int,
-      /** committed epoch ids. NAMESPACED strings ("replay-3", "tail-<uuid>-7")
-        * so fences from different sources (batch replay partition numbers vs
-        * streaming batchIds, which restart at 0 with a fresh checkpoint)
-        * can never collide and silently drop each other's batches. */
-      epochs: Vector[String],
+      ledger: EpochLedger,
       /** all schema versions ever committed; last = current. Index = schemaVersion. */
       schemas: Vector[Vector[ColDef]],
       keyCols: Vector[String],
       buckets: Int,
+      /** materialized view of every live data file (loaded from manifests). */
       files: Vector[DataFile],
       /** highest __seq ever committed — the change-feed watermark: rows in
         * later snapshots with __seq above OUR maxSeq are exactly the
         * changes applied after this snapshot. */
-      maxSeq: Long = -1L) {
+      maxSeq: Long = -1L,
+      manifests: Vector[ManifestRef] = Vector.empty) {
     def currentSchemaVersion: Int = schemas.length - 1
     def currentSchema: Vector[ColDef] = schemas.last
     def currentStruct: StructType = structOf(currentSchema)
-    def hasEpoch(e: String): Boolean = epochs.contains(e)
+    def hasEpoch(e: String): Boolean = ledger.contains(e)
+    def rangeOf(bucket: Int): Int = bucket / rangeWidth
+    def rangeWidth: Int = math.max(1, (buckets + manifestRanges - 1) / manifestRanges)
   }
+
+  /** Bucket-range groups for manifests; a commit touches only the ranges it
+    * adds/replaces files in. */
+  val manifestRanges = 16
+  /** When one range accumulates this many manifests, the commit merges them. */
+  val manifestCompactAt = 8
 
   def structOf(cols: Seq[ColDef]): StructType = StructType(cols.map { c =>
     StructField(c.name, c.sparkType, nullable = true,
@@ -85,10 +175,37 @@ object IceLite {
 
   private val mapper = new ObjectMapper()
 
+  private def fileToJson(arr: com.fasterxml.jackson.databind.node.ArrayNode, f: DataFile): Unit = {
+    val o = arr.addObject()
+    o.put("path", f.path); o.put("bucket", f.bucket)
+    o.put("rows", f.rows); o.put("schemaVersion", f.schemaVersion)
+    if (f.delta) o.put("delta", true)
+    if (f.minSeq != Long.MinValue) o.put("minSeq", f.minSeq)
+    if (f.maxSeq != Long.MaxValue) o.put("maxSeq", f.maxSeq)
+    if (f.keyMin.nonEmpty) { val a = o.putArray("keyMin"); f.keyMin.foreach(a.add) }
+    if (f.keyMax.nonEmpty) { val a = o.putArray("keyMax"); f.keyMax.foreach(a.add) }
+  }
+
+  private def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
+    DataFile(f.get("path").asText(), f.get("bucket").asInt(),
+      f.get("rows").asLong(), f.get("schemaVersion").asInt(),
+      delta = Option(f.get("delta")).exists(_.asBoolean()),
+      minSeq = Option(f.get("minSeq")).map(_.asLong()).getOrElse(Long.MinValue),
+      maxSeq = Option(f.get("maxSeq")).map(_.asLong()).getOrElse(Long.MaxValue),
+      keyMin = Option(f.get("keyMin")).map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty),
+      keyMax = Option(f.get("keyMax")).map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty))
+
   private def toJson(s: Snapshot): String = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)
-    val eps = root.putArray("epochs"); s.epochs.foreach(eps.add)
+    val led = root.putObject("ledger")
+    val wm = led.putObject("watermarks")
+    s.ledger.watermarks.toSeq.sortBy(_._1).foreach { case (ns, w) => wm.put(ns, w) }
+    val rec = led.putObject("recent")
+    s.ledger.recent.toSeq.sortBy(_._1).foreach { case (ns, ids) =>
+      val a = rec.putArray(ns); ids.toSeq.sorted.foreach(a.add)
+    }
+    val oth = led.putArray("other"); s.ledger.other.toSeq.sorted.foreach(oth.add)
     val schemas = root.putArray("schemas")
     s.schemas.foreach { cols =>
       val arr = schemas.addArray()
@@ -100,21 +217,27 @@ object IceLite {
     val keys = root.putArray("keyCols"); s.keyCols.foreach(keys.add)
     root.put("buckets", s.buckets)
     root.put("maxSeq", s.maxSeq)
-    val files = root.putArray("files")
-    s.files.foreach { f =>
-      val o = files.addObject()
-      o.put("path", f.path); o.put("bucket", f.bucket)
-      o.put("rows", f.rows); o.put("schemaVersion", f.schemaVersion)
-      if (f.delta) o.put("delta", true)
+    val mans = root.putArray("manifests")
+    s.manifests.foreach { m =>
+      val o = mans.addObject()
+      o.put("path", m.path); o.put("range", m.range); o.put("fileCount", m.fileCount)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** Parse a snapshot JSON; `files` is filled by the caller (from manifests). */
   private def fromJson(json: String): Snapshot = {
     val n = mapper.readTree(json)
+    val led = n.get("ledger")
+    val ledger = EpochLedger(
+      watermarks = led.get("watermarks").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      recent = led.get("recent").properties().asScala
+        .map(e => e.getKey -> e.getValue.elements().asScala.map(_.asLong()).toSet).toMap,
+      other = led.get("other").elements().asScala.map(_.asText()).toSet)
     Snapshot(
       version = n.get("version").asInt(),
-      epochs = n.get("epochs").elements().asScala.map(_.asText()).toVector,
+      ledger = ledger,
       schemas = n.get("schemas").elements().asScala.map { arr =>
         arr.elements().asScala.map(c =>
           ColDef(c.get("id").asInt(), c.get("name").asText(), c.get("type").asText())).toVector
@@ -122,11 +245,30 @@ object IceLite {
       keyCols = n.get("keyCols").elements().asScala.map(_.asText()).toVector,
       buckets = n.get("buckets").asInt(),
       maxSeq = Option(n.get("maxSeq")).map(_.asLong()).getOrElse(-1L),
-      files = n.get("files").elements().asScala.map(f =>
-        DataFile(f.get("path").asText(), f.get("bucket").asInt(),
-          f.get("rows").asLong(), f.get("schemaVersion").asInt(),
-          delta = Option(f.get("delta")).exists(_.asBoolean()))).toVector)
+      files = Vector.empty,
+      manifests = Option(n.get("manifests")).map(_.elements().asScala.map(m =>
+        ManifestRef(m.get("path").asText(), m.get("range").asInt(),
+          m.get("fileCount").asInt())).toVector).getOrElse(Vector.empty))
   }
+
+  // ------------------------------------------------------------- manifests
+
+  private def writeManifest(dir: String, range: Int, files: Vector[DataFile]): ManifestRef = {
+    val arr = mapper.createArrayNode()
+    files.foreach(fileToJson(arr, _))
+    val name = s"m-r$range-${java.util.UUID.randomUUID().toString.take(12)}.json"
+    val p = metaDir(dir).resolve(name)
+    Files.write(p, mapper.writeValueAsString(arr).getBytes("UTF-8"))
+    ManifestRef(p.toString, range, files.size)
+  }
+
+  private def readManifest(ref: ManifestRef): Vector[DataFile] = {
+    val n = mapper.readTree(new String(Files.readAllBytes(Paths.get(ref.path)), "UTF-8"))
+    n.elements().asScala.map(fileFromJson).toVector
+  }
+
+  private def loadFiles(s: Snapshot): Snapshot =
+    s.copy(files = s.manifests.flatMap(readManifest))
 
   // ---------------------------------------------------------------- commits
 
@@ -136,7 +278,7 @@ object IceLite {
   def create(dir: String, schema: Vector[ColDef], keyCols: Vector[String], buckets: Int): Snapshot = {
     Files.createDirectories(metaDir(dir))
     Files.createDirectories(Paths.get(dir, "data"))
-    val snap = Snapshot(0, Vector.empty, Vector(schema), keyCols, buckets, Vector.empty)
+    val snap = Snapshot(0, EpochLedger.empty, Vector(schema), keyCols, buckets, Vector.empty)
     writeAtomic(dir, snap)
     snap
   }
@@ -157,7 +299,7 @@ object IceLite {
   def load(dir: String): Snapshot = {
     val v = latestVersion(dir).getOrElse(
       throw new IllegalStateException(s"no IceLite table at $dir"))
-    fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
+    loadVersion(dir, v)
   }
 
   /** Snapshot history (time travel / resume ledger). */
@@ -169,7 +311,7 @@ object IceLite {
   }
 
   def loadVersion(dir: String, v: Int): Snapshot =
-    fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
+    loadFiles(fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8")))
 
   /** Atomic create-if-absent: write a tmp file, then hard-LINK it to the
     * snapshot name — link(2) fails atomically with EEXIST when the target
@@ -207,12 +349,20 @@ object IceLite {
     * the delta is REBASED onto the current snapshot — its file replacements
     * and epoch entry are re-applied so the intervening commit's data files
     * and epochs are preserved (no lost update). Rebase is only legal when the
-    * intervening commits are disjoint: if they replaced files in any of OUR
-    * touched buckets, or evolved the schema away from ours, our rewritten
-    * bucket files were derived from stale data — the commit FAILS LOUDLY with
+    * intervening commits are disjoint:
+    *  - if they replaced files in any of OUR touched (COW) buckets, our
+    *    rewritten bucket files were derived from stale data;
+    *  - if they REMOVED files in any bucket we delta-APPEND to (e.g. a
+    *    concurrent compaction purged that bucket's tombstones), our delta's
+    *    late lower-seq upserts could resurrect deleted keys at read time
+    *    (intervening delta-appends to the same bucket are fine — LWW
+    *    resolution is order-independent);
+    *  - if they evolved the schema away from ours, our files don't conform.
+    * In each case the commit FAILS LOUDLY with
     * ConcurrentModificationException and the caller must re-run the merge
     * (Iceberg's validation-then-retry protocol). */
   def commit(dir: String, base: Snapshot, delta: CommitDelta): Snapshot = {
+    val appendBuckets = delta.addFiles.iterator.filter(_.delta).map(_.bucket).toSet -- delta.touched
     var cur = base
     var guard = 0
     while (guard < 10000) {
@@ -223,6 +373,11 @@ object IceLite {
         if (oursAtBase != oursAtCur)
           throw new java.util.ConcurrentModificationException(
             s"epoch ${delta.epochId}: concurrent commit replaced files in touched buckets; re-run the merge against the current snapshot")
+        val appendAtBase = base.files.filter(f => appendBuckets(f.bucket)).map(_.path).toSet
+        val appendAtCur = cur.files.filter(f => appendBuckets(f.bucket)).map(_.path).toSet
+        if (!appendAtBase.subsetOf(appendAtCur))
+          throw new java.util.ConcurrentModificationException(
+            s"epoch ${delta.epochId}: concurrent commit replaced files in delta-append buckets (e.g. a compaction purged tombstones this delta's LWW depends on); re-run the merge against the current snapshot")
         if (cur.schemas != base.schemas && cur.currentSchema != delta.dataSchema)
           throw new java.util.ConcurrentModificationException(
             s"epoch ${delta.epochId}: concurrent schema evolution; re-run the merge against the current snapshot")
@@ -230,18 +385,114 @@ object IceLite {
       val schemas2 =
         if (delta.dataSchema == cur.currentSchema) cur.schemas else cur.schemas :+ delta.dataSchema
       val sv = schemas2.length - 1
+      val adds = delta.addFiles.map(_.copy(schemaVersion = sv))
+      val newFiles = cur.files.filterNot(f => delta.touched(f.bucket)) ++ adds
+
+      // ---- manifest plan: touch only the ranges we add to or replace in.
+      val addsByRange = adds.groupBy(f => cur.rangeOf(f.bucket))
+      val touchedRanges = delta.touched.map(cur.rangeOf)
+      val curByRange = cur.manifests.groupBy(_.range)
+      val affected = addsByRange.keySet ++ touchedRanges
+      val keptRefs = cur.manifests.filterNot(m => affected(m.range))
+      val newRefs = affected.toVector.sorted.flatMap { r =>
+        val oldRefs = curByRange.getOrElse(r, Vector.empty)
+        val rangeAdds = addsByRange.getOrElse(r, Vector.empty)
+        if (touchedRanges(r) || oldRefs.size + 1 > manifestCompactAt) {
+          // rewrite/merge the whole range: survivors + adds in ONE manifest
+          val survivors = oldRefs.flatMap(readManifest).filterNot(f => delta.touched(f.bucket))
+          val all = survivors ++ rangeAdds
+          if (all.isEmpty) Vector.empty else Vector(writeManifest(dir, r, all))
+        } else {
+          // pure append: keep the range's manifests, add one for the new files
+          oldRefs ++ (if (rangeAdds.isEmpty) Vector.empty
+                      else Vector(writeManifest(dir, r, rangeAdds)))
+        }
+      }
+
       val attempt = cur.copy(
         version = cur.version + 1,
-        epochs = cur.epochs :+ delta.epochId,
+        ledger = cur.ledger.add(delta.epochId),
         schemas = schemas2,
-        files = cur.files.filterNot(f => delta.touched(f.bucket)) ++
-          delta.addFiles.map(_.copy(schemaVersion = sv)),
+        files = newFiles,
+        manifests = keptRefs ++ newRefs,
         maxSeq = math.max(cur.maxSeq, delta.maxSeq))
       if (writeAtomic(dir, attempt)) return attempt
-      cur = load(dir) // lost the race — re-read, re-fence, rebase or fail
+      // lost the race — re-read, re-fence, rebase or fail. Manifests written
+      // for the failed attempt become orphans; vacuum() sweeps them.
+      cur = load(dir)
       guard += 1
     }
     throw new IllegalStateException("commit retry limit exceeded")
+  }
+
+  // ------------------------------------------------------------ file stats
+
+  /** List the parquet files of one epoch-output directory
+    * (…/__bucket=N[/__origin=K]/part-*.parquet), reading each FOOTER for the
+    * row count and the min/max of the key columns and __seq — the stats that
+    * power manifest-level pruning. Driver-side, O(new files) per epoch.
+    * When `originSplit`, files under __origin=0 are the epoch's batch rows
+    * (delta files); __origin=1 are carried base rows (COW output). */
+  def scanEpochFiles(epochDir: String, schemaVersion: Int, keyCols: Seq[String]): Vector[(DataFile, Int)] = {
+    val root = Paths.get(epochDir)
+    if (!Files.isDirectory(root)) return Vector.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .flatMap { p =>
+        val parts = root.relativize(p).iterator().asScala.map(_.toString).toVector
+        val bucket = parts.collectFirst { case s if s.startsWith("__bucket=") =>
+          s.stripPrefix("__bucket=").toInt }
+        val origin = parts.collectFirst { case s if s.startsWith("__origin=") =>
+          s.stripPrefix("__origin=").toInt }.getOrElse(0)
+        bucket.map(b => (statsOf(conf, p, b, schemaVersion, keyCols), origin))
+      }.toVector
+  }
+
+  private def statsOf(conf: org.apache.hadoop.conf.Configuration, p: Path, bucket: Int,
+      schemaVersion: Int, keyCols: Seq[String]): DataFile = {
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        var rows = 0L
+        var minSeq = Long.MaxValue; var maxSeq = Long.MinValue
+        val kmin = Array.fill[String](keyCols.size)(null)
+        val kmax = Array.fill[String](keyCols.size)(null)
+        var statsOk = blocks.nonEmpty
+        blocks.foreach { b =>
+          rows += b.getRowCount
+          b.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) {
+              if (name == SeqCol.name || keyCols.contains(name)) statsOk = false
+            } else if (name == SeqCol.name) {
+              minSeq = math.min(minSeq, st.genericGetMin.asInstanceOf[java.lang.Long])
+              maxSeq = math.max(maxSeq, st.genericGetMax.asInstanceOf[java.lang.Long])
+            } else {
+              val i = keyCols.indexOf(name)
+              if (i >= 0) {
+                val lo = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                if (kmin(i) == null || lo < kmin(i)) kmin(i) = lo
+                if (kmax(i) == null || hi > kmax(i)) kmax(i) = hi
+              }
+            }
+          }
+        }
+        if (statsOk && kmin.forall(_ != null) && minSeq <= maxSeq)
+          DataFile(p.toString, bucket, rows, schemaVersion,
+            minSeq = minSeq, maxSeq = maxSeq,
+            keyMin = kmin.toVector, keyMax = kmax.toVector)
+        else DataFile(p.toString, bucket, rows, schemaVersion)
+      } finally reader.close()
+    } catch {
+      // unreadable footer → keep the file with unknown stats (never pruned)
+      case _: Exception => DataFile(p.toString, bucket, -1L, schemaVersion)
+    }
   }
 
   // ------------------------------------------------------------------ reads
@@ -307,22 +558,34 @@ object IceLite {
   /** Incremental CHANGE FEED between two committed snapshot versions: every
     * change row applied after `fromVersion`, up to and including
     * `toVersion` — upserts plus DELETE tombstones (__del = true), with
-    * __seq exposed for downstream ordering. Cost is O(changed files): only
-    * files added after `fromVersion` are read (with merge-on-read those are
-    * the epochs' delta files), filtered by the from-snapshot's __seq
-    * watermark so rows carried along by inline COW compactions are
-    * excluded. This is the "CDC out" side of the engine: a downstream
-    * consumer can tail the table itself incrementally. NOTE: if a COW
-    * compaction ran inside the version window, intermediate versions of a
-    * key collapse to the newest (net-change semantics); consume between
-    * adjacent versions for the full per-epoch change stream. */
+    * __seq exposed for downstream ordering. Cost is O(changed files).
+    *
+    * Structure: every epoch's batch rows land in DELTA files (the merge's
+    * origin split keeps them out of inline-COW base files), so the feed is
+    * the window's delta files read UNFILTERED — late events with seq below
+    * the watermark are genuine changes and are fed (the r2 seq filter
+    * silently dropped them). Base files added in the window hold only
+    * CARRIED rows; they contribute only when a compaction inside the window
+    * collapsed away one of the window's own delta files, and are filtered
+    * by the from-snapshot's __seq watermark (files whose footer maxSeq sits
+    * at or below it are pruned without being opened). NOTE: if a compaction
+    * ran inside the window, intermediate versions of a key collapse to the
+    * newest and sub-watermark late events absorbed by it are not
+    * re-derivable (net-change semantics); consume between adjacent versions
+    * for the exact per-epoch change stream. */
   def changes(spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int): DataFrame = {
     val from = loadVersion(dir, fromVersion)
     val to = loadVersion(dir, toVersion)
     val old = from.files.map(_.path).toSet
-    val changed = read(spark, to, f => !old.contains(f.path),
+    val deltas = read(spark, to, f => !old.contains(f.path) && f.delta,
       includeHidden = true, resolve = false)
-    changed.filter(col(SeqCol.name) > from.maxSeq)
+    val carried = read(spark, to,
+      f => !old.contains(f.path) && !f.delta && f.maxSeq > from.maxSeq,
+      includeHidden = true, resolve = false)
+      .filter(col(SeqCol.name) > from.maxSeq)
+    // replacement semantics make double-delivery impossible: a base file
+    // absorbing a delta's rows replaces that delta in the same commit
+    deltas.unionByName(carried)
   }
 
   /** The bucket expression — xxhash64 on the key columns mod B. Balanced
@@ -332,17 +595,33 @@ object IceLite {
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
 
   /** Point lookup by full key: computes the key's bucket, reads ONLY that
-    * bucket's files (1/B of the table), applies the key filter (pushed to
-    * the parquet scan — files are key-sorted within buckets, so row-group
-    * stats prune further). The lake's O(table/B) primary-key get. */
+    * bucket's files (1/B of the table) and, within the bucket, only the
+    * files whose footer key bounds may contain the key (manifest stats
+    * pruning — a bucket holding a base file + K deltas typically opens
+    * far fewer than K+1 files). The key filter is pushed to the parquet
+    * scan, so row-group stats prune further. The lake's O(table/B)
+    * primary-key get. */
   def lookup(spark: SparkSession, snap: Snapshot, key: Map[String, Any]): DataFrame = {
     require(snap.keyCols.forall(key.contains), s"need all key cols ${snap.keyCols}")
     val bucket = spark.range(1)
       .select(snap.keyCols.map(k => lit(key(k)).as(k)): _*)
       .select(bucketExpr(snap.keyCols, snap.buckets))
       .head().getInt(0)
-    snap.keyCols.foldLeft(readBuckets(spark, snap, Set(bucket))) { (df, k) =>
+    val keyVals = snap.keyCols.map(k => String.valueOf(key(k)))
+    val pruned = read(spark, snap,
+      f => f.bucket == bucket && f.mayContainKey(keyVals))
+    snap.keyCols.foldLeft(pruned) { (df, k) =>
       df.filter(col(k) === lit(key(k)))
     }
+  }
+
+  /** Files a point lookup would open for `key` — exposed for tests/tools to
+    * audit stats pruning. */
+  def lookupFiles(snap: Snapshot, key: Map[String, Any]): Vector[DataFile] = {
+    val keyVals = snap.keyCols.map(k => String.valueOf(key(k)))
+    // same bucket derivation as bucketExpr, computed host-side is not
+    // possible (xxhash64 is Spark-internal), so filter on bounds only and
+    // let callers intersect with the bucket when they know it
+    snap.files.filter(_.mayContainKey(keyVals))
   }
 }

@@ -149,19 +149,29 @@ object Merge {
 
     // ---- 2. SINGLE-SHUFFLE version-ordered merge: union(batch, COW-bucket
     // target rows) → one hash repartition by bucket → in-partition sort by
-    // (key, seq DESC) → keep the first row per key. LWW per key across the
-    // batch AND the stored state in one exchange — no dedup pre-shuffle, no
-    // full-outer join, no second repartition for the bucketed write. For
-    // delta buckets the same operator is simply LWW within the batch.
-    // Late/duplicate/out-of-order events are absorbed (stored row wins when
-    // newer); DELETEs persist as tombstones so a late lower-seq upsert
-    // cannot resurrect a key.
+    // (key, origin, seq DESC) → keep the first row per (key, origin). LWW
+    // within the batch AND within the stored state in one exchange — no
+    // dedup pre-shuffle, no full-outer join, no second repartition for the
+    // bucketed write.
+    //
+    // ORIGIN SPLIT: batch rows (__origin=0) and carried stored rows
+    // (__origin=1) are LWW'd separately and written to SEPARATE files —
+    // every epoch's batch lands in a delta file even when its bucket
+    // COW-compacts inline. Read-time newest-seq-wins resolution across
+    // base+delta yields the same state as a global LWW (winner of
+    // per-origin winners = global winner; tombstones persist in both), and
+    // the change feed becomes structural: delta files ARE the epochs'
+    // change rows, so late low-seq events are never conflated with carried
+    // base rows. Late/duplicate/out-of-order events are absorbed (stored
+    // row wins at read time when newer); DELETEs persist as tombstones so
+    // a late lower-seq upsert cannot resurrect a key.
     val target = IceLite.read(spark, base.copy(schemas = schemas),
       f => cowBuckets.contains(f.bucket), includeHidden = true,
       resolve = false /* this merge IS the resolution */)
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
 
-    val unioned = observedBatch.unionByName(target)
+    val unioned = observedBatch.withColumn("__origin", lit(0))
+      .unionByName(target.withColumn("__origin", lit(1)))
 
     // Task-count is NOT capped by bucket count: when the cluster has more
     // slots than touched buckets, each bucket is hash-split on the key into
@@ -188,30 +198,32 @@ object Merge {
     val outSchema = sharded.schema
     val keyIdx = keyCols.map(outSchema.fieldIndex)
     val bucketIdx = outSchema.fieldIndex("__bucket")
+    val originIdx = outSchema.fieldIndex("__origin")
 
     val merged = sharded
       .repartition(math.max(touched.size * subSplits, 1), shardCols: _*)
       .sortWithinPartitions(
-        (col("__bucket") +: keyCols.map(col)) :+ col(IceLite.SeqCol.name).desc: _*)
+        ((col("__bucket") +: keyCols.map(col)) :+ col("__origin")) :+ col(IceLite.SeqCol.name).desc: _*)
       .mapPartitions { it =>
-        // rows arrive clustered by key, newest first — emit the winner only
+        // rows arrive clustered by (key, origin), newest first — emit the
+        // winner only (per origin: batch winner → delta, stored winner → base)
         var prev: Array[Any] = null
         it.flatMap { row =>
-          val k = keyIdx.map(row.get) :+ row.get(bucketIdx)
+          val k = (keyIdx.map(row.get) :+ row.get(bucketIdx)) :+ row.get(originIdx)
           if (prev != null && java.util.Arrays.equals(
               prev.asInstanceOf[Array[AnyRef]], k.toArray.asInstanceOf[Array[AnyRef]])) None
           else { prev = k.toArray; Some(row) }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
 
-    // ---- 3. rewrite touched buckets (subSplits files per bucket per epoch);
-    // row count rides the write job as an Observation (no second scan)
+    // ---- 3. rewrite touched buckets (subSplits files per bucket per epoch,
+    // split by origin); row count rides the write job as an Observation
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId").toString
     val obs = org.apache.spark.sql.Observation(s"merge-rows-$epochId")
     (if (subSplits == 1) merged else merged.drop("__sub"))
       .observe(obs, count(lit(1)).as("rows"))
       .write.option("parquet.block.size", 16 * 1024 * 1024)
-      .partitionBy("__bucket").mode("overwrite").parquet(epochDir)
+      .partitionBy("__bucket", "__origin").mode("overwrite").parquet(epochDir)
     val rewrittenRows = obs.get("rows").asInstanceOf[Long]
     // an all-dead-letter batch has ZERO update rows: AQE's runtime
     // empty-relation propagation can eliminate the observed branch entirely,
@@ -222,28 +234,17 @@ object Merge {
     val batchMaxSeq = batchMetrics.get("maxSeq").collect { case l: Long => l }.getOrElse(-1L)
     lap("merge+write")
 
-    // ---- 5. commit: COW buckets replace their files, delta buckets APPEND
-    // a delta file (append-only commits rebase over any concurrent commit);
-    // on an overlapping COW rewrite the commit fails loudly (IceLite.commit)
-    val newFiles = listBucketFiles(epochDir, schemaVersion)
-      .map(f => if (cowBuckets.contains(f.bucket)) f else f.copy(delta = true))
+    // ---- 5. commit: COW buckets replace their files with {base + delta},
+    // delta-path buckets APPEND a delta file (append-only commits rebase
+    // over any concurrent disjoint commit); on an overlapping rewrite the
+    // commit fails loudly (IceLite.commit). Footer stats (rows, key bounds,
+    // __seq range) ride each DataFile for manifest-level pruning.
+    val newFiles = IceLite.scanEpochFiles(epochDir, schemaVersion, keyCols)
+      .map { case (f, origin) => f.copy(delta = origin == 0) }
     IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema, batchMaxSeq))
     lap("commit")
 
     MergeStats(epochId, applied = true, batchRows, batchRows - deletes, deletes,
       touched.size, cowBuckets.size, rewrittenRows)
-  }
-
-  private def listBucketFiles(epochDir: String, schemaVersion: Int): Vector[DataFile] = {
-    val root = Paths.get(epochDir)
-    if (!Files.isDirectory(root)) return Vector.empty
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("__bucket="))
-      .flatMap { bdir =>
-        val bucket = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
-        Files.list(bdir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => DataFile(p.toString, bucket, -1L, schemaVersion))
-      }.toVector
   }
 }

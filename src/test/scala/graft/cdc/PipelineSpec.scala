@@ -263,7 +263,9 @@ class PipelineSpec extends AnyFunSuite {
     // tombstones gone from the physical files
     val hid = IceLite.read(spark, snap, includeHidden = true)
     assert(hid.filter(col("__del") === true).count() == 0)
-    // vacuum removes now-unreferenced epoch files; table still reads
+    // expire old snapshots, then vacuum removes their now-unreferenced epoch
+    // files (and orphaned manifests); table still reads
+    graft.lake.Compaction.expire(tableDir, keepLast = 1)
     val removed = graft.lake.Compaction.vacuum(tableDir)
     assert(removed > 0)
     assert(sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content")) == before)
@@ -347,7 +349,7 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("epoch", (col("offset") / 300).cast("long"))
       .write.partitionBy("epoch").mode("overwrite").parquet(logDir)
     Replay.replayLog(spark, logDir, tableDir, buckets = 4)
-    assert(IceLite.load(tableDir).epochs.forall(_.startsWith("replay-")))
+    assert(IceLite.load(tableDir).ledger.namespaces == Set("replay"))
     // tail the remainder into the SAME table; its batchId 0 must NOT be
     // swallowed by the backfill's epoch 0 (the old single-namespace bug)
     LogGen.events(spark, p).filter(col("offset") >= 600).repartition(2)
@@ -375,7 +377,7 @@ class PipelineSpec extends AnyFunSuite {
     // writer B still holds the stale base and commits bucket 2 → rebases over
     // A's commit: A's file AND epoch survive (the round-1 lost-update bug)
     val after = IceLite.commit(dir, base, IceLite.CommitDelta("B-0", Set(2), Vector(fB), base.currentSchema))
-    assert(after.epochs == Vector("A-0", "B-0"))
+    assert(after.hasEpoch("A-0") && after.hasEpoch("B-0"))
     assert(after.files.map(_.path).toSet == Set("a.parquet", "b.parquet"))
     // writer C holds the stale base and touches bucket 1 (overlaps A's
     // rewrite): silent loss is impossible — the commit fails loudly
@@ -504,6 +506,173 @@ class PipelineSpec extends AnyFunSuite {
     // exactly the second epoch's change rows — upserts AND the tombstone,
     // none of epoch f-0's rows even though the COW rewrite carried them
     assert(sortedRows(feed) == Seq("[r1,a,v1,10,false]", "[r2,b,,12,true]", "[r3,c,x1,11,false]"))
+  }
+
+  test("change feed: a LATE low-seq event in a later epoch is fed (not dropped by the watermark)") {
+    import spark.implicits._
+    val dir = tmp("late")
+    Replay.createTable(dir, buckets = 2)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r1", "a", "v0", 100L, "UPSERT"))), "seq", "op", "lt-0")
+    val v1 = IceLite.load(dir).version
+    assert(IceLite.load(dir).maxSeq == 100L)
+    // epoch 2 carries a LATE event: a new key with seq 5 << the watermark
+    // (100). The r2 feed filtered ALL window rows by __seq > 100 and
+    // silently dropped it; delta files are now read unfiltered.
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r9", "late", "lv", 5L, "UPSERT"))), "seq", "op", "lt-1")
+    val v2 = IceLite.load(dir).version
+    val feed = IceLite.changes(spark, dir, v1, v2).select("repo", "path", "content", "__seq")
+    assert(sortedRows(feed) == Seq("[r9,late,lv,5]"))
+    // same shape under inline COW (threshold 0): the origin split keeps the
+    // epoch's batch rows in a delta file even when the bucket compacts
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r9", "late2", "lw", 6L, "UPSERT"))), "seq", "op", "lt-2", deltaThreshold = 0)
+    val v3 = IceLite.load(dir).version
+    val feed2 = IceLite.changes(spark, dir, v2, v3).select("repo", "path", "content", "__seq")
+    assert(sortedRows(feed2) == Seq("[r9,late2,lw,6]"))
+  }
+
+  test("stats pruning: point lookup opens fewer files than the bucket holds (footer key bounds)") {
+    import spark.implicits._
+    val dir = tmp("prune")
+    Replay.createTable(dir, buckets = 1) // every key in ONE bucket
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    // four delta epochs over DISJOINT key ranges → four delta files whose
+    // footer bounds don't overlap
+    Merge.mergeEpoch(spark, dir, upd((1 to 20).map(i => ("a", f"p$i%02d", "x", i.toLong, "UPSERT"))), "seq", "op", "pr-0")
+    Merge.mergeEpoch(spark, dir, upd((1 to 20).map(i => ("b", f"p$i%02d", "x", (100 + i).toLong, "UPSERT"))), "seq", "op", "pr-1")
+    Merge.mergeEpoch(spark, dir, upd((1 to 20).map(i => ("c", f"p$i%02d", "x", (200 + i).toLong, "UPSERT"))), "seq", "op", "pr-2")
+    Merge.mergeEpoch(spark, dir, upd((1 to 20).map(i => ("d", f"p$i%02d", "x", (300 + i).toLong, "UPSERT"))), "seq", "op", "pr-3")
+    val snap = IceLite.load(dir)
+    assert(snap.files.forall(f => f.keyMin.nonEmpty && f.rows > 0), "footer stats must be recorded")
+    // the bucket holds ≥4 files, but a lookup key under repo=c can only be
+    // in files whose repo bounds admit "c"
+    val openable = snap.files.filter(_.mayContainKey(Seq("c", "p05")))
+    assert(snap.files.size >= 4 && openable.size < snap.files.size,
+      s"pruning must skip files: ${openable.size} of ${snap.files.size}")
+    assert(openable.nonEmpty)
+    val hit = IceLite.lookup(spark, snap, Map("repo" -> "c", "path" -> "p05"))
+    assert(hit.count() == 1)
+    // seq stats power the change feed's file pruning too
+    assert(snap.files.forall(f => f.minSeq >= 1 && f.maxSeq <= 320))
+  }
+
+  test("metadata scale: 10k-file table commits O(delta) metadata; epoch ledger stays bounded") {
+    val dir = tmp("meta")
+    val cols = IceLite.withCdcCols(Vector(IceLite.ColDef(1, "k", "STRING")))
+    val base = IceLite.create(dir, cols, Vector("k"), 64)
+    // seed commit: 10,000 synthetic files across all buckets
+    val many = (0 until 10000).map(i =>
+      IceLite.DataFile(s"f$i.parquet", i % 64, 10, 0, delta = true)).toVector
+    val s1 = IceLite.commit(dir, base, IceLite.CommitDelta("seed-0", Set.empty, many, cols))
+    assert(s1.files.size == 10000)
+    def metaBytes(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val md = java.nio.file.Paths.get(dir, "meta")
+      Files.list(md).iterator().asScala
+        .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    }
+    val before = metaBytes()
+    // a delta-append epoch adds 2 files → it must WRITE only a snapshot
+    // JSON + manifests covering the adds, not re-serialize the 10k list
+    val s2 = IceLite.commit(dir, s1, IceLite.CommitDelta("seed-1", Set.empty,
+      Vector(IceLite.DataFile("g0.parquet", 0, 10, 0, delta = true),
+             IceLite.DataFile("g1.parquet", 1, 10, 0, delta = true)), cols))
+    val after = metaBytes()
+    val newFiles = after.keySet -- before.keySet
+    val newBytes = newFiles.toSeq.map(after).sum
+    val totalManifestBytes = after.collect { case (n, sz) if n.startsWith("m-") => sz }.sum
+    assert(s2.files.size == 10002)
+    assert(newBytes < totalManifestBytes / 20,
+      s"append commit wrote $newBytes bytes vs $totalManifestBytes total manifest bytes — not O(delta)")
+    // snapshot JSON itself is O(manifests + schema), never O(files)
+    val snapBytes = after(f"v${s2.version}%05d.json")
+    assert(snapBytes < 8192, s"snapshot JSON is $snapBytes bytes — must not inline the file list")
+    // epoch ledger: 10k contiguous epochs collapse to one watermark
+    val led = (0 until 10000).foldLeft(IceLite.EpochLedger.empty)((l, i) => l.add(s"replay-$i"))
+    assert(led.watermarks == Map("replay" -> 9999L) && led.recent.isEmpty)
+    assert(led.contains("replay-7321") && !led.contains("replay-10000"))
+    // out-of-order ids are held until the gap closes, then absorbed
+    val led2 = IceLite.EpochLedger.empty.add("t-0").add("t-2").add("t-1")
+    assert(led2.watermarks("t") == 2L && led2.recent.isEmpty)
+  }
+
+  test("incremental compaction: disjoint-bucket compaction and merge both commit; overlap conflicts") {
+    import spark.implicits._
+    val dir = tmp("inc")
+    Replay.createTable(dir, buckets = 4)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    (0 to 2).foreach { e =>
+      Merge.mergeEpoch(spark, dir, upd((1 to 40).map(i =>
+        ("r" + i % 7, s"p$i", s"v$e-$i", (e * 100 + i).toLong, "UPSERT"))), "seq", "op", s"ic-$e")
+    }
+    val before = sortedRows(IceLite.read(spark, IceLite.load(dir)).select("repo", "path", "content"))
+    val snap = IceLite.load(dir)
+    val someBuckets = snap.files.map(_.bucket).distinct.sorted.take(2).toSet
+    // compact only a SUBSET of buckets — the conflict window is that subset
+    val st = graft.lake.Compaction.compact(spark, dir, "compact-1", Some(someBuckets))
+    assert(st.buckets == someBuckets.size)
+    assert(sortedRows(IceLite.read(spark, IceLite.load(dir)).select("repo", "path", "content")) == before)
+    // compacted buckets hold base files only; others keep their deltas
+    val snap2 = IceLite.load(dir)
+    assert(snap2.files.filter(f => someBuckets(f.bucket)).forall(!_.delta))
+    assert(snap2.files.exists(_.delta))
+
+    // ---- racing writers against a STALE base (the concurrency contract):
+    val stale = snap2
+    val otherBucket = snap2.files.map(_.bucket).find(b => !someBuckets(b)).get
+    // 1. compaction of bucket X commits first (replaces its files with a
+    // fresh base file)…
+    val cFiles = Vector(IceLite.DataFile("compacted-x.parquet", otherBucket, 1, 0))
+    IceLite.commit(dir, stale, IceLite.CommitDelta("race-compact-0", Set(otherBucket), cFiles, stale.currentSchema))
+    // 2. …then a delta-append to the SAME bucket from the stale base must
+    // FAIL LOUDLY: the compaction may have purged tombstones this delta's
+    // read-time LWW depends on (the r2 conflict check missed append buckets)
+    intercept[java.util.ConcurrentModificationException] {
+      IceLite.commit(dir, stale, IceLite.CommitDelta("race-append-0", Set.empty,
+        Vector(IceLite.DataFile("zz.parquet", otherBucket, 1, 0, delta = true)), stale.currentSchema))
+    }
+    // 3. a delta-append to a DIFFERENT bucket rebases cleanly
+    val freeBucket = snap2.files.map(_.bucket).find(b => !someBuckets(b) && b != otherBucket)
+      .getOrElse((0 until 4).find(b => b != otherBucket && !someBuckets(b)).get)
+    val ok = IceLite.commit(dir, stale, IceLite.CommitDelta("race-append-1", Set.empty,
+      Vector(IceLite.DataFile("yy.parquet", freeBucket, 1, 0, delta = true)), stale.currentSchema))
+    assert(ok.hasEpoch("race-compact-0") && ok.hasEpoch("race-append-1"))
   }
 
   test("lineage ledger records per-route and per-partition decode counts incl. dead letters") {
