@@ -31,10 +31,39 @@ object ProtoJson {
   private def indent(sb: StringBuilder, level: Int): Unit =
     if (level >= 0) { sb.append('\n'); sb.append("  " * level) }
 
+  /** Well-known types that JsonFormat prints in a special scalar/JSON form
+    * rather than as the message object (the reference inherits all of these
+    * through JSONMapper.java:44-60). */
+  private val wrapperTypes = Set(
+    "google.protobuf.DoubleValue", "google.protobuf.FloatValue",
+    "google.protobuf.Int64Value", "google.protobuf.UInt64Value",
+    "google.protobuf.Int32Value", "google.protobuf.UInt32Value",
+    "google.protobuf.BoolValue", "google.protobuf.StringValue",
+    "google.protobuf.BytesValue")
+
   private def printMsg(fs: FileSet, m: DynMsg, sb: StringBuilder, level: Int): Unit = {
-    // Timestamp well-known special form
-    if (m.desc.fullName == "google.protobuf.Timestamp") {
-      sb.append(quote(timestampToRfc3339(m))); return
+    m.desc.fullName match {
+      case "google.protobuf.Timestamp" => sb.append(quote(timestampToRfc3339(m))); return
+      case "google.protobuf.Duration" => sb.append(quote(durationToString(m))); return
+      case "google.protobuf.FieldMask" => sb.append(quote(fieldMaskToString(m))); return
+      case n if wrapperTypes(n) =>
+        // a SET wrapper prints its bare value, default included
+        val vf = m.desc.fieldByNumber(1)
+        printValue(fs, vf, m.fields.getOrElse(1, defaultValue(vf)), sb, level)
+        return
+      case "google.protobuf.Struct" =>
+        val vf = m.desc.fieldByNumber(1)
+        printValue(fs, vf, m.fields.getOrElse(1, PList(Vector.empty)), sb, level)
+        return
+      case "google.protobuf.Value" => printGoogleValue(fs, m, sb, level); return
+      case "google.protobuf.ListValue" =>
+        val vf = m.desc.fieldByNumber(1)
+        printValue(fs, vf, m.fields.getOrElse(1, PList(Vector.empty)), sb, level)
+        return
+      case "google.protobuf.Any" =>
+        throw new MessageEncodingException(
+          "google.protobuf.Any requires a type registry (JsonFormat parity: unsupported without one)")
+      case _ => ()
     }
     val entries = m.desc.fieldsInNumberOrder.flatMap { f =>
       m.fields.get(f.number).flatMap { v =>
@@ -161,6 +190,74 @@ object ProtoJson {
     sb.toString
   }
 
+  /** google.protobuf.Value: exactly one oneof member set → its JSON form. */
+  private def printGoogleValue(fs: FileSet, m: DynMsg, sb: StringBuilder, level: Int): Unit = {
+    m.fields.headOption match {
+      case Some((1, _)) => sb.append("null") // null_value
+      case Some((n @ (2 | 3 | 4 | 5 | 6), v)) => printValue(fs, m.desc.fieldByNumber(n), v, sb, level)
+      case Some((other, _)) =>
+        throw new MessageEncodingException(s"google.protobuf.Value: unexpected field $other")
+      case None => sb.append("null") // unset Value — JsonFormat throws; print null (lenient)
+    }
+  }
+
+  // ---------------------------------------------------- duration / fieldmask
+
+  /** JsonFormat form: "3s", "3.500s", "-0.000000001s" — 0/3/6/9 frac digits. */
+  def durationToString(m: DynMsg): String = {
+    val seconds = m.fields.get(1).collect { case PLong(l) => l }.getOrElse(0L)
+    val nanos = m.fields.get(2).collect { case PLong(l) => l.toInt }.getOrElse(0)
+    val neg = seconds < 0 || nanos < 0
+    val s = math.abs(seconds); val n = math.abs(nanos)
+    val frac =
+      if (n == 0) ""
+      else if (n % 1000000 == 0) f".${n / 1000000}%03d"
+      else if (n % 1000 == 0) f".${n / 1000}%06d"
+      else f".$n%09d"
+    (if (neg) "-" else "") + s + frac + "s"
+  }
+
+  def stringToDuration(desc: MessageDesc, str: String): DynMsg = {
+    if (!str.endsWith("s"))
+      throw new MessageEncodingException(s"invalid Duration: $str (must end in 's')")
+    val body0 = str.dropRight(1)
+    val neg = body0.startsWith("-")
+    val body = if (neg) body0.drop(1) else body0
+    val (secPart, nanoPart) = body.split('.') match {
+      case Array(sp) => (sp, 0)
+      case Array(sp, fp) =>
+        if (fp.length > 9) throw new MessageEncodingException(s"invalid Duration: $str")
+        (sp, fp.padTo(9, '0').toInt)
+      case _ => throw new MessageEncodingException(s"invalid Duration: $str")
+    }
+    val sign = if (neg) -1L else 1L
+    val seconds = sign * secPart.toLong
+    val nanos = (sign * nanoPart).toInt
+    var fields = TreeMap.empty[Int, PValue]
+    if (seconds != 0) fields += (1 -> PLong(seconds))
+    if (nanos != 0) fields += (2 -> PLong(nanos.toLong))
+    DynMsg(desc, fields)
+  }
+
+  /** JsonFormat form: paths joined with ",", snake_case → lowerCamelCase. */
+  def fieldMaskToString(m: DynMsg): String =
+    m.fields.get(1).collect { case PList(vs) =>
+      vs.collect { case PStr(p) =>
+        p.split('.').map(Descriptors.defaultJsonName).mkString(".")
+      }.mkString(",")
+    }.getOrElse("")
+
+  def stringToFieldMask(desc: MessageDesc, str: String): DynMsg = {
+    def toSnake(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach { c => if (c.isUpper) { sb.append('_'); sb.append(c.toLower) } else sb.append(c) }
+      sb.toString
+    }
+    val paths = str.split(',').filter(_.nonEmpty).toVector
+      .map(p => PStr(p.split('.').map(toSnake).mkString(".")): PValue)
+    DynMsg(desc, if (paths.isEmpty) TreeMap.empty[Int, PValue] else TreeMap(1 -> (PList(paths): PValue)))
+  }
+
   // ------------------------------------------------------------- timestamp
 
   def timestampToRfc3339(m: DynMsg): String = {
@@ -198,8 +295,48 @@ object ProtoJson {
   }
 
   private def parseMsg(fs: FileSet, desc: MessageDesc, node: JsonNode): DynMsg = {
-    if (desc.fullName == "google.protobuf.Timestamp" && node.getNodeType == JsonNodeType.STRING)
-      return rfc3339ToTimestamp(desc, node.asText())
+    desc.fullName match {
+      case "google.protobuf.Timestamp" if node.getNodeType == JsonNodeType.STRING =>
+        return rfc3339ToTimestamp(desc, node.asText())
+      case "google.protobuf.Duration" if node.getNodeType == JsonNodeType.STRING =>
+        return stringToDuration(desc, node.asText())
+      case "google.protobuf.FieldMask" if node.getNodeType == JsonNodeType.STRING =>
+        return stringToFieldMask(desc, node.asText())
+      case n if wrapperTypes(n) =>
+        // the bare JSON scalar IS the wrapper's value (presence = message set)
+        val vf = desc.fieldByNumber(1)
+        val v = parseValue(fs, vf, node)
+        return DynMsg(desc, TreeMap(1 -> v))
+      case "google.protobuf.Struct" =>
+        if (!node.isObject) throw new MessageEncodingException("Struct: expected JSON object")
+        // fall through to the generic path with the map under field "fields"?
+        // No — the special form IS the bare object: route it through the map
+        // field directly.
+        val vf = desc.fieldByNumber(1)
+        val entryDesc = fs.messageFor(vf)
+        val valF = entryDesc.fieldByNumber(2)
+        var entries = Vector.empty[PValue]
+        val mit = node.properties().iterator()
+        while (mit.hasNext) {
+          val me = mit.next()
+          val vv = parseValue(fs, valF, me.getValue)
+          entries :+= PMsg(DynMsg(entryDesc, TreeMap(1 -> PStr(me.getKey), 2 -> vv)))
+        }
+        return DynMsg(desc,
+          if (entries.isEmpty) TreeMap.empty[Int, PValue] else TreeMap(1 -> (PList(entries): PValue)))
+      case "google.protobuf.Value" =>
+        return parseGoogleValue(fs, desc, node)
+      case "google.protobuf.ListValue" =>
+        if (!node.isArray) throw new MessageEncodingException("ListValue: expected JSON array")
+        val vf = desc.fieldByNumber(1)
+        val vs = Vector.tabulate(node.size())(i => parseValue(fs, vf, node.get(i)))
+        return DynMsg(desc,
+          if (vs.isEmpty) TreeMap.empty[Int, PValue] else TreeMap(1 -> (PList(vs): PValue)))
+      case "google.protobuf.Any" =>
+        throw new MessageEncodingException(
+          "google.protobuf.Any requires a type registry (JsonFormat parity: unsupported without one)")
+      case _ => ()
+    }
     var fields = TreeMap.empty[Int, PValue]
     val it = node.properties().iterator()
     while (it.hasNext) {
@@ -232,6 +369,22 @@ object ProtoJson {
       }
     }
     DynMsg(desc, fields)
+  }
+
+  /** Any JSON node → google.protobuf.Value (null/number/string/bool/object/array). */
+  private def parseGoogleValue(fs: FileSet, desc: MessageDesc, node: JsonNode): DynMsg = {
+    val f: Int => FieldDesc = desc.fieldByNumber
+    node.getNodeType match {
+      case JsonNodeType.NULL => DynMsg(desc, TreeMap(1 -> PEnum(0))) // NULL_VALUE
+      case JsonNodeType.NUMBER => DynMsg(desc, TreeMap(2 -> PDouble(node.asDouble())))
+      case JsonNodeType.STRING => DynMsg(desc, TreeMap(3 -> PStr(node.asText())))
+      case JsonNodeType.BOOLEAN => DynMsg(desc, TreeMap(4 -> PBool(node.asBoolean())))
+      case JsonNodeType.OBJECT =>
+        DynMsg(desc, TreeMap(5 -> PMsg(parseMsg(fs, fs.messageFor(f(5)), node))))
+      case JsonNodeType.ARRAY =>
+        DynMsg(desc, TreeMap(6 -> PMsg(parseMsg(fs, fs.messageFor(f(6)), node))))
+      case other => throw new MessageEncodingException(s"google.protobuf.Value: unsupported JSON $other")
+    }
   }
 
   private def parseMapKey(f: FieldDesc, key: String): PValue = f.tpe match {

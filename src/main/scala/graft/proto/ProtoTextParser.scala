@@ -24,9 +24,16 @@ object ProtoTextParser {
       nestedEnums = Vector.empty)),
     enums = Vector.empty)
 
-  def parse(source: String, fileName: String = "inline.proto"): FileSet = {
+  def parse(source: String, fileName: String = "inline.proto"): FileSet =
+    parse(source, fileName, FileSet(Vector.empty))
+
+  /** Compile with a pre-parsed import set: `imports`' types are visible to
+    * this file's type references and its files are bundled into the result —
+    * the in-JVM equivalent of the reference's
+    * `protoc --include_imports -I <parent>` (SchemaParser.java:40-51). */
+  def parse(source: String, fileName: String, imports: FileSet): FileSet = {
     val toks = tokenize(source)
-    val p = new Parser(toks, fileName)
+    val p = new Parser(toks, fileName, imports.files)
     p.parseFile()
   }
 
@@ -89,7 +96,8 @@ object ProtoTextParser {
       nested: Vector[RawMsg], enums: Vector[(String, Vector[(String, Int)])],
       mapEntries: Vector[RawMsg] = Vector.empty)
 
-  private final class Parser(toks: Vector[String], fileName: String) {
+  private final class Parser(toks: Vector[String], fileName: String,
+      importedFiles: Vector[FileDesc] = Vector.empty) {
     private var i = 0
     private def peek: String = if (i < toks.length) toks(i) else ""
     private def next(): String = { val t = peek; i += 1; t }
@@ -128,7 +136,7 @@ object ProtoTextParser {
       val fileMsgs = msgs.map(qualify(prefix, _))
       val fileEnums = enums.map { case (n, vs) => EnumDesc(n, prefix + n, vs) }
       val fd = applySyntax(FileDesc(fileName, pkg, fileMsgs, fileEnums, syntax))
-      val fs = FileSet(Vector(fd) ++ builtins)
+      val fs = FileSet(Vector(fd) ++ builtins ++ importedFiles)
       resolveTypes(fs)
     }
 

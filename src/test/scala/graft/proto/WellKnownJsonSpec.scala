@@ -1,0 +1,143 @@
+package graft.proto
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.proto.Descriptors._
+
+/** Well-known-type JSON parity (VERDICT r2 gap #1): the reference delegates
+  * to protobuf-java's JsonFormat (JSONMapper.java:44-60), which prints
+  * Duration / the wrapper types / Struct/Value/ListValue / FieldMask in
+  * special scalar/JSON forms rather than as message objects. These tests
+  * pin our ProtoJson to those forms with schema-defined well-known
+  * descriptors, and check byte-stable re-encode through the wire codec. */
+class WellKnownJsonSpec extends AnyFunSuite {
+
+  private val wktProto =
+    """syntax = "proto3";
+      |package google.protobuf;
+      |message Duration { int64 seconds = 1; int32 nanos = 2; }
+      |message Timestamp { int64 seconds = 1; int32 nanos = 2; }
+      |message DoubleValue { double value = 1; }
+      |message FloatValue { float value = 1; }
+      |message Int64Value { int64 value = 1; }
+      |message UInt64Value { uint64 value = 1; }
+      |message Int32Value { int32 value = 1; }
+      |message UInt32Value { uint32 value = 1; }
+      |message BoolValue { bool value = 1; }
+      |message StringValue { string value = 1; }
+      |message BytesValue { bytes value = 1; }
+      |message Struct { map<string, Value> fields = 1; }
+      |message Value {
+      |  oneof kind {
+      |    NullValue null_value = 1;
+      |    double number_value = 2;
+      |    string string_value = 3;
+      |    bool bool_value = 4;
+      |    Struct struct_value = 5;
+      |    ListValue list_value = 6;
+      |  }
+      |}
+      |enum NullValue { NULL_VALUE = 0; }
+      |message ListValue { repeated Value values = 1; }
+      |message FieldMask { repeated string paths = 1; }
+      |""".stripMargin
+
+  private val demoProto =
+    """syntax = "proto3";
+      |package demo;
+      |message Blob {
+      |  google.protobuf.Duration ttl = 1;
+      |  google.protobuf.Int32Value count = 2;
+      |  google.protobuf.StringValue label = 3;
+      |  google.protobuf.Struct meta = 4;
+      |  google.protobuf.ListValue tags = 5;
+      |  google.protobuf.FieldMask mask = 6;
+      |  google.protobuf.BoolValue flag = 7;
+      |  google.protobuf.BytesValue raw = 8;
+      |  google.protobuf.UInt64Value big = 9;
+      |}
+      |""".stripMargin
+
+  private val fs = ProtoTextParser.parse(demoProto, "demo.proto",
+    imports = ProtoTextParser.parse(wktProto, "wkt.proto"))
+  private val blob = fs.findMessage("demo.Blob").get
+
+  private def roundTrip(json: String): (DynMsg, String) = {
+    val m = ProtoJson.fromJson(fs, blob, json)
+    (m, ProtoJson.toJson(fs, m))
+  }
+
+  test("Duration prints as decimal-seconds string (JsonFormat form), incl. negative and 9-digit nanos") {
+    val durDesc = fs.findMessage("google.protobuf.Duration").get
+    def str(s: Long, n: Int): String = {
+      import scala.collection.immutable.TreeMap
+      import PValue._
+      var f = TreeMap.empty[Int, PValue]
+      if (s != 0) f += (1 -> PLong(s))
+      if (n != 0) f += (2 -> PLong(n.toLong))
+      ProtoJson.durationToString(DynMsg(durDesc, f))
+    }
+    assert(str(3, 0) == "3s")
+    assert(str(3, 500000000) == "3.500s")
+    assert(str(3, 500000) == "3.000500s")
+    assert(str(0, 1) == "0.000000001s")
+    assert(str(-3, -500000000) == "-3.500s")
+    assert(str(0, -1) == "-0.000000001s")
+    // parse inverts print
+    Seq("3s", "3.500s", "0.000000001s", "-3.500s", "-0.000000001s").foreach { d =>
+      assert(ProtoJson.durationToString(ProtoJson.stringToDuration(durDesc, d)) == d)
+    }
+  }
+
+  test("wrappers / Struct / Value / ListValue / FieldMask round-trip through canonical JSON") {
+    val json =
+      """{
+        |  "ttl": "2.250s",
+        |  "count": 0,
+        |  "label": "hello",
+        |  "meta": {"a": 1.5, "b": {"c": [true, null, "s"]}, "empty": {}},
+        |  "tags": [1.0, "two", false, null],
+        |  "mask": "fooBar.bazQux,abc",
+        |  "flag": false,
+        |  "raw": "aGVsbG8=",
+        |  "big": "18446744073709551615"
+        |}""".stripMargin
+    val (m, printed) = roundTrip(json)
+    assert(ProtoJson.jsonTreeEquals(printed, json),
+      s"canonical print diverged:\n$printed")
+    // wire round-trip: decode(encode(m)) re-prints identically and re-encodes
+    // byte-identically (canonical field-number order)
+    val bytes = DynMsg.encode(fs, m)
+    val decoded = DynMsg.decode(fs, blob, bytes)
+    assert(ProtoJson.jsonTreeEquals(ProtoJson.toJson(fs, decoded), json))
+    assert(java.util.Arrays.equals(DynMsg.encode(fs, decoded), bytes))
+    // wrapper presence survives: count=0 (a SET Int32Value at its default)
+    // must keep printing — message fields have explicit presence
+    assert(printed.contains("\"count\": 0"))
+    assert(printed.contains("\"flag\": false"))
+    // FieldMask paths stored snake_case, printed camelCase
+    import PValue._
+    val mask = m.fields(6).asInstanceOf[PMsg].v
+    assert(mask.fields(1).asInstanceOf[PList].vs ==
+      Vector(PStr("foo_bar.baz_qux"), PStr("abc")))
+  }
+
+  test("Struct parses arbitrary JSON into Value trees and back") {
+    val structDesc = fs.findMessage("google.protobuf.Struct").get
+    val json = """{"s": "x", "n": -2.5, "b": true, "nul": null, "o": {"k": [1.0, {"z": []}]}}"""
+    val m = ProtoJson.fromJson(fs, structDesc, json)
+    assert(ProtoJson.jsonTreeEquals(ProtoJson.toJson(fs, m), json))
+    val bytes = DynMsg.encode(fs, m)
+    assert(ProtoJson.jsonTreeEquals(
+      ProtoJson.toJson(fs, DynMsg.decode(fs, structDesc, bytes)), json))
+  }
+
+  test("unknown field in a well-known context still errors (strict parser parity)") {
+    intercept[MessageEncodingException] {
+      ProtoJson.fromJson(fs, blob, """{"nosuch": 1}""")
+    }
+    // malformed Duration string
+    intercept[MessageEncodingException] {
+      ProtoJson.fromJson(fs, blob, """{"ttl": "3.5"}""")
+    }
+  }
+}
