@@ -127,6 +127,10 @@ object CdcCli {
       val buckets = rest.drop(1).headOption.map(_.split(',').map(_.toInt).toSet)
       val st = graft.lake.Compaction.compact(spark, tableDir, epochId, buckets)
       println(s"compacted ${st.buckets} buckets: rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
+    case "rebucket" :: tableDir :: nb :: rest =>
+      val epochId = rest.headOption.getOrElse(s"rebucket-${System.nanoTime()}")
+      val st = graft.lake.Compaction.rebucket(spark, tableDir, nb.toInt, epochId)
+      println(s"rebucketed to ${st.buckets} buckets: rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val expired = graft.lake.Compaction.expire(tableDir, keep)

@@ -66,6 +66,43 @@ object Compaction {
     CompactionStats(chosen.size, rowsBefore, rowsAfter, oldFiles.size)
   }
 
+  /** Change the table's bucket count — the scale operation for a table that
+    * outgrew its layout (e.g. 64 buckets ingesting 100× the design volume:
+    * per-bucket files get huge and merge tasks coarse). A full rewrite of
+    * the resolved state (tombstones included, so late events replayed later
+    * still lose to them) under the NEW bucket expression, committed as a
+    * fresh snapshot with the new bucket count. Fenced like any commit; any
+    * concurrent commit conflicts loudly (a rebucket touches every bucket).
+    * Readers pick up the new layout transparently — bucket ids live only in
+    * snapshot metadata. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int, epochId: String): CompactionStats = {
+    val base = IceLite.load(dir)
+    if (base.hasEpoch(epochId)) return CompactionStats(0, 0, 0, 0)
+    require(newBuckets > 0, "newBuckets must be positive")
+
+    val preObs = org.apache.spark.sql.Observation(s"rebucket-pre-$epochId")
+    // resolved state INCLUDING tombstones (they must survive the rewrite)
+    val cur = IceLite.read(spark, base, includeHidden = true)
+      .observe(preObs, count(lit(1)).as("rows"))
+      .withColumn("__bucket", bucketExpr(base.keyCols, newBuckets))
+
+    val epochDir = Paths.get(dir, "data", s"epoch=$epochId-rebucket").toString
+    val obs = org.apache.spark.sql.Observation(s"rebucket-$epochId")
+    cur
+      .repartition(newBuckets, col("__bucket"))
+      .sortWithinPartitions(col("__bucket") +: base.keyCols.map(col): _*)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.option("parquet.block.size", 16 * 1024 * 1024)
+      .partitionBy("__bucket").mode("overwrite").parquet(epochDir)
+    val rowsAfter = obs.get("rows").asInstanceOf[Long]
+    val rowsBefore = preObs.get("rows").asInstanceOf[Long]
+
+    val newFiles = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
+      .map { case (f, _) => f.copy(delta = false) }
+    IceLite.commitRebucket(dir, base, epochId, newBuckets, newFiles)
+    CompactionStats(newBuckets, rowsBefore, rowsAfter, base.files.size)
+  }
+
   /** Remove data files not referenced by any retained snapshot's manifests,
     * and manifest files not referenced by any snapshot (orphans from lost
     * commit races). Ends time travel for data superseded before the latest

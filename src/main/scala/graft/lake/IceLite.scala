@@ -425,6 +425,33 @@ object IceLite {
     throw new IllegalStateException("commit retry limit exceeded")
   }
 
+  /** Commit a full-table REBUCKET: replaces every file and changes the
+    * bucket count in one atomic snapshot. No rebase is possible (the
+    * rewrite derives from the whole table), so any intervening commit
+    * conflicts loudly; duplicate epochs fence as usual. */
+  def commitRebucket(dir: String, base: Snapshot, epochId: String,
+      newBuckets: Int, newFiles: Vector[DataFile]): Snapshot = {
+    val cur = load(dir)
+    if (cur.hasEpoch(epochId)) return cur
+    if (cur.version != base.version)
+      throw new java.util.ConcurrentModificationException(
+        s"epoch $epochId: concurrent commit during rebucket; re-run against the current snapshot")
+    val attempt0 = cur.copy(
+      version = cur.version + 1,
+      ledger = cur.ledger.add(epochId),
+      buckets = newBuckets,
+      files = newFiles,
+      manifests = Vector.empty,
+      maxSeq = cur.maxSeq)
+    val refs = newFiles.groupBy(f => attempt0.rangeOf(f.bucket)).toVector.sortBy(_._1)
+      .map { case (r, fs) => writeManifest(dir, r, fs) }
+    val attempt = attempt0.copy(manifests = refs)
+    if (!writeAtomic(dir, attempt))
+      throw new java.util.ConcurrentModificationException(
+        s"epoch $epochId: lost the commit race during rebucket; re-run against the current snapshot")
+    attempt
+  }
+
   // ------------------------------------------------------------ file stats
 
   /** List the parquet files of one epoch-output directory
@@ -437,7 +464,7 @@ object IceLite {
     val root = Paths.get(epochDir)
     if (!Files.isDirectory(root)) return Vector.empty
     val conf = new org.apache.hadoop.conf.Configuration()
-    Files.walk(root).iterator().asScala
+    val targets = Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .flatMap { p =>
         val parts = root.relativize(p).iterator().asScala.map(_.toString).toVector
@@ -445,8 +472,14 @@ object IceLite {
           s.stripPrefix("__bucket=").toInt }
         val origin = parts.collectFirst { case s if s.startsWith("__origin=") =>
           s.stripPrefix("__origin=").toInt }.getOrElse(0)
-        bucket.map(b => (statsOf(conf, p, b, schemaVersion, keyCols), origin))
+        bucket.map(b => (p, b, origin))
       }.toVector
+    // footer reads are independent driver-side I/O — parallelize so the
+    // commit's serial slice doesn't grow with the epoch's file count
+    import scala.collection.parallel.CollectionConverters._
+    targets.par.map { case (p, b, origin) =>
+      (statsOf(conf, p, b, schemaVersion, keyCols), origin)
+    }.toVector
   }
 
   private def statsOf(conf: org.apache.hadoop.conf.Configuration, p: Path, bucket: Int,

@@ -200,12 +200,17 @@ object Merge {
     val bucketIdx = outSchema.fieldIndex("__bucket")
     val originIdx = outSchema.fieldIndex("__origin")
 
+    // sort ORDER matters twice: (bucket, origin) must be the PREFIX so the
+    // dynamic-partition writer sees its partition columns pre-sorted and
+    // inserts no extra per-task sort (and files stay key-sorted for
+    // row-group pruning); within (bucket, origin), keys cluster with newest
+    // seq first for the streaming LWW dedup below.
     val merged = sharded
       .repartition(math.max(touched.size * subSplits, 1), shardCols: _*)
       .sortWithinPartitions(
-        ((col("__bucket") +: keyCols.map(col)) :+ col("__origin")) :+ col(IceLite.SeqCol.name).desc: _*)
+        ((col("__bucket") +: col("__origin") +: keyCols.map(col)) :+ col(IceLite.SeqCol.name).desc): _*)
       .mapPartitions { it =>
-        // rows arrive clustered by (key, origin), newest first — emit the
+        // rows arrive clustered by (origin, key), newest first — emit the
         // winner only (per origin: batch winner → delta, stored winner → base)
         var prev: Array[Any] = null
         it.flatMap { row =>

@@ -675,6 +675,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(ok.hasEpoch("race-compact-0") && ok.hasEpoch("race-append-1"))
   }
 
+  test("rebucket: table re-layouts to a new bucket count; state, lookups and merges keep working") {
+    import spark.implicits._
+    val logDir = tmp("rb-log"); val dir = tmp("rb-table")
+    val p = LogGen.Params(nEvents = 4000, nRepos = 20, pathsPerRepo = 20)
+    LogGen.writeLog(spark, p, logDir, epochs = 2)
+    Replay.replayLog(spark, logDir, dir, buckets = 4)
+    val before = sortedRows(IceLite.read(spark, IceLite.load(dir)).select("repo", "path", "content"))
+
+    val st = graft.lake.Compaction.rebucket(spark, dir, newBuckets = 16, epochId = "rebucket-1")
+    assert(st.buckets == 16)
+    val snap = IceLite.load(dir)
+    assert(snap.buckets == 16)
+    assert(snap.files.forall(f => f.bucket >= 0 && f.bucket < 16 && !f.delta))
+    assert(sortedRows(IceLite.read(spark, snap).select("repo", "path", "content")) == before)
+
+    // lookups route through the NEW bucket expression
+    val sample = IceLite.read(spark, snap).select("repo", "path", "content")
+      .orderBy("repo", "path").head()
+    val hit = IceLite.lookup(spark, snap,
+      Map("repo" -> sample.getString(0), "path" -> sample.getString(1)))
+    assert(hit.select("content").as[String].head() == sample.getString(2))
+
+    // a later merge works against the new layout (and a tombstone from
+    // before the rebucket still beats a late lower-seq upsert)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, upd(Seq(("zz", "new", "post-rebucket", 10_000_000L, "UPSERT"))),
+      "seq", "op", "post-rb-0")
+    val after = IceLite.load(dir)
+    assert(IceLite.lookup(spark, after, Map("repo" -> "zz", "path" -> "new")).count() == 1)
+    assert(IceLite.read(spark, after).count() == before.size + 1)
+    // rebucket is fenced like any epoch
+    val st2 = graft.lake.Compaction.rebucket(spark, dir, newBuckets = 16, epochId = "rebucket-1")
+    assert(st2.buckets == 0)
+  }
+
   test("lineage ledger records per-route and per-partition decode counts incl. dead letters") {
     import spark.implicits._
     val logDir = tmp("dl-log"); val tableDir = tmp("dl-table")
