@@ -45,12 +45,54 @@ object CdcQueries {
       .orderBy("repo", "path")
   }
 
+  /** q29: the incremental CHANGE FEED (CDC out), driver-gated. Replays a
+    * seeded log in 3 epochs, then reads `IceLite.changes` between the
+    * snapshots after epoch 0 and after epoch 2 — exactly epochs 1..2's
+    * change rows (upserts AND tombstones), each epoch LWW'd per key. The
+    * oracle re-derives that from the decoded log dumped by this same run:
+    * row_number per (epoch, key) ordered by seq DESC, epochs ≥ 1. */
+  def changeFeed(spark: SparkSession, nEvents: Long, tag: String): DataFrame = {
+    import spark.implicits._
+    val root = workDir(tag)
+    val logDir = s"$root/log"
+    val tableDir = s"$root/table"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    LogGen.writeLog(spark, LogGen.Params(nEvents = nEvents, nRepos = 40,
+      pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+    // oracle input: decoded change rows WITH their epoch
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val log = spark.read.parquet(logDir)
+    (0 until 3).map { e =>
+      val ev = log.filter(col("epoch") === e)
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[graft.decode.ChangeEvent]
+      Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+
+    Replay.replayLog(spark, logDir, tableDir, buckets = 8)
+    // table versions: v0 = create, v1..v3 = the three epochs
+    IceLite.changes(spark, tableDir, fromVersion = 1, toVersion = 3)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"), col("author"),
+        col(IceLite.SeqCol.name).as("seq"),
+        col(IceLite.DelCol.name).as("is_delete"))
+      .orderBy("seq")
+  }
+
   val queries: Seq[OpQuery] = Seq(
     OpQuery("q00_cdc_replay",
       (s, _) => replayFinalState(s, nEvents = 5000, tag = "q00", dumpDecodedLog = true),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q00")}/decoded/*.parquet')) t
-        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q29_change_feed",
+      (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
+               seq, (op = 'DELETE') AS is_delete
+        FROM (SELECT *, row_number() OVER (PARTITION BY epoch, repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q29")}/decoded/*.parquet') WHERE epoch >= 1) t
+        WHERE rn = 1 ORDER BY seq"""))
   )
 }
