@@ -621,6 +621,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(led2.watermarks("t") == 2L && led2.recent.isEmpty)
   }
 
+  test("manifest maintenance: a range passing the manifest threshold merges in-commit; COW rewrites only its range") {
+    val dir = tmp("manif")
+    val cols = IceLite.withCdcCols(Vector(IceLite.ColDef(1, "k", "STRING")))
+    var snap = IceLite.create(dir, cols, Vector("k"), 64) // 16 ranges of 4 buckets
+    // 12 append epochs, each adding one delta file to bucket 0 (range 0)
+    (0 until 12).foreach { e =>
+      snap = IceLite.commit(dir, snap, IceLite.CommitDelta(s"mf-$e", Set.empty,
+        Vector(IceLite.DataFile(s"d$e.parquet", 0, 1, 0, delta = true)), cols))
+    }
+    // the per-range merge keeps range 0 at ≤ the compaction threshold while
+    // every file stays referenced
+    val refs0 = snap.manifests.filter(_.range == 0)
+    assert(refs0.size <= IceLite.manifestCompactAt, s"range 0 has ${refs0.size} manifests")
+    assert(snap.files.count(_.bucket == 0) == 12)
+    // a COW of bucket 63 (range 15) must not touch range 0's manifests
+    val before0 = snap.manifests.filter(_.range == 0).map(_.path).toSet
+    snap = IceLite.commit(dir, snap, IceLite.CommitDelta("mf-cow", Set(63),
+      Vector(IceLite.DataFile("c63.parquet", 63, 1, 0)), cols))
+    assert(snap.manifests.filter(_.range == 0).map(_.path).toSet == before0)
+    assert(snap.files.exists(_.path == "c63.parquet"))
+    // reload from disk reproduces the same file view
+    assert(IceLite.load(dir).files.map(_.path).toSet == snap.files.map(_.path).toSet)
+  }
+
+  test("epoch ledger: non-numeric ids, mixed namespaces, and fencing across both") {
+    var l = IceLite.EpochLedger.empty
+    l = l.add("oneoff").add("replay-0").add("tail-ab12cd34-0").add("replay-1").add("tail-ab12cd34-5")
+    assert(l.contains("oneoff") && !l.contains("other"))
+    assert(l.contains("replay-0") && l.contains("replay-1") && !l.contains("replay-2"))
+    assert(l.contains("tail-ab12cd34-0") && l.contains("tail-ab12cd34-5") && !l.contains("tail-ab12cd34-3"))
+    assert(!l.contains("tail-ffffffff-0")) // different checkpoint namespace
+    assert(l.watermarks("replay") == 1L && l.watermarks("tail-ab12cd34") == 0L)
+    assert(l.recent("tail-ab12cd34") == Set(5L))
+    assert(l.count == 5L)
+  }
+
   test("incremental compaction: disjoint-bucket compaction and merge both commit; overlap conflicts") {
     import spark.implicits._
     val dir = tmp("inc")
