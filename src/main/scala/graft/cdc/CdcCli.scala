@@ -104,8 +104,14 @@ object CdcCli {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"read $n payloads in $sec%.1f s (${n / sec}%.0f rows/s)")
     case "show" :: tableDir :: rest =>
-      val n = rest.headOption.map(_.toInt).getOrElse(10)
-      val snap = IceLite.load(tableDir)
+      // optional: `show <dir> [n] [--at <version>]` — time travel to any
+      // retained snapshot (IceLite keeps history until expire+vacuum)
+      val atIdx = rest.indexOf("--at")
+      val snap =
+        if (atIdx >= 0) IceLite.loadVersion(tableDir, rest(atIdx + 1).toInt)
+        else IceLite.load(tableDir)
+      val n = rest.filterNot(_.startsWith("--")).filterNot(r => atIdx >= 0 && r == rest(atIdx + 1))
+        .headOption.map(_.toInt).getOrElse(10)
       val deltas = snap.files.count(_.delta)
       println(s"table $tableDir v${snap.version}, epochs=${snap.ledger.count} " +
         s"(namespaces=${snap.ledger.namespaces.toSeq.sorted.mkString("/")}), " +

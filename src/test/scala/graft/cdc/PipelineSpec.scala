@@ -711,6 +711,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(ok.hasEpoch("race-compact-0") && ok.hasEpoch("race-append-1"))
   }
 
+  test("concurrent writers: two full merges race through the real path; both land (delta-append rebase)") {
+    import spark.implicits._
+    val dir = tmp("conc")
+    Replay.createTable(dir, buckets = 8)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    // two writers with different key sets, racing on the SAME fresh table:
+    // both take the delta-append path, so whichever commits second rebases
+    // over the first (no lost update, no conflict)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Merge.mergeEpoch(spark, dir,
+      upd((1 to 50).map(i => ("ra", s"p$i", s"a$i", i.toLong, "UPSERT"))), "seq", "op", "wA-0"))
+    val fb = Future(Merge.mergeEpoch(spark, dir,
+      upd((1 to 50).map(i => ("rb", s"p$i", s"b$i", (100 + i).toLong, "UPSERT"))), "seq", "op", "wB-0"))
+    val (sa, sb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(sa.applied && sb.applied)
+    val snap = IceLite.load(dir)
+    assert(snap.hasEpoch("wA-0") && snap.hasEpoch("wB-0"))
+    val t = IceLite.read(spark, snap)
+    assert(t.filter(col("repo") === "ra").count() == 50)
+    assert(t.filter(col("repo") === "rb").count() == 50)
+  }
+
   test("rebucket: table re-layouts to a new bucket count; state, lookups and merges keep working") {
     import spark.implicits._
     val logDir = tmp("rb-log"); val dir = tmp("rb-table")
