@@ -87,6 +87,44 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q00")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q30_maintenance_lifecycle",
+      // the full table-maintenance lifecycle, driver-gated: replay a seeded
+      // log, compact HALF the buckets incrementally (tombstones purged
+      // there), REBUCKET the table to a different bucket count, expire old
+      // snapshots and vacuum — the final state must still equal the
+      // oracle's LWW fold of the decoded log. Exercises: incremental
+      // compaction, rebucket commit, manifest rewrite, expire + vacuum,
+      // and reads across mixed pre/post-maintenance files.
+      (s, _) => {
+        val root = workDir("q30")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        // oracle input: decoded change rows
+        import s.implicits._
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val ev = s.read.parquet(logDir)
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        Replay.decodeForMerge(ev, registry, None).updates
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        graft.lake.Compaction.compact(s, tableDir, "q30-compact", Some(Set(0, 1, 2, 3)))
+        graft.lake.Compaction.rebucket(s, tableDir, newBuckets = 16, epochId = "q30-rebucket")
+        graft.lake.Compaction.expire(tableDir, keepLast = 1)
+        graft.lake.Compaction.vacuum(tableDir)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q30")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,

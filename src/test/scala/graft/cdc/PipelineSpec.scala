@@ -545,6 +545,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(sortedRows(feed2) == Seq("[r9,late2,lw,6]"))
   }
 
+  test("change feed across a schema-evolution boundary: old-epoch rows null-fill the new column") {
+    import spark.implicits._
+    val dir = tmp("evfeed")
+    Replay.createTable(dir, buckets = 2)
+    def updV1(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    def updV2(rows: Seq[(String, String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "author", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5, "author" -> 8)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, updV1(Seq(("r1", "a", "v0", 1L, "UPSERT"))), "seq", "op", "ef-0")
+    val v1 = IceLite.load(dir).version
+    // epoch 2 (still old schema), epoch 3 evolves: adds author (field 8)
+    Merge.mergeEpoch(spark, dir, updV1(Seq(("r2", "b", "v1", 2L, "UPSERT"))), "seq", "op", "ef-1")
+    Merge.mergeEpoch(spark, dir, updV2(Seq(("r3", "c", "v2", "alice", 3L, "UPSERT"))), "seq", "op", "ef-2")
+    val v3 = IceLite.load(dir).version
+    // the feed spans the evolution boundary: rows map to the CURRENT schema
+    // by field id — pre-evolution rows carry author = null
+    val feed = IceLite.changes(spark, dir, v1, v3)
+      .select("repo", "path", "content", "author", "__seq")
+    assert(sortedRows(feed) == Seq("[r2,b,v1,null,2]", "[r3,c,v2,alice,3]"))
+  }
+
   test("stats pruning: point lookup opens fewer files than the bucket holds (footer key bounds)") {
     import spark.implicits._
     val dir = tmp("prune")
