@@ -51,6 +51,64 @@ object DedupOps {
        |     FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) w) s0
        |   WHERE len(shingles) > 0) s1)""".stripMargin.replace("\n", " ")
 
+  /** LSH-verified near-duplicate pairs (a < b, Jaccard ≥ 0.2) — the shared
+    * stage behind q18 (pair listing) and q32 (canonical assignment).
+    * ONE tokenize+MinHash pass: the signature stage feeds four plan
+    * references (band self-join l/r + set join a/b), so it is reduced to
+    * its tiny projection (id + 8 minhashes + hashed-shingle set — orders of
+    * magnitude smaller than the corpus) and localCheckpoint'd. Downstream
+    * reads stored blocks; the corpus is decoded exactly once. */
+  def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val sig = sigSpark(s, d)
+      .select(col("doc_id") +: array_distinct(col("hs")).as("hset") +:
+        (0 until 8).map(k => col(s"mh$k")): _*)
+      .localCheckpoint()
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.sig"))
+    val capped = banded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .filter(col("bn") <= 50)
+    val pairs = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), col("hset"))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("hset").as("ha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("hset").as("hb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  /** The DuckDB CTE chain producing `vpairs` (a, b, jaccard) — shared by
+    * q18's and q32's oracles so both gates derive pairs identically. */
+  private val pairsDuckCtes: String =
+    s"""sig AS ${sigDuckBase.trim},
+       |banded AS (
+       |  SELECT doc_id, unnest([0,1,2,3]) AS band,
+       |    unnest([mh0 || ':' || mh1, mh2 || ':' || mh3, mh4 || ':' || mh5, mh6 || ':' || mh7]) AS sig2
+       |  FROM sig),
+       |capped AS (
+       |  SELECT * FROM (SELECT doc_id, band, sig2,
+       |    count(*) OVER (PARTITION BY band, sig2) AS bn FROM banded) c WHERE bn <= 50),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.sig2 = r.sig2 AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(hs) AS hset FROM sig),
+       |vpairs AS (
+       |  SELECT a, b, jaccard FROM (
+       |    SELECT a, b,
+       |      CAST(len(list_filter(sa.hset, x -> list_contains(sb.hset, x))) AS DOUBLE) /
+       |      CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE) AS jaccard
+       |    FROM pairs JOIN sets sa ON pairs.a = sa.doc_id JOIN sets sb ON pairs.b = sb.doc_id) j
+       |  WHERE jaccard >= 0.2)""".stripMargin.replace("\n", " ")
+
   /** one row of the MinHash signature table. */
   final case class SigRow(doc_id: Long, hs: Seq[Long],
       mh0: Long, mh1: Long, mh2: Long, mh3: Long,
@@ -122,57 +180,32 @@ object DedupOps {
     OpQuery("q18_lsh_candidate_pairs",
       // 4 bands × 2 rows → candidates share a band; mega-buckets (>50 docs)
       // dropped; Jaccard verified on hashed-shingle int sets, threshold 0.2
+      (s, d) => lshVerifiedPairs(s, d).orderBy("a", "b"),
+      Some(s"""WITH $pairsDuckCtes
+        SELECT a, b, jaccard FROM vpairs ORDER BY a, b""")),
+
+    OpQuery("q32_dedup_canonical",
+      // the dedup DECISION the pipeline acts on: every document maps to a
+      // canonical id — the smallest directly-linked near-duplicate partner
+      // from the LSH-verified pairs (keep-first policy), or itself. One-hop
+      // by design (a distributed connected-components pass is the
+      // transitive extension; one-hop is what keep-first dedup over
+      // pair output does in one round).
       (s, d) => {
-        // ONE tokenize+MinHash pass: the signature stage feeds four plan
-        // references (band self-join l/r + set join a/b), so it is reduced
-        // to its tiny projection (id + 8 minhashes + hashed-shingle set —
-        // orders of magnitude smaller than the corpus) and localCheckpoint'd.
-        // Downstream reads stored blocks; the corpus is decoded exactly once.
-        val sig = sigSpark(s, d)
-          .select(col("doc_id") +: array_distinct(col("hs")).as("hset") +:
-            (0 until 8).map(k => col(s"mh$k")): _*)
-          .localCheckpoint()
-        val banded = sig.select(col("doc_id"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("b"))
-          .select(col("doc_id"), col("b.band"), col("b.sig"))
-        val capped = banded
-          .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
-          .filter(col("bn") <= 50)
-        val pairs = capped.as("l").join(capped.as("r"),
-            col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-              col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-          .distinct()
-        val sets = sig.select(col("doc_id"), col("hset"))
-        pairs
-          .join(sets.select(col("doc_id").as("a"), col("hset").as("ha")), Seq("a"))
-          .join(sets.select(col("doc_id").as("b"), col("hset").as("hb")), Seq("b"))
-          .select(col("a"), col("b"),
-            (size(array_intersect(col("ha"), col("hb"))).cast("double") /
-              size(array_union(col("ha"), col("hb"))).cast("double")).as("jaccard"))
-          .filter(col("jaccard") >= 0.2)
-          .orderBy("a", "b")
+        val m = lshVerifiedPairs(s, d).groupBy(col("b").as("doc_id"))
+          .agg(min(col("a")).as("canon"))
+        ld(s, d, "documents").select("doc_id")
+          .join(m, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canon"), col("doc_id")).as("canonical"),
+            col("canon").isNotNull.as("is_dup"))
+          .orderBy("doc_id")
       },
-      Some(s"""WITH sig AS ${sigDuckBase.trim},
-        banded AS (
-          SELECT doc_id, unnest([0,1,2,3]) AS band,
-            unnest([mh0 || ':' || mh1, mh2 || ':' || mh3, mh4 || ':' || mh5, mh6 || ':' || mh7]) AS sig2
-          FROM sig),
-        capped AS (
-          SELECT * FROM (SELECT doc_id, band, sig2,
-            count(*) OVER (PARTITION BY band, sig2) AS bn FROM banded) c WHERE bn <= 50),
-        pairs AS (
-          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM capped l JOIN capped r
-            ON l.band = r.band AND l.sig2 = r.sig2 AND l.doc_id < r.doc_id),
-        sets AS (SELECT doc_id, list_distinct(hs) AS hset FROM sig)
-        SELECT a, b, jaccard FROM (
-          SELECT a, b,
-            CAST(len(list_filter(sa.hset, x -> list_contains(sb.hset, x))) AS DOUBLE) /
-            CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE) AS jaccard
-          FROM pairs JOIN sets sa ON pairs.a = sa.doc_id JOIN sets sb ON pairs.b = sb.doc_id) j
-        WHERE jaccard >= 0.2 ORDER BY a, b""")),
+      Some(s"""WITH $pairsDuckCtes,
+        m AS (SELECT b AS doc_id, min(a) AS canon FROM vpairs GROUP BY b)
+        SELECT d.doc_id, coalesce(m.canon, d.doc_id) AS canonical,
+               (m.canon IS NOT NULL) AS is_dup
+        FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""")),
 
     OpQuery("q19_simhash",
       // 16-bit SimHash over the word multiset: one md5 per word, bit b set
