@@ -17,14 +17,29 @@ object SparkSchema {
   val FieldIdKey = "graft.fieldId"
 
   def structFor(fs: FileSet, desc: MessageDesc): StructType =
-    StructType(desc.fieldsInNumberOrder.map(f => fieldFor(fs, f)))
+    structFor(fs, desc, Set.empty)
 
-  private def fieldFor(fs: FileSet, f: FieldDesc): StructField = {
-    val meta = new MetadataBuilder().putLong(FieldIdKey, f.number.toLong).build()
-    StructField(f.name, dataTypeFor(fs, f), nullable = true, meta)
+  /** `visiting` guards against RECURSIVE message types (legal protobuf —
+    * trees, linked lists): a Spark StructType cannot represent them, and
+    * without the check this derivation recurses forever. Reject loudly
+    * so the caller routes the schema as invalid instead of the driver
+    * dying with a StackOverflowError. */
+  private def structFor(fs: FileSet, desc: MessageDesc, visiting: Set[String]): StructType = {
+    if (visiting(desc.fullName))
+      throw new SchemaLoadingException(
+        s"recursive message type ${desc.fullName} cannot map to a Spark schema")
+    val v = visiting + desc.fullName
+    StructType(desc.fieldsInNumberOrder.map(f => fieldFor(fs, f, v)))
   }
 
-  def dataTypeFor(fs: FileSet, f: FieldDesc): DataType = {
+  private def fieldFor(fs: FileSet, f: FieldDesc, visiting: Set[String]): StructField = {
+    val meta = new MetadataBuilder().putLong(FieldIdKey, f.number.toLong).build()
+    StructField(f.name, dataTypeFor(fs, f, visiting), nullable = true, meta)
+  }
+
+  def dataTypeFor(fs: FileSet, f: FieldDesc): DataType = dataTypeFor(fs, f, Set.empty)
+
+  private def dataTypeFor(fs: FileSet, f: FieldDesc, visiting: Set[String]): DataType = {
     val elem: DataType =
       if (f.tpe == TYPE_MESSAGE && fs.messageFor(f).fullName == "google.protobuf.Timestamp")
         TimestampType
@@ -33,11 +48,11 @@ object SparkSchema {
         return MapType(
           scalarTypeFor(entry.fieldByNumber(1)),
           entry.fieldByNumber(2).tpe match {
-            case TYPE_MESSAGE => structFor(fs, fs.messageFor(entry.fieldByNumber(2)))
+            case TYPE_MESSAGE => structFor(fs, fs.messageFor(entry.fieldByNumber(2)), visiting)
             case _ => scalarTypeFor(entry.fieldByNumber(2))
           })
       } else f.tpe match {
-        case TYPE_MESSAGE => structFor(fs, fs.messageFor(f))
+        case TYPE_MESSAGE => structFor(fs, fs.messageFor(f), visiting)
         case TYPE_ENUM => StringType // proto3 JSON form: enum name
         case _ => scalarTypeFor(f)
       }

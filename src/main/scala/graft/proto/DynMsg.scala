@@ -42,7 +42,18 @@ object DynMsg {
   def decode(fs: FileSet, desc: MessageDesc, bytes: Array[Byte]): DynMsg =
     decodeReader(fs, desc, new Wire.Reader(bytes))
 
-  def decodeReader(fs: FileSet, desc: MessageDesc, r: Wire.Reader): DynMsg = {
+  /** protobuf-java parity: nesting deeper than 100 is rejected, so a
+    * hostile/corrupt payload against a RECURSIVE schema routes to the error
+    * relationship instead of killing the executor with a StackOverflowError
+    * (which is an Error, not an Exception — no catch would see it). */
+  val MaxNestingDepth = 100
+
+  def decodeReader(fs: FileSet, desc: MessageDesc, r: Wire.Reader): DynMsg =
+    decodeReader(fs, desc, r, 0)
+
+  private def decodeReader(fs: FileSet, desc: MessageDesc, r: Wire.Reader, depth: Int): DynMsg = {
+    if (depth > MaxNestingDepth)
+      throw new ProtoParseException(s"message nesting exceeds $MaxNestingDepth levels")
     var acc = TreeMap.empty[Int, PValue]
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
@@ -60,7 +71,7 @@ object DynMsg {
             while (sub.hasRemaining) vs :+= readScalar(fs, f, sub, f.wireType)
             acc = acc.updated(fn, PList(vs))
           } else {
-            val v = readOne(fs, f, r, wt)
+            val v = readOne(fs, f, r, wt, depth)
             if (f.repeated) {
               val vs = acc.get(fn) match {
                 case Some(PList(existing)) => existing :+ v
@@ -99,11 +110,11 @@ object DynMsg {
       })
     })
 
-  private def readOne(fs: FileSet, f: FieldDesc, r: Wire.Reader, wt: Int): PValue = f.tpe match {
+  private def readOne(fs: FileSet, f: FieldDesc, r: Wire.Reader, wt: Int, depth: Int): PValue = f.tpe match {
     case TYPE_MESSAGE =>
       if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN wire type, got $wt")
       val (p, len) = r.readSlice()
-      PMsg(decodeReader(fs, fs.messageFor(f), new Wire.Reader(r.buf, p, p + len)))
+      PMsg(decodeReader(fs, fs.messageFor(f), new Wire.Reader(r.buf, p, p + len), depth + 1))
     case TYPE_STRING =>
       if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN wire type, got $wt")
       PStr(new String(r.readBytes(), java.nio.charset.StandardCharsets.UTF_8))
