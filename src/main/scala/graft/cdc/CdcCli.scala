@@ -106,12 +106,18 @@ object CdcCli {
     case "show" :: tableDir :: rest =>
       // optional: `show <dir> [n] [--at <version>]` — time travel to any
       // retained snapshot (IceLite keeps history until expire+vacuum)
-      val atIdx = rest.indexOf("--at")
-      val snap =
-        if (atIdx >= 0) IceLite.loadVersion(tableDir, rest(atIdx + 1).toInt)
-        else IceLite.load(tableDir)
-      val n = rest.filterNot(_.startsWith("--")).filterNot(r => atIdx >= 0 && r == rest(atIdx + 1))
-        .headOption.map(_.toInt).getOrElse(10)
+      val (atVersion, positional) = rest.indexOf("--at") match {
+        case -1 => (None, rest)
+        case i if i + 1 < rest.length =>
+          (Some(rest(i + 1).toInt), rest.patch(i, Nil, 2))
+        case _ =>
+          System.err.println("usage: show <dir> [n] [--at <version>]"); sys.exit(2)
+      }
+      val snap = atVersion match {
+        case Some(v) => IceLite.loadVersion(tableDir, v)
+        case None => IceLite.load(tableDir)
+      }
+      val n = positional.headOption.map(_.toInt).getOrElse(10)
       val deltas = snap.files.count(_.delta)
       println(s"table $tableDir v${snap.version}, epochs=${snap.ledger.count} " +
         s"(namespaces=${snap.ledger.namespaces.toSeq.sorted.mkString("/")}), " +

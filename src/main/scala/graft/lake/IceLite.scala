@@ -72,8 +72,20 @@ object IceLite {
       keyMin: Vector[String] = Vector.empty, keyMax: Vector[String] = Vector.empty) {
     def mayContainKey(keyVals: Seq[String]): Boolean =
       keyMin.isEmpty || keyMax.isEmpty ||
-        keyVals.indices.forall(i => keyVals(i) >= keyMin(i) && keyVals(i) <= keyMax(i))
+        keyVals.indices.forall(i =>
+          utf8Compare(keyVals(i), keyMin(i)) >= 0 && utf8Compare(keyVals(i), keyMax(i)) <= 0)
   }
+
+  /** Parquet binary stats order strings by UNSIGNED UTF-8 BYTES; Java's
+    * String.compareTo orders by UTF-16 code units. The two disagree for
+    * [U+E000, U+FFFF] vs supplementary-plane characters (surrogates sort
+    * low in UTF-16, high in UTF-8), so every comparison against footer
+    * bounds must use the byte order or a file containing the key could be
+    * pruned. */
+  private[lake] def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // ----------------------------------------------------------- epoch ledger
 
@@ -113,13 +125,20 @@ object IceLite {
 
   object EpochLedger {
     val empty: EpochLedger = EpochLedger(Map.empty, Map.empty, Set.empty)
-    /** "replay-3" → (replay, 3); "tail-ab12-7" → (tail-ab12, 7); "e7" → None. */
+    /** "replay-3" → (replay, 3); "tail-ab12-7" → (tail-ab12, 7); "e7" → None.
+      * The numeric form must ROUND-TRIP ("run-07" ≠ "run-7": a leading-zero
+      * or overlong suffix goes to the exact-string set, otherwise two
+      * distinct caller-supplied ids would collapse onto one fence entry and
+      * a genuinely new epoch would be silently swallowed). */
     private[IceLite] def split(e: String): Option[(String, Long)] = {
       val i = e.lastIndexOf('-')
       if (i <= 0 || i == e.length - 1) None
       else {
         val suffix = e.substring(i + 1)
-        if (suffix.forall(_.isDigit)) Some((e.substring(0, i), suffix.toLong)) else None
+        if (suffix.length <= 18 && suffix.forall(_.isDigit)) {
+          val n = suffix.toLong
+          if (n.toString == suffix) Some((e.substring(0, i), n)) else None
+        } else None
       }
     }
   }
@@ -225,16 +244,25 @@ object IceLite {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  /** Parse a snapshot JSON; `files` is filled by the caller (from manifests). */
+  /** Parse a snapshot JSON; `files` is filled by the caller (from manifests).
+    * Reads the legacy inline forms too (pre-manifest `files` array,
+    * pre-ledger `epochs` vector) so older table directories still load. */
   private def fromJson(json: String): Snapshot = {
     val n = mapper.readTree(json)
-    val led = n.get("ledger")
-    val ledger = EpochLedger(
-      watermarks = led.get("watermarks").properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap,
-      recent = led.get("recent").properties().asScala
-        .map(e => e.getKey -> e.getValue.elements().asScala.map(_.asLong()).toSet).toMap,
-      other = led.get("other").elements().asScala.map(_.asText()).toSet)
+    val ledger = Option(n.get("ledger")) match {
+      case Some(led) => EpochLedger(
+        watermarks = led.get("watermarks").properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap,
+        recent = led.get("recent").properties().asScala
+          .map(e => e.getKey -> e.getValue.elements().asScala.map(_.asLong()).toSet).toMap,
+        other = led.get("other").elements().asScala.map(_.asText()).toSet)
+      case None => // legacy: plain epoch-id vector
+        Option(n.get("epochs")).map(_.elements().asScala.map(_.asText()))
+          .getOrElse(Iterator.empty)
+          .foldLeft(EpochLedger.empty)(_ add _)
+    }
+    val legacyFiles = Option(n.get("files"))
+      .map(_.elements().asScala.map(fileFromJson).toVector).getOrElse(Vector.empty)
     Snapshot(
       version = n.get("version").asInt(),
       ledger = ledger,
@@ -245,7 +273,7 @@ object IceLite {
       keyCols = n.get("keyCols").elements().asScala.map(_.asText()).toVector,
       buckets = n.get("buckets").asInt(),
       maxSeq = Option(n.get("maxSeq")).map(_.asLong()).getOrElse(-1L),
-      files = Vector.empty,
+      files = legacyFiles,
       manifests = Option(n.get("manifests")).map(_.elements().asScala.map(m =>
         ManifestRef(m.get("path").asText(), m.get("range").asInt(),
           m.get("fileCount").asInt())).toVector).getOrElse(Vector.empty))
@@ -268,7 +296,8 @@ object IceLite {
   }
 
   private def loadFiles(s: Snapshot): Snapshot =
-    s.copy(files = s.manifests.flatMap(readManifest))
+    if (s.manifests.isEmpty) s // legacy snapshot: files were inline
+    else s.copy(files = s.manifests.flatMap(readManifest))
 
   // ---------------------------------------------------------------- commits
 
@@ -368,6 +397,13 @@ object IceLite {
     while (guard < 10000) {
       if (cur.hasEpoch(delta.epochId)) return cur // fenced: duplicate epoch is a no-op
       if (cur.version != base.version) {
+        // a concurrent REBUCKET invalidates everything: our files' bucket
+        // ids and row hashes are mod the OLD bucket count — rebasing them
+        // into the new layout would make them invisible to lookups and
+        // corrupt later merges
+        if (cur.buckets != base.buckets)
+          throw new java.util.ConcurrentModificationException(
+            s"epoch ${delta.epochId}: concurrent rebucket (${base.buckets} -> ${cur.buckets}); re-run the merge against the current snapshot")
         val oursAtBase = base.files.filter(f => delta.touched(f.bucket)).toSet
         val oursAtCur = cur.files.filter(f => delta.touched(f.bucket)).toSet
         if (oursAtBase != oursAtCur)
@@ -507,11 +543,16 @@ object IceLite {
               maxSeq = math.max(maxSeq, st.genericGetMax.asInstanceOf[java.lang.Long])
             } else {
               val i = keyCols.indexOf(name)
-              if (i >= 0) {
-                val lo = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                if (kmin(i) == null || lo < kmin(i)) kmin(i) = lo
-                if (kmax(i) == null || hi > kmax(i)) kmax(i) = hi
+              if (i >= 0) (st.genericGetMin, st.genericGetMax) match {
+                // bounds pruning is defined for STRING keys only; any other
+                // key type just skips bounds (row counts stay real) —
+                // cross-block min/max in parquet's unsigned-UTF-8 order,
+                // the same order mayContainKey compares in
+                case (lo0: org.apache.parquet.io.api.Binary, hi0: org.apache.parquet.io.api.Binary) =>
+                  val lo = lo0.toStringUsingUTF8; val hi = hi0.toStringUsingUTF8
+                  if (kmin(i) == null || utf8Compare(lo, kmin(i)) < 0) kmin(i) = lo
+                  if (kmax(i) == null || utf8Compare(hi, kmax(i)) > 0) kmax(i) = hi
+                case _ => statsOk = false
               }
             }
           }
@@ -520,6 +561,8 @@ object IceLite {
           DataFile(p.toString, bucket, rows, schemaVersion,
             minSeq = minSeq, maxSeq = maxSeq,
             keyMin = kmin.toVector, keyMax = kmax.toVector)
+        else if (minSeq <= maxSeq)
+          DataFile(p.toString, bucket, rows, schemaVersion, minSeq = minSeq, maxSeq = maxSeq)
         else DataFile(p.toString, bucket, rows, schemaVersion)
       } finally reader.close()
     } catch {

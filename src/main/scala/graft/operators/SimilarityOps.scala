@@ -88,15 +88,16 @@ object SimilarityOps {
     *    ≥93% for true near-dups (cos ≥ 0.9, per-bit agreement p = 0.856 →
     *    1-(1-p^8)^8); weak-cos pairs near the 0.35 threshold have reduced
     *    recall — the standard near-dup-mining trade at scale. Tune
-    *    (bands=16, bandBits=4) to favor recall over cost, or
-    *    `bandPrefilter = false` for the exact spill-aware SMJ join
-    *    (ExternalAppendOnlyUnsafeRowArray — streams, doesn't OOM, O(n²)
-    *    comparisons).
+    *    (bands=16, bandBits=4) to favor recall over cost.
+    *    `bandPrefilter` defaults FALSE so the function is exact by default
+    *    (the spill-aware SMJ hot tier streams, doesn't OOM, O(n²)
+    *    comparisons) and matches its exact oracle at any corpus size;
+    *    enable banding explicitly at the 100 TB scale point.
     * All tiers do the identical double math (sequential left fold, same
     * element order as the DuckDB oracle's list_reduce) so any pair they
     * emit is bit-identical whichever tier found it. */
   def neardupPairs(s: org.apache.spark.sql.SparkSession, d: String,
-      blockCap: Int = 4096, bandPrefilter: Boolean = true): org.apache.spark.sql.DataFrame =
+      blockCap: Int = 4096, bandPrefilter: Boolean = false): org.apache.spark.sql.DataFrame =
     neardupPairsOf(s, ld(s, d, "embeddings").select(col("label"), col("vec_id"), col("embedding")),
       blockCap, bandPrefilter)
 
@@ -124,7 +125,7 @@ object SimilarityOps {
 
   def neardupPairsOf(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame,
-      blockCap: Int = 4096, bandPrefilter: Boolean = true): org.apache.spark.sql.DataFrame = {
+      blockCap: Int = 4096, bandPrefilter: Boolean = false): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val counts = e.groupBy("label").agg(count(lit(1)).as("__n")) // tiny: one row per label
     val tagged = e.join(broadcast(counts), Seq("label"))

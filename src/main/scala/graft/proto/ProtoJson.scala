@@ -345,7 +345,12 @@ object ProtoJson {
         throw new MessageEncodingException(
           s"Cannot find field: ${e.getKey} in message ${desc.fullName}"))
       val v = e.getValue
-      if (!v.isNull) {
+      // JSON null clears a field — EXCEPT for google.protobuf.Value, where
+      // null is a legal value parsed to NULL_VALUE (JsonFormat parity)
+      if (v.isNull && !f.repeated && f.tpe == FType.TYPE_MESSAGE &&
+          fs.findMessage(f.typeName).exists(_.fullName == "google.protobuf.Value")) {
+        fields += (f.number -> PMsg(parseGoogleValue(fs, fs.messageFor(f), v)))
+      } else if (!v.isNull) {
         if (isMapField(fs, f)) {
           val entryDesc = fs.messageFor(f)
           val keyF = entryDesc.fieldByNumber(1)

@@ -696,6 +696,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(l.watermarks("replay") == 1L && l.watermarks("tail-ab12cd34") == 0L)
     assert(l.recent("tail-ab12cd34") == Set(5L))
     assert(l.count == 5L)
+    // distinct ids must never collapse onto one fence entry: "run-07" and
+    // "run-7" are different epochs (leading-zero suffixes are exact-match),
+    // and an overlong numeric suffix must not crash the parse
+    val l2 = IceLite.EpochLedger.empty.add("run-7")
+    assert(!l2.contains("run-07"))
+    assert(l2.add("run-07").contains("run-07"))
+    val big = "x-99999999999999999999" // > Long.MaxValue digits
+    assert(!l2.contains(big) && l2.add(big).contains(big))
+  }
+
+  test("commit: a concurrent rebucket invalidates stale-base commits (bucket ids are layout-relative)") {
+    val dir = tmp("rbrace")
+    val cols = IceLite.withCdcCols(Vector(IceLite.ColDef(1, "k", "STRING")))
+    val base = IceLite.create(dir, cols, Vector("k"), 4)
+    // rebucket lands first (4 → 16 buckets)
+    IceLite.commitRebucket(dir, base, "rb-race-0", 16,
+      Vector(IceLite.DataFile("base0.parquet", 3, 1, 0)))
+    // a delta-append computed against the OLD layout must fail loudly:
+    // its bucket ids/hashes are mod 4 and would be invisible to mod-16 reads
+    intercept[java.util.ConcurrentModificationException] {
+      IceLite.commit(dir, base, IceLite.CommitDelta("stale-append-0", Set.empty,
+        Vector(IceLite.DataFile("stale.parquet", 2, 1, 0, delta = true)), cols))
+    }
+  }
+
+  test("key-bounds pruning compares in parquet's UTF-8 byte order, not UTF-16") {
+    // U+E000 (private use) > U+1F600 (😀) in UTF-16 code units, but < in
+    // UTF-8 bytes — the order parquet footer stats use. A file whose bounds
+    // are [z, 😀] DOES possibly contain "" and must not be pruned.
+    val f = IceLite.DataFile("f.parquet", 0, 1, 0,
+      keyMin = Vector("z"), keyMax = Vector("😀"))
+    assert(f.mayContainKey(Seq("")))
+    assert(!f.mayContainKey(Seq("y")))       // below lo in both orders
+    assert(f.mayContainKey(Seq("zz")))
   }
 
   test("incremental compaction: disjoint-bucket compaction and merge both commit; overlap conflicts") {

@@ -121,6 +121,24 @@ class WellKnownJsonSpec extends AnyFunSuite {
       Vector(PStr("foo_bar.baz_qux"), PStr("abc")))
   }
 
+  test("a JSON null on a google.protobuf.Value field parses to NULL_VALUE, not an absent field") {
+    val valProto =
+      """syntax = "proto3";
+        |package demo2;
+        |message Holder { google.protobuf.Value v = 1; int32 other = 2; }
+        |""".stripMargin
+    val fs2 = ProtoTextParser.parse(valProto, "demo2.proto",
+      imports = ProtoTextParser.parse(wktProto, "wkt.proto"))
+    val holder = fs2.findMessage("demo2.Holder").get
+    val m = ProtoJson.fromJson(fs2, holder, """{"v": null}""")
+    // the field is SET (to Value{null_value}) — JsonFormat parity
+    assert(m.fields.contains(1))
+    assert(ProtoJson.jsonTreeEquals(ProtoJson.toJson(fs2, m), """{"v": null}"""))
+    // but a null on an ordinary field still clears it
+    val m2 = ProtoJson.fromJson(fs2, holder, """{"other": null}""")
+    assert(m2.fields.isEmpty)
+  }
+
   test("Struct parses arbitrary JSON into Value trees and back") {
     val structDesc = fs.findMessage("google.protobuf.Struct").get
     val json = """{"s": "x", "n": -2.5, "b": true, "nul": null, "o": {"k": [1.0, {"z": []}]}}"""
