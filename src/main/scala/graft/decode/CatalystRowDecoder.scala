@@ -26,15 +26,43 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
 
   private val fields: Array[FieldDesc] = desc.fieldsInNumberOrder.toArray
   private val nFields = fields.length
-  private val maxNum: Int = if (nFields == 0) 0 else fields.map(_.number).max
-
-  private val ordByNum: Array[Int] = {
-    val a = Array.fill(maxNum + 1)(-1)
-    fields.zipWithIndex.foreach { case (f, i) =>
-      if (f.number <= maxNum && allowed.forall(_.contains(f.number))) a(f.number) = i
-    }
-    a
+  // dense ordinal lookup only while it stays small: proto field numbers go
+  // up to 536,870,911 — a schema using a high number must not allocate a
+  // 2 GB array per decoder (sparse map fallback instead)
+  private val maxNum: Int = {
+    val m = if (nFields == 0) 0 else fields.map(_.number).max
+    if (m <= 65536) m else -1
   }
+
+  private val ordByNum: Array[Int] =
+    if (maxNum < 0) null
+    else {
+      val a = Array.fill(maxNum + 1)(-1)
+      fields.zipWithIndex.foreach { case (f, i) =>
+        if (allowed.forall(_.contains(f.number))) a(f.number) = i
+      }
+      a
+    }
+
+  private val ordByNumSparse: java.util.HashMap[Integer, Integer] =
+    if (maxNum >= 0) null
+    else {
+      val m = new java.util.HashMap[Integer, Integer]()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        if (allowed.forall(_.contains(f.number))) m.put(f.number, i)
+      }
+      m
+    }
+
+  @inline private def ordOf(fn: Int): Int =
+    if (ordByNum != null) { if (fn <= maxNum && fn >= 0) ordByNum(fn) else -1 }
+    else { val v = ordByNumSparse.get(fn); if (v == null) -1 else v.intValue() }
+
+  /** the wire type each field must arrive with (packed repeated scalars
+    * additionally accept LEN); anything else is UNKNOWN-FIELD semantics —
+    * skipped, never parsed (a mismatched wire type would desync the
+    * stream and decode garbage into later fields). */
+  private val expectedWt: Array[Int] = fields.map(_.wireType)
 
   private val isMap: Array[Boolean] = fields.map(f => ProtoJson.isMapField(fs, f))
   private val isTimestamp: Array[Boolean] = fields.map(f =>
@@ -46,13 +74,15 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
       new CatalystRowDecoder(fs, fs.messageFor(f))
     else null
   }
-  private val mapEntry: Array[(FieldDesc, FieldDesc, CatalystRowDecoder)] =
+  private val mapEntry: Array[(FieldDesc, FieldDesc, CatalystRowDecoder, Map[Int, UTF8String])] =
     fields.zipWithIndex.map { case (f, i) =>
       if (isMap(i)) {
         val e = fs.messageFor(f)
         val vf = e.fieldByNumber(2)
         val vn = if (vf.tpe == TYPE_MESSAGE) new CatalystRowDecoder(fs, fs.messageFor(vf)) else null
-        (e.fieldByNumber(1), vf, vn)
+        val venums = if (vf.tpe == TYPE_ENUM)
+          fs.enumFor(vf).byNumber.map { case (n, s) => n -> UTF8String.fromString(s) } else null
+        (e.fieldByNumber(1), vf, vn, venums)
       } else null
     }
   private val enumNames: Array[Map[Int, UTF8String]] = fields.map { f =>
@@ -79,16 +109,20 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
   private val defaults: Array[Any] = fields.zipWithIndex.map { case (f, i) =>
     if (isMap(i)) emptyMap
     else if (f.repeated) emptyArray
-    else f.tpe match {
-      case TYPE_MESSAGE => null
-      case TYPE_STRING => UTF8String.EMPTY_UTF8
-      case TYPE_BYTES => Array.emptyByteArray
-      case TYPE_BOOL => java.lang.Boolean.FALSE
-      case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
-      case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
-      case TYPE_ENUM => enumNames(i).getOrElse(0, UTF8String.fromString("0"))
-      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
-      case _ => java.lang.Long.valueOf(0L)
+    else f.parsedDefault match { // proto2 explicit default (absent → this)
+      case Some(s: String) => UTF8String.fromString(s) // string/enum-name
+      case Some(d) => d
+      case None => f.tpe match {
+        case TYPE_MESSAGE => null
+        case TYPE_STRING => UTF8String.EMPTY_UTF8
+        case TYPE_BYTES => Array.emptyByteArray
+        case TYPE_BOOL => java.lang.Boolean.FALSE
+        case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
+        case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
+        case TYPE_ENUM => enumNames(i).getOrElse(0, UTF8String.fromString("0"))
+        case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+        case _ => java.lang.Long.valueOf(0L)
+      }
     }
   }
 
@@ -99,12 +133,16 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
     var bufs: Array[AnyRef] = null
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
-      val ord = if (fn <= maxNum && fn >= 0) ordByNum(fn) else -1
+      val ord = ordOf(fn)
       if (ord < 0) r.skip(wt)
-      else {
+      else if (wt != expectedWt(ord) &&
+          !(fields(ord).repeated && isPackable(fields(ord).tpe) && wt == Wire.WtLen)) {
+        // wire-type mismatch (field evolved/corrupt tag): unknown-field
+        // semantics — skip, don't desync (protobuf-java parity)
+        r.skip(wt)
+      } else {
         val f = fields(ord)
         if (isMap(ord)) {
-          if (wt != Wire.WtLen) throw new ProtoParseException(s"map field ${f.name}: bad wire type $wt")
           if (bufs == null) bufs = new Array[AnyRef](nFields)
           if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Any, Any)]
           val (p, len) = r.readSlice()
@@ -181,7 +219,11 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
   }
 
   private def decodeMapEntry(ord: Int, r: Reader): (Any, Any) = {
-    val (kf, vf, vn) = mapEntry(ord)
+    val (kf, vf, vn, venums) = mapEntry(ord)
+    // the spec allows entries with missing key/value: defaults must match
+    // the declared Catalyst type (e.g. enum → the 0-value's NAME string,
+    // bytes → empty array — never a Long 0, which would CCE at UnsafeRow
+    // conversion)
     var k: Any = kf.tpe match {
       case TYPE_STRING => UTF8String.EMPTY_UTF8
       case TYPE_BOOL => java.lang.Boolean.FALSE
@@ -191,6 +233,8 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
     var v: Any = vf.tpe match {
       case TYPE_MESSAGE => null
       case TYPE_STRING => UTF8String.EMPTY_UTF8
+      case TYPE_BYTES => Array.emptyByteArray
+      case TYPE_ENUM => venums.getOrElse(0, UTF8String.fromString("0"))
       case TYPE_BOOL => java.lang.Boolean.FALSE
       case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
       case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
@@ -205,13 +249,17 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
       case TYPE_MESSAGE =>
         val (p, len) = r.readSlice()
         vn.decode(new Reader(r.buf, p, p + len))
+      case TYPE_ENUM =>
+        // enum map values print as NAMES, same as singular/repeated enums
+        val n = r.readVarint64().toInt
+        venums.getOrElse(n, UTF8String.fromString(n.toString))
       case _ => readScalarField(f, r)
     }
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
-      if (fn == 1) k = kvValue(kf)
-      else if (fn == 2) v = kvValue(vf)
-      else r.skip(wt)
+      if (fn == 1 && wt == kf.wireType) k = kvValue(kf)
+      else if (fn == 2 && wt == vf.wireType) v = kvValue(vf)
+      else r.skip(wt) // unknown field / mismatched wire type
     }
     (k, v)
   }

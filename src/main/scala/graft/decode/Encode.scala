@@ -36,15 +36,43 @@ object Encode {
 }
 
 /** Row → DynMsg under a descriptor: the inverse of SparkSchema.toRowAs.
-  * Field matching is by column name → field name; types per the
-  * SparkSchema mapping (enum accepts the name string, Timestamp structs
-  * accept java.sql.Timestamp). */
+  * Field matching is by column name → field name at EVERY nesting level —
+  * nested converters are prebuilt from the DataFrame's ACTUAL nested
+  * StructTypes, so a struct assembled in a different column order than the
+  * canonical schema still maps each value to the right proto field (a
+  * positional read would silently transpose same-typed fields). Types per
+  * the SparkSchema mapping (enum accepts the name string, Timestamp
+  * structs accept java.sql.Timestamp). */
 final class RowToProto(fs: FileSet, desc: MessageDesc, schema: StructType) extends Serializable {
 
   private val slots: Array[(Int, FieldDesc)] =
     schema.fields.zipWithIndex.flatMap { case (sf, i) =>
       desc.fieldByName.get(sf.name).map(f => (i, f))
     }.toArray
+
+  /** prebuilt nested converters, keyed by field number — derived from the
+    * row's own nested schema (struct column, array-of-struct element, or
+    * map value type), built once instead of per nested value per row. */
+  private val subConvs: Map[Int, RowToProto] =
+    schema.fields.flatMap { sf =>
+      desc.fieldByName.get(sf.name).flatMap { f =>
+        def structOf(dt: DataType): Option[StructType] = dt match {
+          case st: StructType => Some(st)
+          case ArrayType(st: StructType, _) => Some(st)
+          case MapType(_, st: StructType, _) => Some(st)
+          case _ => None
+        }
+        val target: Option[MessageDesc] =
+          if (ProtoJson.isMapField(fs, f)) {
+            val vf = fs.messageFor(f).fieldByNumber(2)
+            if (vf.tpe == TYPE_MESSAGE) Some(fs.messageFor(vf)) else None
+          } else if (f.tpe == TYPE_MESSAGE &&
+            fs.messageFor(f).fullName != "google.protobuf.Timestamp") Some(fs.messageFor(f))
+          else None
+        target.flatMap(md => structOf(sf.dataType).map(st =>
+          f.number -> new RowToProto(fs, md, st)))
+      }
+    }.toMap
 
   def apply(row: Row): DynMsg = {
     var fields = TreeMap.empty[Int, PValue]
@@ -71,15 +99,29 @@ final class RowToProto(fs: FileSet, desc: MessageDesc, schema: StructType) exten
       val kf = entry.fieldByNumber(1); val vf = entry.fieldByNumber(2)
       val entries = v.asInstanceOf[scala.collection.Map[Any, Any]].toVector
         .map { case (k, vv) =>
-          PMsg(DynMsg(entry, TreeMap(1 -> scalar(kf, k), 2 -> one(vf, vv))))
+          val pvv = if (vf.tpe == TYPE_MESSAGE) PMsg(convRow(f, vf, vv)) else one(f, vf, vv)
+          PMsg(DynMsg(entry, TreeMap(1 -> scalar(kf, k), 2 -> pvv)))
         }
       PList(entries)
     } else if (f.repeated) {
-      PList(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(one(f, _)))
-    } else one(f, v)
+      PList(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(one(f, f, _)))
+    } else one(f, f, v)
   }
 
-  private def one(f: FieldDesc, v: Any): PValue = f.tpe match {
+  /** convert a nested Row with the prebuilt by-name converter; fall back to
+    * the value's own schema when the column's static type wasn't a struct. */
+  private def convRow(slotField: FieldDesc, f: FieldDesc, v: Any): DynMsg = {
+    val md = fs.messageFor(f)
+    subConvs.get(slotField.number) match {
+      case Some(c) => c(v.asInstanceOf[Row])
+      case None =>
+        val row = v.asInstanceOf[Row]
+        val st = if (row.schema != null) row.schema else SparkSchema.structFor(fs, md)
+        new RowToProto(fs, md, st)(row)
+    }
+  }
+
+  private def one(slotField: FieldDesc, f: FieldDesc, v: Any): PValue = f.tpe match {
     case TYPE_MESSAGE =>
       val md = fs.messageFor(f)
       if (md.fullName == "google.protobuf.Timestamp") {
@@ -93,8 +135,7 @@ final class RowToProto(fs: FileSet, desc: MessageDesc, schema: StructType) exten
         if (inst.getNano != 0) fields += (2 -> PLong(inst.getNano.toLong))
         PMsg(DynMsg(md, fields))
       } else {
-        val sub = new RowToProto(fs, md, SparkSchema.structFor(fs, md))
-        PMsg(sub(v.asInstanceOf[Row]))
+        PMsg(convRow(slotField, f, v))
       }
     case TYPE_ENUM =>
       v match {

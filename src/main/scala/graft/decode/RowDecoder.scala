@@ -25,16 +25,42 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
 
   private val fields: Array[FieldDesc] = desc.fieldsInNumberOrder.toArray
   private val nFields = fields.length
-  private val maxNum: Int = if (nFields == 0) 0 else fields.map(_.number).max
-
-  // field number → ordinal (dense array for small numbers — the common case)
-  private val ordByNum: Array[Int] = {
-    val a = Array.fill(maxNum + 1)(-1)
-    fields.zipWithIndex.foreach { case (f, i) =>
-      if (f.number <= maxNum && allowed.forall(_.contains(f.number))) a(f.number) = i
-    }
-    a
+  // dense ordinal lookup only while field numbers stay small — a schema
+  // using a high field number (legal up to 536,870,911) must not allocate
+  // a gigabyte array per decoder; sparse map fallback above 65536
+  private val maxNum: Int = {
+    val m = if (nFields == 0) 0 else fields.map(_.number).max
+    if (m <= 65536) m else -1
   }
+
+  private val ordByNum: Array[Int] =
+    if (maxNum < 0) null
+    else {
+      val a = Array.fill(maxNum + 1)(-1)
+      fields.zipWithIndex.foreach { case (f, i) =>
+        if (allowed.forall(_.contains(f.number))) a(f.number) = i
+      }
+      a
+    }
+
+  private val ordByNumSparse: java.util.HashMap[Integer, Integer] =
+    if (maxNum >= 0) null
+    else {
+      val m = new java.util.HashMap[Integer, Integer]()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        if (allowed.forall(_.contains(f.number))) m.put(f.number, i)
+      }
+      m
+    }
+
+  @inline private def ordOf(fn: Int): Int =
+    if (ordByNum != null) { if (fn <= maxNum && fn >= 0) ordByNum(fn) else -1 }
+    else { val v = ordByNumSparse.get(fn); if (v == null) -1 else v.intValue() }
+
+  /** the wire type each field must arrive with (packed repeated scalars
+    * additionally accept LEN); anything else is UNKNOWN-FIELD semantics —
+    * skipped, never parsed (a mismatched wire type would desync the stream). */
+  private val expectedWt: Array[Int] = fields.map(_.wireType)
 
   private val isMap: Array[Boolean] = fields.map(f => ProtoJson.isMapField(fs, f))
   private val isTimestamp: Array[Boolean] = fields.map(f =>
@@ -46,13 +72,14 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
       new RowDecoder(fs, fs.messageFor(f))
     else null
   }
-  // map-entry sub-decoders: (keyField, valueField, valueNested)
-  private val mapEntry: Array[(FieldDesc, FieldDesc, RowDecoder)] = fields.zipWithIndex.map { case (f, i) =>
+  // map-entry sub-decoders: (keyField, valueField, valueNested, valueEnumNames)
+  private val mapEntry: Array[(FieldDesc, FieldDesc, RowDecoder, Map[Int, String])] = fields.zipWithIndex.map { case (f, i) =>
     if (isMap(i)) {
       val e = fs.messageFor(f)
       val vf = e.fieldByNumber(2)
       val vn = if (vf.tpe == TYPE_MESSAGE) new RowDecoder(fs, fs.messageFor(vf)) else null
-      (e.fieldByNumber(1), vf, vn)
+      val venums = if (vf.tpe == TYPE_ENUM) fs.enumFor(vf).byNumber else null
+      (e.fieldByNumber(1), vf, vn, venums)
     } else null
   }
   private val enumNames: Array[Map[Int, String]] = fields.map { f =>
@@ -79,16 +106,19 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
   private val defaults: Array[Any] = fields.zipWithIndex.map { case (f, i) =>
     if (isMap(i)) Map.empty[Any, Any]
     else if (f.repeated) Vector.empty
-    else f.tpe match {
-      case TYPE_MESSAGE => null
-      case TYPE_STRING => ""
-      case TYPE_BYTES => Array.emptyByteArray
-      case TYPE_BOOL => java.lang.Boolean.FALSE
-      case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
-      case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
-      case TYPE_ENUM => enumNames(i).getOrElse(0, "0")
-      case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
-      case _ => java.lang.Long.valueOf(0L)
+    else f.parsedDefault match { // proto2 explicit default (absent → this)
+      case Some(d) => d
+      case None => f.tpe match {
+        case TYPE_MESSAGE => null
+        case TYPE_STRING => ""
+        case TYPE_BYTES => Array.emptyByteArray
+        case TYPE_BOOL => java.lang.Boolean.FALSE
+        case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
+        case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
+        case TYPE_ENUM => enumNames(i).getOrElse(0, "0")
+        case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
+        case _ => java.lang.Long.valueOf(0L)
+      }
     }
   }
 
@@ -99,12 +129,14 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
     var bufs: Array[AnyRef] = null // lazily allocated ArrayBuffer / Map builder per repeated/map ordinal
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
-      val ord = if (fn <= maxNum && fn >= 0) ordByNum(fn) else -1
+      val ord = ordOf(fn)
       if (ord < 0) r.skip(wt)
-      else {
+      else if (wt != expectedWt(ord) &&
+          !(fields(ord).repeated && isPackable(fields(ord).tpe) && wt == Wire.WtLen)) {
+        r.skip(wt) // wire-type mismatch: unknown-field semantics (no desync)
+      } else {
         val f = fields(ord)
         if (isMap(ord)) {
-          if (wt != Wire.WtLen) throw new ProtoParseException(s"map field ${f.name}: bad wire type $wt")
           if (bufs == null) bufs = new Array[AnyRef](nFields)
           if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Any, Any)]
           val (p, len) = r.readSlice()
@@ -176,7 +208,9 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
   }
 
   private def decodeMapEntry(ord: Int, r: Reader): (Any, Any) = {
-    val (kf, vf, vn) = mapEntry(ord)
+    val (kf, vf, vn, venums) = mapEntry(ord)
+    // spec-legal entries may omit key/value: defaults must match the
+    // declared type (enum → the 0-value's NAME, bytes → empty — never Long 0)
     var k: Any = kf.tpe match {
       case TYPE_STRING => ""; case TYPE_BOOL => java.lang.Boolean.FALSE
       case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => java.lang.Integer.valueOf(0)
@@ -184,6 +218,8 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
     }
     var v: Any = vf.tpe match {
       case TYPE_MESSAGE => null; case TYPE_STRING => ""
+      case TYPE_BYTES => Array.emptyByteArray
+      case TYPE_ENUM => venums.getOrElse(0, "0")
       case TYPE_BOOL => java.lang.Boolean.FALSE
       case TYPE_DOUBLE => java.lang.Double.valueOf(0.0)
       case TYPE_FLOAT => java.lang.Float.valueOf(0.0f)
@@ -196,13 +232,17 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
       case TYPE_MESSAGE =>
         val (p, len) = r.readSlice()
         vn.decode(new Reader(r.buf, p, p + len))
+      case TYPE_ENUM =>
+        // enum map values resolve to NAMES like singular/repeated enums
+        val n = r.readVarint64().toInt
+        venums.getOrElse(n, n.toString)
       case _ => readScalarField(f, r, f.wireType)
     }
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
-      if (fn == 1) k = kvValue(kf)
-      else if (fn == 2) v = kvValue(vf)
-      else r.skip(wt)
+      if (fn == 1 && wt == kf.wireType) k = kvValue(kf)
+      else if (fn == 2 && wt == vf.wireType) v = kvValue(vf)
+      else r.skip(wt) // unknown field / mismatched wire type
     }
     (k, v)
   }

@@ -101,10 +101,15 @@ object SparkSchema {
       val pairs = v match {
         case Some(PList(vs)) => vs.map {
           case PMsg(e) =>
-            val k = e.fields.get(1).map(scalarValue(entry.fieldByNumber(1), _)).orNull
+            // spec-legal entries may omit key/value → typed defaults (a null
+            // key is illegal in MapType; enum values resolve to NAMES)
+            val keyF = entry.fieldByNumber(1)
+            val k = e.fields.get(1).map(scalarValue(keyF, _)).getOrElse(defaultScalar(keyF))
             val vv = valF.tpe match {
               case TYPE_MESSAGE => e.fields.get(2).collect {
                 case PMsg(mm) => toRowAs(fs, fs.messageFor(valF), mm) }.orNull
+              case TYPE_ENUM => e.fields.get(2).map(one(fs, valF, _))
+                .getOrElse(fs.enumFor(valF).byNumber.getOrElse(0, "0"))
               case _ => e.fields.get(2).map(scalarValue(valF, _)).getOrElse(defaultScalar(valF))
             }
             k -> vv
@@ -121,7 +126,8 @@ object SparkSchema {
       }
     } else f.tpe match {
       case TYPE_MESSAGE => v.collect { case PMsg(mm) => one(fs, f, PMsg(mm)) }.orNull
-      case TYPE_ENUM => v.map(one(fs, f, _)).getOrElse(fs.enumFor(f).byNumber.getOrElse(0, "0"))
+      case TYPE_ENUM => v.map(one(fs, f, _)).getOrElse(
+        f.parsedDefault.getOrElse(fs.enumFor(f).byNumber.getOrElse(0, "0")))
       case _ => v.map(one(fs, f, _)).getOrElse(defaultScalar(f))
     }
   }
@@ -157,7 +163,7 @@ object SparkSchema {
     case (t, other) => throw new IllegalArgumentException(s"field ${f.name}: $t cannot convert $other")
   }
 
-  private def defaultScalar(f: FieldDesc): Any = f.tpe match {
+  private def defaultScalar(f: FieldDesc): Any = f.parsedDefault.getOrElse(f.tpe match {
     case TYPE_DOUBLE => 0.0
     case TYPE_FLOAT => 0.0f
     case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 => 0
@@ -166,5 +172,5 @@ object SparkSchema {
     case TYPE_BYTES => Array.emptyByteArray
     case TYPE_ENUM => "" // resolved via enum name path normally
     case _ => 0L
-  }
+  })
 }

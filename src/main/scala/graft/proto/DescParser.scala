@@ -22,7 +22,7 @@ object DescParser {
         } else r.skip(wt)
       }
       if (files.isEmpty) throw new SchemaLoadingException("empty FileDescriptorSet")
-      FileSet(files)
+      fixTypeNameOnly(FileSet(files))
     } catch {
       case e: SchemaLoadingException => throw e
       case e: Exception => throw new SchemaLoadingException(s"cannot parse FileDescriptorSet: ${e.getMessage}", e)
@@ -31,6 +31,21 @@ object DescParser {
 
   def parseFile(path: java.nio.file.Path): FileSet =
     parseFileDescriptorSet(java.nio.file.Files.readAllBytes(path))
+
+  /** Post-pass for fields whose descriptor carried type_name without type:
+    * they parsed as TYPE_MESSAGE; flip to TYPE_ENUM when the name resolves
+    * only to an enum. */
+  private def fixTypeNameOnly(fs: FileSet): FileSet = {
+    def fixMsg(m: MessageDesc): MessageDesc = m.copy(
+      fields = m.fields.map { f =>
+        if (f.tpe == FType.TYPE_MESSAGE && f.typeName.nonEmpty &&
+            fs.findMessage(f.typeName).isEmpty && fs.findEnum(f.typeName).isDefined)
+          f.copy(tpe = FType.TYPE_ENUM)
+        else f
+      },
+      nestedMessages = m.nestedMessages.map(fixMsg))
+    FileSet(fs.files.map(fd => fd.copy(messages = fd.messages.map(fixMsg))))
+  }
 
   // FileDescriptorProto: name=1 package=2 dependency=3 message_type=4
   //                      enum_type=5 syntax=12
@@ -106,7 +121,8 @@ object DescParser {
   //                       proto3_optional=17
   private def parseField(r: Reader): FieldDesc = {
     var name = ""; var number = 0; var label = Label.OPTIONAL
-    var tpe: FType = FType.TYPE_STRING; var typeName = ""; var jsonName = ""
+    var tpe: FType = FType.TYPE_STRING; var sawType = false
+    var typeName = ""; var jsonName = ""; var defaultVal: Option[String] = None
     var packedOpt: Option[Boolean] = None; var p3opt = false
     var oneofIdx: Option[Int] = None
     while (r.hasRemaining) {
@@ -115,8 +131,9 @@ object DescParser {
         case (1, Wire.WtLen) => name = str(r)
         case (3, Wire.WtVarint) => number = r.readVarint64().toInt
         case (4, Wire.WtVarint) => label = Label(r.readVarint64().toInt)
-        case (5, Wire.WtVarint) => tpe = FType(r.readVarint64().toInt)
+        case (5, Wire.WtVarint) => tpe = FType(r.readVarint64().toInt); sawType = true
         case (6, Wire.WtLen) => typeName = str(r)
+        case (7, Wire.WtLen) => defaultVal = Some(str(r)) // proto2 default_value
         case (8, Wire.WtLen) =>
           val (p, len) = r.readSlice()
           val opt = new Reader(r.buf, p, p + len)
@@ -132,7 +149,13 @@ object DescParser {
       }
     }
     if (jsonName.isEmpty) jsonName = defaultJsonName(name)
-    FieldDesc(name, number, tpe, label, typeName, jsonName, packedOpt, p3opt, oneofIndex = oneofIdx)
+    // descriptor.proto: "if type_name is set, [type] need not be set" —
+    // default to MESSAGE; the post-pass flips it to ENUM when the name
+    // resolves to an enum (the old TYPE_STRING fallback misdecoded the
+    // embedded message bytes as UTF-8 garbage)
+    if (!sawType && typeName.nonEmpty) tpe = FType.TYPE_MESSAGE
+    FieldDesc(name, number, tpe, label, typeName, jsonName, packedOpt, p3opt,
+      oneofIndex = oneofIdx, defaultValue = defaultVal)
   }
 
   // EnumDescriptorProto: name=1 value=2; EnumValueDescriptorProto: name=1 number=2

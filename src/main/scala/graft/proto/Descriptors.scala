@@ -85,11 +85,31 @@ object Descriptors {
         * have explicit presence; the last member seen on the wire CLEARS
         * its peers. proto3 `optional` compiles to a synthetic single-member
         * oneof, which these semantics cover trivially. */
-      oneofIndex: Option[Int] = None
+      oneofIndex: Option[Int] = None,
+      /** proto2 explicit default (FieldDescriptorProto.default_value,
+        * textual form): an ABSENT field decodes to this instead of the
+        * zero value (protobuf-java parity). None for proto3 / no default. */
+      defaultValue: Option[String] = None
   ) extends Serializable {
     def repeated: Boolean = label == Label.REPEATED
     /** a set-but-default-valued singular field must still serialize. */
     def explicitPresence: Boolean = proto3Optional || proto2 || oneofIndex.isDefined
+    /** the proto2 default parsed into the field's Scala-side scalar type
+      * (enum defaults stay the NAME string — the decoders' enum
+      * representation; bytes defaults unsupported → None). */
+    def parsedDefault: Option[Any] = defaultValue.flatMap { s =>
+      try tpe match {
+        case FType.TYPE_STRING | FType.TYPE_ENUM => Some(s)
+        case FType.TYPE_BOOL => Some(s == "true")
+        case FType.TYPE_DOUBLE => Some(s.toDouble)
+        case FType.TYPE_FLOAT => Some(s.toFloat)
+        case FType.TYPE_INT32 | FType.TYPE_SINT32 | FType.TYPE_SFIXED32 => Some(s.toInt)
+        case FType.TYPE_UINT32 | FType.TYPE_FIXED32 => Some(java.lang.Long.parseLong(s) & 0xffffffffL)
+        case FType.TYPE_UINT64 | FType.TYPE_FIXED64 => Some(java.lang.Long.parseUnsignedLong(s))
+        case FType.TYPE_INT64 | FType.TYPE_SINT64 | FType.TYPE_SFIXED64 => Some(s.toLong)
+        case _ => None // bytes (C-escaped) / message: unsupported
+      } catch { case _: NumberFormatException => None }
+    }
     def packed: Boolean = repeated && isPackable(tpe) && packedOpt.getOrElse(!proto2)
     def wireType: Int =
       if (isVarintType(tpe)) Wire.WtVarint

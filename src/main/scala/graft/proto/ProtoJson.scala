@@ -419,14 +419,32 @@ object ProtoJson {
           s"Invalid enum value: ${v.asText()} for enum type ${ed.fullName}")
       }
     case TYPE_UINT64 | TYPE_FIXED64 =>
-      PLong(java.lang.Long.parseUnsignedLong(v.asText()))
+      if (v.asText().contains('.') || v.asText().toLowerCase.contains('e'))
+        PLong(intIn(f, v, BigDecimal(0), BigDecimal("18446744073709551615")).toBigInt.longValue)
+      else PLong(java.lang.Long.parseUnsignedLong(v.asText()))
     case TYPE_INT64 | TYPE_SINT64 | TYPE_SFIXED64 =>
-      PLong(v.asText().toLong)
+      PLong(intIn(f, v, BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)).toLong)
     case TYPE_UINT32 | TYPE_FIXED32 =>
-      PLong(java.lang.Long.parseLong(v.asText()) & 0xffffffffL)
+      PLong(intIn(f, v, BigDecimal(0), BigDecimal(4294967295L)).toLong)
     case TYPE_INT32 | TYPE_SINT32 | TYPE_SFIXED32 =>
-      PLong(v.asText().toLong.toInt.toLong)
+      PLong(intIn(f, v, BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue)).toLong)
     case other => throw new MessageEncodingException(s"unsupported field type $other")
+  }
+
+  /** JsonFormat numeric parity for integer fields: accept whole-valued
+    * decimal/exponent forms ("1.000", "1e3"), REJECT fractional values and
+    * out-of-range values (the old toLong.toInt silently truncated
+    * 4294967296 → 0 — data corruption, where JsonFormat throws). */
+  private def intIn(f: FieldDesc, v: JsonNode, lo: BigDecimal, hi: BigDecimal): BigDecimal = {
+    val bd = try BigDecimal(v.asText()) catch {
+      case e: NumberFormatException =>
+        throw new MessageEncodingException(s"field ${f.name}: not a number: ${v.asText()}", e)
+    }
+    if (!bd.isWhole)
+      throw new MessageEncodingException(s"field ${f.name}: not an integer: ${v.asText()}")
+    if (bd < lo || bd > hi)
+      throw new MessageEncodingException(s"field ${f.name}: out of range: ${v.asText()}")
+    bd
   }
 
   private def parseFpText(v: JsonNode): Double =

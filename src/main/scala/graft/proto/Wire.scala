@@ -102,14 +102,27 @@ object Wire {
     }
 
     /** Skips a field of the given wire type (for unknown-field preservation the
-      * caller captures the byte range instead). */
-    def skip(wireType: Int): Unit = wireType match {
+      * caller captures the byte range instead). An UNKNOWN group is skipped by
+      * balancing START/END tags (protobuf-java parity — groups can't be
+      * DECLARED in our descriptors, but an unknown field encoded as a group
+      * must still be tolerated and dropped like any other unknown field). */
+    def skip(wireType: Int): Unit = skip(wireType, 0)
+
+    private def skip(wireType: Int, groupDepth: Int): Unit = wireType match {
       case WtVarint  => readVarint64(); ()
       case WtFixed64 => if (pos + 8 > limit) throw new ProtoParseException("truncated fixed64"); pos += 8
       case WtLen     => readSlice(); ()
       case WtFixed32 => if (pos + 4 > limit) throw new ProtoParseException("truncated fixed32"); pos += 4
-      case WtStartGroup | WtEndGroup =>
-        throw new ProtoParseException("proto2 groups are not supported")
+      case WtStartGroup =>
+        if (groupDepth > 100) throw new ProtoParseException("group nesting exceeds 100 levels")
+        var done = false
+        while (!done) {
+          if (!hasRemaining) throw new ProtoParseException("truncated group")
+          val (_, wt) = readTag()
+          if (wt == WtEndGroup) done = true else skip(wt, groupDepth + 1)
+        }
+      case WtEndGroup =>
+        throw new ProtoParseException("unmatched END_GROUP tag")
       case other => throw new ProtoParseException(s"invalid wire type $other")
     }
   }

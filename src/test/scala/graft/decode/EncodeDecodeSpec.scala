@@ -47,6 +47,30 @@ class EncodeDecodeSpec extends AnyFunSuite {
     assert(viaSpark.sameElements(direct))
   }
 
+  test("encode maps nested struct fields by NAME, not position (reordered struct columns)") {
+    import org.apache.spark.sql.functions._
+    val fs = graft.proto.ProtoTextParser.parse(
+      """syntax = "proto3";
+        |package enc;
+        |message Inner { string first = 1; string second = 2; }
+        |message Outer { Inner inner = 1; }
+        |""".stripMargin, "enc.proto")
+    val outer = fs.findMessage("enc.Outer").get
+    val reg = graft.registry.DescriptorRegistry(
+      graft.registry.SchemaKey("enc", 1) -> fs)
+    val breg = spark.sparkContext.broadcast(reg)
+    // build the nested struct in REVERSED column order: a positional read
+    // against the canonical (first, second) schema would silently transpose
+    // the two same-typed values
+    val df = spark.range(1).select(
+      struct(lit("B").as("second"), lit("A").as("first")).as("inner"))
+    val bytes = Encode.encode(df, breg, graft.registry.SchemaKey("enc", 1), "Outer").head()
+    val dec = graft.proto.DynMsg.decode(fs, outer, bytes)
+    val inner = dec.fields(1).asInstanceOf[graft.proto.PValue.PMsg].v
+    assert(inner.fields(1) == graft.proto.PValue.PStr("A"), "field 'first' must get the value named first")
+    assert(inner.fields(2) == graft.proto.PValue.PStr("B"))
+  }
+
   test("RowDecoder ≡ DynMsg.decode + toRowAs on kitchen-sink messages") {
     val schema = ProtoTextParser.parse(
       """syntax = "proto3";
