@@ -22,7 +22,17 @@ import graft.proto.ProtoJson
   * RowDecoder (EncodeDecodeSpec).
   */
 final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
-    allowed: Option[Set[Int]] = None) extends Serializable {
+    allowed: Option[Set[Int]] = None,
+    /** message names on the construction path — rejects RECURSIVE message
+      * types (legal protobuf, unrepresentable as a flat InternalRow schema)
+      * with the typed exception instead of overflowing the stack while
+      * eagerly pre-compiling nested decoders (same guard as SparkSchema). */
+    visiting: Set[String] = Set.empty) extends Serializable {
+
+  if (visiting(desc.fullName))
+    throw new SchemaLoadingException(
+      s"recursive message type ${desc.fullName} cannot be row-decoded")
+  private val childVisiting = visiting + desc.fullName
 
   private val fields: Array[FieldDesc] = desc.fieldsInNumberOrder.toArray
   private val nFields = fields.length
@@ -71,7 +81,7 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
   private val nestedDec: Array[CatalystRowDecoder] = fields.map { f =>
     if (f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
       fs.messageFor(f).fullName != "google.protobuf.Timestamp")
-      new CatalystRowDecoder(fs, fs.messageFor(f))
+      new CatalystRowDecoder(fs, fs.messageFor(f), visiting = childVisiting)
     else null
   }
   private val mapEntry: Array[(FieldDesc, FieldDesc, CatalystRowDecoder, Map[Int, UTF8String])] =
@@ -79,7 +89,7 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
       if (isMap(i)) {
         val e = fs.messageFor(f)
         val vf = e.fieldByNumber(2)
-        val vn = if (vf.tpe == TYPE_MESSAGE) new CatalystRowDecoder(fs, fs.messageFor(vf)) else null
+        val vn = if (vf.tpe == TYPE_MESSAGE) new CatalystRowDecoder(fs, fs.messageFor(vf), visiting = childVisiting) else null
         val venums = if (vf.tpe == TYPE_ENUM)
           fs.enumFor(vf).byNumber.map { case (n, s) => n -> UTF8String.fromString(s) } else null
         (e.fieldByNumber(1), vf, vn, venums)

@@ -21,7 +21,17 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
     /** restrict decoded field numbers to the WRITER descriptor's set (top
       * level): a v1-tagged event never surfaces v2-only fields even if the
       * bytes carry them — attribute-over-property trust semantics. */
-    allowed: Option[Set[Int]] = None) extends Serializable {
+    allowed: Option[Set[Int]] = None,
+    /** message names on the construction path — rejects RECURSIVE message
+      * types (legal protobuf, unrepresentable as a flat Row schema) with the
+      * typed exception instead of overflowing the stack while eagerly
+      * pre-compiling nested decoders (same guard as SparkSchema.structFor). */
+    visiting: Set[String] = Set.empty) extends Serializable {
+
+  if (visiting(desc.fullName))
+    throw new SchemaLoadingException(
+      s"recursive message type ${desc.fullName} cannot be row-decoded")
+  private val childVisiting = visiting + desc.fullName
 
   private val fields: Array[FieldDesc] = desc.fieldsInNumberOrder.toArray
   private val nFields = fields.length
@@ -69,7 +79,7 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
   private val nestedDec: Array[RowDecoder] = fields.map { f =>
     if (f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
       fs.messageFor(f).fullName != "google.protobuf.Timestamp")
-      new RowDecoder(fs, fs.messageFor(f))
+      new RowDecoder(fs, fs.messageFor(f), visiting = childVisiting)
     else null
   }
   // map-entry sub-decoders: (keyField, valueField, valueNested, valueEnumNames)
@@ -77,7 +87,7 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
     if (isMap(i)) {
       val e = fs.messageFor(f)
       val vf = e.fieldByNumber(2)
-      val vn = if (vf.tpe == TYPE_MESSAGE) new RowDecoder(fs, fs.messageFor(vf)) else null
+      val vn = if (vf.tpe == TYPE_MESSAGE) new RowDecoder(fs, fs.messageFor(vf), visiting = childVisiting) else null
       val venums = if (vf.tpe == TYPE_ENUM) fs.enumFor(vf).byNumber else null
       (e.fieldByNumber(1), vf, vn, venums)
     } else null

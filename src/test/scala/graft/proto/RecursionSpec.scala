@@ -46,4 +46,11 @@ class RecursionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("recursive"))
   }
+
+  test("row decoders reject recursive message types at construction (no constructor stack overflow)") {
+    val e1 = intercept[SchemaLoadingException] { new graft.decode.RowDecoder(fs, node) }
+    assert(e1.getMessage.contains("recursive"))
+    val e2 = intercept[SchemaLoadingException] { new graft.decode.CatalystRowDecoder(fs, node) }
+    assert(e2.getMessage.contains("recursive"))
+  }
 }
