@@ -20,11 +20,35 @@ object ProtoJson {
 
   private val mapper = new ObjectMapper()
 
+  /** Type registry for `google.protobuf.Any` — the in-JVM analogue of
+    * JsonFormat.TypeRegistry the reference configures on its printer/parser:
+    * resolves the full type name after the last '/' of a type URL against a
+    * set of compiled FileSets. Without a registry (the default), Any
+    * print/parse throws, matching JsonFormat's no-registry behavior. */
+  final case class TypeRegistry(filesets: Vector[FileSet]) {
+    def find(typeUrl: String): (FileSet, MessageDesc) = {
+      val slash = typeUrl.lastIndexOf('/')
+      if (slash < 0)
+        throw new MessageEncodingException(s"google.protobuf.Any: invalid type url: $typeUrl")
+      val name = typeUrl.substring(slash + 1)
+      filesets.iterator
+        .flatMap(fs => fs.findMessage(name).map(fs -> _))
+        .nextOption()
+        .getOrElse(throw new MessageEncodingException(
+          s"google.protobuf.Any: cannot find type $typeUrl in the type registry"))
+    }
+  }
+  object TypeRegistry {
+    val empty: TypeRegistry = TypeRegistry(Vector.empty)
+    def of(fs: FileSet*): TypeRegistry = TypeRegistry(fs.toVector)
+  }
+
   // ------------------------------------------------------------------ print
 
-  def toJson(fs: FileSet, m: DynMsg, pretty: Boolean = true): String = {
+  def toJson(fs: FileSet, m: DynMsg, pretty: Boolean = true,
+      registry: TypeRegistry = TypeRegistry.empty): String = {
     val sb = new StringBuilder
-    printMsg(fs, m, sb, if (pretty) 0 else -1)
+    printMsg(fs, m, sb, if (pretty) 0 else -1)(registry)
     sb.toString
   }
 
@@ -41,7 +65,20 @@ object ProtoJson {
     "google.protobuf.BoolValue", "google.protobuf.StringValue",
     "google.protobuf.BytesValue")
 
-  private def printMsg(fs: FileSet, m: DynMsg, sb: StringBuilder, level: Int): Unit = {
+  /** WKTs that print/parse as a special scalar/JSON form rather than as the
+    * message object — JsonFormat's wellKnownTypePrinters set. An Any whose
+    * PAYLOAD is one of these wraps the form as {"@type": ..., "value": ...}. */
+  private def isSpecialForm(fullName: String): Boolean =
+    wrapperTypes(fullName) || (fullName match {
+      case "google.protobuf.Timestamp" | "google.protobuf.Duration" |
+          "google.protobuf.FieldMask" | "google.protobuf.Struct" |
+          "google.protobuf.Value" | "google.protobuf.ListValue" |
+          "google.protobuf.Any" => true
+      case _ => false
+    })
+
+  private def printMsg(fs: FileSet, m: DynMsg, sb: StringBuilder, level: Int)(
+      implicit reg: TypeRegistry): Unit = {
     m.desc.fullName match {
       case "google.protobuf.Timestamp" => sb.append(quote(timestampToRfc3339(m))); return
       case "google.protobuf.Duration" => sb.append(quote(durationToString(m))); return
@@ -60,11 +97,16 @@ object ProtoJson {
         val vf = m.desc.fieldByNumber(1)
         printValue(fs, vf, m.fields.getOrElse(1, PList(Vector.empty)), sb, level)
         return
-      case "google.protobuf.Any" =>
-        throw new MessageEncodingException(
-          "google.protobuf.Any requires a type registry (JsonFormat parity: unsupported without one)")
+      case "google.protobuf.Any" => printAny(m, sb, level); return
       case _ => ()
     }
+    printFields(fs, m, sb, level, typeUrl = None)
+  }
+
+  /** The generic object form; `typeUrl` injects the "@type" key first (the
+    * Any-payload form JsonFormat prints for ordinary payload types). */
+  private def printFields(fs: FileSet, m: DynMsg, sb: StringBuilder, level: Int,
+      typeUrl: Option[String])(implicit reg: TypeRegistry): Unit = {
     val entries = m.desc.fieldsInNumberOrder.flatMap { f =>
       m.fields.get(f.number).flatMap { v =>
         // proto3 canonical JSON omits default-valued singular fields —
@@ -73,9 +115,14 @@ object ProtoJson {
         if (!f.repeated && !f.explicitPresence && DynMsg.isDefault(f, v)) None else Some((f, v))
       }
     }
-    if (entries.isEmpty) { sb.append("{}"); return }
+    if (entries.isEmpty && typeUrl.isEmpty) { sb.append("{}"); return }
     sb.append('{')
     var first = true
+    typeUrl.foreach { u =>
+      indent(sb, if (level >= 0) level + 1 else -1)
+      sb.append(quote("@type")).append(if (level >= 0) ": " else ":").append(quote(u))
+      first = false
+    }
     entries.foreach { case (f, v) =>
       if (!first) sb.append(if (level >= 0) "," else ",")
       first = false
@@ -87,7 +134,42 @@ object ProtoJson {
     sb.append('}')
   }
 
-  private def printValue(fs: FileSet, f: FieldDesc, v: PValue, sb: StringBuilder, level: Int): Unit = v match {
+  /** google.protobuf.Any print (JsonFormat Printer.printAny): an empty Any is
+    * `{}`; otherwise the payload type is resolved through the registry and
+    * printed inline with "@type" first — or, when the payload is itself a
+    * special-form WKT, wrapped as {"@type": ..., "value": <form>}. */
+  private def printAny(m: DynMsg, sb: StringBuilder, level: Int)(
+      implicit reg: TypeRegistry): Unit = {
+    if (m.fields.isEmpty) { sb.append("{}"); return }
+    val url = m.fields.get(1) match {
+      case Some(PStr(u)) => u
+      case _ => throw new MessageEncodingException("google.protobuf.Any: missing type_url")
+    }
+    val bytes = m.fields.get(2) match {
+      case Some(PBytes(b)) => b
+      case None => Array.emptyByteArray
+      case other => throw new MessageEncodingException(s"google.protobuf.Any: bad value field $other")
+    }
+    val (pfs, pdesc) = reg.find(url)
+    val payload = try DynMsg.decode(pfs, pdesc, bytes) catch {
+      case e: Exception => throw new MessageEncodingException(
+        s"google.protobuf.Any: payload does not parse as $url: ${e.getMessage}", e)
+    }
+    if (isSpecialForm(pdesc.fullName)) {
+      sb.append('{')
+      indent(sb, if (level >= 0) level + 1 else -1)
+      sb.append(quote("@type")).append(if (level >= 0) ": " else ":").append(quote(url))
+      sb.append(',')
+      indent(sb, if (level >= 0) level + 1 else -1)
+      sb.append(quote("value")).append(if (level >= 0) ": " else ":")
+      printMsg(pfs, payload, sb, if (level >= 0) level + 1 else -1)
+      indent(sb, level)
+      sb.append('}')
+    } else printFields(pfs, payload, sb, level, typeUrl = Some(url))
+  }
+
+  private def printValue(fs: FileSet, f: FieldDesc, v: PValue, sb: StringBuilder, level: Int)(
+      implicit reg: TypeRegistry): Unit = v match {
     case PList(vs) if isMapField(fs, f) =>
       // proto map: object keyed by stringified key
       sb.append('{')
@@ -191,7 +273,8 @@ object ProtoJson {
   }
 
   /** google.protobuf.Value: exactly one oneof member set → its JSON form. */
-  private def printGoogleValue(fs: FileSet, m: DynMsg, sb: StringBuilder, level: Int): Unit = {
+  private def printGoogleValue(fs: FileSet, m: DynMsg, sb: StringBuilder, level: Int)(
+      implicit reg: TypeRegistry): Unit = {
     m.fields.headOption match {
       case Some((1, _)) => sb.append("null") // null_value
       case Some((n @ (2 | 3 | 4 | 5 | 6), v)) => printValue(fs, m.desc.fieldByNumber(n), v, sb, level)
@@ -285,16 +368,18 @@ object ProtoJson {
 
   // ------------------------------------------------------------------ parse
 
-  def fromJson(fs: FileSet, desc: MessageDesc, json: String): DynMsg = {
+  def fromJson(fs: FileSet, desc: MessageDesc, json: String,
+      registry: TypeRegistry = TypeRegistry.empty): DynMsg = {
     val root = try mapper.readTree(json) catch {
       case e: Exception => throw new MessageEncodingException(s"invalid JSON: ${e.getMessage}", e)
     }
     if (root == null || !root.isObject)
       throw new MessageEncodingException("JSON root must be an object")
-    parseMsg(fs, desc, root)
+    parseMsg(fs, desc, root)(registry)
   }
 
-  private def parseMsg(fs: FileSet, desc: MessageDesc, node: JsonNode): DynMsg = {
+  private def parseMsg(fs: FileSet, desc: MessageDesc, node: JsonNode)(
+      implicit reg: TypeRegistry): DynMsg = {
     desc.fullName match {
       case "google.protobuf.Timestamp" if node.getNodeType == JsonNodeType.STRING =>
         return rfc3339ToTimestamp(desc, node.asText())
@@ -333,8 +418,7 @@ object ProtoJson {
         return DynMsg(desc,
           if (vs.isEmpty) TreeMap.empty[Int, PValue] else TreeMap(1 -> (PList(vs): PValue)))
       case "google.protobuf.Any" =>
-        throw new MessageEncodingException(
-          "google.protobuf.Any requires a type registry (JsonFormat parity: unsupported without one)")
+        return parseAny(desc, node)
       case _ => ()
     }
     var fields = TreeMap.empty[Int, PValue]
@@ -376,8 +460,41 @@ object ProtoJson {
     DynMsg(desc, fields)
   }
 
+  /** google.protobuf.Any parse (JsonFormat Parser.mergeAny): `{}` is the
+    * default Any; otherwise "@type" resolves the payload type through the
+    * registry, the payload parses from either the "value" key (special-form
+    * WKT payloads) or the remaining object fields, and is re-encoded into
+    * the Any's `value` bytes. */
+  private def parseAny(desc: MessageDesc, node: JsonNode)(
+      implicit reg: TypeRegistry): DynMsg = {
+    if (!node.isObject)
+      throw new MessageEncodingException("google.protobuf.Any: expected JSON object")
+    if (node.isEmpty) return DynMsg(desc, TreeMap.empty[Int, PValue])
+    val tn = node.get("@type")
+    if (tn == null || !tn.isTextual)
+      throw new MessageEncodingException("google.protobuf.Any: missing \"@type\"")
+    val url = tn.asText()
+    val (pfs, pdesc) = reg.find(url)
+    val payload =
+      if (isSpecialForm(pdesc.fullName)) {
+        val v = node.get("value")
+        if (v == null) throw new MessageEncodingException(
+          s"google.protobuf.Any: well-known payload $url requires a \"value\" key")
+        parseMsg(pfs, pdesc, v)
+      } else {
+        val clone = node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        clone.remove("@type")
+        parseMsg(pfs, pdesc, clone)
+      }
+    val bytes = DynMsg.encode(pfs, payload)
+    var fields = TreeMap[Int, PValue](1 -> PStr(url))
+    if (bytes.nonEmpty) fields += (2 -> PBytes(bytes))
+    DynMsg(desc, fields)
+  }
+
   /** Any JSON node → google.protobuf.Value (null/number/string/bool/object/array). */
-  private def parseGoogleValue(fs: FileSet, desc: MessageDesc, node: JsonNode): DynMsg = {
+  private def parseGoogleValue(fs: FileSet, desc: MessageDesc, node: JsonNode)(
+      implicit reg: TypeRegistry): DynMsg = {
     val f: Int => FieldDesc = desc.fieldByNumber
     node.getNodeType match {
       case JsonNodeType.NULL => DynMsg(desc, TreeMap(1 -> PEnum(0))) // NULL_VALUE
@@ -401,7 +518,8 @@ object ProtoJson {
     case other => throw new MessageEncodingException(s"invalid map key type $other")
   }
 
-  private def parseValue(fs: FileSet, f: FieldDesc, v: JsonNode): PValue = f.tpe match {
+  private def parseValue(fs: FileSet, f: FieldDesc, v: JsonNode)(
+      implicit reg: TypeRegistry): PValue = f.tpe match {
     case TYPE_MESSAGE => PMsg(parseMsg(fs, fs.messageFor(f), v))
     case TYPE_STRING => PStr(v.asText())
     case TYPE_BYTES => PBytes(Base64.getDecoder.decode(v.asText()))

@@ -24,6 +24,20 @@ object ProtoTextParser {
       nestedEnums = Vector.empty)),
     enums = Vector.empty)
 
+  /** Builtin replacement for `import "google/protobuf/any.proto"`. */
+  val anyFile: FileDesc = FileDesc(
+    name = "google/protobuf/any.proto",
+    pkg = "google.protobuf",
+    messages = Vector(MessageDesc(
+      name = "Any",
+      fullName = "google.protobuf.Any",
+      fields = Vector(
+        FieldDesc("type_url", 1, FType.TYPE_STRING, Label.OPTIONAL, "", "typeUrl"),
+        FieldDesc("value", 2, FType.TYPE_BYTES, Label.OPTIONAL, "", "value")),
+      nestedMessages = Vector.empty,
+      nestedEnums = Vector.empty)),
+    enums = Vector.empty)
+
   def parse(source: String, fileName: String = "inline.proto"): FileSet =
     parse(source, fileName, FileSet(Vector.empty))
 
@@ -132,6 +146,7 @@ object ProtoTextParser {
       val prefix = if (pkg.isEmpty) "" else pkg + "."
       val builtins = imports.collect {
         case imp if imp == "google/protobuf/timestamp.proto" => timestampFile
+        case imp if imp == "google/protobuf/any.proto" => anyFile
       }
       val fileMsgs = msgs.map(qualify(prefix, _))
       val fileEnums = enums.map { case (n, vs) => EnumDesc(n, prefix + n, vs) }

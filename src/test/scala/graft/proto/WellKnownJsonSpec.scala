@@ -149,6 +149,112 @@ class WellKnownJsonSpec extends AnyFunSuite {
       ProtoJson.toJson(fs, DynMsg.decode(fs, structDesc, bytes)), json))
   }
 
+  test("Any: ordinary payload prints inline with @type; WKT payload wraps in value; round-trips byte-stably") {
+    val anyProto =
+      """syntax = "proto3";
+        |package demo3;
+        |import "google/protobuf/any.proto";
+        |message Inner { string s = 1; int64 n = 2; }
+        |message Carrier {
+        |  google.protobuf.Any payload = 1;
+        |  repeated google.protobuf.Any extras = 2;
+        |}
+        |""".stripMargin
+    val fs3 = ProtoTextParser.parse(anyProto, "demo3.proto",
+      imports = ProtoTextParser.parse(wktProto, "wkt.proto"))
+    val carrier = fs3.findMessage("demo3.Carrier").get
+    val reg = ProtoJson.TypeRegistry.of(fs3)
+
+    // ordinary payload: object form with @type first
+    val json =
+      """{
+        |  "payload": {"@type": "type.googleapis.com/demo3.Inner", "s": "hi", "n": "42"},
+        |  "extras": [
+        |    {"@type": "type.googleapis.com/google.protobuf.Duration", "value": "3.500s"},
+        |    {"@type": "type.googleapis.com/google.protobuf.Int32Value", "value": 7},
+        |    {"@type": "type.googleapis.com/google.protobuf.Struct", "value": {"k": [1.5, null]}},
+        |    {}
+        |  ]
+        |}""".stripMargin
+    val m = ProtoJson.fromJson(fs3, carrier, json, reg)
+    // the Any holds REAL wire bytes of the payload type
+    import PValue._
+    val payloadAny = m.fields(1).asInstanceOf[PMsg].v
+    assert(payloadAny.fields(1) == PStr("type.googleapis.com/demo3.Inner"))
+    val innerBytes = payloadAny.fields(2).asInstanceOf[PBytes].v
+    val inner = DynMsg.decode(fs3, fs3.findMessage("demo3.Inner").get, innerBytes)
+    assert(inner.getByName("s").contains(PStr("hi")))
+    assert(inner.getByName("n").contains(PLong(42L)))
+    // print is tree-equal to the input; wire round-trip is byte-stable
+    val printed = ProtoJson.toJson(fs3, m, pretty = true, registry = reg)
+    assert(ProtoJson.jsonTreeEquals(printed, json), s"diverged:\n$printed")
+    val bytes = DynMsg.encode(fs3, m)
+    val back = DynMsg.decode(fs3, carrier, bytes)
+    assert(java.util.Arrays.equals(DynMsg.encode(fs3, back), bytes))
+    assert(ProtoJson.jsonTreeEquals(ProtoJson.toJson(fs3, back, registry = reg), json))
+    // compact mode too
+    assert(ProtoJson.jsonTreeEquals(
+      ProtoJson.toJson(fs3, m, pretty = false, registry = reg), json))
+  }
+
+  test("Any: Any-in-Any nests the @type/value wrapping one level per Any") {
+    val anyProto =
+      """syntax = "proto3";
+        |package demo4;
+        |import "google/protobuf/any.proto";
+        |message Inner { string s = 1; }
+        |message Carrier { google.protobuf.Any a = 1; }
+        |""".stripMargin
+    val fs4 = ProtoTextParser.parse(anyProto, "demo4.proto")
+    val carrier = fs4.findMessage("demo4.Carrier").get
+    val reg = ProtoJson.TypeRegistry.of(fs4)
+    val json =
+      """{"a": {"@type": "type.googleapis.com/google.protobuf.Any",
+        |       "value": {"@type": "type.googleapis.com/demo4.Inner", "s": "deep"}}}""".stripMargin
+    val m = ProtoJson.fromJson(fs4, carrier, json, reg)
+    assert(ProtoJson.jsonTreeEquals(ProtoJson.toJson(fs4, m, registry = reg), json))
+    // the outer Any's bytes decode to an inner Any whose bytes decode to Inner
+    import PValue._
+    val anyDesc = fs4.findMessage("google.protobuf.Any").get
+    val outer = m.fields(1).asInstanceOf[PMsg].v
+    val mid = DynMsg.decode(fs4, anyDesc, outer.fields(2).asInstanceOf[PBytes].v)
+    val leaf = DynMsg.decode(fs4, fs4.findMessage("demo4.Inner").get,
+      mid.fields(2).asInstanceOf[PBytes].v)
+    assert(leaf.getByName("s").contains(PStr("deep")))
+  }
+
+  test("Any: no registry / unknown type / bad url all throw the typed exception") {
+    val anyProto =
+      """syntax = "proto3";
+        |package demo5;
+        |import "google/protobuf/any.proto";
+        |message Carrier { google.protobuf.Any a = 1; }
+        |""".stripMargin
+    val fs5 = ProtoTextParser.parse(anyProto, "demo5.proto")
+    val carrier = fs5.findMessage("demo5.Carrier").get
+    val reg = ProtoJson.TypeRegistry.of(fs5)
+    val okJson = """{"a": {"@type": "type.googleapis.com/demo5.Carrier", "a": {}}}"""
+    // parses with a registry; throws without one (JsonFormat no-registry parity)
+    ProtoJson.fromJson(fs5, carrier, okJson, reg)
+    intercept[MessageEncodingException] { ProtoJson.fromJson(fs5, carrier, okJson) }
+    intercept[MessageEncodingException] {
+      ProtoJson.fromJson(fs5, carrier,
+        """{"a": {"@type": "type.googleapis.com/no.such.Type", "x": 1}}""", reg)
+    }
+    intercept[MessageEncodingException] {
+      ProtoJson.fromJson(fs5, carrier, """{"a": {"@type": "noslash", "x": 1}}""", reg)
+    }
+    intercept[MessageEncodingException] {
+      ProtoJson.fromJson(fs5, carrier, """{"a": {"x": 1}}""", reg) // no @type
+    }
+    // print without a registry throws too (non-empty Any)
+    val m = ProtoJson.fromJson(fs5, carrier, okJson, reg)
+    intercept[MessageEncodingException] { ProtoJson.toJson(fs5, m) }
+    // an EMPTY Any prints {} and needs no registry
+    val empty = ProtoJson.fromJson(fs5, carrier, """{"a": {}}""", reg)
+    assert(ProtoJson.jsonTreeEquals(ProtoJson.toJson(fs5, empty), """{"a": {}}"""))
+  }
+
   test("unknown field in a well-known context still errors (strict parser parity)") {
     intercept[MessageEncodingException] {
       ProtoJson.fromJson(fs, blob, """{"nosuch": 1}""")
