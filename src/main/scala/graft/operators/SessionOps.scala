@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.ld
+
+/** Sessionization queries over the events table (gap = 12 hours — chosen so
+  * the synthetic corpus yields ~3 events/session; the operator is
+  * gap-parameterized).
+  *
+  * q33 is the DECLARATIVE shape: Spark's native `session_window` — the same
+  * plan sessionizes a stream under a watermark (graft.streaming.Sessionize;
+  * batch ≡ stream equality is property-tested in SessionizeStreamSpec).
+  * One shuffle on user_id, sort-merging sessions without materializing a
+  * user's history — the shape that survives 100 TB event logs.
+  *
+  * q34 builds the per-session ordered event-type PATH (episode construction
+  * for training data): lag/cumsum session ids, then an in-session sort via
+  * array_sort over (ts, event_id, type) structs — session-bounded memory,
+  * not user-bounded. The oracle reproduces the identical session split and
+  * tie-break order.
+  */
+object SessionOps {
+
+  val GapHours = 12
+  private val gapUs: Long = GapHours * 3600L * 1000000L
+
+  // new session iff gap >= 12h — EXACTLY session_window's merge rule
+  // (merge while next_ts < window_end = last_ts + gap)
+  private val nsDuck =
+    s"""CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       | OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL $GapHours HOUR
+       | THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
+
+  private val sidDuckCtes =
+    s"""o AS (SELECT user_id, event_id, ts, value, event_type, $nsDuck AS ns FROM events),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |  ROWS UNBOUNDED PRECEDING) AS sid FROM o)""".stripMargin.replace("\n", " ")
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q33_sessionize",
+      (s, d) => {
+        val ev = ld(s, d, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+        graft.streaming.Sessionize.sessions(ev, s"$GapHours hours")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(s"""WITH $sidDuckCtes
+        SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+          max(epoch_us(ts)) AS session_end_us, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""")),
+
+    OpQuery("q34_session_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ld(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_type"))
+          .withColumn("ns",
+            when(lag(col("ts_us"), 1).over(w).isNull ||
+              col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("ns")).over(wCum))
+          .groupBy("user_id", "sid")
+          .agg(
+            min(col("ts_us")).as("session_start_us"),
+            count(lit(1)).as("n_events"),
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("path"))
+          .select("user_id", "session_start_us", "n_events", "path")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(s"""WITH $sidDuckCtes
+        SELECT user_id, min(epoch_us(ts)) AS session_start_us, count(*) AS n_events,
+          string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""))
+  )
+}

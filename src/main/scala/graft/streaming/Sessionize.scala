@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization over the events stream — the session-construction
+  * operator a training-data pipeline uses to assemble interaction episodes
+  * (conversations, browse sessions) from a raw event log.
+  *
+  * Two execution shapes, both scale-safe:
+  *
+  *  - `sessions`: the DECLARATIVE plan — Spark's native `session_window`
+  *    (Catalyst SessionWindowing + MergingSessionsExec). The same plan runs
+  *    in batch and, with a watermark, in Structured Streaming append mode
+  *    (sessions emit when the watermark passes session end + gap). One
+  *    shuffle on user_id; merging is streaming-sort based, never
+  *    materializes a user's history.
+  *
+  *  - `sessionPathsStream`: the CUSTOM-STATE shape — `flatMapGroupsWithState`
+  *    with event-time timeout, for per-session outputs the windowed agg
+  *    can't express (here: the ordered event-type path). State per user is
+  *    bounded by the watermark horizon: buffered events split into sessions,
+  *    a session closes (emits, leaves state) as soon as the watermark
+  *    guarantees no event can extend it (wm >= last_ts + gap). Equality with
+  *    the batch formulation is property-tested (SessionizeStreamSpec).
+  *
+  * Determinism: sessions are a partition of a user's events by time gaps —
+  * independent of tie order for equal timestamps; paths are tie-broken by
+  * (ts, event_id), a total order.
+  */
+object Sessionize {
+
+  /** One event: `ts` is the WATERMARKED event-time column (the attribute
+    * must survive into the grouped Dataset or Spark rejects the event-time
+    * timeout); `ts_us` is its unix-micros twin the session logic uses. */
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_type: String)
+
+  /** Open (not-yet-emittable) events buffered per user. */
+  final case class SessState(events: Seq[Ev])
+
+  final case class SessionPath(user_id: Long, session_start_us: Long,
+      n_events: Long, path: String)
+
+  /** Declarative session aggregate over (user_id, ts, value) — `ts` must be
+    * TimestampType. Batch and streaming (caller adds `withWatermark` for
+    * streams; append mode emits a session once the watermark passes its
+    * close). New session iff gap >= `gap` (session_window merges while the
+    * next event starts strictly before window end = last_ts + gap). */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+
+  /** Split a user's time-ordered events into sessions at gaps >= gapUs. */
+  def split(sorted: IndexedSeq[Ev], gapUs: Long): Vector[Vector[Ev]] = {
+    if (sorted.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Vector[Ev]]
+    var cur = Vector.newBuilder[Ev]
+    var prev = Long.MinValue
+    sorted.foreach { e =>
+      if (prev != Long.MinValue && e.ts_us - prev >= gapUs) {
+        out += cur.result(); cur = Vector.newBuilder[Ev]
+      }
+      cur += e
+      prev = e.ts_us
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  def mkPath(events: Vector[Ev]): SessionPath =
+    SessionPath(events.head.user_id, events.head.ts_us, events.length.toLong,
+      events.map(_.event_type).mkString(","))
+
+  /** Custom-state streaming sessionizer: ordered event-type path per session.
+    * Input must carry a watermark (EventTimeTimeout requires one). A session
+    * emits exactly once, in the microbatch whose watermark first covers
+    * last_ts + gap (no-data microbatches fire the timeout for quiet keys). */
+  def sessionPathsStream(events: Dataset[Ev], gapUs: Long): Dataset[SessionPath] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionPath](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val buffered = if (state.exists) state.get.events else Seq.empty
+          val all = (buffered ++ it).toVector
+            .sortBy(e => (e.ts_us, e.event_id)).distinct
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val sessions = split(all, gapUs)
+            // a session is final once no in-watermark event can extend it
+            val (closed, open) = sessions.partition(s => s.last.ts_us + gapUs <= wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessState(open.flatten))
+              // fire when the watermark first covers the EARLIEST close point
+              // among open sessions (min, not max — keying on the youngest
+              // session would strand older closeable ones whenever a young
+              // event keeps arriving); must be strictly past the watermark
+              val nextCloseMs = open.iterator
+                .map(s => s.last.ts_us / 1000L + gapUs / 1000L).min
+              state.setTimeoutTimestamp(math.max(nextCloseMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator.map(mkPath)
+          }
+      }
+  }
+}

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming ≡ batch sessionization (the invariant that makes the session
+  * operator trustworthy on a live stream): the same events, fed as a file
+  * stream in three out-of-order-across-batch chunks, must produce EXACTLY
+  * the batch operator's sessions — through both execution shapes:
+  * the native session_window aggregate (q33's plan + watermark, append
+  * mode) and the flatMapGroupsWithState custom-state path builder (q34's
+  * output shape). A far-future flush event per user advances the watermark
+  * so every real session closes; no-data microbatches fire the timeouts. */
+class SessionizeStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sessionize-stream-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val gapUs = 12L * 3600 * 1000000
+  private val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+
+  /** sf0.001 events (read-only testdata) for 8 users + one flush event per
+    * user far in the future, written as 3 stream chunks by event_id band. */
+  private def prep(): (String, DataFrame) = {
+    import spark.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val flush = src.select(col("user_id")).distinct()
+      .select(col("user_id"), (col("user_id") + 1000000L).as("event_id"),
+        lit(flushTs).as("ts"), lit("flush").as("event_type"), lit(0.0).as("value"))
+    val all = src.unionByName(flush).cache()
+    val dir = Files.createTempDirectory("graft-sess-stream").toString
+    // three TIME-BANDED chunks (a real stream arrives roughly in time order;
+    // later-chunk events older than the watermark would be dropped as late);
+    // events within a chunk may be arbitrarily disordered. The flush events
+    // ride the LAST chunk.
+    val (b1, b2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    all.filter(col("ts") < b1).write.parquet(s"$dir/in/c0")
+    all.filter(col("ts") >= b1 && col("ts") < b2).write.parquet(s"$dir/in/c1")
+    all.filter(col("ts") >= b2).write.parquet(s"$dir/in/c2")
+    (dir, all)
+  }
+
+  private def feed(dir: String, chunk: Int): Unit = {
+    val src = new java.io.File(s"$dir/in/c$chunk")
+    val dst = new java.io.File(s"$dir/feed")
+    dst.mkdirs()
+    src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(dst, s"c$chunk-${f.getName}").toPath)
+    }
+  }
+
+  test("native session_window stream (append + watermark) emits exactly the batch sessions") {
+    val (dir, all) = prep()
+    val schema = spark.read.parquet(s"$dir/in/c0").schema
+    feed(dir, 0)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/feed")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("value"))
+    val q = Sessionize.sessions(stream, "12 hours")
+      .writeStream.format("memory").queryName("sess_sw").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt-sw").start()
+    try {
+      q.processAllAvailable()
+      feed(dir, 1); q.processAllAvailable()
+      feed(dir, 2); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_sw")
+      .filter(col("session_start_us") < unix_micros(lit(flushTs))) // drop flush sessions
+    val want = Sessionize.sessions(
+      all.filter(col("event_id") < 1000000L).select("user_id", "ts", "value"), "12 hours")
+    val gotRows = got.collect().map(_.toString).sorted.toSeq
+    val wantRows = want.collect().map(_.toString).sorted.toSeq
+    assert(gotRows.nonEmpty && gotRows == wantRows,
+      s"stream=${gotRows.size} batch=${wantRows.size}")
+  }
+
+  test("flatMapGroupsWithState path builder emits exactly the batch q34 paths") {
+    import spark.implicits._
+    val (dir, all) = prep()
+    val schema = spark.read.parquet(s"$dir/in/c0").schema
+    feed(dir, 0)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/feed")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[Sessionize.Ev]
+    val q = Sessionize.sessionPathsStream(stream, gapUs)
+      .writeStream.format("memory").queryName("sess_paths").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt-fm").start()
+    try {
+      q.processAllAvailable()
+      feed(dir, 1); q.processAllAvailable()
+      feed(dir, 2); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_paths")
+      .filter(col("session_start_us") < unix_micros(lit(flushTs)))
+    // batch reference: same formulation as q34 — trust-chained to its
+    // DuckDB oracle through the driver gate
+    val sfDir = "/root/testdata/sf0.001"
+    val wantAll = graft.operators.SessionOps.queries
+      .find(_.name == "q34_session_paths").get.fn(spark, sfDir)
+      .filter(col("user_id") < 8)
+    val gotRows = got.select("user_id", "session_start_us", "n_events", "path")
+      .collect().map(_.toString).sorted.toSeq
+    val wantRows = wantAll.select("user_id", "session_start_us", "n_events", "path")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotRows.nonEmpty && gotRows == wantRows,
+      s"stream=${gotRows.size} batch=${wantRows.size}")
+  }
+
+  test("a session split across stream chunks merges (no premature close before the watermark allows)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess-split").toString
+    def write(chunk: Int, rows: Seq[(Long, Long, String, String)]): Unit = {
+      rows.toDF("user_id", "event_id", "ts_s", "event_type")
+        .select(col("user_id"), col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("event_type"))
+        .write.parquet(s"$dir/feed/c$chunk")
+    }
+    // one user; events 1h apart land in DIFFERENT chunks; flush closes
+    write(0, Seq((1L, 1L, "2024-01-01 00:00:00", "a")))
+    val schema = spark.read.parquet(s"$dir/feed/c0").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/feed/*")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[Sessionize.Ev]
+    val q = Sessionize.sessionPathsStream(stream, gapUs)
+      .writeStream.format("memory").queryName("sess_split").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      write(1, Seq((1L, 2L, "2024-01-01 01:00:00", "b")))
+      q.processAllAvailable()
+      write(2, Seq((1L, 3L, "2030-01-01 00:00:00", "flush")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_split")
+      .filter(col("path") =!= "flush")
+      .select("user_id", "n_events", "path").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "a,b")), s"got $got")
+  }
+}
