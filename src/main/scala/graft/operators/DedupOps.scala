@@ -157,7 +157,71 @@ object DedupOps {
       }.toDF()
   }
 
+  /** Connected components over an undirected edge list (a, b) by iterative
+    * min-label propagation: label(x) ← min(label(x), min over neighbors) —
+    * the standard distributed CC (GraphFrames' default), converging in
+    * O(component diameter) rounds. Near-dup components are shallow chains
+    * (diameter ≤ a few hops), so the cap is generous; hitting it throws
+    * LOUDLY rather than returning a half-merged labeling. Each round is one
+    * small equi-join + min-agg over the PAIR set (≪ corpus at any scale);
+    * labels are localCheckpoint'd per round so the plan doesn't grow.
+    * (For adversarial long-chain graphs, swap in pointer-doubling
+    * large-star/small-star — O(log n) rounds, same per-round shape.) */
+  def connectedComponents(edges: org.apache.spark.sql.DataFrame,
+      maxIters: Int = 30): org.apache.spark.sql.DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbor = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIters rounds")
+    labels
+  }
+
   val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q35_dedup_components",
+      // the TRANSITIVE dedup decision: a document's group is the connected
+      // component of the LSH-verified near-dup graph it belongs to,
+      // canonicalized to the component's smallest doc_id (q32 is the
+      // one-hop keep-first variant; chains A~B~C where A,C never pair
+      // directly collapse only here). Oracle: recursive-CTE reachability
+      // closure over the same verified pairs.
+      (s, d) => {
+        val comp = connectedComponents(lshVerifiedPairs(s, d).select("a", "b"))
+        ld(s, d, "documents").select("doc_id")
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("component"),
+            col("label").isNotNull.as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairsDuckCtes,
+        edges AS (SELECT a AS src, b AS dst FROM vpairs
+                  UNION SELECT b, a FROM vpairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+               (c.component IS NOT NULL) AS is_dup
+        FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id""")),
 
     OpQuery("q12_exact_dedup",
       (s, d) => {
