@@ -172,7 +172,8 @@ object Bench {
           "q26_bucket_probe" -> topk("q26_ann_lsh_probe_topk").intersect(exact).size.toDouble / exact.size,
           "q27_sig_rerank" -> topk("q27_ann_sig_rerank_topk").intersect(exact).size.toDouble / exact.size,
           "q27_sig_rerank_q100" -> got100.intersect(exact100).size.toDouble / exact100.size,
-          "q27_q100_sec" -> q100sec)
+          "q27_q100_sec" -> q100sec,
+          "q36_ivf" -> topk("q36_ann_ivf_topk").intersect(exact).size.toDouble / exact.size)
       } catch { case _: Throwable => Map.empty[String, Double] }
       (times, recall)
     }
@@ -180,6 +181,7 @@ object Bench {
     val r27 = recalls.getOrElse("q27_sig_rerank", -1.0)
     val r27q100 = recalls.getOrElse("q27_sig_rerank_q100", -1.0)
     val q100sec = recalls.getOrElse("q27_q100_sec", -1.0)
+    val r36 = recalls.getOrElse("q36_ivf", -1.0)
 
     val total = t2 + t8 + t32 + queryTimes.map(_._2).filter(_ > 0).sum
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
@@ -188,7 +190,7 @@ object Bench {
       s""""cdc":{"events":$nEvents,"epochs":$epochs,"sec_local2":${f"$t2%.1f"},"sec_local8":${f"$t8%.1f"},"sec_local32":${f"$t32%.1f"},""" +
       s""""events_per_sec_local2":${f"$eps2%.0f"},"events_per_sec_local8":${f"$eps8%.0f"},"events_per_sec_local32":${f"$eps32%.0f"},""" +
       s""""scaling_efficiency_N_to_4N":${f"$eff28%.3f"},"scaling_efficiency_8_to_32":${f"$eff832%.3f"}},""" +
-      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"}},""" +
+      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"},"q36_ivf":${f"$r36%.3f"}},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
 
@@ -211,7 +213,8 @@ object Bench {
          !ANN recall@10 vs exact (q21): bucket-probe (q26) ${f"$r26%.3f"};
          !64-bit-signature + re-rank (q27) ${f"$r27%.3f"} at a 10% re-rank fraction;
          !q27 at Q=100 queries (chunked, bounded heap memory): recall
-         !${f"$r27q100%.3f"} in ${f"$q100sec%.2f"} s.
+         !${f"$r27q100%.3f"} in ${f"$q100sec%.2f"} s; IVF 16-cell nprobe=4 (q36)
+         !${f"$r36%.3f"}.
          !""".stripMargin('!')
 
     // BENCH.md: the scaling-evidence protocol report (BASELINE.md).

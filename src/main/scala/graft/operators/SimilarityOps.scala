@@ -241,6 +241,79 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** q36 impl — IVF-style ANN: a coarse quantizer partitions the corpus into
+    * CELLS (here: cosine-nearest of 16 data-resident centroid vectors —
+    * corpus vec_ids 100..115 — the zero-iteration sampled-points quantizer;
+    * a trained k-means drops in without changing the assign/probe shape),
+    * each query probes its `nprobe` best cells, exact cosine top-k within
+    * the probed candidates. Unlike hyperplane LSH (q22/q26), cells ADAPT to
+    * the data distribution — the standard IVF trade.
+    *
+    * Execution shape at 10^9 vectors: centroids broadcast, ONE typed
+    * assignment pass over the corpus (16 dot products/row, same double fold
+    * order as the oracle), probes broadcast, candidate retrieval is a cell
+    * equi-join (never a cross join) costing O(nprobe/K of the corpus) per
+    * query. At scale the cell id doubles as a PARTITION key: write the
+    * corpus bucketed by cell and probing prunes whole files. */
+  def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      numQueries: Int, k: Int = 10, nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = ld(s, d, "embeddings")
+    val typed = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    // centroids: data-resident, deterministic, tiny — collected + broadcast
+    val cents: Array[(Long, Array[Double], Double)] = typed
+      .filter(t => t._1 >= 100 && t._1 < 116).collect().sortBy(_._1)
+      .map { case (id, emb) =>
+        val v = emb.iterator.map(_.toDouble).toArray
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(n))
+      }
+    // identical fold order to the oracle's list_reduce; argmax tie-breaks to
+    // the smallest centroid id (strict > keeps the first maximum)
+    def bestCells(emb: Seq[Float], take: Int): Seq[(Long, Double)] = {
+      var n = 0.0; var i = 0
+      while (i < emb.length) { n += emb(i).toDouble * emb(i).toDouble; i += 1 }
+      val nv = math.sqrt(n)
+      cents.map { case (cid, cv, cn) =>
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += emb(j).toDouble * cv(j); j += 1 }
+        (cid, dot / (nv * cn))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.take(take).toSeq
+    }
+    val bc = s.sparkContext.broadcast(cents)
+    val cells = typed.mapPartitions { it =>
+      // rebind the broadcast copy so executors don't drag the driver array
+      val local = bc.value
+      def assign(emb: Seq[Float]): Long = {
+        var n = 0.0; var i = 0
+        while (i < emb.length) { n += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        val nv = math.sqrt(n)
+        var bestCid = -1L; var bestCos = Double.NegativeInfinity
+        local.foreach { case (cid, cv, cn) =>
+          var dot = 0.0; var j = 0
+          while (j < cv.length) { dot += emb(j).toDouble * cv(j); j += 1 }
+          val cos = dot / (nv * cn)
+          if (cos > bestCos) { bestCos = cos; bestCid = cid }
+        }
+        bestCid
+      }
+      it.map { case (id, emb) => (id, emb, assign(emb)) }
+    }.toDF("cand", "vb", "cell")
+    val probes = broadcast(
+      typed.filter(_._1 < numQueries).collect().toSeq
+        .flatMap { case (qid, emb) =>
+          bestCells(emb, nprobe).map { case (cid, _) => (qid, emb, cid) }
+        }.toDF("qid", "va", "probe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
+    probes.join(cells, probes("probe") === cells("cell") && col("qid") =!= col("cand"))
+      .withColumn("cos", expr(sparkCos))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cand", "cos")
+      .orderBy("qid", "rank")
+  }
+
   /** q21 impl — exact cosine top-k by brute force (intentionally O(Q×N));
     * the recall baseline the approximate paths are measured against. */
   def bruteForceTopK(s: org.apache.spark.sql.SparkSession, d: String,
@@ -374,6 +447,33 @@ object SimilarityOps {
           SELECT qid, cand, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rank
           FROM (SELECT qid, cand, $duckCos AS cos FROM short) t) r
+        WHERE rank <= 10 ORDER BY qid, rank"""))
+  ,
+
+    OpQuery("q36_ann_ivf_topk",
+      // IVF-style ANN: 16 data-resident coarse cells (cosine-nearest
+      // centroid, centroids = corpus vectors 100..115), nprobe=4 cells per
+      // query, exact cosine top-10 within the probed candidates. The
+      // data-adaptive counterpart to q26's oblivious hyperplane buckets;
+      // recall vs the exact q21 baseline is measured in Bench (ann_recall).
+      (s, d) => ivfTopK(s, d, numQueries = 5),
+      Some(s"""WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 116),
+        asg AS (
+          SELECT vec_id, embedding, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+          FROM (SELECT e.vec_id, e.embedding, c.cid, $duckCos AS ccos
+            FROM (SELECT vec_id, embedding, embedding AS va FROM embeddings) e
+            CROSS JOIN (SELECT cid, cv, cv AS vb FROM cents) c) t),
+        cells AS (SELECT vec_id AS cand, embedding AS vb, cid AS cell FROM asg WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, embedding AS va, cid AS probe
+          FROM asg WHERE vec_id < 5 AND rn <= 4)
+        SELECT qid, rank, cand, cos FROM (
+          SELECT qid, cand, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rank
+          FROM (SELECT qid, cand, $duckCos AS cos
+            FROM probes JOIN cells ON probe = cell AND qid <> cand) t) r
         WHERE rank <= 10 ORDER BY qid, rank"""))
   )
 }
