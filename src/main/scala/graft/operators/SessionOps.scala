@@ -25,11 +25,14 @@ object SessionOps {
   val GapHours = 12
   private val gapUs: Long = GapHours * 3600L * 1000000L
 
-  // new session iff gap >= 12h — EXACTLY session_window's merge rule
-  // (merge while next_ts < window_end = last_ts + gap)
+  // new session iff gap STRICTLY > 12h — EXACTLY session_window's merge
+  // rule, which is INCLUSIVE at the boundary: an event at last_ts + gap
+  // still merges (pinned by SessionizeStreamSpec's exact-boundary test —
+  // a `>=` here silently diverges from the native operator at the
+  // one-microsecond boundary)
   private val nsDuck =
     s"""CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-       | OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL $GapHours HOUR
+       | OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL $GapHours HOUR
        | THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
 
   private val sidDuckCtes =
@@ -61,7 +64,7 @@ object SessionOps {
             unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_type"))
           .withColumn("ns",
             when(lag(col("ts_us"), 1).over(w).isNull ||
-              col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapUs, 1).otherwise(0))
+              col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1).otherwise(0))
           .withColumn("sid", sum(col("ns")).over(wCum))
           .groupBy("user_id", "sid")
           .agg(

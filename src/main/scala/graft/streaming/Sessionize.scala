@@ -47,8 +47,9 @@ object Sessionize {
   /** Declarative session aggregate over (user_id, ts, value) — `ts` must be
     * TimestampType. Batch and streaming (caller adds `withWatermark` for
     * streams; append mode emits a session once the watermark passes its
-    * close). New session iff gap >= `gap` (session_window merges while the
-    * next event starts strictly before window end = last_ts + gap). */
+    * close). New session iff gap STRICTLY > `gap` — session_window's merge
+    * is INCLUSIVE at the boundary (an event at exactly last_ts + gap still
+    * merges; pinned by SessionizeStreamSpec's exact-boundary test). */
   def sessions(events: DataFrame, gap: String): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
@@ -59,14 +60,15 @@ object Sessionize {
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
 
-  /** Split a user's time-ordered events into sessions at gaps >= gapUs. */
+  /** Split a user's time-ordered events into sessions at gaps STRICTLY
+    * greater than gapUs (session_window's inclusive-boundary merge). */
   def split(sorted: IndexedSeq[Ev], gapUs: Long): Vector[Vector[Ev]] = {
     if (sorted.isEmpty) return Vector.empty
     val out = Vector.newBuilder[Vector[Ev]]
     var cur = Vector.newBuilder[Ev]
     var prev = Long.MinValue
     sorted.foreach { e =>
-      if (prev != Long.MinValue && e.ts_us - prev >= gapUs) {
+      if (prev != Long.MinValue && e.ts_us - prev > gapUs) {
         out += cur.result(); cur = Vector.newBuilder[Ev]
       }
       cur += e
@@ -98,8 +100,10 @@ object Sessionize {
           else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val sessions = split(all, gapUs)
-            // a session is final once no in-watermark event can extend it
-            val (closed, open) = sessions.partition(s => s.last.ts_us + gapUs <= wmUs)
+            // a session is final once no in-watermark event can extend it —
+            // STRICT: an event at exactly last + gap still merges, so the
+            // watermark must pass that instant
+            val (closed, open) = sessions.partition(s => s.last.ts_us + gapUs < wmUs)
             if (open.isEmpty) state.remove()
             else {
               state.update(SessState(open.flatten))
@@ -108,7 +112,7 @@ object Sessionize {
               // session would strand older closeable ones whenever a young
               // event keeps arriving); must be strictly past the watermark
               val nextCloseMs = open.iterator
-                .map(s => s.last.ts_us / 1000L + gapUs / 1000L).min
+                .map(s => (s.last.ts_us + gapUs) / 1000L + 1L).min
               state.setTimeoutTimestamp(math.max(nextCloseMs,
                 state.getCurrentWatermarkMs() + 1L))
             }

@@ -120,6 +120,63 @@ class SessionizeStreamSpec extends AnyFunSuite {
       s"stream=${gotRows.size} batch=${wantRows.size}")
   }
 
+  test("exact gap boundary: session_window ≡ lag/cumsum ≡ Sessionize.split (new session iff gap > threshold)") {
+    import spark.implicits._
+    // gaps of exactly 12h, 12h-1us, 12h+1us around t0 — session_window's
+    // merge is INCLUSIVE at the boundary (an event at exactly last + gap
+    // still merges), so the oracles' lag clause must be `> INTERVAL`, not
+    // `>=`. This test CAUGHT that divergence (a `>=` formulation passed the
+    // sf0.01 oracle gate only because no real gap lands on the exact us).
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime // ms
+    def ts(offsetUs: Long) = {
+      val t = new java.sql.Timestamp(t0 + offsetUs / 1000)
+      t.setNanos(((offsetUs % 1000000) * 1000).toInt)
+      t
+    }
+    val gap = gapUs
+    val rows = Seq(
+      (1L, 1L, 0L), (1L, 2L, gap),                   // exactly ==  → MERGE (inclusive)
+      (2L, 3L, 0L), (2L, 4L, gap - 1),               // one us less → merge
+      (3L, 5L, 0L), (3L, 6L, gap + 1),               // one us more → split
+      (4L, 7L, 0L), (4L, 8L, 0L)                     // equal ts    → merge
+    ).map { case (u, e, off) => (u, e, ts(off), "x", 1.0) }
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+
+    // 1) native session_window (q33's operator)
+    val sw = Sessionize.sessions(df.select("user_id", "ts", "value"), "12 hours")
+      .select("user_id", "session_start_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    // 2) the lag/cumsum formulation (q34's split rule, inlined over the
+    //    same rows — q34 itself reads the parquet table)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = df.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ns", when(lag(col("ts_us"), 1).over(w).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > gap, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts_us")).as("session_start_us"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    // 3) the streaming state machine's splitter
+    val viaSplit = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val evs = rs.map { case (uu, e, t, _, _) =>
+        Sessionize.Ev(uu, e, t, t.getTime / 1000 * 1000000 + t.getNanos / 1000, "x")
+      }.sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq
+      Sessionize.split(evs, gap).map(s => (u, s.head.ts_us, s.length.toLong))
+    }.toSet
+
+    assert(sw == cum, s"session_window $sw != cumsum $cum")
+    assert(sw == viaSplit, s"session_window $sw != split $viaSplit")
+    // and the boundary behaves as documented
+    assert(sw.count(_._1 == 1L) == 1, "gap == threshold must MERGE (inclusive boundary)")
+    assert(sw.count(_._1 == 2L) == 1, "gap < threshold must merge")
+    assert(sw.count(_._1 == 3L) == 2, "gap > threshold must split")
+    assert(sw.count(_._1 == 4L) == 1, "equal timestamps must merge")
+  }
+
   test("a session split across stream chunks merges (no premature close before the watermark allows)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sess-split").toString
