@@ -79,8 +79,8 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
     f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
       fs.messageFor(f).fullName == "google.protobuf.Timestamp")
   private val nestedDec: Array[CatalystRowDecoder] = fields.map { f =>
-    if (f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
-      fs.messageFor(f).fullName != "google.protobuf.Timestamp")
+    if ((f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
+      fs.messageFor(f).fullName != "google.protobuf.Timestamp") || f.tpe == TYPE_GROUP)
       new CatalystRowDecoder(fs, fs.messageFor(f), visiting = childVisiting)
     else null
   }
@@ -101,7 +101,7 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
     else null
   }
   private val isMsg: Array[Boolean] = fields.zipWithIndex.map { case (f, i) =>
-    !f.repeated && !isMap(i) && f.tpe == TYPE_MESSAGE
+    !f.repeated && !isMap(i) && (f.tpe == TYPE_MESSAGE || f.tpe == TYPE_GROUP)
   }
   private val oneofPeerOrds: Array[Array[Int]] = {
     val ordOfNum = fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
@@ -123,7 +123,7 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
       case Some(s: String) => UTF8String.fromString(s) // string/enum-name
       case Some(d) => d
       case None => f.tpe match {
-        case TYPE_MESSAGE => null
+        case TYPE_MESSAGE | TYPE_GROUP => null
         case TYPE_STRING => UTF8String.EMPTY_UTF8
         case TYPE_BYTES => Array.emptyByteArray
         case TYPE_BOOL => java.lang.Boolean.FALSE
@@ -167,11 +167,13 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
             while (sub.hasRemaining) buf += readScalar(ord, f, sub)
           } else buf += readOne(ord, f, r, wt)
         } else if (isMsg(ord)) {
-          if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
           clearOneofPeers(ord, vals, bufs)
           if (bufs == null) bufs = new Array[AnyRef](nFields)
           if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Int, Int)]
-          bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += r.readSlice()
+          // group content is tag-delimited, not length-prefixed (the
+          // wire-type guard above already pinned wt to the declared type)
+          val slice = if (f.tpe == TYPE_GROUP) r.groupSlice(fn) else r.readSlice()
+          bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += slice
         } else {
           clearOneofPeers(ord, vals, bufs)
           vals(ord) = readOne(ord, f, r, wt)
@@ -280,6 +282,9 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
       val (p, len) = r.readSlice()
       if (isTimestamp(ord)) decodeTimestampMicros(new Reader(r.buf, p, p + len))
       else nestedDec(ord).decode(new Reader(r.buf, p, p + len))
+    case TYPE_GROUP =>
+      val (p, len) = r.groupSlice(f.number)
+      nestedDec(ord).decode(new Reader(r.buf, p, p + len))
     case TYPE_STRING =>
       if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
       val (p, len) = r.readSlice()

@@ -66,8 +66,9 @@ final class RowToProto(fs: FileSet, desc: MessageDesc, schema: StructType) exten
           if (ProtoJson.isMapField(fs, f)) {
             val vf = fs.messageFor(f).fieldByNumber(2)
             if (vf.tpe == TYPE_MESSAGE) Some(fs.messageFor(vf)) else None
-          } else if (f.tpe == TYPE_MESSAGE &&
-            fs.messageFor(f).fullName != "google.protobuf.Timestamp") Some(fs.messageFor(f))
+          } else if ((f.tpe == TYPE_MESSAGE &&
+            fs.messageFor(f).fullName != "google.protobuf.Timestamp") ||
+            f.tpe == TYPE_GROUP) Some(fs.messageFor(f))
           else None
         target.flatMap(md => structOf(sf.dataType).map(st =>
           f.number -> new RowToProto(fs, md, st)))
@@ -137,6 +138,8 @@ final class RowToProto(fs: FileSet, desc: MessageDesc, schema: StructType) exten
       } else {
         PMsg(convRow(slotField, f, v))
       }
+    case TYPE_GROUP =>
+      PMsg(convRow(slotField, f, v))
     case TYPE_ENUM =>
       v match {
         case s: String => PEnum(fs.enumFor(f).byName.getOrElse(s,

@@ -77,8 +77,8 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
     f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
       fs.messageFor(f).fullName == "google.protobuf.Timestamp")
   private val nestedDec: Array[RowDecoder] = fields.map { f =>
-    if (f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
-      fs.messageFor(f).fullName != "google.protobuf.Timestamp")
+    if ((f.tpe == TYPE_MESSAGE && !ProtoJson.isMapField(fs, f) &&
+      fs.messageFor(f).fullName != "google.protobuf.Timestamp") || f.tpe == TYPE_GROUP)
       new RowDecoder(fs, fs.messageFor(f), visiting = childVisiting)
     else null
   }
@@ -95,11 +95,12 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
   private val enumNames: Array[Map[Int, String]] = fields.map { f =>
     if (f.tpe == TYPE_ENUM) fs.enumFor(f).byNumber else null
   }
-  /** singular embedded-message ordinals: occurrences MERGE per the protobuf
-    * spec (merging serialized messages ≡ concatenating their bytes), so
-    * their slices are buffered and decoded once at the end. */
+  /** singular embedded-message (and proto2 GROUP) ordinals: occurrences
+    * MERGE per the protobuf spec (merging serialized messages ≡
+    * concatenating their bytes; a group's CONTENT is the same field
+    * stream), so their slices are buffered and decoded once at the end. */
   private val isMsg: Array[Boolean] = fields.zipWithIndex.map { case (f, i) =>
-    !f.repeated && !isMap(i) && f.tpe == TYPE_MESSAGE
+    !f.repeated && !isMap(i) && (f.tpe == TYPE_MESSAGE || f.tpe == TYPE_GROUP)
   }
   /** ordinal → peer ordinals of the same oneof group (cleared when this
     * member is set: last member seen on the wire wins), null if none. */
@@ -119,7 +120,7 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
     else f.parsedDefault match { // proto2 explicit default (absent → this)
       case Some(d) => d
       case None => f.tpe match {
-        case TYPE_MESSAGE => null
+        case TYPE_MESSAGE | TYPE_GROUP => null
         case TYPE_STRING => ""
         case TYPE_BYTES => Array.emptyByteArray
         case TYPE_BOOL => java.lang.Boolean.FALSE
@@ -161,11 +162,13 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
             while (sub.hasRemaining) buf += readScalar(ord, f, sub)
           } else buf += readOne(ord, f, r, wt)
         } else if (isMsg(ord)) {
-          if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
           clearOneofPeers(ord, vals, bufs)
           if (bufs == null) bufs = new Array[AnyRef](nFields)
           if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Int, Int)]
-          bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += r.readSlice()
+          // group content is tag-delimited, not length-prefixed (the
+          // wire-type guard above already pinned wt to the declared type)
+          val slice = if (f.tpe == TYPE_GROUP) r.groupSlice(fn) else r.readSlice()
+          bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += slice
         } else {
           clearOneofPeers(ord, vals, bufs)
           vals(ord) = readOne(ord, f, r, wt)
@@ -263,6 +266,9 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
       val (p, len) = r.readSlice()
       if (isTimestamp(ord)) decodeTimestamp(new Reader(r.buf, p, p + len))
       else nestedDec(ord).decode(new Reader(r.buf, p, p + len))
+    case TYPE_GROUP =>
+      val (p, len) = r.groupSlice(f.number)
+      nestedDec(ord).decode(new Reader(r.buf, p, p + len))
     case TYPE_STRING =>
       if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
       new String(r.readBytes(), java.nio.charset.StandardCharsets.UTF_8)

@@ -52,7 +52,7 @@ object SparkSchema {
             case _ => scalarTypeFor(entry.fieldByNumber(2))
           })
       } else f.tpe match {
-        case TYPE_MESSAGE => structFor(fs, fs.messageFor(f), visiting)
+        case TYPE_MESSAGE | TYPE_GROUP => structFor(fs, fs.messageFor(f), visiting)
         case TYPE_ENUM => StringType // proto3 JSON form: enum name
         case _ => scalarTypeFor(f)
       }
@@ -125,7 +125,7 @@ object SparkSchema {
         case _ => Vector.empty
       }
     } else f.tpe match {
-      case TYPE_MESSAGE => v.collect { case PMsg(mm) => one(fs, f, PMsg(mm)) }.orNull
+      case TYPE_MESSAGE | TYPE_GROUP => v.collect { case PMsg(mm) => one(fs, f, PMsg(mm)) }.orNull
       case TYPE_ENUM => v.map(one(fs, f, _)).getOrElse(
         f.parsedDefault.getOrElse(fs.enumFor(f).byNumber.getOrElse(0, "0")))
       case _ => v.map(one(fs, f, _)).getOrElse(defaultScalar(f))
@@ -133,7 +133,7 @@ object SparkSchema {
   }
 
   private def one(fs: FileSet, f: FieldDesc, v: PValue): Any = f.tpe match {
-    case TYPE_MESSAGE =>
+    case TYPE_MESSAGE | TYPE_GROUP =>
       val md = fs.messageFor(f)
       v match {
         case PMsg(mm) =>

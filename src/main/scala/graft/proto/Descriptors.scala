@@ -112,7 +112,8 @@ object Descriptors {
     }
     def packed: Boolean = repeated && isPackable(tpe) && packedOpt.getOrElse(!proto2)
     def wireType: Int =
-      if (isVarintType(tpe)) Wire.WtVarint
+      if (tpe == FType.TYPE_GROUP) Wire.WtStartGroup
+      else if (isVarintType(tpe)) Wire.WtVarint
       else if (isFixed32Type(tpe)) Wire.WtFixed32
       else if (isFixed64Type(tpe)) Wire.WtFixed64
       else Wire.WtLen

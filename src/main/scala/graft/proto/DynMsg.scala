@@ -127,7 +127,12 @@ object DynMsg {
     case TYPE_BYTES =>
       if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN wire type, got $wt")
       PBytes(r.readBytes())
-    case TYPE_GROUP => throw new ProtoParseException("proto2 groups are not supported")
+    case TYPE_GROUP =>
+      // proto2 group: delimited by START/END tags instead of a length
+      // prefix; the content slice is a plain field stream of the group's
+      // message descriptor (protobuf-java DynamicMessage parity)
+      val (p, len) = r.groupSlice(f.number)
+      PMsg(decodeReader(fs, fs.messageFor(f), new Wire.Reader(r.buf, p, p + len), depth + 1))
     case _ => readScalar(fs, f, r, wt)
   }
 
@@ -203,6 +208,14 @@ object DynMsg {
         case other => throw new MessageEncodingException(s"field ${f.name}: expected message, got $other")
       }
       w.writeLenDelimited(f.number, sub.toBytes)
+    case TYPE_GROUP =>
+      v match {
+        case PMsg(m) =>
+          w.writeTag(f.number, Wire.WtStartGroup)
+          encodeTo(fs, m, w)
+          w.writeTag(f.number, Wire.WtEndGroup)
+        case other => throw new MessageEncodingException(s"field ${f.name}: expected group message, got $other")
+      }
     case TYPE_STRING =>
       v match {
         case PStr(s) => w.writeLenDelimited(f.number, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -520,7 +520,7 @@ object ProtoJson {
 
   private def parseValue(fs: FileSet, f: FieldDesc, v: JsonNode)(
       implicit reg: TypeRegistry): PValue = f.tpe match {
-    case TYPE_MESSAGE => PMsg(parseMsg(fs, fs.messageFor(f), v))
+    case TYPE_MESSAGE | TYPE_GROUP => PMsg(parseMsg(fs, fs.messageFor(f), v))
     case TYPE_STRING => PStr(v.asText())
     case TYPE_BYTES => PBytes(Base64.getDecoder.decode(v.asText()))
     case TYPE_BOOL =>

@@ -101,11 +101,32 @@ object Wire {
       (fn, wt)
     }
 
+    /** From just after a (fn, WtStartGroup) tag: scans to the MATCHING
+      * END_GROUP tag (nested groups balance via skip), returns (pos, len)
+      * of the group CONTENT — the field records between the delimiters —
+      * and leaves the cursor after the end tag. A group's content is a
+      * plain field stream, so concatenating occurrences' contents gives
+      * protobuf merge semantics, exactly like embedded-message slices. */
+    def groupSlice(fn: Int): (Int, Int) = {
+      val start = pos
+      while (true) {
+        if (!hasRemaining) throw new ProtoParseException("truncated group")
+        val tagStart = pos
+        val (fn2, wt) = readTag()
+        if (wt == WtEndGroup) {
+          if (fn2 != fn)
+            throw new ProtoParseException(s"mismatched END_GROUP: expected $fn, got $fn2")
+          return (start, tagStart - start)
+        }
+        skip(wt)
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     /** Skips a field of the given wire type (for unknown-field preservation the
       * caller captures the byte range instead). An UNKNOWN group is skipped by
-      * balancing START/END tags (protobuf-java parity — groups can't be
-      * DECLARED in our descriptors, but an unknown field encoded as a group
-      * must still be tolerated and dropped like any other unknown field). */
+      * balancing START/END tags (protobuf-java parity); a DECLARED proto2
+      * group decodes via groupSlice + the group's message descriptor. */
     def skip(wireType: Int): Unit = skip(wireType, 0)
 
     private def skip(wireType: Int, groupDepth: Int): Unit = wireType match {
