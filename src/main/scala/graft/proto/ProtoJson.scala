@@ -521,8 +521,24 @@ object ProtoJson {
   private def parseValue(fs: FileSet, f: FieldDesc, v: JsonNode)(
       implicit reg: TypeRegistry): PValue = f.tpe match {
     case TYPE_MESSAGE | TYPE_GROUP => PMsg(parseMsg(fs, fs.messageFor(f), v))
+    case _ if v.isContainerNode =>
+      // Jackson's asText() on an object/array silently returns "" — without
+      // this guard a {"floatField": {}} corrupts to 0.0 or escapes as a raw
+      // NumberFormatException (caught by the JSON fuzz)
+      throw new MessageEncodingException(
+        s"field ${f.name}: expected scalar, got ${v.getNodeType}")
     case TYPE_STRING => PStr(v.asText())
-    case TYPE_BYTES => PBytes(Base64.getDecoder.decode(v.asText()))
+    case TYPE_BYTES =>
+      val s = v.asText()
+      try PBytes(Base64.getDecoder.decode(s)) catch {
+        case _: IllegalArgumentException =>
+          // JsonFormat also accepts the URL-safe alphabet; anything else is
+          // a typed error, not an escaping IllegalArgumentException
+          try PBytes(Base64.getUrlDecoder.decode(s)) catch {
+            case e: IllegalArgumentException =>
+              throw new MessageEncodingException(s"field ${f.name}: invalid base64", e)
+          }
+      }
     case TYPE_BOOL =>
       if (v.isBoolean) PBool(v.asBoolean())
       else throw new MessageEncodingException(s"field ${f.name}: expected boolean")
@@ -571,7 +587,10 @@ object ProtoJson {
       case "NaN" => Double.NaN
       case "Infinity" => Double.PositiveInfinity
       case "-Infinity" => Double.NegativeInfinity
-      case s => s.toDouble
+      case s => try s.toDouble catch {
+        case e: NumberFormatException =>
+          throw new MessageEncodingException(s"not a number: '$s'", e)
+      }
     }
 
   /** Tree-equality helper for golden tests (mirrors the reference's

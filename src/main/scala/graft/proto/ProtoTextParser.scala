@@ -184,6 +184,12 @@ object ProtoTextParser {
     private def parseMessage(): RawMsg = {
       expect("message")
       val name = next()
+      parseMsgBody(name)
+    }
+
+    /** `{ <message body> }` — shared by `message X` and proto2 `group X`
+      * declarations (a group IS a nested message plus a field). */
+    private def parseMsgBody(name: String): RawMsg = {
       expect("{")
       var fields = Vector.empty[RawField]
       var nested = Vector.empty[RawMsg]
@@ -214,17 +220,20 @@ object ProtoTextParser {
             expect("}")
           case ";" => next()
           case _ =>
-            val (rf, mapEntry) = parseFieldOrMap(name)
+            val (rf, mapEntry, groupMsg) = parseFieldOrMap(name)
             fields :+= rf
             mapEntry.foreach(mapEntries :+= _)
+            groupMsg.foreach(nested :+= _)
         }
       }
       RawMsg(name, fields, nested, enums, mapEntries)
     }
 
     /** handles `repeated T n = k;`, `optional T n = k;`, `T n = k;`,
-      * `map<K,V> n = k;` */
-    private def parseFieldOrMap(ownerName: String): (RawField, Option[RawMsg]) = {
+      * `map<K,V> n = k;`, proto2 `optional group Name = k { ... }`.
+      * Returns (field, synthesized map-entry message, synthesized group
+      * message) — the latter two become nested messages of the owner. */
+    private def parseFieldOrMap(ownerName: String): (RawField, Option[RawMsg], Option[RawMsg]) = {
       if (peek == "map") {
         next(); expect("<")
         val kt = next(); expect(",")
@@ -244,7 +253,7 @@ object ProtoTextParser {
         }
         val entry = RawMsg(entryName, Vector(keyF, valF), Vector.empty, Vector.empty)
         val f = FieldDesc(fname, num, FType.TYPE_MESSAGE, Label.REPEATED, "", defaultJsonName(fname))
-        (RawField(f, "?MAP:" + entryName), Some(entry))
+        (RawField(f, "?MAP:" + entryName), Some(entry), None)
       } else {
         val (label, explicitOpt) = peek match {
           case "repeated" => next(); (Label.REPEATED, false)
@@ -252,7 +261,21 @@ object ProtoTextParser {
           case "required" => next(); (Label.REQUIRED, false)
           case _ => (Label.OPTIONAL, false)
         }
-        (parseField(label, inOneof = false, explicitOpt = explicitOpt), None)
+        if (peek == "group") {
+          // proto2: `optional group Meta = 1 { ... }` — protoc synthesizes a
+          // nested message named like the group and a field named by its
+          // LOWERCASED name, typed TYPE_GROUP
+          next()
+          val gname = next()
+          expect("=")
+          val num = next().toInt
+          val body = parseMsgBody(gname)
+          if (peek == ";") next()
+          val fname = gname.toLowerCase(java.util.Locale.ROOT)
+          val f = FieldDesc(fname, num, FType.TYPE_GROUP, label, "", defaultJsonName(fname))
+          (RawField(f, gname), None, Some(body))
+        } else
+          (parseField(label, inOneof = false, explicitOpt = explicitOpt), None, None)
       }
     }
 
@@ -355,7 +378,12 @@ object ProtoTextParser {
           if (f.typeName.startsWith("?")) {
             val raw = f.typeName.drop(1)
             val (resolved, isEnum) = resolve(m.fullName, raw)
-            f.copy(typeName = resolved, tpe = if (isEnum) FType.TYPE_ENUM else FType.TYPE_MESSAGE)
+            if (isEnum && f.tpe == FType.TYPE_GROUP)
+              throw new SchemaCompilationException(s"group field ${f.name} resolves to an enum")
+            f.copy(typeName = resolved,
+              tpe = if (isEnum) FType.TYPE_ENUM
+                else if (f.tpe == FType.TYPE_GROUP) FType.TYPE_GROUP
+                else FType.TYPE_MESSAGE)
           } else f
         }
         m.copy(fields = fixedFields, nestedMessages = m.nestedMessages.map(fixMsg))

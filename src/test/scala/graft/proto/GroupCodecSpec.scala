@@ -119,6 +119,35 @@ class GroupCodecSpec extends AnyFunSuite {
     assert(DynMsg.encode(fs, back).sameElements(sampleBytes))
   }
 
+  test("the .proto text compiler accepts proto2 group syntax and produces an equivalent schema") {
+    val fs2 = ProtoTextParser.parse(
+      """syntax = "proto2";
+        |package g;
+        |message Outer {
+        |  optional group Meta = 1 {
+        |    optional string k = 1;
+        |    optional int64 n = 2;
+        |  }
+        |  repeated group Item = 2 {
+        |    optional int64 id = 1;
+        |    optional group Sub = 2 { optional bool b = 1; }
+        |  }
+        |  optional int64 tail = 3;
+        |}
+        |""".stripMargin, "g2.proto")
+    val outer2 = fs2.findMessage("g.Outer").get
+    val metaF = outer2.fieldByName("meta")
+    assert(metaF.tpe == TYPE_GROUP && metaF.number == 1)
+    assert(outer2.fieldByName("item").tpe == TYPE_GROUP)
+    // the compiled schema decodes the same bytes to the same JSON as the
+    // hand-built descriptor
+    val m2 = DynMsg.decode(fs2, outer2, sampleBytes)
+    val m1 = DynMsg.decode(fs, outerDesc, sampleBytes)
+    assert(ProtoJson.jsonTreeEquals(
+      ProtoJson.toJson(fs2, m2, pretty = false), ProtoJson.toJson(fs, m1, pretty = false)))
+    assert(DynMsg.encode(fs2, m2).sameElements(sampleBytes))
+  }
+
   test("malformed group framing throws the typed exception in every decoder") {
     // truncated: START with no END
     val t = new Wire.Writer
