@@ -46,7 +46,80 @@ object Multimodal {
       .toDF()
   }
 
+  final case class MediaFeatures(
+      doc_id: Long, out_w: Long, out_h: Long, byte_mean_x1000: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long, h4: Long, h5: Long, h6: Long, h7: Long)
+
+  /** Resize + feature-extract plumbing in ONE typed pass over the blob
+    * (the mapInPandas batch shape): resize is the aspect-preserving
+    * downscale arithmetic on the stub-decoded dimensions (longest side
+    * capped at `target`, never upscaled — a real resampler slots into the
+    * same pass); features are an 8-bin byte histogram + integer-scaled mean
+    * byte value, standing in for channel statistics. Integer math only, so
+    * the DuckDB oracle reproduces every value exactly. */
+  def resizeAndFeatures(df: DataFrame, target: Long = 224L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val meta = stubDecode(id, blob)
+        val m = math.max(meta.width, meta.height)
+        val (ow, oh) =
+          if (m <= target) (meta.width, meta.height)
+          else (meta.width * target / m, meta.height * target / m)
+        val hist = new Array[Long](8)
+        var sum = 0L
+        var i = 0
+        while (i < blob.length) {
+          val b = blob(i) & 0xff
+          hist(b >> 5) += 1
+          sum += b
+          i += 1
+        }
+        val mean = if (blob.length == 0) 0L else sum * 1000L / blob.length
+        MediaFeatures(id, ow, oh, mean,
+          hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+      })(Encoders.product[MediaFeatures])
+      .toDF()
+  }
+
   val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q37_media_resize_features",
+      (s, d) => {
+        val docs = ld(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        resizeAndFeatures(docs).orderBy("doc_id")
+      },
+      // the oracle replays the stub dims, the downscale arithmetic, and the
+      // byte histogram/mean through hex-decoded byte lists — integer math,
+      // value-identical
+      Some("""WITH b AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, hex(encode(text)) AS hx,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n
+          FROM documents),
+        dims AS (
+          SELECT *, 64 + n % 512 AS w, 64 + (n // 7) % 512 AS h,
+            greatest(64 + n % 512, 64 + (n // 7) % 512) AS m
+          FROM b),
+        u AS (
+          SELECT *, list_transform(range(0, n),
+            i -> CAST('0x' || substr(hx, CAST(i AS INT) * 2 + 1, 2) AS BIGINT)) AS bytes
+          FROM dims)
+        SELECT doc_id,
+          CAST(CASE WHEN m <= 224 THEN w ELSE w * 224 // m END AS BIGINT) AS out_w,
+          CAST(CASE WHEN m <= 224 THEN h ELSE h * 224 // m END AS BIGINT) AS out_h,
+          CAST(CASE WHEN n = 0 THEN 0 ELSE list_sum(bytes) * 1000 // n END AS BIGINT) AS byte_mean_x1000,
+          CAST(len(list_filter(bytes, x -> x // 32 = 0)) AS BIGINT) AS h0,
+          CAST(len(list_filter(bytes, x -> x // 32 = 1)) AS BIGINT) AS h1,
+          CAST(len(list_filter(bytes, x -> x // 32 = 2)) AS BIGINT) AS h2,
+          CAST(len(list_filter(bytes, x -> x // 32 = 3)) AS BIGINT) AS h3,
+          CAST(len(list_filter(bytes, x -> x // 32 = 4)) AS BIGINT) AS h4,
+          CAST(len(list_filter(bytes, x -> x // 32 = 5)) AS BIGINT) AS h5,
+          CAST(len(list_filter(bytes, x -> x // 32 = 6)) AS BIGINT) AS h6,
+          CAST(len(list_filter(bytes, x -> x // 32 = 7)) AS BIGINT) AS h7
+        FROM u ORDER BY doc_id""")),
     OpQuery("q23_media_meta",
       (s, d) => {
         val docs = ld(s, d, "documents")
