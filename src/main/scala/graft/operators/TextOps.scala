@@ -97,6 +97,36 @@ object TextOps {
           FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t) q
         ORDER BY doc_id""")),
 
+    OpQuery("q38_bpe_token_count",
+      // BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+      // (contraction suffixes / space-prefixed letter runs / digit runs /
+      // punctuation runs — kept RE2-safe, no lookaheads, so the identical
+      // pattern runs in Spark's java.util.regex and DuckDB's RE2) plus a
+      // per-pretoken subword estimate (ceil(len/4), the standard chars-per-
+      // token heuristic — a real BPE merge table slots in per pre-token).
+      // Reported next to the naive whitespace count for calibration.
+      (s, d) => {
+        val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+        ld(s, d, "documents")
+          .withColumn("toks", expr(s"regexp_extract_all(lower(text), \"$pat\", 0)"))
+          .select(
+            col("doc_id"),
+            expr("size(split(trim(text), '\\\\s+'))").cast("long").as("n_ws_tokens"),
+            size(col("toks")).cast("long").as("n_pretokens"),
+            expr("aggregate(toks, 0L, (acc, t) -> acc + greatest(1L, CAST((length(trim(t)) + 3) div 4 AS LONG)))")
+              .as("n_subword_est"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(toks) AS BIGINT) AS n_pretokens,
+        CAST(list_sum(list_transform(toks,
+          t -> greatest(1, (length(trim(t)) + 3) // 4))) AS BIGINT) AS n_subword_est
+        FROM (SELECT doc_id, text,
+          regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+') AS toks
+          FROM documents) q
+        ORDER BY doc_id""")),
+
     OpQuery("q16_fingerprint",
       // exact fingerprint (md5 of normalized text) + rolling 3-shingle
       // min-hash fingerprint (md5-derived 60-bit ints, min over shingles)
