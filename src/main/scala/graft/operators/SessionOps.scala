@@ -79,6 +79,28 @@ object SessionOps {
       Some(s"""WITH $sidDuckCtes
         SELECT user_id, min(epoch_us(ts)) AS session_start_us, count(*) AS n_events,
           string_agg(event_type, ',' ORDER BY ts, event_id) AS path
-        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""))
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""")),
+
+    OpQuery("q39_tumbling_window",
+      // fixed (tumbling) event-time windows via the native window()
+      // aggregate — the same plan runs over a stream under a watermark
+      // (SessionizeStreamSpec's tumbling test). Spark aligns windows to the
+      // epoch in the session timezone (UTC), [start, end): the oracle
+      // reproduces the boundary with integer floor arithmetic on micros.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        ld(s, d, "events")
+          .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+          .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("window_start_us", "event_type")
+      },
+      Some("""SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
   )
 }

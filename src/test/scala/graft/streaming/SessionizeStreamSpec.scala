@@ -120,6 +120,33 @@ class SessionizeStreamSpec extends AnyFunSuite {
       s"stream=${gotRows.size} batch=${wantRows.size}")
   }
 
+  test("tumbling-window stream (q39's plan + watermark) emits exactly the batch windows") {
+    val (dir, all) = prep()
+    val schema = spark.read.parquet(s"$dir/in/c0").schema
+    feed(dir, 0)
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/feed")
+      .withWatermark("ts", "0 seconds")
+      .select(col("ts"), col("event_type"))
+    val q = agg(stream)
+      .writeStream.format("memory").queryName("tumble").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt-tw").start()
+    try {
+      q.processAllAvailable()
+      feed(dir, 1); q.processAllAvailable()
+      feed(dir, 2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tumble")
+      .filter(col("window_start_us") < unix_micros(lit(flushTs)))
+      .collect().map(_.toString).sorted.toSeq
+    val want = agg(all.filter(col("event_id") < 1000000L).select("ts", "event_type"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want, s"stream=${got.size} batch=${want.size}")
+  }
+
   test("exact gap boundary: session_window ≡ lag/cumsum ≡ Sessionize.split (new session iff gap > threshold)") {
     import spark.implicits._
     // gaps of exactly 12h, 12h-1us, 12h+1us around t0 — session_window's
