@@ -171,7 +171,10 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
           if (bufs == null) bufs = new Array[AnyRef](nFields)
           if (bufs(ord) == null) bufs(ord) = ArrayBuffer.empty[(Int, Int)]
           // group content is tag-delimited, not length-prefixed (the
-          // wire-type guard above already pinned wt to the declared type)
+          // wire-type guard above already pinned wt to the declared type).
+          // The scan-then-decode here is O(n × group depth), fine because
+          // this decoder REJECTS recursive schemas at construction — depth
+          // is the static schema depth, not attacker-controlled
           val slice = if (f.tpe == TYPE_GROUP) r.groupSlice(fn) else r.readSlice()
           bufs(ord).asInstanceOf[ArrayBuffer[(Int, Int)]] += slice
         } else {

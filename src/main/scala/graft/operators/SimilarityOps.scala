@@ -255,6 +255,41 @@ object SimilarityOps {
     * equi-join (never a cross join) costing O(nprobe/K of the corpus) per
     * query. At scale the cell id doubles as a PARTITION key: write the
     * corpus bucketed by cell and probing prunes whole files. */
+  /** THE single nearest-cells implementation shared by the executor-side
+    * cell assignment (take = 1) and the driver-side query probes — one
+    * argmax/tie-break definition, so the two sides (and the oracle's
+    * `ORDER BY ccos DESC, cid`) can never diverge. Requires `cents` sorted
+    * ascending by cid; ties break to the smallest cid (strict `>` keeps
+    * the first maximum). Tight loops, no per-row sort allocation. */
+  private[operators] object IvfCells extends Serializable {
+    def nearestCells(cents: Array[(Long, Array[Double], Double)],
+        emb: Seq[Float], take: Int): Seq[Long] = {
+      var n = 0.0; var i = 0
+      while (i < emb.length) { n += emb(i).toDouble * emb(i).toDouble; i += 1 }
+      val nv = math.sqrt(n)
+      val cos = new Array[Double](cents.length)
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)._2
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += emb(j).toDouble * cv(j); j += 1 }
+        cos(c) = dot / (nv * cents(c)._3)
+        c += 1
+      }
+      val taken = new Array[Boolean](cents.length)
+      (0 until math.min(take, cents.length)).map { _ =>
+        var best = -1; var bestCos = Double.NegativeInfinity
+        var k = 0
+        while (k < cos.length) {
+          if (!taken(k) && cos(k) > bestCos) { best = k; bestCos = cos(k) }
+          k += 1
+        }
+        taken(best) = true
+        cents(best)._1
+      }
+    }
+  }
+
   def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
       numQueries: Int, k: Int = 10, nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -269,41 +304,16 @@ object SimilarityOps {
         while (i < v.length) { n += v(i) * v(i); i += 1 }
         (id, v, math.sqrt(n))
       }
-    // identical fold order to the oracle's list_reduce; argmax tie-breaks to
-    // the smallest centroid id (strict > keeps the first maximum)
-    def bestCells(emb: Seq[Float], take: Int): Seq[(Long, Double)] = {
-      var n = 0.0; var i = 0
-      while (i < emb.length) { n += emb(i).toDouble * emb(i).toDouble; i += 1 }
-      val nv = math.sqrt(n)
-      cents.map { case (cid, cv, cn) =>
-        var dot = 0.0; var j = 0
-        while (j < cv.length) { dot += emb(j).toDouble * cv(j); j += 1 }
-        (cid, dot / (nv * cn))
-      }.sortBy { case (cid, cos) => (-cos, cid) }.take(take).toSeq
-    }
     val bc = s.sparkContext.broadcast(cents)
     val cells = typed.mapPartitions { it =>
       // rebind the broadcast copy so executors don't drag the driver array
       val local = bc.value
-      def assign(emb: Seq[Float]): Long = {
-        var n = 0.0; var i = 0
-        while (i < emb.length) { n += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        val nv = math.sqrt(n)
-        var bestCid = -1L; var bestCos = Double.NegativeInfinity
-        local.foreach { case (cid, cv, cn) =>
-          var dot = 0.0; var j = 0
-          while (j < cv.length) { dot += emb(j).toDouble * cv(j); j += 1 }
-          val cos = dot / (nv * cn)
-          if (cos > bestCos) { bestCos = cos; bestCid = cid }
-        }
-        bestCid
-      }
-      it.map { case (id, emb) => (id, emb, assign(emb)) }
+      it.map { case (id, emb) => (id, emb, IvfCells.nearestCells(local, emb, 1).head) }
     }.toDF("cand", "vb", "cell")
     val probes = broadcast(
       typed.filter(_._1 < numQueries).collect().toSeq
         .flatMap { case (qid, emb) =>
-          bestCells(emb, nprobe).map { case (cid, _) => (qid, emb, cid) }
+          IvfCells.nearestCells(cents, emb, nprobe).map(cid => (qid, emb, cid))
         }.toDF("qid", "va", "probe"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
     probes.join(cells, probes("probe") === cells("cell") && col("qid") =!= col("cand"))

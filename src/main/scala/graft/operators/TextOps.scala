@@ -106,7 +106,12 @@ object TextOps {
       // token heuristic — a real BPE merge table slots in per pre-token).
       // Reported next to the naive whitespace count for calibration.
       (s, d) => {
-        val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+        // NB: this pattern is embedded in a double-quoted SQL string, whose
+        // unescaping eats one backslash level — `\\\\s` here reaches the
+        // regex engine as `\s` (a single `\\s` silently became `[^a-z0-9s]`,
+        // counting whitespace runs as punctuation pretokens; TokenizeSpec
+        // pins the tab/double-space behavior the oracle gate can't see)
+        val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\\\s]+"
         ld(s, d, "documents")
           .withColumn("toks", expr(s"regexp_extract_all(lower(text), \"$pat\", 0)"))
           .select(

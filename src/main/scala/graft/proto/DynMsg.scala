@@ -51,12 +51,23 @@ object DynMsg {
   def decodeReader(fs: FileSet, desc: MessageDesc, r: Wire.Reader): DynMsg =
     decodeReader(fs, desc, r, 0)
 
-  private def decodeReader(fs: FileSet, desc: MessageDesc, r: Wire.Reader, depth: Int): DynMsg = {
+  /** `endGroupFn >= 0` means this invocation decodes a GROUP body inline on
+    * the shared reader: it returns at the matching END_GROUP tag instead of
+    * at the buffer limit (single pass — no scan-ahead + re-decode, so a
+    * payload against a RECURSIVE group schema stays O(n), not O(n×depth)). */
+  private def decodeReader(fs: FileSet, desc: MessageDesc, r: Wire.Reader, depth: Int,
+      endGroupFn: Int = -1): DynMsg = {
     if (depth > MaxNestingDepth)
       throw new ProtoParseException(s"message nesting exceeds $MaxNestingDepth levels")
     var acc = TreeMap.empty[Int, PValue]
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
+      if (wt == Wire.WtEndGroup) {
+        if (fn == endGroupFn) return DynMsg(desc, acc)
+        throw new ProtoParseException(
+          if (endGroupFn >= 0) s"mismatched END_GROUP: expected $endGroupFn, got $fn"
+          else "unmatched END_GROUP tag")
+      }
       desc.fieldByNumber.get(fn) match {
         case None => r.skip(wt) // unknown field: tolerated and dropped
         case Some(f) if wt != f.wireType &&
@@ -99,6 +110,7 @@ object DynMsg {
           }
       }
     }
+    if (endGroupFn >= 0) throw new ProtoParseException("truncated group")
     DynMsg(desc, acc)
   }
 
@@ -129,10 +141,9 @@ object DynMsg {
       PBytes(r.readBytes())
     case TYPE_GROUP =>
       // proto2 group: delimited by START/END tags instead of a length
-      // prefix; the content slice is a plain field stream of the group's
-      // message descriptor (protobuf-java DynamicMessage parity)
-      val (p, len) = r.groupSlice(f.number)
-      PMsg(decodeReader(fs, fs.messageFor(f), new Wire.Reader(r.buf, p, p + len), depth + 1))
+      // prefix — decoded INLINE on the shared reader up to the matching end
+      // tag (protobuf-java DynamicMessage parity, single pass)
+      PMsg(decodeReader(fs, fs.messageFor(f), r, depth + 1, endGroupFn = f.number))
     case _ => readScalar(fs, f, r, wt)
   }
 

@@ -93,9 +93,12 @@ object Sessionize {
       .flatMapGroupsWithState[SessState, SessionPath](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          // NO dedup here: the batch formulation counts duplicate event rows
+          // (an at-least-once source can deliver them) and stream ≡ batch is
+          // the module's contract — a .distinct would silently drop them
           val buffered = if (state.exists) state.get.events else Seq.empty
           val all = (buffered ++ it).toVector
-            .sortBy(e => (e.ts_us, e.event_id)).distinct
+            .sortBy(e => (e.ts_us, e.event_id))
           if (all.isEmpty) { state.remove(); Iterator.empty }
           else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L

@@ -213,7 +213,9 @@ class SessionizeStreamSpec extends AnyFunSuite {
           col("event_type"))
         .write.parquet(s"$dir/feed/c$chunk")
     }
-    // one user; events 1h apart land in DIFFERENT chunks; flush closes
+    // one user; events 1h apart land in DIFFERENT chunks; the second event
+    // is DELIVERED TWICE (at-least-once source) and must be counted twice
+    // like the batch formulation counts it; flush closes
     write(0, Seq((1L, 1L, "2024-01-01 00:00:00", "a")))
     val schema = spark.read.parquet(s"$dir/feed/c0").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/feed/*")
@@ -226,7 +228,11 @@ class SessionizeStreamSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       q.processAllAvailable()
-      write(1, Seq((1L, 2L, "2024-01-01 01:00:00", "b")))
+      // the second event is DELIVERED TWICE in its batch (at-least-once
+      // source): both copies are in front of the watermark and must be
+      // counted twice, like the batch formulation counts them
+      write(1, Seq((1L, 2L, "2024-01-01 01:00:00", "b"),
+        (1L, 2L, "2024-01-01 01:00:00", "b")))
       q.processAllAvailable()
       write(2, Seq((1L, 3L, "2030-01-01 00:00:00", "flush")))
       q.processAllAvailable()
@@ -234,6 +240,6 @@ class SessionizeStreamSpec extends AnyFunSuite {
     val got = spark.table("sess_split")
       .filter(col("path") =!= "flush")
       .select("user_id", "n_events", "path").as[(Long, Long, String)].collect().toSeq
-    assert(got == Seq((1L, 2L, "a,b")), s"got $got")
+    assert(got == Seq((1L, 3L, "a,b,b")), s"got $got")
   }
 }
