@@ -63,18 +63,37 @@ object DedupOps {
       .select(col("doc_id") +: array_distinct(col("hs")).as("hset") +:
         (0 until 8).map(k => col(s"mh$k")): _*)
       .localCheckpoint()
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("b"))
+    verifyPairs(candidatePairs(cappedBands(sig)), sig)
+  }
+
+  /** The reduced SIGNATURE TABLE shape (doc_id, hset, mh0..mh7) for an
+    * arbitrary docs frame — this is what a pipeline PERSISTS at ingest so
+    * later batches never re-signature the corpus. */
+  def signatures(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sigOf(s, docs)
+      .select(col("doc_id") +: array_distinct(col("hs")).as("hset") +:
+        (0 until 8).map(k => col(s"mh$k")): _*)
+
+  /** (doc_id, band, sig2) exploded bands with the mega-bucket cap applied
+    * (buckets > 50 docs dropped — never an all-pairs blowup). */
+  private def cappedBands(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.sig"))
-    val capped = banded
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
       .filter(col("bn") <= 50)
-    val pairs = capped.as("l").join(capped.as("r"),
+
+  private def candidatePairs(capped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
+
+  private def verifyPairs(pairs: org.apache.spark.sql.DataFrame,
+      sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sets = sig.select(col("doc_id"), col("hset"))
     pairs
       .join(sets.select(col("doc_id").as("a"), col("hset").as("ha")), Seq("a"))
@@ -83,6 +102,29 @@ object DedupOps {
         (size(array_intersect(col("ha"), col("hb"))).cast("double") /
           size(array_union(col("ha"), col("hb"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
+  }
+
+  /** INCREMENTAL near-dup mining — the O(batch) shape a 100 TB pipeline
+    * actually runs: `sigTable` is the PERSISTED signature table (the
+    * `signatures` shape, accumulated at ingest), `newIds` the current
+    * batch's doc ids. Emits exactly the verified pairs TOUCHING the batch
+    * (new-old and new-new), canonicalized a < b — provably equal to
+    * re-running the full batch pairing restricted to the new docs
+    * (IncrementalDedupSpec), without re-signaturing or re-pairing the
+    * existing corpus: the batch side of the band join is O(batch), the
+    * corpus side is a hash-join lookup on (band, sig). */
+  def incrementalVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      sigTable: org.apache.spark.sql.DataFrame,
+      newIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val capped = cappedBands(sigTable)
+    val newSide = capped.join(broadcast(newIds.select(col("doc_id"))), Seq("doc_id"))
+    val pairs = newSide.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("b"))
+      .distinct()
+    verifyPairs(pairs, sigTable)
   }
 
   /** The DuckDB CTE chain producing `vpairs` (a, b, jaccard) — shared by
@@ -122,11 +164,15 @@ object DedupOps {
     * expression-chain formulation recomputed the whole chain per minhash
     * column — CollapseProject inlining with no codegen CSE for HOFs.)
     * Values are identical to the DuckDB oracle formulation. */
-  private def sigSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def sigSpark(s: org.apache.spark.sql.SparkSession, d: String) =
+    sigOf(s, ld(s, d, "documents"))
+
+  private def sigOf(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val params = hashParams.toArray
     val p = P
-    ld(s, d, "documents").select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[a-z0-9]+")
         it.flatMap { case (id, text) =>

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Incremental dedup ≡ batch dedup: the persisted-signature pipeline shape
+  * (signatures computed once at ingest, each new batch band-joined against
+  * the accumulated table) must emit EXACTLY the full batch pairing
+  * restricted to pairs touching the new docs — new-old and new-new alike,
+  * with the same mega-bucket cap and Jaccard verification. */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("inc-dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("incrementalVerifiedPairs == full lshVerifiedPairs restricted to the new batch") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // "ingest" split: docs < 400 are the existing corpus, >= 400 the batch
+    val cut = 400L
+
+    // the persisted signature table: written at ingest, READ BACK here so
+    // the incremental path provably needs only the stored shape
+    val dir = Files.createTempDirectory("graft-sigtable").toString
+    DedupOps.signatures(spark, docs).write.mode("overwrite").parquet(dir)
+    val sigTable = spark.read.parquet(dir)
+
+    val newIds = docs.select("doc_id").filter(col("doc_id") >= cut)
+    val inc = DedupOps.incrementalVerifiedPairs(spark, sigTable, newIds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val full = DedupOps.lshVerifiedPairs(spark, sfDir)
+      .filter(col("a") >= cut || col("b") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(inc.nonEmpty, "the sf0.001 corpus should contain near-dups touching the batch")
+    assert(inc == full, s"incremental=${inc.size} batch-restricted=${full.size}")
+    // and no pair between two OLD docs leaks in
+    assert(inc.forall { case (a, b, _) => a >= cut || b >= cut })
+  }
+
+  test("an empty batch yields no pairs (and no corpus re-pairing)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigTable = DedupOps.signatures(spark, docs)
+    import spark.implicits._
+    val none = DedupOps.incrementalVerifiedPairs(spark, sigTable,
+      Seq.empty[Long].toDF("doc_id"))
+    assert(none.count() == 0)
+  }
+}
