@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.DedupOps
+
+/** Streaming near-dup mining: documents arrive as a stream; each microbatch
+  * (1) computes ITS OWN signatures (one pass over the batch only),
+  * (2) appends them to the accumulated signature table, and
+  * (3) emits the verified near-dup pairs touching the batch — against
+  * everything ingested so far — to an append-only pairs log.
+  *
+  * This is `DedupOps.incrementalVerifiedPairs` riding foreachBatch: the
+  * corpus is signatured exactly once (at its own arrival), never re-paired;
+  * per-batch cost is O(batch signatures + band-join lookups). Batch-id
+  * subdirectories make the signature append idempotent under foreachBatch
+  * replay (an overwrite of the same subdir, not a duplicate append), the
+  * same fencing idea the IceLite sink uses.
+  *
+  * Equivalence to the batch operator (pairs-touching-each-batch partition
+  * of the full pairing) is asserted in DedupStreamSpec. */
+object DedupStream {
+
+  def start(spark: SparkSession, docsDir: String, schema: org.apache.spark.sql.types.StructType,
+      sigDir: String, pairsDir: String, checkpointDir: String): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // one signature pass over THIS batch; replayed batch ids overwrite
+        // their own subdir (idempotent), never double-append
+        val sigs = DedupOps.signatures(s, batch).localCheckpoint()
+        sigs.write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+        val sigTable = s.read.parquet(sigDir)
+        DedupOps.incrementalVerifiedPairs(s, sigTable, sigs.select("doc_id"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+}
