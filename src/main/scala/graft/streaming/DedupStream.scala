@@ -12,19 +12,30 @@ import graft.operators.DedupOps
   * everything ingested so far — to an append-only pairs log.
   *
   * This is `DedupOps.incrementalVerifiedPairs` riding foreachBatch: the
-  * corpus is signatured exactly once (at its own arrival), never re-paired;
-  * per-batch cost is O(batch signatures + band-join lookups). Batch-id
-  * subdirectories make the signature append idempotent under foreachBatch
-  * replay (an overwrite of the same subdir, not a duplicate append), the
-  * same fencing idea the IceLite sink uses.
+  * corpus is signatured exactly once (at its own arrival), never re-paired.
+  * Batch-id subdirectories make the signature append idempotent under
+  * foreachBatch replay (an overwrite of the same subdir, not a duplicate
+  * append), the same fencing idea the IceLite sink uses. `maxFilesPerTrigger`
+  * bounds a backlog/restart batch so the first microbatch after downtime
+  * isn't the entire queue.
   *
   * Equivalence to the batch operator (pairs-touching-each-batch partition
-  * of the full pairing) is asserted in DedupStreamSpec. */
+  * of the full pairing) is asserted in DedupStreamSpec — with ONE
+  * documented divergence: the mega-bucket cap is evaluated per batch over
+  * the table accumulated SO FAR. A (band, sig) bucket that crosses the
+  * 50-doc cap only after later batches arrive keeps the pairs emitted
+  * while it was under the cap (monotone emission cannot retract), where a
+  * full batch recompute would drop the whole bucket. That is inherent to
+  * append-only streaming output; consumers needing recompute-exact
+  * semantics should rebuild from the signature table. */
 object DedupStream {
 
   def start(spark: SparkSession, docsDir: String, schema: org.apache.spark.sql.types.StructType,
-      sigDir: String, pairsDir: String, checkpointDir: String): StreamingQuery = {
-    spark.readStream.schema(schema).parquet(docsDir)
+      sigDir: String, pairsDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -29,21 +29,17 @@ class DedupStreamSpec extends AnyFunSuite {
     docs.filter(col("doc_id") < 250).write.parquet(s"$dir/in/c0")
     docs.filter(col("doc_id") >= 250).write.parquet(s"$dir/in/c1")
 
-    def feed(chunk: Int): Unit = {
-      val dst = new java.io.File(s"$dir/docs"); dst.mkdirs()
-      new java.io.File(s"$dir/in/c$chunk").listFiles()
-        .filter(_.getName.endsWith(".parquet")).foreach { f =>
-          Files.copy(f.toPath, new java.io.File(dst, s"c$chunk-${f.getName}").toPath)
-        }
+    def feed(chunk: Int): Unit =
+      StreamFeed.feed(s"$dir/in/c$chunk", s"$dir/docs", s"c$chunk")
+    def drain(): Unit = {
+      // a FRESH query per chunk (same checkpoint): deterministic one batch
+      // per chunk — no mid-copy trigger race — and exercises resume
+      val q = DedupStream.start(spark, s"$dir/docs", docs.schema,
+        s"$dir/sigs", s"$dir/pairs", s"$dir/ckpt")
+      try q.processAllAvailable() finally q.stop()
     }
-    feed(0)
-    val q = DedupStream.start(spark, s"$dir/docs", docs.schema,
-      s"$dir/sigs", s"$dir/pairs", s"$dir/ckpt")
-    try {
-      q.processAllAvailable()
-      feed(1)
-      q.processAllAvailable()
-    } finally q.stop()
+    feed(0); drain()
+    feed(1); drain()
 
     val emitted = spark.read.parquet(s"$dir/pairs")
     val got = emitted.select("a", "b", "jaccard")

@@ -50,14 +50,8 @@ class SessionizeStreamSpec extends AnyFunSuite {
     (dir, all)
   }
 
-  private def feed(dir: String, chunk: Int): Unit = {
-    val src = new java.io.File(s"$dir/in/c$chunk")
-    val dst = new java.io.File(s"$dir/feed")
-    dst.mkdirs()
-    src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-      java.nio.file.Files.copy(f.toPath, new java.io.File(dst, s"c$chunk-${f.getName}").toPath)
-    }
-  }
+  private def feed(dir: String, chunk: Int): Unit =
+    StreamFeed.feed(s"$dir/in/c$chunk", s"$dir/feed", s"c$chunk")
 
   test("native session_window stream (append + watermark) emits exactly the batch sessions") {
     val (dir, all) = prep()
