@@ -198,6 +198,44 @@ class SessionizeStreamSpec extends AnyFunSuite {
     assert(sw.count(_._1 == 4L) == 1, "equal timestamps must merge")
   }
 
+  test("property: session_window == Sessionize.split on random event sets (incl. exact-boundary gaps)") {
+    import spark.implicits._
+    // seeded random users/timestamps with gaps drawn AROUND the threshold
+    // (¼ exactly the gap, ¼ gap±1us, rest uniform) — the distribution that
+    // would expose any boundary or ordering drift between the native
+    // operator and the state machine's splitter
+    val rnd = new scala.util.Random(20260817L)
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime * 1000L
+    val rows = (0 until 12).flatMap { u =>
+      var t = base + rnd.nextInt(1000000)
+      (0 until 40).map { i =>
+        val gap = rnd.nextInt(4) match {
+          case 0 => gapUs
+          case 1 => gapUs + (if (rnd.nextBoolean()) 1 else -1)
+          case _ => (rnd.nextDouble() * 2 * gapUs).toLong
+        }
+        t += gap
+        (u.toLong, (u * 1000 + i).toLong, t)
+      }
+    }
+    val df = rows.toDF("user_id", "event_id", "ts_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), lit(0.0).as("value"))
+    val viaSw = Sessionize.sessions(df.select("user_id", "ts", "value"), "12 hours")
+      .select("user_id", "session_start_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaSplit = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val evs = rs.map { case (uu, e, tUs) =>
+        Sessionize.Ev(uu, e, new java.sql.Timestamp(tUs / 1000), tUs, "x")
+      }.sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq
+      Sessionize.split(evs, gapUs).map(s => (u, s.head.ts_us, s.length.toLong))
+    }.toSet
+    assert(viaSw == viaSplit,
+      s"sw-only=${(viaSw -- viaSplit).take(3)} split-only=${(viaSplit -- viaSw).take(3)}")
+    // sanity: the generator actually produced both splits and merges
+    assert(viaSw.size > 12 && viaSw.size < rows.size)
+  }
+
   test("a session split across stream chunks merges (no premature close before the watermark allows)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sess-split").toString
