@@ -144,12 +144,12 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
       val ord = ordOf(fn)
-      if (ord < 0) r.skip(wt)
+      if (ord < 0) r.skip(wt, fn)
       else if (wt != expectedWt(ord) &&
           !(fields(ord).repeated && isPackable(fields(ord).tpe) && wt == Wire.WtLen)) {
         // wire-type mismatch (field evolved/corrupt tag): unknown-field
         // semantics — skip, don't desync (protobuf-java parity)
-        r.skip(wt)
+        r.skip(wt, fn)
       } else {
         val f = fields(ord)
         if (isMap(ord)) {
@@ -274,7 +274,7 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
       val (fn, wt) = r.readTag()
       if (fn == 1 && wt == kf.wireType) k = kvValue(kf)
       else if (fn == 2 && wt == vf.wireType) v = kvValue(vf)
-      else r.skip(wt) // unknown field / mismatched wire type
+      else r.skip(wt, fn) // unknown field / mismatched wire type
     }
     (k, v)
   }
@@ -328,7 +328,7 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
       val (fn, wt) = r.readTag()
       if (fn == 1 && wt == Wire.WtVarint) secs = r.readVarint64()
       else if (fn == 2 && wt == Wire.WtVarint) nanos = r.readVarint64()
-      else r.skip(wt)
+      else r.skip(wt, fn)
     }
     java.lang.Long.valueOf(secs * 1000000L + nanos / 1000L)
   }

@@ -141,10 +141,10 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
     while (r.hasRemaining) {
       val (fn, wt) = r.readTag()
       val ord = ordOf(fn)
-      if (ord < 0) r.skip(wt)
+      if (ord < 0) r.skip(wt, fn)
       else if (wt != expectedWt(ord) &&
           !(fields(ord).repeated && isPackable(fields(ord).tpe) && wt == Wire.WtLen)) {
-        r.skip(wt) // wire-type mismatch: unknown-field semantics (no desync)
+        r.skip(wt, fn) // wire-type mismatch: unknown-field semantics (no desync)
       } else {
         val f = fields(ord)
         if (isMap(ord)) {
@@ -258,7 +258,7 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
       val (fn, wt) = r.readTag()
       if (fn == 1 && wt == kf.wireType) k = kvValue(kf)
       else if (fn == 2 && wt == vf.wireType) v = kvValue(vf)
-      else r.skip(wt) // unknown field / mismatched wire type
+      else r.skip(wt, fn) // unknown field / mismatched wire type
     }
     (k, v)
   }
@@ -310,7 +310,7 @@ final class RowDecoder(fs: FileSet, val desc: MessageDesc,
       val (fn, wt) = r.readTag()
       if (fn == 1 && wt == Wire.WtVarint) secs = r.readVarint64()
       else if (fn == 2 && wt == Wire.WtVarint) nanos = r.readVarint64()
-      else r.skip(wt)
+      else r.skip(wt, fn)
     }
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(secs, nanos))
   }

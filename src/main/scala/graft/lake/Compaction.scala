@@ -40,7 +40,16 @@ object Compaction {
     val preObs = org.apache.spark.sql.Observation(s"compact-pre-$epochId")
     val cur = IceLite.read(spark, base, f => chosen(f.bucket), includeHidden = true)
       .observe(preObs, count(lit(1)).as("rows"))
-    val live = cur.where(!coalesce(col(DelCol.name), lit(false))) // purge tombstones
+    // Purge only FULLY-CONSUMED tombstones: a DELETE with __seq above the
+    // OLDEST retained snapshot's maxSeq can still be consumed by
+    // changes(from, …) for any retained `from` — compacting it away would
+    // silently drop the delete from the feed and downstream consumers would
+    // resurrect the key. Tombstones at or below that watermark can no longer
+    // appear in any constructible change window, so they go. (Run `expire`
+    // first to let a maintenance pass purge everything.)
+    val keepTombstonesAbove = IceLite.loadVersion(dir, IceLite.history(dir).head).maxSeq
+    val live = cur.where(!coalesce(col(DelCol.name), lit(false)) ||
+        col(SeqCol.name) > keepTombstonesAbove)
       .withColumn("__bucket", bucketExpr(base.keyCols, base.buckets))
 
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId-compact").toString
@@ -103,11 +112,26 @@ object Compaction {
     CompactionStats(newBuckets, rowsBefore, rowsAfter, base.files.size)
   }
 
+  /** Orphan retention age (Iceberg's orphan-file protocol): an in-flight
+    * commit writes its manifests — and Merge its epoch data files — BEFORE
+    * the snapshot link lands, so a zero-age sweep racing that commit would
+    * delete just-written files the about-to-publish snapshot references,
+    * leaving the table unreadable. Anything younger than this window is
+    * left alone; a later vacuum reclaims it. */
+  val defaultVacuumRetentionMs: Long = 10 * 60 * 1000L
+
   /** Remove data files not referenced by any retained snapshot's manifests,
     * and manifest files not referenced by any snapshot (orphans from lost
-    * commit races). Ends time travel for data superseded before the latest
-    * snapshot once older snapshot JSONs are dropped by `expire`. */
-  def vacuum(dir: String): Int = {
+    * commit races), keeping anything modified within `olderThanMs` (see
+    * [[defaultVacuumRetentionMs]] — pass 0 only when no commit can be in
+    * flight, e.g. a single-writer test). Ends time travel for data
+    * superseded before the latest snapshot once older snapshot JSONs are
+    * dropped by `expire`. */
+  def vacuum(dir: String, olderThanMs: Long = defaultVacuumRetentionMs): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
     val versions = IceLite.history(dir)
     val snaps = versions.map(v => IceLite.loadVersion(dir, v))
     val liveData = snaps.flatMap(_.files.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet
@@ -117,10 +141,12 @@ object Compaction {
     java.nio.file.Files.walk(dataRoot).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet"))
       .filterNot(p => liveData.contains(p.toAbsolutePath.toString))
+      .filter(oldEnough)
       .foreach { p => java.nio.file.Files.deleteIfExists(p); removed += 1 }
     java.nio.file.Files.list(Paths.get(dir, "meta")).iterator().asScala
       .filter(_.getFileName.toString.startsWith("m-"))
       .filterNot(p => liveManifests.contains(p.toAbsolutePath.toString))
+      .filter(oldEnough)
       .foreach { p => java.nio.file.Files.deleteIfExists(p); removed += 1 }
     removed
   }

@@ -428,14 +428,24 @@ object IceLite {
       val addsByRange = adds.groupBy(f => cur.rangeOf(f.bucket))
       val touchedRanges = delta.touched.map(cur.rangeOf)
       val curByRange = cur.manifests.groupBy(_.range)
-      val affected = addsByRange.keySet ++ touchedRanges
+      // LEGACY (pre-manifest) snapshot: its live files were INLINE in the
+      // snapshot JSON, a form toJson no longer writes — migrate every inline
+      // file into manifests as part of this commit, or the new snapshot
+      // would reference only the delta's manifests and the next load() would
+      // silently drop all pre-existing data.
+      val legacyByRange: Map[Int, Vector[DataFile]] =
+        if (cur.manifests.isEmpty && cur.files.nonEmpty)
+          cur.files.groupBy(f => cur.rangeOf(f.bucket))
+        else Map.empty
+      val affected = addsByRange.keySet ++ touchedRanges ++ legacyByRange.keySet
       val keptRefs = cur.manifests.filterNot(m => affected(m.range))
       val newRefs = affected.toVector.sorted.flatMap { r =>
         val oldRefs = curByRange.getOrElse(r, Vector.empty)
         val rangeAdds = addsByRange.getOrElse(r, Vector.empty)
-        if (touchedRanges(r) || oldRefs.size + 1 > manifestCompactAt) {
+        if (touchedRanges(r) || legacyByRange.contains(r) || oldRefs.size + 1 > manifestCompactAt) {
           // rewrite/merge the whole range: survivors + adds in ONE manifest
-          val survivors = oldRefs.flatMap(readManifest).filterNot(f => delta.touched(f.bucket))
+          val survivors = (oldRefs.flatMap(readManifest) ++ legacyByRange.getOrElse(r, Vector.empty))
+            .filterNot(f => delta.touched(f.bucket))
           val all = survivors ++ rangeAdds
           if (all.isEmpty) Vector.empty else Vector(writeManifest(dir, r, all))
         } else {

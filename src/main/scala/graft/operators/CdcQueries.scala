@@ -114,7 +114,8 @@ object CdcQueries {
         graft.lake.Compaction.compact(s, tableDir, "q30-compact", Some(Set(0, 1, 2, 3)))
         graft.lake.Compaction.rebucket(s, tableDir, newBuckets = 16, epochId = "q30-rebucket")
         graft.lake.Compaction.expire(tableDir, keepLast = 1)
-        graft.lake.Compaction.vacuum(tableDir)
+        // retention 0: this gate is strictly single-writer, no commit in flight
+        graft.lake.Compaction.vacuum(tableDir, olderThanMs = 0L)
         IceLite.read(s, IceLite.load(tableDir))
           .select(col("repo"), col("path"), col("commit"), col("lang"),
             sha2(col("content"), 256).as("content_sha"), col("author"))

@@ -19,7 +19,7 @@ object DescParser {
         if (fn == 1 && wt == Wire.WtLen) { // FileDescriptorSet.file
           val (p, len) = r.readSlice()
           files :+= parseFile(new Reader(r.buf, p, p + len))
-        } else r.skip(wt)
+        } else r.skip(wt, fn)
       }
       if (files.isEmpty) throw new SchemaLoadingException("empty FileDescriptorSet")
       fixTypeNameOnly(FileSet(files))
@@ -62,7 +62,7 @@ object DescParser {
         case (4, Wire.WtLen) => val (p, len) = r.readSlice(); messages :+= parseMessage(new Reader(r.buf, p, p + len))
         case (5, Wire.WtLen) => val (p, len) = r.readSlice(); rawEnums :+= parseEnum(new Reader(r.buf, p, p + len))
         case (12, Wire.WtLen) => syntax = str(r)
-        case _ => r.skip(wt)
+        case _ => r.skip(wt, fn)
       }
     }
     val prefix = if (pkg.isEmpty) "" else pkg + "."
@@ -108,9 +108,9 @@ object DescParser {
           while (opt.hasRemaining) {
             val (ofn, owt) = opt.readTag()
             if (ofn == 7 && owt == Wire.WtVarint) mapEntry = opt.readVarint64() != 0L
-            else opt.skip(owt)
+            else opt.skip(owt, ofn)
           }
-        case _ => r.skip(wt)
+        case _ => r.skip(wt, fn)
       }
     }
     RawMsg(name, fields, nested, enums, mapEntry)
@@ -140,12 +140,12 @@ object DescParser {
           while (opt.hasRemaining) {
             val (ofn, owt) = opt.readTag()
             if (ofn == 2 && owt == Wire.WtVarint) packedOpt = Some(opt.readVarint64() != 0L)
-            else opt.skip(owt)
+            else opt.skip(owt, ofn)
           }
         case (9, Wire.WtVarint) => oneofIdx = Some(r.readVarint64().toInt)
         case (10, Wire.WtLen) => jsonName = str(r)
         case (17, Wire.WtVarint) => p3opt = r.readVarint64() != 0L
-        case _ => r.skip(wt)
+        case _ => r.skip(wt, fn)
       }
     }
     if (jsonName.isEmpty) jsonName = defaultJsonName(name)
@@ -174,11 +174,11 @@ object DescParser {
             (vfn, vwt) match {
               case (1, Wire.WtLen) => vn = str(vr)
               case (2, Wire.WtVarint) => num = vr.readVarint64().toInt
-              case _ => vr.skip(vwt)
+              case _ => vr.skip(vwt, vfn)
             }
           }
           values :+= (vn -> num)
-        case _ => r.skip(wt)
+        case _ => r.skip(wt, fn)
       }
     }
     (name, values)

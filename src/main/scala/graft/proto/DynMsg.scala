@@ -69,13 +69,13 @@ object DynMsg {
           else "unmatched END_GROUP tag")
       }
       desc.fieldByNumber.get(fn) match {
-        case None => r.skip(wt) // unknown field: tolerated and dropped
+        case None => r.skip(wt, fn) // unknown field: tolerated and dropped
         case Some(f) if wt != f.wireType &&
             !(f.repeated && isPackable(f.tpe) && wt == Wire.WtLen) =>
           // wire-type mismatch (evolved field / corrupt tag): treated as an
           // unknown field and skipped (protobuf-java parity) — parsing it
           // under the declared type would desync the stream
-          r.skip(wt)
+          r.skip(wt, fn)
         case Some(f) =>
           if (f.repeated && isPackable(f.tpe) && wt == Wire.WtLen) {
             // packed encoding

@@ -306,15 +306,24 @@ object ProtoJson {
     val body0 = str.dropRight(1)
     val neg = body0.startsWith("-")
     val body = if (neg) body0.drop(1) else body0
+    // non-numeric bodies ("abcs", "1.2x3s") must surface as the typed
+    // MessageEncodingException, not a raw NumberFormatException
+    // digits only after the optional leading '-' ("--3s", "abcs", "1.2x3s"
+    // must surface as the typed MessageEncodingException, not parse or
+    // escape as a raw NumberFormatException)
+    def digits(s: String): Long =
+      if (s.isEmpty || s.length > 18 || !s.forall(_.isDigit))
+        throw new MessageEncodingException(s"invalid Duration: $str")
+      else s.toLong
     val (secPart, nanoPart) = body.split('.') match {
-      case Array(sp) => (sp, 0)
+      case Array(sp) => (digits(sp), 0)
       case Array(sp, fp) =>
         if (fp.length > 9) throw new MessageEncodingException(s"invalid Duration: $str")
-        (sp, fp.padTo(9, '0').toInt)
+        (digits(sp), digits(fp.padTo(9, '0')).toInt)
       case _ => throw new MessageEncodingException(s"invalid Duration: $str")
     }
     val sign = if (neg) -1L else 1L
-    val seconds = sign * secPart.toLong
+    val seconds = sign * secPart
     val nanos = (sign * nanoPart).toInt
     var fields = TreeMap.empty[Int, PValue]
     if (seconds != 0) fields += (1 -> PLong(seconds))

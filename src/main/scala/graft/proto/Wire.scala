@@ -118,18 +118,20 @@ object Wire {
             throw new ProtoParseException(s"mismatched END_GROUP: expected $fn, got $fn2")
           return (start, tagStart - start)
         }
-        skip(wt)
+        skip(wt, fn2)
       }
       throw new IllegalStateException("unreachable")
     }
 
     /** Skips a field of the given wire type (for unknown-field preservation the
       * caller captures the byte range instead). An UNKNOWN group is skipped by
-      * balancing START/END tags (protobuf-java parity); a DECLARED proto2
-      * group decodes via groupSlice + the group's message descriptor. */
-    def skip(wireType: Int): Unit = skip(wireType, 0)
+      * balancing START/END tags whose FIELD NUMBERS match (protobuf-java
+      * rejects a mismatched end-group tag, so accepting any END_GROUP here
+      * could silently desync on malformed nesting); a DECLARED proto2 group
+      * decodes via groupSlice + the group's message descriptor. */
+    def skip(wireType: Int, fieldNum: Int): Unit = skipNested(wireType, fieldNum, 0)
 
-    private def skip(wireType: Int, groupDepth: Int): Unit = wireType match {
+    private def skipNested(wireType: Int, fieldNum: Int, groupDepth: Int): Unit = wireType match {
       case WtVarint  => readVarint64(); ()
       case WtFixed64 => if (pos + 8 > limit) throw new ProtoParseException("truncated fixed64"); pos += 8
       case WtLen     => readSlice(); ()
@@ -139,8 +141,13 @@ object Wire {
         var done = false
         while (!done) {
           if (!hasRemaining) throw new ProtoParseException("truncated group")
-          val (_, wt) = readTag()
-          if (wt == WtEndGroup) done = true else skip(wt, groupDepth + 1)
+          val (fn2, wt) = readTag()
+          if (wt == WtEndGroup) {
+            if (fn2 != fieldNum)
+              throw new ProtoParseException(
+                s"mismatched END_GROUP in unknown group: expected $fieldNum, got $fn2")
+            done = true
+          } else skipNested(wt, fn2, groupDepth + 1)
         }
       case WtEndGroup =>
         throw new ProtoParseException("unmatched END_GROUP tag")

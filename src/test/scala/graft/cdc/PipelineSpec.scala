@@ -253,6 +253,9 @@ class PipelineSpec extends AnyFunSuite {
     Replay.replayLog(spark, logDir, tableDir, buckets = 8)
     val before = sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content"))
     val filesBefore = IceLite.load(tableDir).files.size
+    // expire FIRST: with only the latest snapshot retained no change window
+    // can start below it, so compact may purge every tombstone
+    graft.lake.Compaction.expire(tableDir, keepLast = 1)
     val st = graft.lake.Compaction.compact(spark, tableDir, epochId = "compact-1000")
     assert(st.rowsAfter > 0)
     val snap = IceLite.load(tableDir)
@@ -264,9 +267,10 @@ class PipelineSpec extends AnyFunSuite {
     val hid = IceLite.read(spark, snap, includeHidden = true)
     assert(hid.filter(col("__del") === true).count() == 0)
     // expire old snapshots, then vacuum removes their now-unreferenced epoch
-    // files (and orphaned manifests); table still reads
+    // files (and orphaned manifests); table still reads. Retention 0 is safe
+    // here: single writer, no commit in flight.
     graft.lake.Compaction.expire(tableDir, keepLast = 1)
-    val removed = graft.lake.Compaction.vacuum(tableDir)
+    val removed = graft.lake.Compaction.vacuum(tableDir, olderThanMs = 0L)
     assert(removed > 0)
     assert(sortedRows(IceLite.read(spark, IceLite.load(tableDir)).select("repo", "path", "content")) == before)
     // compaction is epoch-fenced too
@@ -946,5 +950,81 @@ class PipelineSpec extends AnyFunSuite {
     val t = IceLite.read(spark, IceLite.load(t2))
     assert(t.count() == 1)
     assert(t.select("repo", "content").as[(String, String)].head() == ("r", "body"))
+  }
+
+  // ------------------------------------------------- maintenance safety nets
+
+  test("changes() across a compaction still feeds DELETE tombstones above retained watermarks") {
+    import spark.implicits._
+    val dir = tmp("tombfeed")
+    Replay.createTable(dir, buckets = 2)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    // v1: upsert two keys; v2: DELETE one of them
+    Merge.mergeEpoch(spark, dir, upd(Seq(
+      ("r1", "a", "v0", 10L, "UPSERT"), ("r2", "b", "w0", 20L, "UPSERT"))),
+      "seq", "op", "tf-0")
+    Merge.mergeEpoch(spark, dir, upd(Seq(("r1", "a", "", 30L, "DELETE"))),
+      "seq", "op", "tf-1")
+    // a full compaction lands INSIDE the change window [v1, latest]; v1 is
+    // still retained, so the delete (seq 30 > v1.maxSeq = 20) must survive it
+    graft.lake.Compaction.compact(spark, dir, "tf-compact")
+    val latest = IceLite.load(dir).version
+    val feed = IceLite.changes(spark, dir, fromVersion = 1, toVersion = latest)
+      .select(col("repo"), col("path"), col(IceLite.SeqCol.name).as("seq"),
+        coalesce(col(IceLite.DelCol.name), lit(false)).as("del"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(feed.contains(("r1", "a", 30L, true)),
+      s"DELETE tombstone lost across compaction; feed = ${feed.toSeq}")
+  }
+
+  test("legacy inline-files snapshot: first commit migrates files into manifests (no data loss)") {
+    val dir = tmp("legacy")
+    Files.createDirectories(java.nio.file.Paths.get(dir, "meta"))
+    Files.createDirectories(java.nio.file.Paths.get(dir, "data"))
+    // a pre-manifest snapshot: live files INLINE in the JSON, no manifests
+    val legacyJson =
+      s"""{"version":0,"epochs":["boot-0"],
+         |"schemas":[[{"id":1,"name":"repo","type":"STRING"},{"id":2,"name":"path","type":"STRING"},
+         |            {"id":-1,"name":"__seq","type":"BIGINT"},{"id":-2,"name":"__del","type":"BOOLEAN"}]],
+         |"keyCols":["repo","path"],"buckets":8,"maxSeq":5,
+         |"files":[{"path":"$dir/data/legacy-b0.parquet","bucket":0,"rows":3,"schemaVersion":0},
+         |         {"path":"$dir/data/legacy-b3.parquet","bucket":3,"rows":2,"schemaVersion":0}]}""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "meta", "v00000.json"), legacyJson.getBytes("UTF-8"))
+    val legacy = IceLite.load(dir)
+    assert(legacy.files.size == 2 && legacy.manifests.isEmpty)
+    // a plain delta-append on top of the legacy snapshot must carry the
+    // inline files into manifests — the new snapshot no longer inlines them
+    val add = IceLite.DataFile(s"$dir/data/new-b7.parquet", 7, 1, 0, delta = true)
+    IceLite.commit(dir, legacy, IceLite.CommitDelta("mig-1", Set.empty, Vector(add), legacy.currentSchema))
+    val after = IceLite.load(dir)
+    assert(after.manifests.nonEmpty)
+    assert(after.files.map(_.path).toSet ==
+      Set(s"$dir/data/legacy-b0.parquet", s"$dir/data/legacy-b3.parquet", s"$dir/data/new-b7.parquet"),
+      s"legacy inline files dropped: ${after.files.map(_.path)}")
+  }
+
+  test("vacuum retention age: young orphans survive the default sweep (in-flight-commit safety)") {
+    val dir = tmp("vacage")
+    Replay.createTable(dir, buckets = 2)
+    val orphan = java.nio.file.Paths.get(dir, "data", "orphan.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // default retention: the just-written orphan is inside the protection
+    // window (it could be an in-flight commit's output) — kept
+    graft.lake.Compaction.vacuum(dir)
+    assert(Files.exists(orphan))
+    // explicit zero retention (single-writer): reclaimed
+    graft.lake.Compaction.vacuum(dir, olderThanMs = 0L)
+    assert(!Files.exists(orphan))
   }
 }

@@ -163,4 +163,23 @@ class GroupCodecSpec extends AnyFunSuite {
       intercept[Wire.ProtoParseException] { new graft.decode.CatalystRowDecoder(fs, outerDesc).decode(bytes) }
     }
   }
+
+  test("UNKNOWN group skip rejects a mismatched END_GROUP field number (protobuf-java parity)") {
+    // field 99 is not in the descriptor → the skip path balances the group;
+    // its END tag carries a different field number, which protobuf-java
+    // rejects — accepting it would silently desync which bytes are skipped
+    val mm = new Wire.Writer
+    mm.writeTag(99, Wire.WtStartGroup)
+    mm.writeTag(98, Wire.WtEndGroup)
+    intercept[Wire.ProtoParseException] { DynMsg.decode(fs, outerDesc, mm.toBytes) }
+    intercept[Wire.ProtoParseException] { new graft.decode.RowDecoder(fs, outerDesc).decode(mm.toBytes) }
+    intercept[Wire.ProtoParseException] { new graft.decode.CatalystRowDecoder(fs, outerDesc).decode(mm.toBytes) }
+    // a well-formed unknown group (matching END, nested) still skips cleanly
+    val ok = new Wire.Writer
+    ok.writeTag(99, Wire.WtStartGroup)
+    ok.writeTag(7, Wire.WtStartGroup)
+    ok.writeTag(7, Wire.WtEndGroup)
+    ok.writeTag(99, Wire.WtEndGroup)
+    DynMsg.decode(fs, outerDesc, ok.toBytes)
+  }
 }

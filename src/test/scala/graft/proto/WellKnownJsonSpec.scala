@@ -86,6 +86,11 @@ class WellKnownJsonSpec extends AnyFunSuite {
     Seq("3s", "3.500s", "0.000000001s", "-3.500s", "-0.000000001s").foreach { d =>
       assert(ProtoJson.durationToString(ProtoJson.stringToDuration(durDesc, d)) == d)
     }
+    // non-numeric bodies surface as the TYPED exception, not a raw
+    // NumberFormatException escaping the JSON-parse error contract
+    Seq("abcs", "1.2x3s", "s", "1..2s", "--3s").foreach { bad =>
+      intercept[MessageEncodingException] { ProtoJson.stringToDuration(durDesc, bad) }
+    }
   }
 
   test("wrappers / Struct / Value / ListValue / FieldMask round-trip through canonical JSON") {
