@@ -687,12 +687,23 @@ object IceLite {
     * far fewer than K+1 files). The key filter is pushed to the parquet
     * scan, so row-group stats prune further. The lake's O(table/B)
     * primary-key get. */
-  def lookup(spark: SparkSession, snap: Snapshot, key: Map[String, Any]): DataFrame = {
-    require(snap.keyCols.forall(key.contains), s"need all key cols ${snap.keyCols}")
-    val bucket = spark.range(1)
+  /** The key's bucket, derived HOST-SIDE when possible (graft's xxhash64
+    * port is bit-compatible with Spark's — property-tested), so a point
+    * lookup is pure driver-side metadata + one pruned scan. Falls back to a
+    * one-row Spark job for key types the host chain doesn't cover. */
+  private def bucketOfKey(spark: SparkSession, snap: Snapshot, key: Map[String, Any]): Int = {
+    val vals = snap.keyCols.map(key)
+    if (graft.functions.XxHash64Host.supports(vals))
+      graft.functions.XxHash64Host.bucketOf(vals, snap.buckets)
+    else spark.range(1)
       .select(snap.keyCols.map(k => lit(key(k)).as(k)): _*)
       .select(bucketExpr(snap.keyCols, snap.buckets))
       .head().getInt(0)
+  }
+
+  def lookup(spark: SparkSession, snap: Snapshot, key: Map[String, Any]): DataFrame = {
+    require(snap.keyCols.forall(key.contains), s"need all key cols ${snap.keyCols}")
+    val bucket = bucketOfKey(spark, snap, key)
     val keyVals = snap.keyCols.map(k => String.valueOf(key(k)))
     val pruned = read(spark, snap,
       f => f.bucket == bucket && f.mayContainKey(keyVals))
@@ -702,12 +713,16 @@ object IceLite {
   }
 
   /** Files a point lookup would open for `key` — exposed for tests/tools to
-    * audit stats pruning. */
+    * audit stats pruning. Bucket-prunes host-side (no Spark job) for
+    * supported key types, then intersects with footer key bounds. */
   def lookupFiles(snap: Snapshot, key: Map[String, Any]): Vector[DataFile] = {
     val keyVals = snap.keyCols.map(k => String.valueOf(key(k)))
-    // same bucket derivation as bucketExpr, computed host-side is not
-    // possible (xxhash64 is Spark-internal), so filter on bounds only and
-    // let callers intersect with the bucket when they know it
-    snap.files.filter(_.mayContainKey(keyVals))
+    val vals = snap.keyCols.map(key)
+    val byBucket =
+      if (graft.functions.XxHash64Host.supports(vals)) {
+        val b = graft.functions.XxHash64Host.bucketOf(vals, snap.buckets)
+        snap.files.filter(_.bucket == b)
+      } else snap.files
+    byBucket.filter(_.mayContainKey(keyVals))
   }
 }
