@@ -15,9 +15,9 @@ import org.scalacheck.rng.Seed
 class XxHash64HostSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+    .master("local[4]")
     .appName("xxhash64-host-spec")
-    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
