@@ -121,15 +121,12 @@ object DedupOps {
     * (IncrementalDedupSpec), without re-signaturing or re-pairing the
     * existing corpus.
     *
-    * Per-batch cost, honestly: the signature table IS scanned (for bucket
-    * counts, the candidate hash join, and the hset verify lookups) — but
-    * it is a tiny projection (ints + hashed-shingle sets, orders of
-    * magnitude below the corpus text), the scans are hash-join/aggregate
-    * shaped (no corpus-wide window/sort shuffle), and only the batch side
-    * explodes into pair candidates. At true 100 TB scale the stored table
-    * would additionally be partitioned by a band-key prefix so these scans
-    * prune to the buckets the batch touches. The batch-id join is left to
-    * the planner/AQE (no forced broadcast — a backlog batch can be big). */
+    * This variant scans the WHOLE table it is given (hash-join/aggregate
+    * shaped, no corpus-wide window — but O(corpus) per batch). The 100 TB
+    * path is [[SigStore]] + [[incrementalVerifiedPairsStored]]: the
+    * persisted band index is hash-partitioned on the band key, and a batch
+    * reads only the partitions its own band keys touch — per-batch cost
+    * O(batch + touched buckets), not O(corpus). */
   def incrementalVerifiedPairs(s: org.apache.spark.sql.SparkSession,
       sigTable: org.apache.spark.sql.DataFrame,
       newIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -137,13 +134,114 @@ object DedupOps {
     val ok = okBuckets(all)
     val allOk = all.join(ok, Seq("band", "sig"))
     val newSide = allOk.join(newIds.select(col("doc_id")), Seq("doc_id"))
-    val pairs = newSide.as("l").join(allOk.as("r"),
+    verifyPairs(newOldPairs(newSide, allOk), sigTable)
+  }
+
+  private def newOldPairs(newSide: org.apache.spark.sql.DataFrame,
+      allOk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    newSide.as("l").join(allOk.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.doc_id") =!= col("r.doc_id"))
       .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("b"))
       .distinct()
-    verifyPairs(pairs, sigTable)
+
+  /** How many band-key hash partitions the persisted band index uses. A
+    * batch touches at most `4 × batch_docs` (band, sig) keys, so with the
+    * corpus spread over `bandPartitions` directories a small batch prunes
+    * to a small fraction of the stored index regardless of corpus size. */
+  val bandPartitions = 64
+
+  private def bandKeyCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band"), col("sig")), lit(bandPartitions.toLong)).cast("int")
+
+  /** The PERSISTED signature store — the at-scale layout the incremental /
+    * streaming dedup reads:
+    *
+    *   <dir>/rows/batch=N/          full signature rows (doc_id, hset,
+    *                                mh0..mh7) — the Jaccard-verify side
+    *   <dir>/bands/batch=N/bkey=K/  the exploded band index (doc_id, band,
+    *                                sig), hash-partitioned on the band key
+    *
+    * Each batch writes its own `batch=N` subdir (idempotent under
+    * foreachBatch replay — an overwrite, never a double append). Band-key
+    * pruning is STRUCTURAL: the reader lists only the `bkey=K` directories
+    * a batch touches (host-side, O(batches × touched keys) driver fs
+    * listing), so the per-batch scan is O(batch + touched buckets) and
+    * independent of planner partition-filter behavior. */
+  final case class SigStore(dir: String) {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+
+    def rowsDir: String = s"$dir/rows"
+    def bandsDir: String = s"$dir/bands"
+
+    /** Append one batch's `signatures`-shaped frame (idempotent per batchId). */
+    def append(sigs: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      sigs.write.mode("overwrite").parquet(s"$rowsDir/batch=$batchId")
+      bands(sigs).withColumn("bkey", bandKeyCol)
+        .write.partitionBy("bkey").mode("overwrite")
+        .parquet(s"$bandsDir/batch=$batchId")
+    }
+
+    /** Full signature rows (verify side). */
+    def rows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+      s.read.parquet(rowsDir).drop("batch")
+
+    /** The `bkey=K` directories (across all batches) holding `touched`
+      * band keys — exposed so tests can audit exactly what a batch reads. */
+    def prunedBandPaths(touched: Set[Int]): Seq[String] = {
+      val root = Paths.get(bandsDir)
+      if (!Files.isDirectory(root)) return Seq.empty
+      Files.list(root).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("batch="))
+        .flatMap(b => touched.iterator.map(k => b.resolve(s"bkey=$k"))
+          .filter(Files.isDirectory(_)))
+        .map(_.toString).toVector.sorted
+    }
+
+    /** All `bkey=K` directories currently in the store (audit helper). */
+    def allBandPaths: Seq[String] =
+      prunedBandPaths((0 until bandPartitions).toSet)
+
+    /** Band rows from ONLY the touched partitions. */
+    def bandsTouching(s: org.apache.spark.sql.SparkSession,
+        touched: Set[Int]): org.apache.spark.sql.DataFrame = {
+      val paths = prunedBandPaths(touched)
+      if (paths.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("sig", org.apache.spark.sql.types.StringType))))
+      else s.read.option("basePath", bandsDir).parquet(paths: _*)
+        .select("doc_id", "band", "sig")
+    }
+  }
+
+  /** [[incrementalVerifiedPairs]] over a [[SigStore]], reading ONLY the
+    * band partitions the batch touches. Contract: `newSigs` (the batch's
+    * `signatures` frame) is already appended to the store. The batch's
+    * touched band-key set is collected driver-side — bounded by
+    * `bandPartitions`, never by batch or corpus size. Mega-bucket counts
+    * over the pruned read are exact for every touched (band, sig) key: a
+    * hash partition holds ALL rows of each key it holds. */
+  /** The band-key partitions a batch's signatures touch — driver-side,
+    * bounded by [[bandPartitions]] (never by batch or corpus size). */
+  def incrementalTouchedKeys(s: org.apache.spark.sql.SparkSession,
+      newSigs: org.apache.spark.sql.DataFrame): Set[Int] =
+    bands(newSigs).select(bandKeyCol.as("bkey"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  def incrementalVerifiedPairsStored(s: org.apache.spark.sql.SparkSession,
+      store: SigStore,
+      newSigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val touched = incrementalTouchedKeys(s, newSigs)
+    val all = store.bandsTouching(s, touched)
+    val ok = okBuckets(all)
+    val allOk = all.join(ok, Seq("band", "sig"))
+    val newSide = allOk.join(newSigs.select(col("doc_id")), Seq("doc_id"))
+    verifyPairs(newOldPairs(newSide, allOk), store.rows(s))
   }
 
   /** The DuckDB CTE chain producing `vpairs` (a, b, jaccard) — shared by

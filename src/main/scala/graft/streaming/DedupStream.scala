@@ -41,11 +41,14 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // one signature pass over THIS batch; replayed batch ids overwrite
-        // their own subdir (idempotent), never double-append
+        // their own subdirs (idempotent), never double-append
         val sigs = DedupOps.signatures(s, batch).localCheckpoint()
-        sigs.write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
-        val sigTable = s.read.parquet(sigDir)
-        DedupOps.incrementalVerifiedPairs(s, sigTable, sigs.select("doc_id"))
+        val store = DedupOps.SigStore(sigDir)
+        store.append(sigs, batchId)
+        // band-partitioned store: the pairing reads only the bkey
+        // partitions THIS batch touches — O(batch + touched buckets) per
+        // microbatch, not O(accumulated corpus)
+        DedupOps.incrementalVerifiedPairsStored(s, store, sigs)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
         ()

@@ -45,6 +45,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(inc.forall { case (a, b, _) => a >= cut || b >= cut })
   }
 
+  test("SigStore pruning: a small batch reads only its touched band partitions, pairs unchanged") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cut = 494L // tiny batch: 6 docs × 4 bands = ≤24 band keys ≪ 64 partitions
+
+    val store = DedupOps.SigStore(Files.createTempDirectory("graft-sigstore").toString)
+    val oldSigs = DedupOps.signatures(spark, docs.filter(col("doc_id") < cut))
+    val newSigs = DedupOps.signatures(spark, docs.filter(col("doc_id") >= cut))
+      .localCheckpoint()
+    store.append(oldSigs, batchId = 0L)
+    store.append(newSigs, batchId = 1L)
+
+    val got = DedupOps.incrementalVerifiedPairsStored(spark, store, newSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = DedupOps.lshVerifiedPairs(spark, sfDir)
+      .filter(col("a") >= cut || col("b") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"stored-pruned=${got.size} batch-restricted=${want.size}")
+
+    // FILES-READ AUDIT: the batch's touched band keys select a strict
+    // subset of the store's band partitions — the promised O(batch +
+    // touched buckets) read, not O(corpus)
+    val touchedPaths = {
+      val nTouched = store.allBandPaths.size // every partition dir on disk
+      val batchKeys = DedupOps.incrementalTouchedKeys(spark, newSigs)
+      val pruned = store.prunedBandPaths(batchKeys)
+      assert(batchKeys.size < DedupOps.bandPartitions / 2,
+        s"batch touches ${batchKeys.size} keys — too many to demonstrate pruning")
+      assert(pruned.nonEmpty && pruned.size < nTouched,
+        s"pruned ${pruned.size} of $nTouched band dirs — no pruning happened")
+      pruned
+    }
+    // every selected directory is one of the touched keys
+    assert(touchedPaths.forall(p => p.contains("/bkey=")))
+  }
+
   test("an empty batch yields no pairs (and no corpus re-pairing)") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -56,9 +56,11 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(byBatch.keySet == Set(0L, 1L))
     assert(byBatch(0L) < 250L)
 
-    // the accumulated signature table holds each doc exactly once
-    val sigCount = spark.read.parquet(s"$dir/sigs").groupBy("doc_id").count()
+    // the accumulated signature store holds each doc exactly once
+    val sigCount = spark.read.parquet(s"$dir/sigs/rows").groupBy("doc_id").count()
       .filter(col("count") > 1).count()
     assert(sigCount == 0)
+    // and the band index is bkey-partitioned on disk (the pruning layout)
+    assert(graft.operators.DedupOps.SigStore(s"$dir/sigs").allBandPaths.nonEmpty)
   }
 }
