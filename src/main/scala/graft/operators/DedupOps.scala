@@ -411,6 +411,24 @@ object DedupOps {
       Some(s"""WITH $pairsDuckCtes
         SELECT a, b, jaccard FROM vpairs ORDER BY a, b""")),
 
+    OpQuery("q40_dedup_stream",
+      // STREAMING under the hard gate: the documents corpus arrives in 4
+      // waves through DedupStream (Structured Streaming file source →
+      // foreachBatch incremental mining over the band-partitioned
+      // SigStore, fresh query per wave off one checkpoint = 3 resumes);
+      // the union of per-batch emissions must equal the BATCH pairing —
+      // the same vpairs oracle q18 is gated on. (No band bucket in this
+      // corpus nears the 50-doc cap, so the documented cap-crossing
+      // divergence cannot trigger; verified max bucket = 3 at sf0.01.)
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q40"
+        graft.streaming.DedupStream
+          .mineCorpusInChunks(s, ld(s, d, "documents"), root, chunks = 4)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $pairsDuckCtes
+        SELECT a, b, jaccard FROM vpairs ORDER BY a, b""")),
+
     OpQuery("q32_dedup_canonical",
       // the dedup DECISION the pipeline acts on: every document maps to a
       // canonical id — the smallest directly-linked near-duplicate partner
