@@ -62,24 +62,52 @@ object Bench {
   private val logDir = s"$root/log"
   private val warmDir = s"$root/warmlog"
 
+  /** Every sample of one level, with host CPU steal/idle percentages over
+    * each sample's window (/proc/stat deltas) — recorded so a co-tenant-
+    * contended capture is SELF-IDENTIFYING in the bench artifact instead of
+    * needing forensic re-runs (the r3 local[32] 3× discrepancy). */
+  private final case class LevelStats(best: Double, samples: Seq[Double],
+      stealPct: Seq[Double], idlePct: Seq[Double]) {
+    def toJson: String =
+      s"""{"best":${f"$best%.3f"},"samples":[${samples.map(v => f"$v%.3f").mkString(",")}],""" +
+        s""""steal_pct":[${stealPct.map(v => f"$v%.1f").mkString(",")}],""" +
+        s""""idle_pct":[${idlePct.map(v => f"$v%.1f").mkString(",")}]}"""
+  }
+
+  /** (totalJiffies, idle+iowait, steal) from /proc/stat's cpu line. */
+  private def cpuStat(): (Long, Long, Long) = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, f(3) + f(4), if (f.length > 7) f(7) else 0L)
+    } finally src.close()
+  } catch { case _: Exception => (0L, 0L, 0L) }
+
   /** One untimed warmup replay (JIT + page cache), then n timed replays of
-    * the full log into fresh table dirs; returns the minimum. */
-  private def bestOf(n: Int, cpus: Int): Double = run(cpus, aqe = false) { spark =>
+    * the full log into fresh table dirs; every sample and its steal/idle
+    * window is reported, best = minimum. */
+  private def bestOf(n: Int, cpus: Int): LevelStats = run(cpus, aqe = false) { spark =>
     val warmTable = s"$root/warmtable-$cpus"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmTable))
     Replay.replayLog(spark, warmDir, warmTable, buckets = 64, pruneBuckets = false)
-    (1 to n).map { _ =>
+    val samples = (1 to n).map { _ =>
       val tableDir = s"$root/table-$cpus"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      val (tt0, id0, st0) = cpuStat()
       val t0 = System.nanoTime()
       Replay.replayLog(spark, logDir, tableDir, buckets = 64, pruneBuckets = false)
-      (System.nanoTime() - t0) / 1e9
-    }.min
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (tt1, id1, st1) = cpuStat()
+      val dt = math.max(1L, tt1 - tt0).toDouble
+      (sec, 100.0 * (st1 - st0) / dt, 100.0 * (id1 - id0) / dt)
+    }
+    LevelStats(samples.map(_._1).min, samples.map(_._1),
+      samples.map(_._2), samples.map(_._3))
   }
 
   /** Run one level's measurement in a CHILD JVM (same classpath, same JVM
-    * options, same env) and parse its BESTOF line. */
-  private def spawnLevel(cpus: Int, reps: Int): Double = {
+    * options, same env) and parse its LEVELJSON line. */
+  private def spawnLevel(cpus: Int, reps: Int): LevelStats = {
     import scala.jdk.CollectionConverters._
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
@@ -90,15 +118,23 @@ object Bench {
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8") // read to EOF, THEN wait
     val rc = proc.waitFor()
-    out.linesIterator.collectFirst { case l if l.contains("BESTOF ") =>
-      l.substring(l.indexOf("BESTOF ") + 7).trim.toDouble
+    out.linesIterator.collectFirst { case l if l.contains("LEVELJSON ") =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(l.substring(l.indexOf("LEVELJSON ") + 10).trim)
+      def arr(k: String): Seq[Double] = {
+        val it = n.get(k).elements()
+        val b = Seq.newBuilder[Double]
+        while (it.hasNext) b += it.next().asDouble()
+        b.result()
+      }
+      LevelStats(n.get("best").asDouble(), arr("samples"), arr("steal_pct"), arr("idle_pct"))
     }.getOrElse(throw new IllegalStateException(
       s"bench child (cpus=$cpus) rc=$rc:\n${out.takeRight(2000)}"))
   }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--level" :: cpus :: reps :: Nil =>
-      println(f"BESTOF ${bestOf(reps.toInt, cpus.toInt)}%.3f")
+      println("LEVELJSON " + bestOf(reps.toInt, cpus.toInt).toJson)
     case _ => full()
   }
 
@@ -126,9 +162,10 @@ object Bench {
     // "deepen while below the criterion" rule is optional stopping
     // conditioned on passing and can only bias the reported number upward.
     val (reps2, reps8) = (4, 6)
-    val t2 = spawnLevel(2, reps2)
-    val t8 = spawnLevel(8, reps8)
-    val t32 = spawnLevel(32, 3)
+    val s2 = spawnLevel(2, reps2)
+    val s8 = spawnLevel(8, reps8)
+    val s32 = spawnLevel(32, 3)
+    val (t2, t8, t32) = (s2.best, s8.best, s32.best)
     val eps2 = nEvents / t2; val eps8 = nEvents / t8; val eps32 = nEvents / t32
     val eff28 = (t2 / t8) / 4.0
     val eff832 = (t8 / t32) / 4.0
@@ -215,13 +252,24 @@ object Bench {
 
     val total = t2 + t8 + t32 + queryTimes.map(_._2).filter(_ > 0).sum
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    // phase attribution for the lifecycle gates (their headline seconds are
+    // pipelines, not single plans); the final lazy READ phase = measured
+    // total minus the recorded phases
+    val phases = {
+      import scala.jdk.CollectionConverters._
+      graft.operators.CdcQueries.phaseTimes.asScala.toSeq.sortBy(_._1).map { case (tag, m) =>
+        val inner = m.map { case (p, sec) => s""""$p":${f"$sec%.2f"}""" }.mkString(",")
+        s""""$tag":{$inner}"""
+      }.mkString("{", ",", "}")
+    }
     val json =
       s"""{"metric":"end-to-end change-events/sec, protobuf-decode to IceLite-upsert replay","value":${f"$eps32%.0f"},"unit":"events/sec","total_sec":${f"$total%.1f"},""" +
       s""""cdc":{"events":$nEvents,"epochs":$epochs,"sec_local2":${f"$t2%.1f"},"sec_local8":${f"$t8%.1f"},"sec_local32":${f"$t32%.1f"},""" +
       s""""events_per_sec_local2":${f"$eps2%.0f"},"events_per_sec_local8":${f"$eps8%.0f"},"events_per_sec_local32":${f"$eps32%.0f"},""" +
-      s""""scaling_efficiency_N_to_4N":${f"$eff28%.3f"},"scaling_efficiency_8_to_32":${f"$eff832%.3f"}},""" +
+      s""""scaling_efficiency_N_to_4N":${f"$eff28%.3f"},"scaling_efficiency_8_to_32":${f"$eff832%.3f"},""" +
+      s""""levels":{"local2":${s2.toJson},"local8":${s8.toJson},"local32":${s32.toJson}}},""" +
       s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"},"q36_ivf":${f"$r36%.3f"},"q36_ivf_cand_frac":${f"$f36%.3f"},"q20_band_recall":${f"$r20b%.3f"},"q20_band_cand_frac":${f"$f20b%.4f"},"q20_band_sec":${f"$s20b%.2f"}},""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"lifecycle_phases":$phases,"sf":"$sfDir"}"""
     println(json)
 
     val measured =
@@ -240,6 +288,12 @@ object Bench {
          !
          !**Scaling efficiency (T_N / T_4N) / 4 = ${f"$eff28%.3f"}** (target ≥ 0.8).
          !Secondary 8→32 efficiency (single-box memory ceiling): ${f"$eff832%.3f"}.
+         !
+         !Per-sample evidence (every rep + host steal% over its window, so a
+         !co-tenant-contended capture is self-identifying in the artifact):
+         !local[2] samples [${s2.samples.map(v => f"$v%.1f").mkString(", ")}] s, steal [${s2.stealPct.map(v => f"$v%.1f").mkString(", ")}]%;
+         !local[8] samples [${s8.samples.map(v => f"$v%.1f").mkString(", ")}] s, steal [${s8.stealPct.map(v => f"$v%.1f").mkString(", ")}]%;
+         !local[32] samples [${s32.samples.map(v => f"$v%.1f").mkString(", ")}] s, steal [${s32.stealPct.map(v => f"$v%.1f").mkString(", ")}]%.
          !ANN recall@10 vs exact (q21): bucket-probe (q26) ${f"$r26%.3f"};
          !64-bit-signature + re-rank (q27) ${f"$r27%.3f"} at a 10% re-rank fraction;
          !q27 at Q=100 queries (chunked, bounded heap memory): recall

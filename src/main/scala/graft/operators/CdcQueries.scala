@@ -19,6 +19,25 @@ object CdcQueries {
   private def workDir(tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-$tag"
 
+  /** Per-phase wall seconds of the LAST run of each lifecycle gate
+    * (q29/q30) — these queries are pipelines (seeded log generation +
+    * replay + maintenance + read), so their headline seconds need
+    * attribution. Bench embeds this map in the JSON line; the final READ
+    * phase executes lazily in the caller, so it is the measured total
+    * minus the sum recorded here. */
+  val phaseTimes = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+
+  private final class PhaseClock(tag: String) {
+    private val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def apply[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      acc(name) = acc.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+      phaseTimes.put(tag, acc.toSeq)
+      r
+    }
+  }
+
   def replayFinalState(spark: SparkSession, nEvents: Long, tag: String,
       dumpDecodedLog: Boolean = false): DataFrame = {
     val root = workDir(tag)
@@ -53,23 +72,27 @@ object CdcQueries {
     * row_number per (epoch, key) ordered by seq DESC, epochs ≥ 1. */
   def changeFeed(spark: SparkSession, nEvents: Long, tag: String): DataFrame = {
     import spark.implicits._
+    val clock = new PhaseClock(tag)
     val root = workDir(tag)
     val logDir = s"$root/log"
     val tableDir = s"$root/table"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    LogGen.writeLog(spark, LogGen.Params(nEvents = nEvents, nRepos = 40,
-      pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+    clock("gen") {
+      LogGen.writeLog(spark, LogGen.Params(nEvents = nEvents, nRepos = 40,
+        pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+    }
     // oracle input: decoded change rows WITH their epoch
-    val registry = spark.sparkContext.broadcast(Cdc.registry)
-    val log = spark.read.parquet(logDir)
-    (0 until 3).map { e =>
-      val ev = log.filter(col("epoch") === e)
-        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-        .as[graft.decode.ChangeEvent]
-      Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
-
-    Replay.replayLog(spark, logDir, tableDir, buckets = 8)
+    clock("decode_dump") {
+      val registry = spark.sparkContext.broadcast(Cdc.registry)
+      val log = spark.read.parquet(logDir)
+      (0 until 3).map { e =>
+        val ev = log.filter(col("epoch") === e)
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+      }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+    }
+    clock("replay") { Replay.replayLog(spark, logDir, tableDir, buckets = 8) }
     // table versions: v0 = create, v1..v3 = the three epochs
     IceLite.changes(spark, tableDir, fromVersion = 1, toVersion = 3)
       .select(col("repo"), col("path"), col("commit"), col("lang"),
@@ -96,26 +119,37 @@ object CdcQueries {
       // compaction, rebucket commit, manifest rewrite, expire + vacuum,
       // and reads across mixed pre/post-maintenance files.
       (s, _) => {
+        val clock = new PhaseClock("q30")
         val root = workDir("q30")
         val logDir = s"$root/log"
         val tableDir = s"$root/table"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-        LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
-          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        }
         // oracle input: decoded change rows
         import s.implicits._
-        val registry = s.sparkContext.broadcast(Cdc.registry)
-        val ev = s.read.parquet(logDir)
-          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-          .as[graft.decode.ChangeEvent]
-        Replay.decodeForMerge(ev, registry, None).updates
-          .write.mode("overwrite").parquet(s"$root/decoded")
-        Replay.replayLog(s, logDir, tableDir, buckets = 8)
-        graft.lake.Compaction.compact(s, tableDir, "q30-compact", Some(Set(0, 1, 2, 3)))
-        graft.lake.Compaction.rebucket(s, tableDir, newBuckets = 16, epochId = "q30-rebucket")
-        graft.lake.Compaction.expire(tableDir, keepLast = 1)
-        // retention 0: this gate is strictly single-writer, no commit in flight
-        graft.lake.Compaction.vacuum(tableDir, olderThanMs = 0L)
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        clock("compact") {
+          graft.lake.Compaction.compact(s, tableDir, "q30-compact", Some(Set(0, 1, 2, 3)))
+        }
+        clock("rebucket") {
+          graft.lake.Compaction.rebucket(s, tableDir, newBuckets = 16, epochId = "q30-rebucket")
+        }
+        clock("expire_vacuum") {
+          graft.lake.Compaction.expire(tableDir, keepLast = 1)
+          // retention 0: this gate is strictly single-writer, no commit in flight
+          graft.lake.Compaction.vacuum(tableDir, olderThanMs = 0L)
+        }
         IceLite.read(s, IceLite.load(tableDir))
           .select(col("repo"), col("path"), col("commit"), col("lang"),
             sha2(col("content"), 256).as("content_sha"), col("author"))
