@@ -155,20 +155,27 @@ object DedupOps {
   private def bandKeyCol: org.apache.spark.sql.Column =
     pmod(xxhash64(col("band"), col("sig")), lit(bandPartitions.toLong)).cast("int")
 
+  /** Doc-key hash partitions for the verify (rows) side of the store. */
+  val docPartitions = 64
+
+  private def docKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(docPartitions.toLong)).cast("int")
+
   /** The PERSISTED signature store — the at-scale layout the incremental /
     * streaming dedup reads:
     *
-    *   <dir>/rows/batch=N/          full signature rows (doc_id, hset,
-    *                                mh0..mh7) — the Jaccard-verify side
+    *   <dir>/rows/batch=N/dkey=K/   full signature rows (doc_id, hset,
+    *                                mh0..mh7), hash-partitioned on doc_id —
+    *                                the Jaccard-verify side
     *   <dir>/bands/batch=N/bkey=K/  the exploded band index (doc_id, band,
     *                                sig), hash-partitioned on the band key
     *
     * Each batch writes its own `batch=N` subdir (idempotent under
-    * foreachBatch replay — an overwrite, never a double append). Band-key
-    * pruning is STRUCTURAL: the reader lists only the `bkey=K` directories
-    * a batch touches (host-side, O(batches × touched keys) driver fs
-    * listing), so the per-batch scan is O(batch + touched buckets) and
-    * independent of planner partition-filter behavior. */
+    * foreachBatch replay — an overwrite, never a double append). Pruning is
+    * STRUCTURAL on both sides: the reader lists only the `bkey=K` / `dkey=K`
+    * directories a batch touches (host-side, O(batches × touched keys)
+    * driver fs listing), so the per-batch scan is O(batch + touched
+    * buckets) and independent of planner partition-filter behavior. */
   final case class SigStore(dir: String) {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -178,31 +185,53 @@ object DedupOps {
 
     /** Append one batch's `signatures`-shaped frame (idempotent per batchId). */
     def append(sigs: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
-      sigs.write.mode("overwrite").parquet(s"$rowsDir/batch=$batchId")
+      sigs.withColumn("dkey", docKeyCol(col("doc_id")))
+        .write.partitionBy("dkey").mode("overwrite")
+        .parquet(s"$rowsDir/batch=$batchId")
       bands(sigs).withColumn("bkey", bandKeyCol)
         .write.partitionBy("bkey").mode("overwrite")
         .parquet(s"$bandsDir/batch=$batchId")
     }
 
-    /** Full signature rows (verify side). */
-    def rows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-      s.read.parquet(rowsDir).drop("batch")
-
-    /** The `bkey=K` directories (across all batches) holding `touched`
-      * band keys — exposed so tests can audit exactly what a batch reads. */
-    def prunedBandPaths(touched: Set[Int]): Seq[String] = {
-      val root = Paths.get(bandsDir)
+    private def prunedPaths(rootDir: String, keyName: String, touched: Set[Int]): Seq[String] = {
+      val root = Paths.get(rootDir)
       if (!Files.isDirectory(root)) return Seq.empty
       Files.list(root).iterator().asScala
         .filter(_.getFileName.toString.startsWith("batch="))
-        .flatMap(b => touched.iterator.map(k => b.resolve(s"bkey=$k"))
+        .flatMap(b => touched.iterator.map(k => b.resolve(s"$keyName=$k"))
           .filter(Files.isDirectory(_)))
         .map(_.toString).toVector.sorted
     }
 
+    /** Full signature rows (verify side), unpruned. */
+    def rows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+      s.read.parquet(rowsDir).drop("batch", "dkey")
+
+    /** Signature rows from ONLY the doc-key partitions in `touched` —
+      * the verify join's pruned input (empty set → empty frame). */
+    def rowsTouching(s: org.apache.spark.sql.SparkSession,
+        touched: Set[Int]): org.apache.spark.sql.DataFrame = {
+      val paths = prunedDocPaths(touched)
+      if (paths.isEmpty) rows(s).limit(0)
+      else s.read.option("basePath", rowsDir).parquet(paths: _*).drop("batch", "dkey")
+    }
+
+    /** The `bkey=K` directories (across all batches) holding `touched`
+      * band keys — exposed so tests can audit exactly what a batch reads. */
+    def prunedBandPaths(touched: Set[Int]): Seq[String] =
+      prunedPaths(bandsDir, "bkey", touched)
+
+    /** The `dkey=K` directories holding `touched` doc keys (verify side). */
+    def prunedDocPaths(touched: Set[Int]): Seq[String] =
+      prunedPaths(rowsDir, "dkey", touched)
+
     /** All `bkey=K` directories currently in the store (audit helper). */
     def allBandPaths: Seq[String] =
       prunedBandPaths((0 until bandPartitions).toSet)
+
+    /** All `dkey=K` directories currently in the store (audit helper). */
+    def allDocPaths: Seq[String] =
+      prunedDocPaths((0 until docPartitions).toSet)
 
     /** Band rows from ONLY the touched partitions. */
     def bandsTouching(s: org.apache.spark.sql.SparkSession,
@@ -219,13 +248,6 @@ object DedupOps {
     }
   }
 
-  /** [[incrementalVerifiedPairs]] over a [[SigStore]], reading ONLY the
-    * band partitions the batch touches. Contract: `newSigs` (the batch's
-    * `signatures` frame) is already appended to the store. The batch's
-    * touched band-key set is collected driver-side — bounded by
-    * `bandPartitions`, never by batch or corpus size. Mega-bucket counts
-    * over the pruned read are exact for every touched (band, sig) key: a
-    * hash partition holds ALL rows of each key it holds. */
   /** The band-key partitions a batch's signatures touch — driver-side,
     * bounded by [[bandPartitions]] (never by batch or corpus size). */
   def incrementalTouchedKeys(s: org.apache.spark.sql.SparkSession,
@@ -233,6 +255,20 @@ object DedupOps {
     bands(newSigs).select(bandKeyCol.as("bkey"))
       .distinct().collect().map(_.getInt(0)).toSet
 
+  /** [[incrementalVerifiedPairs]] over a [[SigStore]], reading ONLY the
+    * partitions the batch touches on BOTH sides. Contract: `newSigs` (the
+    * batch's `signatures` frame) is already appended to the store.
+    *
+    *  - Candidate pairing reads only the band partitions the batch's own
+    *    band keys hash into; mega-bucket counts over that pruned read are
+    *    exact for every touched (band, sig) key (a hash partition holds ALL
+    *    rows of each key it holds).
+    *  - The Jaccard verify reads only the doc-key partitions holding the
+    *    candidate pairs' doc ids: the tiny pair set is localCheckpoint'd
+    *    (it feeds two joins anyway) and its distinct doc keys — bounded by
+    *    [[docPartitions]] — are collected driver-side.
+    * Both key sets are bounded by the partition-layout constants, never by
+    * batch or corpus size. */
   def incrementalVerifiedPairsStored(s: org.apache.spark.sql.SparkSession,
       store: SigStore,
       newSigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -241,7 +277,12 @@ object DedupOps {
     val ok = okBuckets(all)
     val allOk = all.join(ok, Seq("band", "sig"))
     val newSide = allOk.join(newSigs.select(col("doc_id")), Seq("doc_id"))
-    verifyPairs(newOldPairs(newSide, allOk), store.rows(s))
+    val pairs = newOldPairs(newSide, allOk).localCheckpoint()
+    val docKeys = pairs
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .select(docKeyCol(col("id")).as("dk")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    verifyPairs(pairs, store.rowsTouching(s, docKeys))
   }
 
   /** The DuckDB CTE chain producing `vpairs` (a, b, jaccard) — shared by

@@ -79,6 +79,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
     // every selected directory is one of the touched keys
     assert(touchedPaths.forall(p => p.contains("/bkey=")))
+
+    // VERIFY-SIDE AUDIT: the Jaccard join's rows read is also pruned — to
+    // the doc-key partitions holding the candidate pairs' ids
+    val pairIds = got.flatMap { case (a, b, _) => Seq(a, b) }.toSet
+    if (pairIds.nonEmpty) {
+      val dkeys = pairIds.map(id =>
+        graft.functions.XxHash64Host.bucketOf(Seq(id), DedupOps.docPartitions))
+      val prunedRows = store.prunedDocPaths(dkeys)
+      val allRows = store.allDocPaths
+      assert(prunedRows.nonEmpty && prunedRows.size < allRows.size,
+        s"rows side unpruned: ${prunedRows.size} of ${allRows.size} doc dirs")
+    }
   }
 
   test("an empty batch yields no pairs (and no corpus re-pairing)") {
