@@ -369,8 +369,10 @@ object DedupOps {
     * LOUDLY rather than returning a half-merged labeling. Each round is one
     * small equi-join + min-agg over the PAIR set (≪ corpus at any scale);
     * labels are localCheckpoint'd per round so the plan doesn't grow.
-    * (For adversarial long-chain graphs, swap in pointer-doubling
-    * large-star/small-star — O(log n) rounds, same per-round shape.) */
+    * For adversarial long-chain graphs use [[connectedComponentsFast]] —
+    * pointer doubling, O(log diameter) rounds, one extra tiny join per
+    * round (kept separate because shallow near-dup graphs converge in a
+    * couple of rounds either way and this variant does less work each). */
   def connectedComponents(edges: org.apache.spark.sql.DataFrame,
       maxIters: Int = 30): org.apache.spark.sql.DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
@@ -394,6 +396,49 @@ object DedupOps {
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIters rounds")
+    labels
+  }
+
+  /** POINTER-DOUBLING connected components — the adversarial-long-chain
+    * path [[connectedComponents]]'s docstring promises: each round does the
+    * same min-label propagation over the pair set AND a label JUMP
+    * (label ← label(label)), which halves the remaining distance to the
+    * component minimum — O(log diameter) rounds instead of O(diameter).
+    * The jump is one extra small equi-join over the labels frame (labels
+    * are always node ids, so the self-join always hits). Per-round cost
+    * stays two tiny equi-joins + a min-agg over the PAIR set — ≪ corpus at
+    * any scale; labels localCheckpoint per round so the plan stays flat.
+    * Property-tested ≡ [[connectedComponents]] on random graphs, and
+    * converges on a 4096-node path inside ~log₂ rounds where min-label
+    * alone would need 4096. */
+  def connectedComponentsFast(edges: org.apache.spark.sql.DataFrame,
+      maxIters: Int = 40): org.apache.spark.sql.DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbor = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      // checkpoint before the self-join: the jump joins the frame with
+      // itself, and distinct attribute ids need a materialized base
+      val minned = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // pointer jump: follow the label's own label one step
+      val next = minned.as("x").join(minned.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsFast: not converged after $maxIters rounds")
     labels
   }
 

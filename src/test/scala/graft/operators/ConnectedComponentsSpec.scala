@@ -38,6 +38,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(cycle == Map(4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("pointer-doubling variant == min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val slow = cc(edges)
+      val fast = DedupOps.connectedComponentsFast(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(fast == slow)
+    }
+  }
+
+  test("pointer doubling collapses a 4096-node path in O(log n) rounds (min-label needs n)") {
+    import spark.implicits._
+    val chain = (0L until 4095L).map(i => (i, i + 1))
+    // maxIters 25 ≫ log2(4096)=12 but ≪ the 4096 min-label alone would need:
+    // convergence inside the cap PROVES the doubling is doing its job
+    val got = DedupOps.connectedComponentsFast(chain.toDF("a", "b"), maxIters = 25)
+      .as[(Long, Long)].collect()
+    assert(got.length == 4096 && got.forall(_._2 == 0L))
+  }
+
   test("non-convergence inside the round cap throws loudly instead of mislabeling") {
     // a 6-chain needs ~5 propagation rounds; cap at 1
     val e = intercept[IllegalStateException] {
