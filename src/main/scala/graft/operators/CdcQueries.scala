@@ -160,6 +160,43 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q30")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q41_encode_roundtrip",
+      // the ENCODE service under the hard gate (§2.1 ops #2/#5/#6): decoded
+      // change rows are re-encoded to RepoChange v2 wire bytes (canonical
+      // field order, proto3 defaults omitted) and decoded AGAIN through the
+      // full decode stage; the result must equal the ORIGINAL decode dump
+      // row for row (content by sha256). Any encode defect — wrong tag,
+      // bad varint, dropped field, enum-name mismatch — breaks re-decode
+      // equality. v1-origin rows ride the v2 descriptor with author absent,
+      // so the version-evolution path is exercised on the encode side too.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q41")
+        val logDir = s"$root/log"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 1)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val ev = s.read.parquet(logDir)
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        Replay.decodeForMerge(ev, registry, None).updates
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        val back = s.read.parquet(s"$root/decoded")
+        val encoded = graft.decode.Encode.encode(back, registry, Cdc.KeyV2, Cdc.MessageType)
+        val ev2 = encoded.map(b =>
+          graft.decode.ChangeEvent(b, Cdc.SchemaId, 2, Cdc.MessageType, 0, 0L))
+        val dec2 = graft.decode.Decode.success(graft.decode.Decode.decode(
+          ev2, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+        dec2.select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"),
+            col("seq"), col("op"))
+          .orderBy("seq")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
+               author, seq, op
+        FROM parquet_scan('${workDir("q41")}/decoded/*.parquet') ORDER BY seq""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
