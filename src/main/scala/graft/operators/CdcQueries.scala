@@ -197,6 +197,56 @@ object CdcQueries {
                author, seq, op
         FROM parquet_scan('${workDir("q41")}/decoded/*.parquet') ORDER BY seq""")),
 
+    OpQuery("q42_point_lookup",
+      // the lake's primary-key GET under the hard gate: replay a seeded
+      // log, then serve the 20 smallest live keys via IceLite.lookup —
+      // host-side xxhash64 bucket derivation (no Spark job), footer
+      // key-bounds file pruning, pushed key filters, merge-on-read LWW
+      // within the bucket. The oracle re-derives those keys' final rows
+      // from the decoded dump (LWW fold, first 20 live keys by key order) —
+      // a wrong bucket, an over-pruned file, or a stale LWW winner all
+      // break equality.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q42")
+        val root = workDir("q42")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        val snap = IceLite.load(tableDir)
+        // the probe set: the 20 smallest live keys (the oracle derives the
+        // same set from the dump, so it is data-deterministic on both sides)
+        val keys = clock("key_list") {
+          IceLite.read(s, snap).select("repo", "path")
+            .orderBy("repo", "path").limit(20)
+            .as[(String, String)].collect()
+        }
+        clock("lookups") {
+          keys.map { case (r, p) =>
+            IceLite.lookup(s, snap, Map("repo" -> r, "path" -> p))
+              .select(col("repo"), col("path"), col("commit"), col("lang"),
+                sha2(col("content"), 256).as("content_sha"), col("author"))
+          }.reduce(_.unionAll(_)).orderBy("repo", "path").localCheckpoint()
+        }
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q42")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path LIMIT 20""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
