@@ -161,7 +161,12 @@ object IceLite {
         * later snapshots with __seq above OUR maxSeq are exactly the
         * changes applied after this snapshot. */
       maxSeq: Long = -1L,
-      manifests: Vector[ManifestRef] = Vector.empty) {
+      manifests: Vector[ManifestRef] = Vector.empty,
+      /** field ids RETIRED by dropColumn: a later batch still carrying the
+        * field (older writer descriptor) must NOT silently resurrect it —
+        * Iceberg's drop-column rule is that a re-added column takes a NEW
+        * id. Merge.evolve filters additions against this set. */
+      retiredIds: Set[Int] = Set.empty) {
     def currentSchemaVersion: Int = schemas.length - 1
     def currentSchema: Vector[ColDef] = schemas.last
     def currentStruct: StructType = structOf(currentSchema)
@@ -236,6 +241,9 @@ object IceLite {
     val keys = root.putArray("keyCols"); s.keyCols.foreach(keys.add)
     root.put("buckets", s.buckets)
     root.put("maxSeq", s.maxSeq)
+    if (s.retiredIds.nonEmpty) {
+      val rids = root.putArray("retiredIds"); s.retiredIds.toSeq.sorted.foreach(rids.add)
+    }
     val mans = root.putArray("manifests")
     s.manifests.foreach { m =>
       val o = mans.addObject()
@@ -276,7 +284,9 @@ object IceLite {
       files = legacyFiles,
       manifests = Option(n.get("manifests")).map(_.elements().asScala.map(m =>
         ManifestRef(m.get("path").asText(), m.get("range").asInt(),
-          m.get("fileCount").asInt())).toVector).getOrElse(Vector.empty))
+          m.get("fileCount").asInt())).toVector).getOrElse(Vector.empty),
+      retiredIds = Option(n.get("retiredIds"))
+        .map(_.elements().asScala.map(_.asInt()).toSet).getOrElse(Set.empty))
   }
 
   // ------------------------------------------------------------- manifests
@@ -368,7 +378,9 @@ object IceLite {
       addFiles: Vector[DataFile],
       dataSchema: Vector[ColDef],
       /** highest __seq in this epoch's batch (-1 = none/unknown). */
-      maxSeq: Long = -1L)
+      maxSeq: Long = -1L,
+      /** field ids to RETIRE with this commit (dropColumn). */
+      retireIds: Set[Int] = Set.empty)
 
   /** Commit `delta` on top of `base`. Returns the committed snapshot, or the
     * CURRENT snapshot unchanged if the epoch was already committed by someone
@@ -461,7 +473,8 @@ object IceLite {
         schemas = schemas2,
         files = newFiles,
         manifests = keptRefs ++ newRefs,
-        maxSeq = math.max(cur.maxSeq, delta.maxSeq))
+        maxSeq = math.max(cur.maxSeq, delta.maxSeq),
+        retiredIds = cur.retiredIds ++ delta.retireIds)
       if (writeAtomic(dir, attempt)) return attempt
       // lost the race — re-read, re-fence, rebase or fail. Manifests written
       // for the failed attempt become orphans; vacuum() sweeps them.
@@ -496,6 +509,25 @@ object IceLite {
       throw new java.util.ConcurrentModificationException(
         s"epoch $epochId: lost the commit race during rebucket; re-run against the current snapshot")
     attempt
+  }
+
+  /** Schema-only DDL commit: DROP a data column (Iceberg drop-column
+    * semantics). The field id is RETIRED: old files still carry the bytes
+    * but reads no longer project them, and a later batch whose (older)
+    * writer descriptor still carries the field cannot silently resurrect
+    * it through Merge.evolve — re-adding the column requires a NEW field
+    * id. Epoch-fenced and rebased like any commit; key and hidden columns
+    * cannot be dropped. */
+  def dropColumn(dir: String, epochId: String, colName: String): Snapshot = {
+    val base = load(dir)
+    if (base.hasEpoch(epochId)) return base
+    val cur = base.currentSchema
+    val target = cur.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $colName"))
+    require(!base.keyCols.contains(colName), s"cannot drop key column $colName")
+    require(!target.hidden, s"cannot drop hidden column $colName")
+    commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
+      cur.filterNot(_.name == colName), retireIds = Set(target.id)))
   }
 
   // ------------------------------------------------------------ file stats

@@ -41,8 +41,12 @@ object Merge {
 
   /** Evolve `current` schemas with the update batch's columns, matched by
     * field id: new id → append column; same id, new name → rename; same id,
-    * int→bigint → widen (Iceberg-compatible evolution set). */
-  def evolve(current: Vector[ColDef], incoming: Vector[ColDef]): Vector[ColDef] = {
+    * int→bigint → widen (Iceberg-compatible evolution set). Ids RETIRED by
+    * IceLite.dropColumn are never re-added — a batch from an older writer
+    * descriptor that still carries the dropped field must not resurrect it
+    * (Iceberg's rule: re-adding a dropped column takes a NEW id). */
+  def evolve(current: Vector[ColDef], incoming: Vector[ColDef],
+      retired: Set[Int] = Set.empty): Vector[ColDef] = {
     val byId = current.map(c => c.id -> c).toMap
     val updated = current.map { c =>
       incoming.find(_.id == c.id) match {
@@ -51,7 +55,7 @@ object Merge {
         case _ => c
       }
     }
-    val added = incoming.filterNot(in => byId.contains(in.id))
+    val added = incoming.filterNot(in => byId.contains(in.id) || retired(in.id))
     updated ++ added
   }
 
@@ -105,7 +109,7 @@ object Merge {
     val keyCols = base.keyCols
     val dataColDefs = colDefsOf(org.apache.spark.sql.types.StructType(
       updates.schema.fields.filterNot(f => f.name == seqCol || f.name == opCol)))
-    val newSchema = evolve(base.currentSchema, dataColDefs)
+    val newSchema = evolve(base.currentSchema, dataColDefs, base.retiredIds)
     val schemas = if (newSchema == base.currentSchema) base.schemas else base.schemas :+ newSchema
     val schemaVersion = schemas.length - 1
 

@@ -1014,6 +1014,44 @@ class PipelineSpec extends AnyFunSuite {
       s"legacy inline files dropped: ${after.files.map(_.path)}")
   }
 
+  test("dropColumn retires the field id: reads exclude it, later batches cannot resurrect it") {
+    import spark.implicits._
+    val dir = tmp("dropcol")
+    Replay.createTable(dir, buckets = 2)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, upd(Seq(("r1", "a", "v0", 10L, "UPSERT"))), "seq", "op", "dc-0")
+    assert(IceLite.read(spark, IceLite.load(dir)).columns.contains("lang"))
+
+    IceLite.dropColumn(dir, "ddl-1", "lang")
+    val afterDrop = IceLite.load(dir)
+    assert(!IceLite.read(spark, afterDrop).columns.contains("lang"))
+    assert(afterDrop.retiredIds == Set(4))
+    // fenced: replaying the DDL epoch is a no-op
+    assert(IceLite.dropColumn(dir, "ddl-1", "lang").version == afterDrop.version)
+
+    // a later batch from the OLD writer descriptor still carries lang —
+    // evolve must NOT resurrect it, but the rest of the row applies
+    Merge.mergeEpoch(spark, dir, upd(Seq(("r1", "a", "v1", 20L, "UPSERT"))), "seq", "op", "dc-2")
+    val t = IceLite.read(spark, IceLite.load(dir))
+    assert(!t.columns.contains("lang"))
+    assert(t.select("content").as[String].collect().toSeq == Seq("v1"))
+
+    // guard rails
+    intercept[IllegalArgumentException] { IceLite.dropColumn(dir, "ddl-9", "repo") }
+    intercept[IllegalArgumentException] { IceLite.dropColumn(dir, "ddl-9", "nope") }
+  }
+
   test("vacuum retention age: young orphans survive the default sweep (in-flight-commit safety)") {
     val dir = tmp("vacage")
     Replay.createTable(dir, buckets = 2)
