@@ -55,6 +55,29 @@ object SessionOps {
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""")),
 
+    OpQuery("q43_sessionize_stream",
+      // q33's plan run as a STREAM to completion under the hard gate:
+      // the events table arrives in 3 contiguous time-banded waves through
+      // a file source with a 0-second watermark; each wave is a fresh
+      // AvailableNow query off one checkpoint (2 watermark/state
+      // recoveries); a far-future flush event per user closes the trailing
+      // sessions. The emitted sessions must equal q33's BATCH oracle —
+      // stream ≡ batch for sessionization under the same gate q40 gives
+      // streaming dedup.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q43"
+        val ev = ld(s, d, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+        graft.streaming.Sessionize
+          .sessionsStreamToCompletion(s, ev, root, chunks = 3, gap = s"$GapHours hours")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(s"""WITH $sidDuckCtes
+        SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+          max(epoch_us(ts)) AS session_end_us, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""")),
+
     OpQuery("q34_session_paths",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

@@ -123,4 +123,49 @@ object Sessionize {
           }
       }
   }
+
+  /** Run the native session_window STREAM over a finite events frame to
+    * completion (the q43 gate): events arrive in `chunks` contiguous
+    * time-banded waves through a file source (a real stream arrives
+    * roughly in time order; banding also guarantees nothing is dropped as
+    * late under the 0-second watermark), one far-future flush event per
+    * user closes every real session, and each wave runs a FRESH
+    * AvailableNow query off one checkpoint — so the gate also exercises
+    * chunks-1 watermark/state recoveries. Output lands in a parquet file
+    * sink (exactly-once via the sink's commit log). Returns the emitted
+    * sessions, flush sessions excluded. */
+  def sessionsStreamToCompletion(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, workRoot: String, chunks: Int, gap: String): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val ev = events.select(col("user_id"), col("ts"), col("value"))
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, tmax - tmin + 1)
+    val banded = ev.withColumn("__band",
+      least(lit(chunks - 1), ((unix_micros(col("ts")) - tmin) * chunks / span).cast("int")))
+    val flush = ev.select("user_id").distinct()
+      .select(col("user_id"), lit(flushTs).as("ts"), lit(0.0).as("value"),
+        lit(chunks - 1).as("__band"))
+    val all = banded.unionByName(flush)
+    val feedDir = s"$workRoot/feed"
+    (0 until chunks).foreach { i =>
+      all.filter(col("__band") === i).drop("__band")
+        .write.mode("append").parquet(feedDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(feedDir).schema)
+        .parquet(feedDir)
+        .withWatermark("ts", "0 seconds")
+      val q = sessions(stream, gap)
+        .writeStream.format("parquet")
+        .option("path", s"$workRoot/out")
+        .option("checkpointLocation", s"$workRoot/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$workRoot/out")
+      .filter(col("session_start_us") < unix_micros(lit(flushTs)))
+  }
 }
