@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Tables.ld
+
+/** The CURATION PIPELINE — the end product a training-data engine exists
+  * for, composed from the gated building blocks and gated end-to-end
+  * itself (q44):
+  *
+  *   documents → QUALITY filter (q14's score) → NEAR-DUP dedup (keep only
+  *   canonical docs, q32's keep-first policy over the LSH-verified pairs)
+  *   → deterministic STRATIFIED sample (q31's hash rates) → MATERIALIZE
+  *   into hash-sharded parquet (the training-shard layout).
+  *
+  * Every stage reuses the exact shared definitions its standalone gate
+  * uses (tokenizer, hash60, vpairs CTEs, rate table), so the composed
+  * oracle is the composition of the standalone oracles — any drift in a
+  * stage breaks both its own gate and this one.
+  *
+  * Scale shape: quality + sampling are narrow filters over the scan; dedup
+  * is the q18 pair stage (one corpus signature pass, band equi-joins); the
+  * shard write is one hash repartition. Nothing here is new machinery —
+  * that is the point: the pipeline a user actually runs is a composition
+  * of operators that are each individually scale-audited. */
+object CurationOps {
+
+  import TextOps.{wordsSpark, wordsDuck}
+
+  val Shards = 8
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("q44_curation_pipeline",
+      (s, d) => {
+        graft.functions.Hash60.register(s)
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q44"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        // 1. quality gate (q14's score, kept docs only)
+        val quality = ld(s, d, "documents")
+          .withColumn("ws", expr(wordsSpark))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("mean_wlen",
+            expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double") /
+              col("n_words").cast("double"))
+          .filter(col("n_words") >= 20 && col("n_words") <= 2000 &&
+            col("mean_wlen") >= 2.0 && col("mean_wlen") <= 12.0)
+          .select("doc_id", "lang", "n_words")
+        // 2. near-dup dedup: drop every NON-canonical doc (q32 keep-first)
+        val dupOf = DedupOps.lshVerifiedPairs(s, d)
+          .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("canon"))
+        val deduped = quality.join(dupOf, Seq("doc_id"), "left")
+          .filter(col("canon").isNull).drop("canon")
+        // 3. deterministic stratified sample (q31's rates)
+        val sampled = deduped
+          .withColumn("h", expr("pmod(hash60(concat('sample:', CAST(doc_id AS STRING))), 1000)"))
+          .withColumn("keep_rate", expr(SamplingOps.rateSql))
+          .filter(col("h") < col("keep_rate"))
+        // 4. materialize the training shards (hash-sharded parquet) and
+        // return the READ-BACK — the gate checks what was actually written
+        val shards = sampled
+          .withColumn("shard", expr(s"pmod(hash60(concat('shard:', CAST(doc_id AS STRING))), $Shards)"))
+          .select("doc_id", "lang", "n_words", "shard")
+        shards.repartition(col("shard"))
+          .write.partitionBy("shard").mode("overwrite").parquet(s"$root/shards")
+        s.read.parquet(s"$root/shards")
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            col("shard").cast("long").as("shard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${DedupOps.pairsDuckCtes},
+        quality AS (
+          SELECT doc_id, lang, n_words FROM (
+            SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                / CAST(len(ws) AS DOUBLE) AS mean_wlen
+            FROM (SELECT doc_id, lang, $wordsDuck AS ws FROM documents) t) q
+          WHERE n_words >= 20 AND n_words <= 2000
+            AND mean_wlen >= 2.0 AND mean_wlen <= 12.0),
+        dup_of AS (SELECT b AS doc_id, min(a) AS canon FROM vpairs GROUP BY b),
+        deduped AS (
+          SELECT q.doc_id, q.lang, q.n_words FROM quality q
+          LEFT JOIN dup_of m USING (doc_id) WHERE m.canon IS NULL),
+        sel AS (
+          SELECT doc_id, lang, n_words,
+            CAST('0x' || substr(md5('sample:' || doc_id), 1, 15) AS BIGINT) % 1000 AS h,
+            ${SamplingOps.rateSql} AS keep_rate
+          FROM deduped)
+        SELECT doc_id, lang, n_words,
+          CAST('0x' || substr(md5('shard:' || doc_id), 1, 15) AS BIGINT) % $Shards AS shard
+        FROM sel WHERE h < keep_rate ORDER BY doc_id"""))
+  )
+}

@@ -287,7 +287,7 @@ object DedupOps {
 
   /** The DuckDB CTE chain producing `vpairs` (a, b, jaccard) — shared by
     * q18's and q32's oracles so both gates derive pairs identically. */
-  private val pairsDuckCtes: String =
+  private[operators] val pairsDuckCtes: String =
     s"""sig AS ${sigDuckBase.trim},
        |banded AS (
        |  SELECT doc_id, unnest([0,1,2,3]) AS band,

@@ -21,7 +21,7 @@ object SamplingOps {
   private val rates = Seq("en" -> 100, "zh" -> 400, "es" -> 400, "de" -> 400)
   private val defaultRate = 600
 
-  private val rateSql =
+  private[operators] val rateSql =
     "CASE " + rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") +
       s" ELSE $defaultRate END"
 

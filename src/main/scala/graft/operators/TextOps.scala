@@ -15,7 +15,7 @@ object TextOps {
   val wordsDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
-  private val stopIn = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val stopIn = stopwords.map(w => s"'$w'").mkString(", ")
 
   val queries: Seq[OpQuery] = Seq(
 
