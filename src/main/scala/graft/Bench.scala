@@ -181,7 +181,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save() catch { case _: Throwable => () }
       // best-of-2 per query: single samples swing up to 7× under co-tenant
       // CPU steal (observed q20 1.2 s → 8.8 s); the min of two runs is the
-      // same measurement observed twice, not a different protocol
+      // same measurement observed twice, not a different protocol.
+      // PIPELINE gates (many sequential jobs: log gen + replay + maintenance
+      // / streaming waves) run ONCE — their wall is a sum of dozens of jobs
+      // (relative noise is small), a second pass would double phase C for
+      // little, and lifecycle_phases is their noise diagnostic.
+      val pipelineGates = Set("q29_change_feed", "q30_maintenance_lifecycle",
+        "q40_dedup_stream", "q41_encode_roundtrip", "q42_point_lookup",
+        "q43_sessionize_stream", "q44_curation_pipeline")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -190,7 +197,7 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         }
         val a = once()
-        val b = once()
+        val b = if (pipelineGates(name)) a else once()
         name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
       }
       // ANN recall vs the exact baseline (q21) for both approximate paths,

@@ -12,6 +12,7 @@ import graft.lake.IceLite
   *   runMain graft.cdc.CdcCli show    <tableDir> [n]
   *   runMain graft.cdc.CdcCli verify  <logDir> <tableDir>   — replay-equality check
   *   runMain graft.cdc.CdcCli changes <tableDir> <fromV> <toV> — incremental change feed
+  *   runMain graft.cdc.CdcCli drop-column <tableDir> <col> [epochId] — DDL, retires the field id
   */
 object CdcCli {
   def main(args: Array[String]): Unit = {
@@ -143,6 +144,13 @@ object CdcCli {
       val epochId = rest.headOption.getOrElse(s"rebucket-${System.nanoTime()}")
       val st = graft.lake.Compaction.rebucket(spark, tableDir, nb.toInt, epochId)
       println(s"rebucketed to ${st.buckets} buckets: rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
+    case "drop-column" :: tableDir :: colName :: rest =>
+      // schema-only DDL: retires the field id (a later batch from an older
+      // writer descriptor cannot resurrect the column)
+      val epochId = rest.headOption.getOrElse(s"ddl-${System.nanoTime()}")
+      val snap = IceLite.dropColumn(tableDir, epochId, colName)
+      println(s"dropped $colName (field id retired: ${snap.retiredIds.toSeq.sorted.mkString(",")}); " +
+        s"table at v${snap.version}, schema v${snap.currentSchemaVersion}")
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val expired = graft.lake.Compaction.expire(tableDir, keep)
