@@ -7,10 +7,11 @@ import Tables.ld
   * for, composed from the gated building blocks and gated end-to-end
   * itself (q44):
   *
-  *   documents → QUALITY filter (q14's score) → NEAR-DUP dedup (keep only
-  *   canonical docs, q32's keep-first policy over the LSH-verified pairs)
-  *   → deterministic STRATIFIED sample (q31's hash rates) → MATERIALIZE
-  *   into hash-sharded parquet (the training-shard layout).
+  *   documents → QUALITY filter (q14's score) → REPETITION filter (q45's
+  *   Gopher-style signals) → NEAR-DUP dedup (keep only canonical docs,
+  *   q32's keep-first policy over the LSH-verified pairs) → deterministic
+  *   STRATIFIED sample (q31's hash rates) → MATERIALIZE into hash-sharded
+  *   parquet (the training-shard layout).
   *
   * Every stage reuses the exact shared definitions its standalone gate
   * uses (tokenizer, hash60, vpairs CTEs, rate table), so the composed
@@ -44,10 +45,14 @@ object CurationOps {
           .filter(col("n_words") >= 20 && col("n_words") <= 2000 &&
             col("mean_wlen") >= 2.0 && col("mean_wlen") <= 12.0)
           .select("doc_id", "lang", "n_words")
+        // 1b. repetition gate (q45's signals, shared typed pass)
+        val nonRepetitive = TextOps.repetitionStats(s, ld(s, d, "documents"))
+          .filter(!col("is_repetitive")).select("doc_id")
+        val clean = quality.join(nonRepetitive, Seq("doc_id"))
         // 2. near-dup dedup: drop every NON-canonical doc (q32 keep-first)
         val dupOf = DedupOps.lshVerifiedPairs(s, d)
           .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("canon"))
-        val deduped = quality.join(dupOf, Seq("doc_id"), "left")
+        val deduped = clean.join(dupOf, Seq("doc_id"), "left")
           .filter(col("canon").isNull).drop("canon")
         // 3. deterministic stratified sample (q31's rates)
         val sampled = deduped
@@ -75,9 +80,13 @@ object CurationOps {
             FROM (SELECT doc_id, lang, $wordsDuck AS ws FROM documents) t) q
           WHERE n_words >= 20 AND n_words <= 2000
             AND mean_wlen >= 2.0 AND mean_wlen <= 12.0),
+        rep AS (${TextOps.repetitionDuckSelect}),
+        clean AS (
+          SELECT q.doc_id, q.lang, q.n_words FROM quality q
+          JOIN rep r USING (doc_id) WHERE NOT r.is_repetitive),
         dup_of AS (SELECT b AS doc_id, min(a) AS canon FROM vpairs GROUP BY b),
         deduped AS (
-          SELECT q.doc_id, q.lang, q.n_words FROM quality q
+          SELECT q.doc_id, q.lang, q.n_words FROM clean q
           LEFT JOIN dup_of m USING (doc_id) WHERE m.canon IS NULL),
         sel AS (
           SELECT doc_id, lang, n_words,

@@ -17,6 +17,72 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
   private[operators] val stopIn = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Repetition signals per document (q45's engine; also the curation
+    * pipeline's repetition gate, q44): one typed pass — tokenize once,
+    * word counts + 2-gram/3-gram distinct sets in the same loop. */
+  def repetitionStats(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.flatMap { case (id, text) =>
+          val m = re.matcher(text.toLowerCase(java.util.Locale.ROOT))
+          val ws = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) ws += m.group()
+          val n = ws.length
+          if (n == 0) None
+          else {
+            val wc = new java.util.HashMap[String, Int]()
+            var i = 0
+            while (i < n) { wc.merge(ws(i), 1, Integer.sum); i += 1 }
+            var top = 0
+            wc.values.forEach(v => if (v > top) top = v)
+            def repFrac(k: Int): Double = {
+              val cnt = n - (k - 1)
+              if (cnt <= 0) 0.0
+              else {
+                val seen = new java.util.HashSet[String]()
+                var j = 0
+                while (j < cnt) {
+                  val sb = new StringBuilder(ws(j))
+                  var t = 1
+                  while (t < k) { sb.append(' ').append(ws(j + t)); t += 1 }
+                  seen.add(sb.toString); j += 1
+                }
+                1.0 - seen.size.toDouble / cnt.toDouble
+              }
+            }
+            val topFrac = top.toDouble / n.toDouble
+            val r2 = repFrac(2); val r3 = repFrac(3)
+            Some((id, n.toLong, topFrac, r2, r3, r2 > 0.2 || topFrac > 0.2))
+          }
+        }
+      }.toDF("doc_id", "n_words", "top_word_frac", "rep_2gram_frac",
+        "rep_3gram_frac", "is_repetitive")
+  }
+
+  /** The q45 repetition CTE body (everything after `WITH rep AS`) — shared
+    * with q44's composed oracle so the two gates use one definition. */
+  private[operators] val repetitionDuckSelect: String =
+    s"""SELECT doc_id, n_words, top_word_frac, rep_2gram_frac, rep_3gram_frac,
+          (rep_2gram_frac > 0.2 OR top_word_frac > 0.2) AS is_repetitive
+        FROM (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(list_aggregate(list_transform(list_distinct(ws),
+              w -> len(list_filter(ws, x -> x = w))), 'max') AS DOUBLE)
+              / CAST(len(ws) AS DOUBLE) AS top_word_frac,
+            CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
+              1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS rep_2gram_frac,
+            CASE WHEN len(g3) <= 0 THEN 0.0 ELSE
+              1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS rep_3gram_frac
+          FROM (
+            SELECT doc_id, ws,
+              list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2]) AS g2,
+              list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS g3
+            FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t) u
+          WHERE len(ws) > 0) q""".stripMargin.replace("\n", " ")
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q13_token_stats",
@@ -166,64 +232,7 @@ object TextOps {
       // mapPartitions pattern: tokenize once, count words and n-grams in
       // the same loop — not an O(n²) HOF chain); every fraction is an
       // int/int double division so the oracle's values are bit-identical.
-      (s, d) => {
-        import s.implicits._
-        ld(s, d, "documents").select("doc_id", "text").as[(Long, String)]
-          .mapPartitions { it =>
-            val re = java.util.regex.Pattern.compile("[a-z0-9]+")
-            it.flatMap { case (id, text) =>
-              val m = re.matcher(text.toLowerCase(java.util.Locale.ROOT))
-              val ws = scala.collection.mutable.ArrayBuffer.empty[String]
-              while (m.find()) ws += m.group()
-              val n = ws.length
-              if (n == 0) None
-              else {
-                val wc = new java.util.HashMap[String, Int]()
-                var i = 0
-                while (i < n) { wc.merge(ws(i), 1, Integer.sum); i += 1 }
-                var top = 0
-                wc.values.forEach(v => if (v > top) top = v)
-                def repFrac(k: Int): Double = {
-                  val cnt = n - (k - 1)
-                  if (cnt <= 0) 0.0
-                  else {
-                    val seen = new java.util.HashSet[String]()
-                    var j = 0
-                    while (j < cnt) {
-                      val sb = new StringBuilder(ws(j))
-                      var t = 1
-                      while (t < k) { sb.append(' ').append(ws(j + t)); t += 1 }
-                      seen.add(sb.toString); j += 1
-                    }
-                    1.0 - seen.size.toDouble / cnt.toDouble
-                  }
-                }
-                val topFrac = top.toDouble / n.toDouble
-                val r2 = repFrac(2); val r3 = repFrac(3)
-                Some((id, n.toLong, topFrac, r2, r3, r2 > 0.2 || topFrac > 0.2))
-              }
-            }
-          }.toDF("doc_id", "n_words", "top_word_frac", "rep_2gram_frac",
-            "rep_3gram_frac", "is_repetitive")
-          .orderBy("doc_id")
-      },
-      Some(s"""SELECT doc_id, n_words, top_word_frac, rep_2gram_frac, rep_3gram_frac,
-          (rep_2gram_frac > 0.2 OR top_word_frac > 0.2) AS is_repetitive
-        FROM (
-          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-            CAST(list_aggregate(list_transform(list_distinct(ws),
-              w -> len(list_filter(ws, x -> x = w))), 'max') AS DOUBLE)
-              / CAST(len(ws) AS DOUBLE) AS top_word_frac,
-            CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
-              1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS rep_2gram_frac,
-            CASE WHEN len(g3) <= 0 THEN 0.0 ELSE
-              1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS rep_3gram_frac
-          FROM (
-            SELECT doc_id, ws,
-              list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2]) AS g2,
-              list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS g3
-            FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t) u
-          WHERE len(ws) > 0) q
-        ORDER BY doc_id"""))
+      (s, d) => repetitionStats(s, ld(s, d, "documents")).orderBy("doc_id"),
+      Some(s"""$repetitionDuckSelect ORDER BY doc_id"""))
   )
 }
