@@ -197,6 +197,40 @@ object CdcQueries {
                author, seq, op
         FROM parquet_scan('${workDir("q41")}/decoded/*.parquet') ORDER BY seq""")),
 
+    OpQuery("q46_time_travel",
+      // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
+      // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
+      // create). The oracle folds ONLY epochs 0-1 of the decoded log, so a
+      // version read that leaks later files (or prunes an older one)
+      // breaks equality. Exercises loadVersion + per-version manifest
+      // resolution + merge-on-read LWW over the historical file set.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q46")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val log = s.read.parquet(logDir)
+        (0 until 3).map { e =>
+          val ev = log.filter(col("epoch") === e)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        IceLite.read(s, IceLite.loadVersion(tableDir, 2))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q46")}/decoded/*.parquet') WHERE epoch <= 1) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q42_point_lookup",
       // the lake's primary-key GET under the hard gate: replay a seeded
       // log, then serve the 20 smallest live keys via IceLite.lookup —
