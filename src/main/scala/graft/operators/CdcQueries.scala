@@ -197,6 +197,48 @@ object CdcQueries {
                author, seq, op
         FROM parquet_scan('${workDir("q41")}/decoded/*.parquet') ORDER BY seq""")),
 
+    OpQuery("q47_streaming_ingest",
+      // the NORTH-STAR surface itself under the hard gate: a Structured
+      // Streaming Tail (file source → broadcast-registry decode →
+      // version-ordered MERGE → fenced IceLite commits) consumes a seeded
+      // change log in TWO arrival waves — the second wave resumes from the
+      // first's checkpoint — and the final table state must equal the
+      // oracle's LWW fold of the decoded log (content by sha256). q00
+      // gates the batch replay; this gates the streaming path with a
+      // checkpoint resume in the middle.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q47")
+        val streamDir = s"$root/stream"
+        val tableDir = s"$root/table"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.7)
+        val ev = LogGen.events(s, p)
+        // oracle input: the decoded change rows of the FULL log
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        Replay.decodeForMerge(
+          ev.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent], registry, None)
+          .updates.write.mode("overwrite").parquet(s"$root/decoded")
+        // wave 1, then wave 2 resuming from the same checkpoint
+        ev.filter(col("offset") < 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8).awaitTermination()
+        ev.filter(col("offset") >= 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8).awaitTermination()
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q47")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
