@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{Cdc, LogGen, Replay}
+import graft.cdc.{Cdc, Lineage, LogGen, Replay}
 import graft.lake.IceLite
 
 /** The engine's own CDC operators surfaced through the driver gate.
@@ -196,6 +196,53 @@ object CdcQueries {
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
                author, seq, op
         FROM parquet_scan('${workDir("q41")}/decoded/*.parquet') ORDER BY seq""")),
+
+    OpQuery("q48_lineage_metrics",
+      // the OPS ledger under the hard gate: replay 2 epochs, then read the
+      // per-epoch lineage entries (batch rows, upsert/delete split, and the
+      // per-source-PARTITION event counts captured by the accumulator that
+      // rides the decode pass). The oracle re-derives every number from
+      // the raw log metadata + the decoded dump — a lost partition count,
+      // a double-counted route, or a wrong upsert/delete split all break
+      // equality. This is NiFi-provenance parity, verified not just
+      // emitted.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q48")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        val log = s.read.parquet(logDir)
+        log.select("epoch", "partition").write.mode("overwrite").parquet(s"$root/meta")
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        (0 until 2).map { e =>
+          val ev = log.filter(col("epoch") === e)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        Lineage.read(s, tableDir)
+          .select(
+            expr("CAST(substring_index(epochId, '-', -1) AS BIGINT)").as("epoch"),
+            col("batchRows").as("batch_rows"), col("upserts"), col("deletes"),
+            explode(col("partitions")).as(Seq("partition", "n_events")))
+          .select(col("epoch"), col("partition").cast("long").as("partition"),
+            col("n_events"), col("batch_rows"), col("upserts"), col("deletes"))
+          .orderBy("epoch", "partition")
+      },
+      Some(s"""WITH meta AS (
+          SELECT epoch, CAST(partition AS BIGINT) AS partition, count(*) AS n_events
+          FROM parquet_scan('${workDir("q48")}/meta/*.parquet') GROUP BY 1, 2),
+        ep AS (
+          SELECT epoch, count(*) AS batch_rows,
+            CAST(sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS deletes
+          FROM parquet_scan('${workDir("q48")}/decoded/*.parquet') GROUP BY 1)
+        SELECT m.epoch, m.partition, m.n_events, ep.batch_rows,
+          ep.batch_rows - ep.deletes AS upserts, ep.deletes
+        FROM meta m JOIN ep USING (epoch) ORDER BY epoch, partition""")),
 
     OpQuery("q47_streaming_ingest",
       // the NORTH-STAR surface itself under the hard gate: a Structured
