@@ -197,6 +197,56 @@ object CdcQueries {
                author, seq, op
         FROM parquet_scan('${workDir("q41")}/decoded/*.parquet') ORDER BY seq""")),
 
+    OpQuery("q49_dead_letter_routing",
+      // ERROR ROUTING under the hard gate (reference routes §2.1 #12-14):
+      // every 10th event's payload is replaced with a malformed byte
+      // (0xFF — a truncated varint tag, guaranteed decode failure), the
+      // log is replayed, and the final state must equal the oracle fold of
+      // the CLEAN decode restricted to non-corrupted offsets — corrupt
+      // events are provably excluded, clean ones provably all applied. The
+      // query fn additionally hard-asserts that every corrupted event
+      // landed in the dead-letter table with route = error and its
+      // original payload preserved (the reference's error-route contract).
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q49")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        val log = s.read.parquet(logDir)
+        // oracle input: the CLEAN decode, offsets included
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val ev = log
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        graft.decode.Decode.success(graft.decode.Decode.decode(
+          ev, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        // corrupt every 10th event, keep the epoch partitioning
+        log.withColumn("payload",
+            when(col("offset") % 10 === 0, lit(Array(0xFF.toByte))).otherwise(col("payload")))
+          .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/badlog")
+        Replay.replayLog(s, s"$root/badlog", tableDir, buckets = 8)
+        val nBad = log.filter(col("offset") % 10 === 0).count()
+        val dl = s.read.parquet(s"$tableDir/_deadletter")
+        val errRows = dl.filter(col("route") === "error")
+        require(errRows.count() == nBad,
+          s"expected $nBad error-routed dead letters, got ${errRows.count()}")
+        require(errRows.filter(length(col("payload")) === 1).count() == nBad,
+          "dead letters must keep the ORIGINAL (corrupt) payload")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q49")}/decoded/*.parquet')
+              WHERE "offset" % 10 <> 0) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q48_lineage_metrics",
       // the OPS ledger under the hard gate: replay 2 epochs, then read the
       // per-epoch lineage entries (batch rows, upsert/delete split, and the
