@@ -1086,6 +1086,33 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { IceLite.dropColumn(dir, "ddl-9", "nope") }
   }
 
+  test("time travel across dropColumn: old versions still project the dropped column") {
+    import spark.implicits._
+    val dir = tmp("dropttl")
+    Replay.createTable(dir, buckets = 2)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, upd(Seq(("r1", "a", "v0", 10L, "UPSERT"))), "seq", "op", "tt-0")
+    val vBeforeDrop = IceLite.load(dir).version
+    IceLite.dropColumn(dir, "ddl-tt-1", "lang")
+    // AS OF the pre-drop version: the column is still projected, with data
+    val old = IceLite.read(spark, IceLite.loadVersion(dir, vBeforeDrop))
+    assert(old.columns.contains("lang"))
+    assert(old.select("lang").as[String].collect().toSeq == Seq("scala"))
+    // the current version does not
+    assert(!IceLite.read(spark, IceLite.load(dir)).columns.contains("lang"))
+  }
+
   test("vacuum retention age: young orphans survive the default sweep (in-flight-commit safety)") {
     val dir = tmp("vacage")
     Replay.createTable(dir, buckets = 2)
