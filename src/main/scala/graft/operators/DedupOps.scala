@@ -233,6 +233,42 @@ object DedupOps {
     def allDocPaths: Seq[String] =
       prunedDocPaths((0 until docPartitions).toSet)
 
+    /** OFFLINE maintenance (stream stopped — the store analogue of
+      * IceLite compaction): merge every accumulated `batch=N` subdir into
+      * one consolidated batch, so the driver-side directory listing and
+      * the per-partition small-file count stay bounded as batches
+      * accumulate. Rewrites rows and bands into `batch=<intoBatchId>`
+      * (same dkey/bkey partitioning — pruning semantics unchanged), then
+      * removes the superseded batch dirs. Returns the number of batch
+      * dirs collapsed. */
+    def compactBatches(s: org.apache.spark.sql.SparkSession, intoBatchId: Long): Int = {
+      import scala.jdk.CollectionConverters._
+      def batchDirs(root: String): Seq[java.nio.file.Path] = {
+        val r = java.nio.file.Paths.get(root)
+        if (!java.nio.file.Files.isDirectory(r)) Seq.empty
+        else java.nio.file.Files.list(r).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("batch=")).toVector
+      }
+      val oldRows = batchDirs(rowsDir)
+      val oldBands = batchDirs(bandsDir)
+      if (oldRows.size <= 1 && oldBands.size <= 1) return 0
+      // stage the consolidated copies OUTSIDE the live dirs, then swap
+      val stage = s"$dir/.compact-$intoBatchId"
+      rows(s).withColumn("dkey", docKeyCol(col("doc_id")))
+        .write.partitionBy("dkey").mode("overwrite").parquet(s"$stage/rows")
+      s.read.parquet(bandsDir).select("doc_id", "band", "sig")
+        .withColumn("bkey", bandKeyCol)
+        .write.partitionBy("bkey").mode("overwrite").parquet(s"$stage/bands")
+      (oldRows ++ oldBands).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$stage/rows"),
+        java.nio.file.Paths.get(s"$rowsDir/batch=$intoBatchId"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$stage/bands"),
+        java.nio.file.Paths.get(s"$bandsDir/batch=$intoBatchId"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+      oldRows.size + oldBands.size
+    }
+
     /** Band rows from ONLY the touched partitions. */
     def bandsTouching(s: org.apache.spark.sql.SparkSession,
         touched: Set[Int]): org.apache.spark.sql.DataFrame = {

@@ -93,6 +93,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SigStore.compactBatches collapses batch dirs; pairs unchanged") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cut = 400L
+    val store = DedupOps.SigStore(Files.createTempDirectory("graft-sigcompact").toString)
+    store.append(DedupOps.signatures(spark, docs.filter(col("doc_id") < cut)), 0L)
+    val newSigs = DedupOps.signatures(spark, docs.filter(col("doc_id") >= cut))
+      .localCheckpoint()
+    store.append(newSigs, 1L)
+    val before = DedupOps.incrementalVerifiedPairsStored(spark, store, newSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(before.nonEmpty)
+
+    val collapsed = store.compactBatches(spark, intoBatchId = 1000L)
+    assert(collapsed == 4, s"expected 2 rows + 2 bands batch dirs collapsed, got $collapsed")
+    // exactly one batch dir per side now
+    def batchCount(p: String): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).filter(
+        f => f.getFileName.toString.startsWith("batch=")).count()
+    assert(batchCount(store.rowsDir) == 1 && batchCount(store.bandsDir) == 1)
+    // the SAME batch's pairing over the compacted store is identical
+    val after = DedupOps.incrementalVerifiedPairsStored(spark, store, newSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, s"compaction changed pairs: ${after.size} vs ${before.size}")
+    // and each doc's signature survives exactly once
+    val dupes = store.rows(spark).groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+  }
+
   test("an empty batch yields no pairs (and no corpus re-pairing)") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
