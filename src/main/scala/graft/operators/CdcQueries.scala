@@ -198,15 +198,16 @@ object CdcQueries {
         FROM parquet_scan('${workDir("q41")}/decoded/*.parquet') ORDER BY seq""")),
 
     OpQuery("q49_dead_letter_routing",
-      // ERROR ROUTING under the hard gate (reference routes §2.1 #12-14):
-      // every 10th event's payload is replaced with a malformed byte
-      // (0xFF — a truncated varint tag, guaranteed decode failure), the
-      // log is replayed, and the final state must equal the oracle fold of
-      // the CLEAN decode restricted to non-corrupted offsets — corrupt
-      // events are provably excluded, clean ones provably all applied. The
-      // query fn additionally hard-asserts that every corrupted event
-      // landed in the dead-letter table with route = error and its
-      // original payload preserved (the reference's error-route contract).
+      // ALL THREE reference routes (§2.1 #12-14) under the hard gate:
+      // offsets ≡ 0 (mod 10) get a malformed payload (0xFF — a truncated
+      // varint tag, guaranteed decode failure → route = error); offsets
+      // ≡ 5 (mod 10) get an UNKNOWN schema version (99 → route =
+      // invalid_schema, payload untouched); everything else decodes
+      // (route = success). The final state must equal the oracle fold of
+      // the CLEAN decode restricted to unrouted offsets — dead-lettered
+      // events provably excluded, clean ones provably all applied — and
+      // the query fn hard-asserts both dead-letter routes' counts and
+      // that each keeps the ORIGINAL payload (the reference's contract).
       (s, _) => {
         import s.implicits._
         val root = workDir("q49")
@@ -224,18 +225,28 @@ object CdcQueries {
         graft.decode.Decode.success(graft.decode.Decode.decode(
           ev, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
           .write.mode("overwrite").parquet(s"$root/decoded")
-        // corrupt every 10th event, keep the epoch partitioning
-        log.withColumn("payload",
+        // corrupt: malformed payload (mod 10 = 0) and unknown schema
+        // version (mod 10 = 5); keep the epoch partitioning
+        log
+          .withColumn("payload",
             when(col("offset") % 10 === 0, lit(Array(0xFF.toByte))).otherwise(col("payload")))
+          .withColumn("schemaVersion",
+            when(col("offset") % 10 === 5, lit(99)).otherwise(col("schemaVersion")))
           .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/badlog")
         Replay.replayLog(s, s"$root/badlog", tableDir, buckets = 8)
-        val nBad = log.filter(col("offset") % 10 === 0).count()
+        val nErr = log.filter(col("offset") % 10 === 0).count()
+        val nInv = log.filter(col("offset") % 10 === 5).count()
         val dl = s.read.parquet(s"$tableDir/_deadletter")
         val errRows = dl.filter(col("route") === "error")
-        require(errRows.count() == nBad,
-          s"expected $nBad error-routed dead letters, got ${errRows.count()}")
-        require(errRows.filter(length(col("payload")) === 1).count() == nBad,
-          "dead letters must keep the ORIGINAL (corrupt) payload")
+        val invRows = dl.filter(col("route") === "invalid_schema")
+        require(errRows.count() == nErr,
+          s"expected $nErr error-routed dead letters, got ${errRows.count()}")
+        require(errRows.filter(length(col("payload")) === 1).count() == nErr,
+          "error dead letters must keep the ORIGINAL (corrupt) payload")
+        require(invRows.count() == nInv,
+          s"expected $nInv invalid_schema dead letters, got ${invRows.count()}")
+        require(invRows.filter(length(col("payload")) > 1).count() == nInv,
+          "invalid_schema dead letters must keep the ORIGINAL payload")
         IceLite.read(s, IceLite.load(tableDir))
           .select(col("repo"), col("path"), col("commit"), col("lang"),
             sha2(col("content"), 256).as("content_sha"), col("author"))
@@ -244,7 +255,7 @@ object CdcQueries {
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q49")}/decoded/*.parquet')
-              WHERE "offset" % 10 <> 0) t
+              WHERE "offset" % 10 <> 0 AND "offset" % 10 <> 5) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
     OpQuery("q48_lineage_metrics",
