@@ -25,6 +25,15 @@ object Compaction {
 
   final case class CompactionStats(buckets: Int, rowsBefore: Long, rowsAfter: Long, filesReplaced: Int)
 
+  /** NB: the tombstone-purge watermark is the OLDEST retained snapshot's
+    * maxSeq, re-read at compaction time. While the v0 create snapshot
+    * (maxSeq = -1) is retained — i.e. until `expire` first runs — that
+    * watermark is -1 and compact purges NO tombstones: a compact-only
+    * maintenance loop never reclaims delete rows. Run `expire` before (or
+    * with) compaction when tombstone reclamation is the goal. The watermark
+    * read is not part of the commit's conflict check; `expire` must not run
+    * concurrently with a compaction (single maintenance writer — the
+    * lifecycle gate's contract). */
   def compact(spark: SparkSession, dir: String, epochId: String,
       /** buckets to compact; None = every bucket (full maintenance pass).
         * Compact in subsets on a live table: the conflict window is only

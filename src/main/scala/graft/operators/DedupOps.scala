@@ -177,7 +177,7 @@ object DedupOps {
     * driver fs listing), so the per-batch scan is O(batch + touched
     * buckets) and independent of planner partition-filter behavior. */
   final case class SigStore(dir: String) {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
 
     def rowsDir: String = s"$dir/rows"
@@ -193,19 +193,57 @@ object DedupOps {
         .parquet(s"$bandsDir/batch=$batchId")
     }
 
-    private def prunedPaths(rootDir: String, keyName: String, touched: Set[Int]): Seq[String] = {
-      val root = Paths.get(rootDir)
-      if (!Files.isDirectory(root)) return Seq.empty
-      Files.list(root).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("batch="))
-        .flatMap(b => touched.iterator.map(k => b.resolve(s"$keyName=$k"))
-          .filter(Files.isDirectory(_)))
-        .map(_.toString).toVector.sorted
+    /** Marker file a consolidated (compacted) batch dir carries — written
+      * into the STAGED dir so it travels with the atomic rename. Leading
+      * underscore keeps it invisible to Spark's file listing. */
+    private val ConsolidatedMarker = "_CONSOLIDATED"
+
+    private def batchIdOf(p: Path): Long =
+      p.getFileName.toString.stripPrefix("batch=").toLong
+
+    private def listBatchDirs(root: String): Vector[Path] = {
+      val r = Paths.get(root)
+      if (!Files.isDirectory(r)) Vector.empty
+      else Files.list(r).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("batch=")).toVector
+        .sortBy(batchIdOf)
     }
 
-    /** Full signature rows (verify side), unpruned. */
-    def rows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-      s.read.parquet(rowsDir).drop("batch", "dkey")
+    /** The LIVE batch dirs of one side: a consolidated batch dir holds the
+      * union of every earlier batch, so any `batch=i` with i below the
+      * newest consolidated id is superseded — still on disk only when a
+      * compaction crashed between its moves and its deletes. Filtering here
+      * (per side, independently) makes every crash window read-consistent:
+      * a side either sees its consolidated dir alone or the original dirs,
+      * never both. */
+    private def liveBatchDirs(root: String): Vector[Path] = {
+      val all = listBatchDirs(root)
+      val consolidated = all.filter(p => Files.exists(p.resolve(ConsolidatedMarker)))
+      if (consolidated.isEmpty) all
+      else { val c = batchIdOf(consolidated.last); all.filter(batchIdOf(_) >= c) }
+    }
+
+    private def prunedPaths(rootDir: String, keyName: String, touched: Set[Int]): Seq[String] =
+      liveBatchDirs(rootDir)
+        .flatMap(b => touched.toSeq.sorted.iterator.map(k => b.resolve(s"$keyName=$k"))
+          .filter(Files.isDirectory(_)))
+        .map(_.toString).sorted
+
+    /** Full signature rows (verify side), unpruned (but live-batch-only). */
+    def rows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      val live = liveBatchDirs(rowsDir)
+      if (live.isEmpty) s.read.parquet(rowsDir).drop("batch", "dkey")
+      else s.read.option("basePath", rowsDir).parquet(live.map(_.toString): _*)
+        .drop("batch", "dkey")
+    }
+
+    /** Full band rows, live-batch-only (the compaction's bands input). */
+    private def allBands(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      val live = liveBatchDirs(bandsDir)
+      val df = if (live.isEmpty) s.read.parquet(bandsDir)
+        else s.read.option("basePath", bandsDir).parquet(live.map(_.toString): _*)
+      df.select("doc_id", "band", "sig")
+    }
 
     /** Signature rows from ONLY the doc-key partitions in `touched` —
       * the verify join's pruned input (empty set → empty frame). */
@@ -240,33 +278,73 @@ object DedupOps {
       * accumulate. Rewrites rows and bands into `batch=<intoBatchId>`
       * (same dkey/bkey partitioning — pruning semantics unchanged), then
       * removes the superseded batch dirs. Returns the number of batch
-      * dirs collapsed. */
-    def compactBatches(s: org.apache.spark.sql.SparkSession, intoBatchId: Long): Int = {
-      import scala.jdk.CollectionConverters._
-      def batchDirs(root: String): Seq[java.nio.file.Path] = {
-        val r = java.nio.file.Paths.get(root)
-        if (!java.nio.file.Files.isDirectory(r)) Seq.empty
-        else java.nio.file.Files.list(r).iterator().asScala
-          .filter(_.getFileName.toString.startsWith("batch=")).toVector
-      }
-      val oldRows = batchDirs(rowsDir)
-      val oldBands = batchDirs(bandsDir)
+      * dirs collapsed.
+      *
+      * CRASH-SAFE swap protocol (the IceLite stage-then-atomic-rename
+      * idea): the consolidated copies are staged under `.compact-<id>/`
+      * carrying a `_CONSOLIDATED` marker, atomically MOVED into place
+      * FIRST, and only then are the superseded `batch=` dirs deleted — a
+      * crash at any point leaves the store serving the exact full data
+      * set, because readers resolve each side's LIVE batch dirs
+      * independently (a consolidated dir supersedes every lower id; see
+      * [[liveBatchDirs]]) and a re-run of compactBatches (with a higher
+      * id) sweeps any stranded superseded dirs. `crashPoint` is a test
+      * seam — called with "staged" / "moved-rows" / "moved-bands" so a
+      * spec can kill the compaction inside each window. */
+    def compactBatches(s: org.apache.spark.sql.SparkSession, intoBatchId: Long,
+        crashPoint: String => Unit = _ => ()): Int = {
+      sweepSuperseded()
+      val oldRows = liveBatchDirs(rowsDir)
+      val oldBands = liveBatchDirs(bandsDir)
       if (oldRows.size <= 1 && oldBands.size <= 1) return 0
-      // stage the consolidated copies OUTSIDE the live dirs, then swap
+      require((oldRows ++ oldBands).forall(batchIdOf(_) < intoBatchId),
+        s"intoBatchId=$intoBatchId must exceed every live batch id")
       val stage = s"$dir/.compact-$intoBatchId"
+      // a leftover stage from a previous crashed attempt is stale — rebuild
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
       rows(s).withColumn("dkey", docKeyCol(col("doc_id")))
         .write.partitionBy("dkey").mode("overwrite").parquet(s"$stage/rows")
-      s.read.parquet(bandsDir).select("doc_id", "band", "sig")
-        .withColumn("bkey", bandKeyCol)
+      allBands(s).withColumn("bkey", bandKeyCol)
         .write.partitionBy("bkey").mode("overwrite").parquet(s"$stage/bands")
-      (oldRows ++ oldBands).foreach(p =>
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
-      java.nio.file.Files.move(java.nio.file.Paths.get(s"$stage/rows"),
-        java.nio.file.Paths.get(s"$rowsDir/batch=$intoBatchId"))
-      java.nio.file.Files.move(java.nio.file.Paths.get(s"$stage/bands"),
-        java.nio.file.Paths.get(s"$bandsDir/batch=$intoBatchId"))
+      // marker INSIDE each staged dir: it travels with the rename, so the
+      // consolidated dir supersedes the old ones the instant it appears
+      Files.createFile(Paths.get(s"$stage/rows", ConsolidatedMarker))
+      Files.createFile(Paths.get(s"$stage/bands", ConsolidatedMarker))
+      crashPoint("staged")
+      Files.move(Paths.get(s"$stage/rows"), Paths.get(s"$rowsDir/batch=$intoBatchId"))
+      crashPoint("moved-rows")
+      Files.move(Paths.get(s"$stage/bands"), Paths.get(s"$bandsDir/batch=$intoBatchId"))
+      crashPoint("moved-bands")
+      // only now delete superseded dirs — including stale ones a previous
+      // crashed compaction left behind (any id below the consolidated one)
+      Seq(rowsDir, bandsDir).foreach { root =>
+        listBatchDirs(root).filter(batchIdOf(_) < intoBatchId)
+          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
       oldRows.size + oldBands.size
+    }
+
+    /** Crash-recovery sweep: delete batch dirs superseded by a consolidated
+      * one (a compaction that crashed between its moves and its deletes
+      * strands them — readers already ignore them) and stage dirs a crashed
+      * attempt left behind. Runs at every compactBatches entry, so the
+      * operator's next normal invocation is the recovery. */
+    private def sweepSuperseded(): Unit = {
+      Seq(rowsDir, bandsDir).foreach { root =>
+        val all = listBatchDirs(root)
+        val cons = all.filter(p => Files.exists(p.resolve(ConsolidatedMarker)))
+        if (cons.nonEmpty) {
+          val c = batchIdOf(cons.last)
+          all.filter(batchIdOf(_) < c)
+            .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+        }
+      }
+      val d = Paths.get(dir)
+      if (Files.isDirectory(d))
+        Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".compact-"))
+          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     }
 
     /** Band rows from ONLY the touched partitions. */
@@ -537,7 +615,8 @@ object DedupOps {
       // STREAMING under the hard gate: the documents corpus arrives in 4
       // waves through DedupStream (Structured Streaming file source →
       // foreachBatch incremental mining over the band-partitioned
-      // SigStore, fresh query per wave off one checkpoint = 3 resumes);
+      // SigStore; one long-lived query drains the waves, with one
+      // mid-stream stop + checkpoint resume for the recovery evidence);
       // the union of per-batch emissions must equal the BATCH pairing —
       // the same vpairs oracle q18 is gated on. (No band bucket in this
       // corpus nears the 50-doc cap, so the documented cap-crossing

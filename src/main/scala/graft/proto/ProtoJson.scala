@@ -306,11 +306,9 @@ object ProtoJson {
     val body0 = str.dropRight(1)
     val neg = body0.startsWith("-")
     val body = if (neg) body0.drop(1) else body0
-    // non-numeric bodies ("abcs", "1.2x3s") must surface as the typed
-    // MessageEncodingException, not a raw NumberFormatException
-    // digits only after the optional leading '-' ("--3s", "abcs", "1.2x3s"
-    // must surface as the typed MessageEncodingException, not parse or
-    // escape as a raw NumberFormatException)
+    // digits only after the optional leading '-': non-numeric bodies
+    // ("--3s", "abcs", "1.2x3s") must surface as the typed
+    // MessageEncodingException, never escape as a raw NumberFormatException
     def digits(s: String): Long =
       if (s.isEmpty || s.length > 18 || !s.forall(_.isDigit))
         throw new MessageEncodingException(s"invalid Duration: $str")

@@ -140,6 +140,10 @@ object Sessionize {
     val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     val ev = events.select(col("user_id"), col("ts"), col("value"))
     val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    // empty input → min/max are NULL; fail with a clear message instead of
+    // an opaque NPE from getLong (the banding/flush logic below would be
+    // meaningless anyway)
+    require(!mm.isNullAt(0), "sessionsStreamToCompletion: events frame is empty")
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, tmax - tmin + 1)
     val banded = ev.withColumn("__band",

@@ -122,6 +122,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(dupes == 0)
   }
 
+  test("compactBatches killed in ANY swap window: store still serves the full pair set; re-run recovers") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cut = 400L
+    case object Boom extends RuntimeException("injected crash")
+
+    Seq("staged", "moved-rows", "moved-bands").zipWithIndex.foreach { case (window, i) =>
+      val store = DedupOps.SigStore(Files.createTempDirectory(s"graft-sigcrash$i").toString)
+      store.append(DedupOps.signatures(spark, docs.filter(col("doc_id") < cut)), 0L)
+      val newSigs = DedupOps.signatures(spark, docs.filter(col("doc_id") >= cut))
+        .localCheckpoint()
+      store.append(newSigs, 1L)
+      val before = DedupOps.incrementalVerifiedPairsStored(spark, store, newSigs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(before.nonEmpty)
+
+      // kill the compaction inside this window
+      intercept[Boom.type] {
+        store.compactBatches(spark, intoBatchId = 1000L,
+          crashPoint = w => if (w == window) throw Boom)
+      }
+      // the crashed store must still serve the EXACT full pair set
+      val crashed = DedupOps.incrementalVerifiedPairsStored(spark, store, newSigs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(crashed == before, s"[$window] crash lost/duplicated pairs: ${crashed.size} vs ${before.size}")
+      // ... with no doc signatured twice (the rows side stayed consistent)
+      assert(store.rows(spark).groupBy("doc_id").count()
+        .filter(col("count") > 1).count() == 0, s"[$window] duplicate signatures after crash")
+
+      // a re-run (higher id — the operator's normal next invocation)
+      // completes the compaction and sweeps every stranded dir
+      store.compactBatches(spark, intoBatchId = 2000L)
+      import scala.jdk.CollectionConverters._
+      def batchDirs(p: String): Seq[String] =
+        java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
+      // exactly one batch dir per side: batch=1000 when the crashed run had
+      // already completed both moves (re-run just sweeps), batch=2000 when
+      // the re-run had to re-consolidate
+      assert(batchDirs(store.rowsDir).size == 1, s"[$window] rows dirs: ${batchDirs(store.rowsDir)}")
+      assert(batchDirs(store.bandsDir).size == 1, s"[$window] bands dirs: ${batchDirs(store.bandsDir)}")
+      val after = DedupOps.incrementalVerifiedPairsStored(spark, store, newSigs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(after == before, s"[$window] recovery changed pairs: ${after.size} vs ${before.size}")
+      assert(store.rows(spark).groupBy("doc_id").count()
+        .filter(col("count") > 1).count() == 0, s"[$window] duplicate signatures after recovery")
+    }
+  }
+
   test("an empty batch yields no pairs (and no corpus re-pairing)") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
