@@ -189,7 +189,8 @@ object Bench {
       val pipelineGates = Set("q29_change_feed", "q30_maintenance_lifecycle",
         "q40_dedup_stream", "q41_encode_roundtrip", "q42_point_lookup",
         "q43_sessionize_stream", "q44_curation_pipeline", "q46_time_travel",
-        "q47_streaming_ingest", "q48_lineage_metrics", "q49_dead_letter_routing")
+        "q47_streaming_ingest", "q48_lineage_metrics", "q49_dead_letter_routing",
+        "q50_drop_column_travel")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

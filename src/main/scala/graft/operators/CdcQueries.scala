@@ -20,14 +20,21 @@ object CdcQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft-$tag"
 
   /** Per-phase wall seconds of the LAST run of each lifecycle gate
-    * (q29/q30) — these queries are pipelines (seeded log generation +
-    * replay + maintenance + read), so their headline seconds need
-    * attribution. Bench embeds this map in the JSON line; the final READ
-    * phase executes lazily in the caller, so it is the measured total
-    * minus the sum recorded here. */
+    * (q29/q30/q36/q42/q50) — these queries are pipelines (seeded log
+    * generation + replay + maintenance + read; or IVF train + build +
+    * probe), so their headline seconds need attribution. Bench embeds this
+    * map in the JSON line; a final READ phase that executes lazily in the
+    * caller is the measured total minus the sum recorded here. Entries
+    * suffixed `_ms` are point metrics (per-lookup latency), not phases. */
   val phaseTimes = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
 
-  private final class PhaseClock(tag: String) {
+  /** Record a point metric (not a wall phase) under a gate's tag. */
+  def putMetric(tag: String, name: String, value: Double): Unit = {
+    val cur = Option(phaseTimes.get(tag)).getOrElse(Seq.empty)
+    phaseTimes.put(tag, cur.filterNot(_._1 == name) :+ (name -> value))
+  }
+
+  private[operators] final class PhaseClock(tag: String) {
     private val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def apply[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -381,6 +388,76 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q46")}/decoded/*.parquet') WHERE epoch <= 1) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q50_drop_column_travel",
+      // SCHEMA DDL + TIME TRAVEL under the hard gate: replay epochs 0-1,
+      // DROP the `lang` column mid-history (IceLite.dropColumn — the field
+      // id is RETIRED), then replay epoch 2, whose events STILL carry lang
+      // (same writer descriptors) and must not resurrect it through
+      // Merge.evolve. The result reads the table twice: AS OF the pre-drop
+      // snapshot (old versions keep their projection — lang present with
+      // values) and CURRENT (lang gone; emitted as typed NULL so the halves
+      // union). The oracle folds the decoded dump for epochs 0-1 WITH lang
+      // and for all epochs with lang NULL — a drop leaking into old
+      // versions, a resurrection via epoch 2, or a wrong current projection
+      // all break equality.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q50")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val log = s.read.parquet(logDir)
+        (0 until 3).map { e =>
+          val ev = log.filter(col("epoch") === e)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        // split the log so the DDL lands mid-history: epochs 0-1, DDL, epoch 2
+        val log01 = s"$root/log01"; val log2 = s"$root/log2"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
+        Seq(0, 1).foreach(e => java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, s"epoch=$e"),
+          java.nio.file.Paths.get(log01, s"epoch=$e")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(log2, "epoch=2"))
+        Replay.replayLog(s, log01, tableDir, buckets = 8) // snapshots v1, v2
+        val preDrop = IceLite.load(tableDir).version
+        IceLite.dropColumn(tableDir, "ddl-0", "lang") // v3: lang retired
+        Replay.replayLog(s, log2, tableDir, buckets = 8) // v4: must not resurrect lang
+        val cur = IceLite.read(s, IceLite.load(tableDir))
+        require(!cur.columns.contains("lang"),
+          "dropColumn must remove lang from the current projection")
+        val curHalf = cur.select(lit("cur").as("as_of"),
+          col("repo"), col("path"), col("commit"),
+          lit(null).cast("string").as("lang"),
+          sha2(col("content"), 256).as("content_sha"), col("author"))
+        val asofHalf = IceLite.read(s, IceLite.loadVersion(tableDir, preDrop))
+          .select(lit("v2").as("as_of"),
+            col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+        curHalf.unionByName(asofHalf).orderBy("as_of", "repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q50")}/decoded/*.parquet'))
+        SELECT * FROM (
+          SELECT 'cur' AS as_of, repo, path, "commit", CAST(NULL AS VARCHAR) AS lang,
+                 sha256(content) AS content_sha, author
+          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM d) t
+          WHERE rn = 1 AND op <> 'DELETE'
+          UNION ALL
+          SELECT 'v2' AS as_of, repo, path, "commit", lang,
+                 sha256(content) AS content_sha, author
+          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM d WHERE epoch <= 1) t2
+          WHERE rn = 1 AND op <> 'DELETE') u
+        ORDER BY as_of, repo, path""")),
+
     OpQuery("q42_point_lookup",
       // the lake's primary-key GET under the hard gate: replay a seeded
       // log, then serve the 20 smallest live keys via IceLite.lookup —
@@ -418,13 +495,30 @@ object CdcQueries {
             .orderBy("repo", "path").limit(20)
             .as[(String, String)].collect()
         }
-        clock("lookups") {
-          keys.map { case (r, p) =>
-            IceLite.lookup(s, snap, Map("repo" -> r, "path" -> p))
+        // each lookup is SERVED (collected) individually so the per-lookup
+        // latency — the number a real serving path regresses against — is a
+        // visible metric (lookup_*_ms below), not buried in one union plan
+        val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val result = clock("lookups") {
+          var schema: org.apache.spark.sql.types.StructType = null
+          val rows = keys.toSeq.flatMap { case (r, p) =>
+            val t0 = System.nanoTime()
+            val df = IceLite.lookup(s, snap, Map("repo" -> r, "path" -> p))
               .select(col("repo"), col("path"), col("commit"), col("lang"),
                 sha2(col("content"), 256).as("content_sha"), col("author"))
-          }.reduce(_.unionAll(_)).orderBy("repo", "path").localCheckpoint()
+            schema = df.schema
+            val out = df.collect()
+            latencies += (System.nanoTime() - t0) / 1e6
+            out.toSeq
+          }
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.asJava, schema).orderBy("repo", "path")
         }
+        val sorted = latencies.sorted
+        putMetric("q42", "lookup_min_ms", sorted.head)
+        putMetric("q42", "lookup_med_ms", sorted(sorted.length / 2))
+        putMetric("q42", "lookup_max_ms", sorted.last)
+        result
       },
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn

@@ -405,11 +405,17 @@ object SimilarityOps {
     * centroids parquet. */
   def buildIvfIndex(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame, dir: String,
-      cells: Int = 64, iters: Int = 5): IvfIndex = {
+      cells: Int = 64, iters: Int = 5): IvfIndex =
+    buildIvfIndexWith(s, e, dir, trainCentroids(s, e, cells, iters))
+
+  /** The build step alone, with already-trained centroids — split out so
+    * the q36 gate can attribute train / build / probe wall separately. */
+  def buildIvfIndexWith(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, dir: String,
+      cents: Array[(Long, Array[Double], Double)]): IvfIndex = {
     import s.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val idx = IvfIndex(dir)
-    val cents = trainCentroids(s, e, cells, iters)
     cents.toSeq.map { case (cid, cv, _) => (cid, cv.toSeq) }
       .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(idx.centsDir)
     assignCells(s, e, cents)
@@ -643,10 +649,19 @@ object SimilarityOps {
       // top-k in SQL. Recall + candidate fraction vs the exact q21
       // baseline are measured in Bench (ann_recall).
       (s, d) => {
+        // train / build / probe are attributed separately (PhaseClock →
+        // lifecycle_phases in the bench JSON): train+build are the
+        // amortized-once maintenance cost; probe is the serving-path
+        // number a regression matters for.
+        val clock = new CdcQueries.PhaseClock("q36")
         val root = s"${System.getProperty("java.io.tmpdir")}/graft-q36"
         val e = ld(s, d, "embeddings")
-        val idx = buildIvfIndex(s, e, root, cells = 64, iters = 5)
-        ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 5), k = 10, nprobe = 16)
+        val cents = clock("train") { trainCentroids(s, e, k = 64, iters = 5) }
+        val idx = clock("build") { buildIvfIndexWith(s, e, root, cents) }
+        clock("probe") {
+          ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 5), k = 10, nprobe = 16)
+            .localCheckpoint()
+        }
       },
       Some(s"""WITH cents AS (
           SELECT cid, cv FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/graft-q36/cents/*.parquet')),
