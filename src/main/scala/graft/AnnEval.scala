@@ -31,43 +31,48 @@ object AnnEval {
     val e = graft.operators.Tables.ld(spark, sfDir, "embeddings")
     val exact = pairsOf(SimilarityOps.bruteForceTopK(spark, sfDir, nq))
 
-    // ---- q36 IVF: build once, sweep nprobe
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-anneval-ivf"
-    val tb0 = System.nanoTime()
-    val idx = SimilarityOps.buildIvfIndex(spark, e, root, cells = 64, iters = 5)
-    val buildSec = (System.nanoTime() - tb0) / 1e9
-    println(f"[anneval] ivf build (64 cells, 5 iters): $buildSec%.2f s")
+    // ---- q36 IVF: sweep cell count × nprobe (recall vs candidate-fraction
+    // operating points; finer cells buy recall at equal fraction)
     val queries = e.filter(col("vec_id") < nq)
-    Seq(4, 8, 12, 16, 24).foreach { np =>
-      val t0 = System.nanoTime()
-      val got = pairsOf(SimilarityOps.ivfTopKIndexed(spark, idx, queries, k = 10, nprobe = np))
-      val sec = (System.nanoTime() - t0) / 1e9
-      val frac = SimilarityOps.ivfCandidateFraction(spark, idx, queries, nprobe = np)
-      val recall = got.intersect(exact).size.toDouble / math.max(1, exact.size)
-      println(f"[anneval] ivf nprobe=$np%2d recall@10=$recall%.3f candFrac=$frac%.3f sec=$sec%.2f")
+    Seq(64, 128, 256).foreach { cells =>
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-anneval-ivf-$cells"
+      val tb0 = System.nanoTime()
+      val idx = SimilarityOps.buildIvfIndex(spark, e, root, cells = cells, iters = 5)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      println(f"[anneval] ivf build ($cells cells, 5 iters): $buildSec%.2f s")
+      Seq(cells / 8, cells / 6, cells / 4, cells / 3, cells * 3 / 8).distinct.foreach { np =>
+        val t0 = System.nanoTime()
+        val got = pairsOf(SimilarityOps.ivfTopKIndexed(spark, idx, queries, k = 10, nprobe = np))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val frac = SimilarityOps.ivfCandidateFraction(spark, idx, queries, nprobe = np)
+        val recall = got.intersect(exact).size.toDouble / math.max(1, exact.size)
+        println(f"[anneval] ivf cells=$cells%3d nprobe=$np%3d recall@10=$recall%.3f candFrac=$frac%.3f sec=$sec%.2f")
+      }
     }
 
-    // ---- q20 banded tier: force every label through the band prefilter.
-    // Recall is stratified by pair strength: the tier is built for TRUE
-    // near-dups (cos ≥ 0.7/0.9, where 64-bit signatures agree); pairs just
-    // over the 0.35 emit threshold collide at the analytic ~15% band rate.
+    // ---- q20 banded tier: force every label through the band prefilter
+    // and SWEEP (bands, bits, minCollide) configs — the measured
+    // recall/fraction trade the tuned default is picked from. Recall is
+    // over the NATURAL (non-planted) exact pairs (cos ≥ 0.35).
     val exactRows = SimilarityOps.neardupPairs(spark, sfDir)
       .select("a", "b", "cos").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     val exact20 = exactRows.map(_._1).toSet
-    val t1 = System.nanoTime()
-    val banded20 = abPairs(SimilarityOps.neardupPairs(spark, sfDir, blockCap = 0, bandPrefilter = true))
-    val bandedSec = (System.nanoTime() - t1) / 1e9
-    def recallAbove(c: Double): (Int, Double) = {
-      val strong = exactRows.filter(_._2 >= c).map(_._1).toSet
-      (strong.size,
-        if (strong.isEmpty) -1.0 else banded20.intersect(strong).size.toDouble / strong.size)
+    println(s"[anneval] q20 exact natural pairs: ${exact20.size}")
+    val configs = Seq(
+      (8, 8, 1),    // the old default — built for the cos ≥ 0.7 regime
+      (32, 5, 3), (64, 6, 3), (64, 7, 2), (96, 8, 2), (128, 8, 2),
+      SimilarityOps.BandDefaults)
+    configs.distinct.foreach { case (bands, bits, m) =>
+      val t1 = System.nanoTime()
+      val banded = abPairs(SimilarityOps.neardupPairs(spark, sfDir,
+        blockCap = 0, bandPrefilter = true, bands = bands, bits = bits, minCollide = m))
+      val sec = (System.nanoTime() - t1) / 1e9
+      val frac = SimilarityOps.bandedCandidateFraction(spark, e, bands, bits, m)
+      val r = banded.intersect(exact20).size.toDouble / math.max(1, exact20.size)
+      val mark = if ((bands, bits, m) == SimilarityOps.BandDefaults) " <= DEFAULT" else ""
+      println(f"[anneval] q20 band ${bands}%3dx$bits%d m=$m recall=$r%.3f candFrac=$frac%.4f sec=$sec%.2f pairs=${banded.size}$mark")
     }
-    val r20 = banded20.intersect(exact20).size.toDouble / math.max(1, exact20.size)
-    val (n07, r07) = recallAbove(0.7)
-    val (n09, r09) = recallAbove(0.9)
-    val candFrac20 = SimilarityOps.bandedCandidateFraction(spark, e)
-    println(f"[anneval] q20 banded: recallAll=$r20%.3f recall(cos>=0.7)=$r07%.3f/$n07 recall(cos>=0.9)=$r09%.3f/$n09 candFrac=$candFrac20%.4f sec=$bandedSec%.2f exactPairs=${exact20.size} bandedPairs=${banded20.size}")
     spark.stop()
   }
 }

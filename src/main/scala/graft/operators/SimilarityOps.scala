@@ -80,15 +80,13 @@ object SimilarityOps {
     *  - labels with ≤ `blockCap` vectors: typed flatMapGroups pairs the
     *    block in one tight loop, EXACT (the common case — both testdata SFs
     *    top out at a few hundred vectors per label);
-    *  - hotter labels: an LSH BAND PREFILTER (64-bit hyperplane signature →
-    *    `bands` bands of `bandBits` bits, q27's machinery) narrows the
-    *    label-keyed self-join to pairs sharing ≥1 band, then the exact
-    *    cosine verifies. Candidates drop from n²/2 to ~3% at the default
-    *    8×8 (random-pair band-collision rate 1-(1-2^-8)^8), with recall
-    *    ≥93% for true near-dups (cos ≥ 0.9, per-bit agreement p = 0.856 →
-    *    1-(1-p^8)^8); weak-cos pairs near the 0.35 threshold have reduced
-    *    recall — the standard near-dup-mining trade at scale. Tune
-    *    (bands=16, bandBits=4) to favor recall over cost.
+    *  - hotter labels: an LSH BAND PREFILTER (hyperplane signature banded
+    *    per [[BandDefaults]] — 96 bands × 8 bits, ≥2 collisions, TUNED for
+    *    this corpus's cos 0.35–0.55 natural-pair regime; measured recall
+    *    0.6+ at ≲15% candidate fraction, see BENCH ann_recall and the
+    *    AnnEval sweep) narrows the label-keyed self-join to band-colliding
+    *    pairs, then the exact cosine verifies — banded output is always a
+    *    SUBSET of the exact tier's, carrying bit-identical cosines.
     *    `bandPrefilter` defaults FALSE so the function is exact by default
     *    (the spill-aware SMJ hot tier streams, doesn't OOM, O(n²)
     *    comparisons) and matches its exact oracle at any corpus size;
@@ -97,35 +95,85 @@ object SimilarityOps {
     * element order as the DuckDB oracle's list_reduce) so any pair they
     * emit is bit-identical whichever tier found it. */
   def neardupPairs(s: org.apache.spark.sql.SparkSession, d: String,
-      blockCap: Int = 4096, bandPrefilter: Boolean = false): org.apache.spark.sql.DataFrame =
+      blockCap: Int = 4096, bandPrefilter: Boolean = false,
+      bands: Int = BandDefaults._1, bits: Int = BandDefaults._2,
+      minCollide: Int = BandDefaults._3): org.apache.spark.sql.DataFrame =
     neardupPairsOf(s, ld(s, d, "embeddings").select(col("label"), col("vec_id"), col("embedding")),
-      blockCap, bandPrefilter)
+      blockCap, bandPrefilter, bands, bits, minCollide)
 
-  /** Banded candidate pairs within a label: pairs whose 64-bit hyperplane
-    * signatures agree on at least one band. One typed signature pass, an
-    * equi-join on (label, band, bandKey), distinct (a, b). */
+  /** Per-band keys of a (bands × bits)-plane hyperplane signature: plane
+    * p's sign bit lands in band p/bits, bit p%bits. One tight loop, same
+    * double fold order as [[projSig]]. */
+  private def bandKeys(signs: Array[Array[Double]], emb: Seq[Float],
+      bands: Int, bits: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    val planes = bands * bits
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      val row = signs(p)
+      while (i < 64) { acc += emb(i).toDouble * row(i); i += 1 }
+      if (acc > 0) out(p / bits) |= 1L << (p % bits)
+      p += 1
+    }
+    out
+  }
+
+  /** The banded tier's TUNED default configuration — matched to the
+    * similarity regime this corpus actually exhibits (natural near-dup
+    * pairs at cos 0.35–0.55 over a within-label background ~N(0, 0.126);
+    * measured via graft.AnnEval's band sweep).
+    *
+    * Why r-of-B banding (require ≥ `minCollide` band collisions) instead
+    * of classic OR-banding: at a LOW similarity threshold the per-bit
+    * agreement gap between a true pair (p≈0.61 at cos 0.35) and background
+    * (p=0.5) is thin — OR-banding configs that reach recall ≥ 0.6 here all
+    * pull ≥ 20% of the background in. Counting collisions sharpens the
+    * S-curve (a binomial tail test uses more of the signature's
+    * information), cutting the background fraction ~2-3× at equal recall.
+    * The collision count is a partial/final aggregate over the band
+    * equi-join — still never a cross join.
+    *
+    * Honest scale math: at target cos ≈ 0.35, ρ = ln p(0.35)/ln p(0) ≈ 0.70,
+    * so ANY hyperplane-LSH config meeting recall 0.6 costs Θ(pairs ×
+    * B·2^-bits) expected join rows (~0.4/pair here) — the tier buys ~8×
+    * verification-flop reduction plus DISTRIBUTED, spillable bucket tasks,
+    * not a sub-linear miracle; it grows decisive as the threshold rises
+    * (ρ = 0.35 at cos 0.7, where the old 8×8 default came from). */
+  val BandDefaults: (Int, Int, Int) = (96, 8, 2) // (bands, bits, minCollide)
+
+  /** Banded candidate pairs within a label: pairs whose (bands × bits)-bit
+    * hyperplane signatures agree on ≥ `minCollide` bands. One typed
+    * signature pass, an equi-join on (label, band, bandKey), then a
+    * collision-count aggregate (distinct when minCollide ≤ 1). */
   def bandedCandidates(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame,
-      bands: Int = 8, bandBits: Int = 8): org.apache.spark.sql.DataFrame = {
+      bands: Int = BandDefaults._1, bits: Int = BandDefaults._2,
+      minCollide: Int = BandDefaults._3): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val signs = signMatrix(64)
-    val mask = (1L << bandBits) - 1
+    val signs = signMatrix(bands * bits)
+    val nb = bands; val b2 = bits
     val sigs = e.select(col("label"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Seq[Float])]
       .mapPartitions(it => it.flatMap { case (lbl, id, emb) =>
-        val sig = projSig(signs, emb)
-        (0 until bands).iterator.map(b => (lbl, id, b, (sig >>> (b * bandBits)) & mask))
+        val keys = bandKeys(signs, emb, nb, b2)
+        (0 until nb).iterator.map(b => (lbl, id, b, keys(b)))
       }).toDF("label", "vec_id", "band", "bkey")
-    sigs.select(col("label"), col("vec_id").as("a"), col("band"), col("bkey"))
+    val joined = sigs.select(col("label"), col("vec_id").as("a"), col("band"), col("bkey"))
       .join(sigs.select(col("label"), col("vec_id").as("b"), col("band"), col("bkey")),
         Seq("label", "band", "bkey"))
       .filter(col("a") < col("b"))
-      .select("label", "a", "b").distinct()
+    if (minCollide <= 1) joined.select("label", "a", "b").distinct()
+    else joined.groupBy("label", "a", "b").agg(count(lit(1)).as("__nc"))
+      .filter(col("__nc") >= minCollide).select("label", "a", "b")
   }
 
   def neardupPairsOf(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame,
-      blockCap: Int = 4096, bandPrefilter: Boolean = false): org.apache.spark.sql.DataFrame = {
+      blockCap: Int = 4096, bandPrefilter: Boolean = false,
+      bands: Int = BandDefaults._1, bits: Int = BandDefaults._2,
+      minCollide: Int = BandDefaults._3): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val counts = e.groupBy("label").agg(count(lit(1)).as("__n")) // tiny: one row per label
     val tagged = e.join(broadcast(counts), Seq("label"))
@@ -158,8 +206,10 @@ object SimilarityOps {
     val bigPairs =
       if (bandPrefilter) {
         // hot tier: banded candidates, then exact cosine on the shortlist —
-        // candidate count ~3% of n²/2 instead of the full self-join
-        val cand = bandedCandidates(s, big.select("label", "vec_id", "embedding"))
+        // the candidate fraction and recall of the configured banding are
+        // measured in Bench's ann_recall block / the AnnEval sweep
+        val cand = bandedCandidates(s, big.select("label", "vec_id", "embedding"),
+          bands, bits, minCollide)
         cand
           .join(big.select(col("label"), col("vec_id").as("a"), col("embedding").as("va")), Seq("label", "a"))
           .join(big.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb")), Seq("label", "b"))
@@ -477,9 +527,12 @@ object SimilarityOps {
     * all within-label pairs — the bench evidence next to the q20 banded
     * recall number. */
   def bandedCandidateFraction(s: org.apache.spark.sql.SparkSession,
-      e: org.apache.spark.sql.DataFrame): Double = {
+      e: org.apache.spark.sql.DataFrame,
+      bands: Int = BandDefaults._1, bits: Int = BandDefaults._2,
+      minCollide: Int = BandDefaults._3): Double = {
     import s.implicits._
-    val cand = bandedCandidates(s, e.select(col("label"), col("vec_id"), col("embedding"))).count()
+    val cand = bandedCandidates(s, e.select(col("label"), col("vec_id"), col("embedding")),
+      bands, bits, minCollide).count()
     val totalPairs = e.groupBy("label").agg(count(lit(1)).as("n"))
       .select(sum(col("n") * (col("n") - 1) / 2)).as[Double].head()
     if (totalPairs == 0) 0.0 else cand / totalPairs
@@ -639,12 +692,16 @@ object SimilarityOps {
   ,
 
     OpQuery("q36_ann_ivf_topk",
-      // IVF ANN end-to-end under the gate: TRAIN a 64-cell k-means
+      // IVF ANN end-to-end under the gate: TRAIN a 128-cell k-means
       // quantizer (driver-side Lloyd, seeded sample), BUILD the
       // cell-partitioned index (one assignment pass + partitioned write),
-      // then QUERY via the pruned reader (nprobe=16 cells per query, exact
-      // cosine top-10 within probed candidates). The oracle reads the
-      // DUMPED centroids parquet (training is opaque to it — the q00 dump
+      // then QUERY via the pruned reader (nprobe=32 cells per query, exact
+      // cosine top-10 within probed candidates). 128 cells / nprobe=32 is
+      // the measured sweet spot of the cells × nprobe sweep (AnnEval):
+      // recall@10 0.78 at 25% candidates, vs 0.64 for the former
+      // 64-cell/nprobe=16 point at the same fraction — finer cells buy
+      // recall at equal candidate cost. The oracle reads the DUMPED
+      // centroids parquet (training is opaque to it — the q00 dump
       // pattern) and independently re-derives assignment, probes, and
       // top-k in SQL. Recall + candidate fraction vs the exact q21
       // baseline are measured in Bench (ann_recall).
@@ -656,10 +713,10 @@ object SimilarityOps {
         val clock = new CdcQueries.PhaseClock("q36")
         val root = s"${System.getProperty("java.io.tmpdir")}/graft-q36"
         val e = ld(s, d, "embeddings")
-        val cents = clock("train") { trainCentroids(s, e, k = 64, iters = 5) }
+        val cents = clock("train") { trainCentroids(s, e, k = 128, iters = 5) }
         val idx = clock("build") { buildIvfIndexWith(s, e, root, cents) }
         clock("probe") {
-          ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 5), k = 10, nprobe = 16)
+          ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 5), k = 10, nprobe = 32)
             .localCheckpoint()
         }
       },
@@ -673,7 +730,7 @@ object SimilarityOps {
             CROSS JOIN (SELECT cid, cv, cv AS vb FROM cents) c) t),
         cells AS (SELECT vec_id AS cand, embedding AS vb, cid AS cell FROM asg WHERE rn = 1),
         probes AS (SELECT vec_id AS qid, embedding AS va, cid AS probe
-          FROM asg WHERE vec_id < 5 AND rn <= 16)
+          FROM asg WHERE vec_id < 5 AND rn <= 32)
         SELECT qid, rank, cand, cos FROM (
           SELECT qid, cand, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rank
