@@ -21,6 +21,11 @@ object QTime {
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    // phase attribution any gate recorded during the run
+    import scala.jdk.CollectionConverters._
+    graft.operators.CdcQueries.phaseTimes.asScala.toSeq.sortBy(_._1).foreach { case (tag, ps) =>
+      println(s"  [$tag] " + ps.map { case (p, v) => f"$p=$v%.2f" }.mkString(" "))
+    }
     spark.stop()
   }
 }

@@ -744,6 +744,161 @@ object IceLite {
     }
   }
 
+  /** HOST-SIDE point lookup — the SERVING path: same result as [[lookup]]
+    * with NO Spark job at all. Bucket derivation via the host xxhash64,
+    * footer key-bounds file pruning ([[lookupFiles]]), then a DRIVER-side
+    * parquet record read of each surviving file with a key predicate
+    * (parquet filter2 — row groups whose stats exclude the key are never
+    * decompressed), LWW fold by __seq with tombstone semantics, and
+    * projection to the CURRENT schema by field id (rename/widen/null-fill,
+    * the [[read]] evolution semantics). Returns the live row's visible
+    * columns, or None (absent or tombstoned).
+    *
+    * Why it exists at 100 TB: a primary-key GET against a bucketed table
+    * touches 1/B of the metadata and a handful of files — launching a
+    * distributed job for that costs ~100 ms of scheduling per lookup; this
+    * path serves from the snapshot alone in single-digit ms. Falls back to
+    * [[lookup]]-shaped errors only for column types outside the table's
+    * CDC surface (see valueOf). Equality with the Spark path is
+    * property-tested (LookupLocalSpec) and hard-asserted under the q42
+    * gate. */
+  def lookupLocal(snap: Snapshot, key: Map[String, Any]): Option[Map[String, Any]] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.api.ReadSupport
+    import org.apache.spark.sql.types._
+
+    require(snap.keyCols.forall(key.contains), s"need all key cols ${snap.keyCols}")
+    val cur = snap.currentSchema
+    val visible = cur.filterNot(_.hidden)
+    val files = lookupFiles(snap, key)
+    if (files.isEmpty) return None
+
+    // one typed value from a Group field, by the OLD column's Spark type
+    def valueOf(g: Group, name: String, t: DataType): Any = {
+      if (!g.getType.containsField(name) || g.getFieldRepetitionCount(name) == 0) null
+      else t match {
+        case StringType => g.getString(name, 0)
+        case BinaryType => g.getBinary(name, 0).getBytes
+        case LongType => g.getLong(name, 0)
+        case IntegerType => g.getInteger(name, 0)
+        case BooleanType => g.getBoolean(name, 0)
+        case DoubleType => g.getDouble(name, 0)
+        case FloatType => g.getFloat(name, 0)
+        case other => throw new UnsupportedOperationException(
+          s"lookupLocal: column $name of type $other — use lookup() (Spark path)")
+      }
+    }
+    def widen(v: Any, from: DataType, to: DataType): Any =
+      if (v == null || from == to) v
+      else (from, to) match {
+        case (IntegerType, LongType) => v.asInstanceOf[Int].toLong
+        case (FloatType, DoubleType) => v.asInstanceOf[Float].toDouble
+        case _ => v
+      }
+    // key predicate (string/long/int keys; others filter host-side below)
+    def keyPred(name: String, v: Any): Option[FilterPredicate] = v match {
+      case s: String => Some(FilterApi.eq(FilterApi.binaryColumn(name),
+        org.apache.parquet.io.api.Binary.fromString(s)))
+      case l: Long => Some(FilterApi.eq(FilterApi.longColumn(name), java.lang.Long.valueOf(l)))
+      case i: Int => Some(FilterApi.eq(FilterApi.intColumn(name), java.lang.Integer.valueOf(i)))
+      case _ => None
+    }
+
+    // the Spark type → parquet type mapping Spark's writer uses for the
+    // supported CDC column surface — lets the requested projection be built
+    // from the SNAPSHOT's schema without a schema-discovery footer read
+    def parquetTypeOf(name: String, t: DataType): org.apache.parquet.schema.Type = {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      t match {
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(name)
+        case BinaryType => Types.optional(BINARY).named(name)
+        case LongType => Types.optional(INT64).named(name)
+        case IntegerType => Types.optional(INT32).named(name)
+        case BooleanType => Types.optional(BOOLEAN).named(name)
+        case DoubleType => Types.optional(DOUBLE).named(name)
+        case FloatType => Types.optional(FLOAT).named(name)
+        case other => throw new UnsupportedOperationException(
+          s"lookupLocal: column $name of type $other — use lookup() (Spark path)")
+      }
+    }
+
+    var bestSeq = Long.MinValue
+    var bestDel = false
+    var bestVals: Map[String, Any] = null
+    files.foreach { f =>
+      val old = snap.schemas(f.schemaVersion)
+      val oldById = old.map(c => c.id -> c).toMap
+      val oldByName = old.map(c => c.name -> c).toMap
+      // the file's KEY column names (rename-safe: resolve by field id)
+      val curByName = cur.map(c => c.name -> c).toMap
+      val keyOldNames = snap.keyCols.map(k => oldById(curByName(k).id).name)
+      // copy-construct from the shared conf: per-call isolation without
+      // re-parsing the Hadoop default XML resources (~100 ms each)
+      val conf = new org.apache.hadoop.conf.Configuration(localConf)
+      // project only the columns we need, by their names IN THIS FILE
+      val needed = (visible.flatMap(c => oldById.get(c.id)) ++
+        Seq(SeqCol, DelCol) ++ keyOldNames.map(oldByName)).distinctBy(_.name)
+      import scala.jdk.CollectionConverters._
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+        new org.apache.parquet.schema.MessageType("spark_schema",
+          needed.map(c => parquetTypeOf(c.name, c.sparkType)).asJava).toString)
+      val hPath = new org.apache.hadoop.fs.Path(f.path)
+      val preds = snap.keyCols.zip(keyOldNames).flatMap { case (k, on) => keyPred(on, key(k)) }
+      val builder = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+      val reader =
+        (if (preds.nonEmpty) builder.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))
+         else builder).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          // host-side re-check (covers key types without a predicate)
+          val keyOk = snap.keyCols.zip(keyOldNames).forall { case (k, on) =>
+            val v = valueOf(g, on, oldByName(on).sparkType)
+            v != null && v == key(k)
+          }
+          if (keyOk) {
+            val seq = valueOf(g, SeqCol.name, LongType) match {
+              case null => Long.MinValue
+              case l: Long => l
+            }
+            if (seq > bestSeq) {
+              bestSeq = seq
+              bestDel = valueOf(g, DelCol.name, BooleanType) match {
+                case null => false
+                case b: Boolean => b
+              }
+              bestVals = visible.map { c =>
+                c.name -> (oldById.get(c.id) match {
+                  case Some(oc) => widen(valueOf(g, oc.name, oc.sparkType), oc.sparkType, c.sparkType)
+                  case None => null
+                })
+              }.toMap
+            }
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    if (bestVals == null || bestDel) None else Some(bestVals)
+  }
+
+  /** Shared Hadoop conf for the host-side lookup path (XML default-resource
+    * parsing is per-instance and costs ~100 ms; per-call confs copy this).
+    * Local files skip the checksum FS layer — parquet footers carry their
+    * own magic/length validation, and the seek-heavy footer+page reads pay
+    * a CRC re-read per seek on the checksummed wrapper. */
+  private lazy val localConf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    c
+  }
+
   /** Files a point lookup would open for `key` — exposed for tests/tools to
     * audit stats pruning. Bucket-prunes host-side (no Spark job) for
     * supported key types, then intersects with footer key bounds. */

@@ -497,10 +497,16 @@ object CdcQueries {
         }
         // each lookup is SERVED (collected) individually so the per-lookup
         // latency — the number a real serving path regresses against — is a
-        // visible metric (lookup_*_ms below), not buried in one union plan
+        // visible metric (lookup_*_ms below), not buried in one union plan.
+        // Every key is ALSO served through the host-side lookupLocal (no
+        // Spark job: footer-pruned driver parquet read + LWW fold) and
+        // hard-asserted equal column by column — so the oracle gate covers
+        // the serving path too; its latency lands next to the Spark one.
         val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val localLat = scala.collection.mutable.ArrayBuffer.empty[Double]
         val result = clock("lookups") {
           var schema: org.apache.spark.sql.types.StructType = null
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
           val rows = keys.toSeq.flatMap { case (r, p) =>
             val t0 = System.nanoTime()
             val df = IceLite.lookup(s, snap, Map("repo" -> r, "path" -> p))
@@ -509,15 +515,35 @@ object CdcQueries {
             schema = df.schema
             val out = df.collect()
             latencies += (System.nanoTime() - t0) / 1e6
+            val t1 = System.nanoTime()
+            val loc = IceLite.lookupLocal(snap, Map("repo" -> r, "path" -> p))
+            localLat += (System.nanoTime() - t1) / 1e6
+            require(loc.isDefined && out.length == 1,
+              s"lookupLocal/lookup disagree on presence of ($r, $p)")
+            val m = loc.get
+            val contentBytes = m("content") match {
+              case b: Array[Byte] => b
+              case s2: String => s2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }
+            val locSha = sha.digest(contentBytes).map(b => f"$b%02x").mkString
+            val same = Seq("repo" -> m("repo"), "path" -> m("path"),
+              "commit" -> m("commit"), "lang" -> m("lang"),
+              "content_sha" -> locSha, "author" -> m("author"))
+              .forall { case (cn, lv) => lv == out(0).getAs[Any](cn) }
+            require(same, s"lookupLocal row differs from Spark lookup for ($r, $p)")
             out.toSeq
           }
           import scala.jdk.CollectionConverters._
           s.createDataFrame(rows.asJava, schema).orderBy("repo", "path")
         }
-        val sorted = latencies.sorted
-        putMetric("q42", "lookup_min_ms", sorted.head)
-        putMetric("q42", "lookup_med_ms", sorted(sorted.length / 2))
-        putMetric("q42", "lookup_max_ms", sorted.last)
+        def stat(xs: Seq[Double], which: String): Unit = {
+          val sorted = xs.sorted
+          putMetric("q42", s"${which}_min_ms", sorted.head)
+          putMetric("q42", s"${which}_med_ms", sorted(sorted.length / 2))
+          putMetric("q42", s"${which}_max_ms", sorted.last)
+        }
+        stat(latencies.toSeq, "lookup")
+        stat(localLat.toSeq, "lookup_local")
         result
       },
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
