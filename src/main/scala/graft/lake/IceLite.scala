@@ -799,12 +799,16 @@ object IceLite {
         case (FloatType, DoubleType) => v.asInstanceOf[Float].toDouble
         case _ => v
       }
-    // key predicate (string/long/int keys; others filter host-side below)
-    def keyPred(name: String, v: Any): Option[FilterPredicate] = v match {
-      case s: String => Some(FilterApi.eq(FilterApi.binaryColumn(name),
+    // key predicate, typed by the COLUMN's declared type (a caller passing
+    // Int for a BIGINT key must still build an INT64 predicate); key
+    // types without a mapping are filtered host-side below instead
+    def keyPred(name: String, v: Any, t: DataType): Option[FilterPredicate] = (t, v) match {
+      case (StringType, s: String) => Some(FilterApi.eq(FilterApi.binaryColumn(name),
         org.apache.parquet.io.api.Binary.fromString(s)))
-      case l: Long => Some(FilterApi.eq(FilterApi.longColumn(name), java.lang.Long.valueOf(l)))
-      case i: Int => Some(FilterApi.eq(FilterApi.intColumn(name), java.lang.Integer.valueOf(i)))
+      case (LongType, n: Number) =>
+        Some(FilterApi.eq(FilterApi.longColumn(name), java.lang.Long.valueOf(n.longValue())))
+      case (IntegerType, n: Number) =>
+        Some(FilterApi.eq(FilterApi.intColumn(name), java.lang.Integer.valueOf(n.intValue())))
       case _ => None
     }
 
@@ -849,7 +853,8 @@ object IceLite {
         new org.apache.parquet.schema.MessageType("spark_schema",
           needed.map(c => parquetTypeOf(c.name, c.sparkType)).asJava).toString)
       val hPath = new org.apache.hadoop.fs.Path(f.path)
-      val preds = snap.keyCols.zip(keyOldNames).flatMap { case (k, on) => keyPred(on, key(k)) }
+      val preds = snap.keyCols.zip(keyOldNames).flatMap { case (k, on) =>
+        keyPred(on, key(k), oldByName(on).sparkType) }
       val builder = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
       val reader =
         (if (preds.nonEmpty) builder.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))
@@ -857,10 +862,18 @@ object IceLite {
       try {
         var g = reader.read()
         while (g != null) {
-          // host-side re-check (covers key types without a predicate)
+          // host-side re-check (covers key types without a predicate);
+          // the probe value is normalized to the column's type first so an
+          // Int probe against a BIGINT key still matches
           val keyOk = snap.keyCols.zip(keyOldNames).forall { case (k, on) =>
-            val v = valueOf(g, on, oldByName(on).sparkType)
-            v != null && v == key(k)
+            val t = oldByName(on).sparkType
+            val probe = (t, key(k)) match {
+              case (LongType, n: Number) => n.longValue()
+              case (IntegerType, n: Number) => n.intValue()
+              case (_, x) => x
+            }
+            val v = valueOf(g, on, t)
+            v != null && v == probe
           }
           if (keyOk) {
             val seq = valueOf(g, SeqCol.name, LongType) match {

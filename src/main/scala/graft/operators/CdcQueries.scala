@@ -34,7 +34,7 @@ object CdcQueries {
     phaseTimes.put(tag, cur.filterNot(_._1 == name) :+ (name -> value))
   }
 
-  private[operators] final class PhaseClock(tag: String) {
+  private[graft] final class PhaseClock(tag: String) {
     private val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def apply[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()

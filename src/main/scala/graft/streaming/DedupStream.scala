@@ -68,20 +68,27 @@ object DedupStream {
     * against the q18 batch oracle). */
   def mineCorpusInChunks(spark: SparkSession, docs: DataFrame,
       workRoot: String, chunks: Int): DataFrame = {
+    // phase attribution for the q40 gate (lifecycle_phases in the bench
+    // JSON): feed = the waves' corpus writes, startup = query start/stop
+    // incl. the one checkpoint resume, drain = the actual per-microbatch
+    // mining (signatures + pruned pairing + store/pairs writes)
+    val clock = new graft.operators.CdcQueries.PhaseClock("q40")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
     val docsDir = s"$workRoot/docs"
     val restartAt = chunks / 2 // one recovery, mid-corpus
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     def ensureStarted(): Unit = if (q == null)
-      q = start(spark, docsDir, docs.schema,
-        s"$workRoot/sigs", s"$workRoot/pairs", s"$workRoot/ckpt")
+      q = clock("startup") { start(spark, docsDir, docs.schema,
+        s"$workRoot/sigs", s"$workRoot/pairs", s"$workRoot/ckpt") }
     try {
       (0 until chunks).foreach { i =>
-        if (i == restartAt && q != null) { q.stop(); q = null } // checkpoint resume
-        docs.filter(pmod(col("doc_id"), lit(chunks.toLong)) === i)
-          .write.mode("append").parquet(docsDir)
+        if (i == restartAt && q != null) clock("startup") { q.stop(); q = null } // checkpoint resume
+        clock("feed") {
+          docs.filter(pmod(col("doc_id"), lit(chunks.toLong)) === i)
+            .write.mode("append").parquet(docsDir)
+        }
         ensureStarted()
-        q.processAllAvailable()
+        clock("drain") { q.processAllAvailable() }
       }
     } finally if (q != null) q.stop()
     spark.read.parquet(s"$workRoot/pairs").select("a", "b", "jaccard")
