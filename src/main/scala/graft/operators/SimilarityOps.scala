@@ -523,6 +523,18 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** The q36 PROBE plan without the gate's materializing localCheckpoint —
+    * the reviewable plan artifact (graft.Explain). Reuses the index the
+    * q36 query fn just built when present; builds it otherwise. */
+  def q36ProbePlan(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-q36"
+    val e = ld(s, d, "embeddings")
+    val idx =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$root/data"))) IvfIndex(root)
+      else buildIvfIndex(s, e, root, cells = 128, iters = 5)
+    ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 5), k = 10, nprobe = 32)
+  }
+
   /** Candidate fraction of the band prefilter: banded candidate pairs over
     * all within-label pairs — the bench evidence next to the q20 banded
     * recall number. */
