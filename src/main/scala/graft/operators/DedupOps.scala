@@ -177,7 +177,6 @@ object DedupOps {
     * driver fs listing), so the per-batch scan is O(batch + touched
     * buckets) and independent of planner partition-filter behavior. */
   final case class SigStore(dir: String) {
-    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
 
     def rowsDir: String = s"$dir/rows"
@@ -193,45 +192,11 @@ object DedupOps {
         .parquet(s"$bandsDir/batch=$batchId")
     }
 
-    /** Marker file a consolidated (compacted) batch dir carries — written
-      * into the STAGED dir so it travels with the atomic rename. Leading
-      * underscore keeps it invisible to Spark's file listing. */
-    private val ConsolidatedMarker = "_CONSOLIDATED"
-
-    private def batchIdOf(p: Path): Long =
-      p.getFileName.toString.stripPrefix("batch=").toLong
-
-    private def listBatchDirs(root: String): Vector[Path] = {
-      val r = Paths.get(root)
-      if (!Files.isDirectory(r)) Vector.empty
-      else Files.list(r).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("batch=")).toVector
-        .sortBy(batchIdOf)
-    }
-
-    /** The LIVE batch dirs of one side: a consolidated batch dir holds the
-      * union of every earlier batch, so any `batch=i` with i below the
-      * newest consolidated id is superseded — still on disk only when a
-      * compaction crashed between its moves and its deletes. Filtering here
-      * (per side, independently) makes every crash window read-consistent:
-      * a side either sees its consolidated dir alone or the original dirs,
-      * never both. */
-    private def liveBatchDirs(root: String): Vector[Path] = {
-      val all = listBatchDirs(root)
-      val consolidated = all.filter(p => Files.exists(p.resolve(ConsolidatedMarker)))
-      if (consolidated.isEmpty) all
-      else { val c = batchIdOf(consolidated.last); all.filter(batchIdOf(_) >= c) }
-    }
-
-    private def prunedPaths(rootDir: String, keyName: String, touched: Set[Int]): Seq[String] =
-      liveBatchDirs(rootDir)
-        .flatMap(b => touched.toSeq.sorted.iterator.map(k => b.resolve(s"$keyName=$k"))
-          .filter(Files.isDirectory(_)))
-        .map(_.toString).sorted
-
-    /** Full signature rows (verify side), unpruned (but live-batch-only). */
+    /** Full signature rows (verify side), unpruned (but live-batch-only —
+      * batch-dir liveness, pruning, and the crash-safe compaction swap are
+      * the shared [[BatchStore]] machinery). */
     def rows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
-      val live = liveBatchDirs(rowsDir)
+      val live = BatchStore.liveBatchDirs(rowsDir)
       if (live.isEmpty) s.read.parquet(rowsDir).drop("batch", "dkey")
       else s.read.option("basePath", rowsDir).parquet(live.map(_.toString): _*)
         .drop("batch", "dkey")
@@ -239,7 +204,7 @@ object DedupOps {
 
     /** Full band rows, live-batch-only (the compaction's bands input). */
     private def allBands(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
-      val live = liveBatchDirs(bandsDir)
+      val live = BatchStore.liveBatchDirs(bandsDir)
       val df = if (live.isEmpty) s.read.parquet(bandsDir)
         else s.read.option("basePath", bandsDir).parquet(live.map(_.toString): _*)
       df.select("doc_id", "band", "sig")
@@ -257,11 +222,11 @@ object DedupOps {
     /** The `bkey=K` directories (across all batches) holding `touched`
       * band keys — exposed so tests can audit exactly what a batch reads. */
     def prunedBandPaths(touched: Set[Int]): Seq[String] =
-      prunedPaths(bandsDir, "bkey", touched)
+      BatchStore.prunedPaths(bandsDir, "bkey", touched)
 
     /** The `dkey=K` directories holding `touched` doc keys (verify side). */
     def prunedDocPaths(touched: Set[Int]): Seq[String] =
-      prunedPaths(rowsDir, "dkey", touched)
+      BatchStore.prunedPaths(rowsDir, "dkey", touched)
 
     /** All `bkey=K` directories currently in the store (audit helper). */
     def allBandPaths: Seq[String] =
@@ -292,60 +257,15 @@ object DedupOps {
       * seam — called with "staged" / "moved-rows" / "moved-bands" so a
       * spec can kill the compaction inside each window. */
     def compactBatches(s: org.apache.spark.sql.SparkSession, intoBatchId: Long,
-        crashPoint: String => Unit = _ => ()): Int = {
-      sweepSuperseded()
-      val oldRows = liveBatchDirs(rowsDir)
-      val oldBands = liveBatchDirs(bandsDir)
-      if (oldRows.size <= 1 && oldBands.size <= 1) return 0
-      require((oldRows ++ oldBands).forall(batchIdOf(_) < intoBatchId),
-        s"intoBatchId=$intoBatchId must exceed every live batch id")
-      val stage = s"$dir/.compact-$intoBatchId"
-      // a leftover stage from a previous crashed attempt is stale — rebuild
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-      rows(s).withColumn("dkey", docKeyCol(col("doc_id")))
-        .write.partitionBy("dkey").mode("overwrite").parquet(s"$stage/rows")
-      allBands(s).withColumn("bkey", bandKeyCol)
-        .write.partitionBy("bkey").mode("overwrite").parquet(s"$stage/bands")
-      // marker INSIDE each staged dir: it travels with the rename, so the
-      // consolidated dir supersedes the old ones the instant it appears
-      Files.createFile(Paths.get(s"$stage/rows", ConsolidatedMarker))
-      Files.createFile(Paths.get(s"$stage/bands", ConsolidatedMarker))
-      crashPoint("staged")
-      Files.move(Paths.get(s"$stage/rows"), Paths.get(s"$rowsDir/batch=$intoBatchId"))
-      crashPoint("moved-rows")
-      Files.move(Paths.get(s"$stage/bands"), Paths.get(s"$bandsDir/batch=$intoBatchId"))
-      crashPoint("moved-bands")
-      // only now delete superseded dirs — including stale ones a previous
-      // crashed compaction left behind (any id below the consolidated one)
-      Seq(rowsDir, bandsDir).foreach { root =>
-        listBatchDirs(root).filter(batchIdOf(_) < intoBatchId)
-          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
-      }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-      oldRows.size + oldBands.size
-    }
-
-    /** Crash-recovery sweep: delete batch dirs superseded by a consolidated
-      * one (a compaction that crashed between its moves and its deletes
-      * strands them — readers already ignore them) and stage dirs a crashed
-      * attempt left behind. Runs at every compactBatches entry, so the
-      * operator's next normal invocation is the recovery. */
-    private def sweepSuperseded(): Unit = {
-      Seq(rowsDir, bandsDir).foreach { root =>
-        val all = listBatchDirs(root)
-        val cons = all.filter(p => Files.exists(p.resolve(ConsolidatedMarker)))
-        if (cons.nonEmpty) {
-          val c = batchIdOf(cons.last)
-          all.filter(batchIdOf(_) < c)
-            .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
-        }
-      }
-      val d = Paths.get(dir)
-      if (Files.isDirectory(d))
-        Files.list(d).iterator().asScala
-          .filter(_.getFileName.toString.startsWith(".compact-"))
-          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
-    }
+        crashPoint: String => Unit = _ => ()): Int =
+      BatchStore.compact(dir, Seq(
+        rowsDir -> ((stage: String) =>
+          rows(s).withColumn("dkey", docKeyCol(col("doc_id")))
+            .write.partitionBy("dkey").mode("overwrite").parquet(stage)),
+        bandsDir -> ((stage: String) =>
+          allBands(s).withColumn("bkey", bandKeyCol)
+            .write.partitionBy("bkey").mode("overwrite").parquet(stage))),
+        intoBatchId, crashPoint)
 
     /** Band rows from ONLY the touched partitions. */
     def bandsTouching(s: org.apache.spark.sql.SparkSession,

@@ -120,6 +120,25 @@ object SimilarityOps {
     out
   }
 
+  /** The shared deterministic cosine SQL (Spark `aggregate` fold over
+    * columns `va`/`vb`) — exposed for the embedding-store miners. */
+  private[operators] def sparkCosSql: String = sparkCos
+
+  /** Embeddings frame + a `bands` column: the vector's [[BandDefaults]]
+    * band keys, ONE typed pass — what [[graft.operators.EmbDedup.EmbStore]]
+    * persists at append so later batches never re-signature the corpus. */
+  def withBandKeys(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (bands, bits, _) = BandDefaults
+    val signs = signMatrix(bands * bits)
+    e.select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .mapPartitions(it => it.map { case (lbl, id, emb) =>
+        (lbl, id, emb, bandKeys(signs, emb, bands, bits).toSeq)
+      }).toDF("label", "vec_id", "embedding", "bands")
+  }
+
   /** The banded tier's TUNED default configuration — matched to the
     * similarity regime this corpus actually exhibits (natural near-dup
     * pairs at cos 0.35–0.55 over a within-label background ~N(0, 0.126);
@@ -584,17 +603,37 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  val queries: Seq[OpQuery] = Seq(
-
-    OpQuery("q20_embedding_neardup",
-      (s, d) => neardupPairs(s, d),
-      Some(s"""SELECT a, b, cos FROM (
+  /** The exact within-label near-dup oracle — shared by q20 (batch) and
+    * q51 (streaming union-of-batches), the q18/q40 pattern. */
+  private val neardupOracleSql: String =
+    s"""SELECT a, b, cos FROM (
         SELECT l.vec_id AS a, r.vec_id AS b,
           $duckCos AS cos
         FROM (SELECT label, vec_id, embedding AS va FROM embeddings) l
         JOIN (SELECT label, vec_id, embedding AS vb FROM embeddings) r USING (label)
         WHERE l.vec_id < r.vec_id) t
-        WHERE cos >= 0.35 ORDER BY a, b""")),
+        WHERE cos >= 0.35 ORDER BY a, b"""
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q20_embedding_neardup",
+      (s, d) => neardupPairs(s, d),
+      Some(neardupOracleSql)),
+
+    OpQuery("q51_embed_neardup_stream",
+      // STREAMING embedding near-dup under the hard gate: the embeddings
+      // corpus arrives in 4 waves through EmbDedupStream (file source →
+      // foreachBatch incremental mining over the label-partitioned
+      // EmbStore; one long-lived query, one mid-stream checkpoint resume);
+      // the union of per-batch emissions must equal the BATCH pairing —
+      // the same exact oracle q20 is gated on, cosine bit for bit.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q51"
+        graft.streaming.EmbDedupStream.mineCorpusInChunks(s,
+          ld(s, d, "embeddings").select(col("label"), col("vec_id"), col("embedding")),
+          root, chunks = 4).orderBy("a", "b")
+      },
+      Some(neardupOracleSql)),
 
     OpQuery("q21_ann_bruteforce_topk",
       // brute-force cosine top-10 for 5 query vectors — the exact baseline

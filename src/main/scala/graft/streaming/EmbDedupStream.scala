@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.EmbDedup
+
+/** Streaming EMBEDDING near-dup mining — the embedding-modality twin of
+  * [[DedupStream]]: vectors arrive as a stream; each microbatch
+  * (1) appends its embeddings (with their precomputed band keys) to the
+  *     accumulated label-partitioned [[EmbDedup.EmbStore]], and
+  * (2) emits the exact-cosine near-dup pairs touching the batch — against
+  *     everything ingested so far — to an append-only pairs log.
+  *
+  * Per-microbatch cost is O(batch × touched-label rows): the pairing reads
+  * ONLY the `lkey` partitions the batch's labels hash into (structural
+  * path pruning, never O(corpus) directory scans), and the hot-label
+  * banded prefilter can ride the STORED band keys without re-signaturing.
+  * Batch-id subdirectories make both the store append and the pairs
+  * emission idempotent under foreachBatch replay. The union of per-batch
+  * emissions equals the full q20 batch pairing, each pair exactly once —
+  * property-tested (EmbDedupStreamSpec) and driver-gated as q51 against
+  * q20's own oracle. */
+object EmbDedupStream {
+
+  def start(spark: SparkSession, embsDir: String, schema: org.apache.spark.sql.types.StructType,
+      storeDir: String, pairsDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(embsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val embs = batch.select("label", "vec_id", "embedding").localCheckpoint()
+        val store = EmbDedup.EmbStore(storeDir)
+        store.append(s, embs, batchId)
+        EmbDedup.incrementalNeardupPairsStored(s, store, embs)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Run the streaming miner over a FINITE corpus fed in `chunks` arrival
+    * waves to completion (the q51 gate): one long-lived query drains the
+    * waves, with one mid-stream stop + checkpoint resume for the recovery
+    * evidence (the q40 harness shape). Returns the union of per-batch pair
+    * emissions ≡ the full q20 batch pairing. */
+  def mineCorpusInChunks(spark: SparkSession, embs: DataFrame,
+      workRoot: String, chunks: Int): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
+    val embsDir = s"$workRoot/embs"
+    val restartAt = chunks / 2
+    var q: StreamingQuery = null
+    def ensureStarted(): Unit = if (q == null)
+      q = start(spark, embsDir, embs.schema,
+        s"$workRoot/store", s"$workRoot/pairs", s"$workRoot/ckpt")
+    try {
+      (0 until chunks).foreach { i =>
+        if (i == restartAt && q != null) { q.stop(); q = null } // checkpoint resume
+        embs.filter(pmod(col("vec_id"), lit(chunks.toLong)) === i)
+          .write.mode("append").parquet(embsDir)
+        ensureStarted()
+        q.processAllAvailable()
+      }
+    } finally if (q != null) q.stop()
+    spark.read.parquet(s"$workRoot/pairs").select("a", "b", "cos")
+  }
+}
