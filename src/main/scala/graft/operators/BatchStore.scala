@@ -15,12 +15,19 @@ import scala.jdk.CollectionConverters._
   *  3. only then delete superseded dirs.
   *
   * Readers resolve each side's LIVE batch set independently — a
-  * consolidated dir supersedes every lower id — so every crash window
-  * serves the exact full data set, and the next compaction sweeps strays. */
+  * consolidated dir supersedes exactly the batch ids its marker lists —
+  * so every crash window serves the exact full data set, batches appended
+  * AFTER a compaction (e.g. by a checkpoint-resumed stream with small
+  * microbatch ids) stay live, and the next compaction sweeps strays. */
 private[operators] object BatchStore {
 
-  /** Marker file a consolidated (compacted) batch dir carries. Leading
-    * underscore keeps it invisible to Spark's file listing. */
+  /** Marker file a consolidated (compacted) batch dir carries; its CONTENT
+    * is the exact list of batch ids it superseded (one per line). Listing
+    * exact ids — rather than "every id below mine" — matters because a
+    * stream RESUMED after an offline compaction continues from its
+    * checkpoint's small batch ids: batch=4 appended after a
+    * compact(intoBatchId=1000) must stay live, not be hidden and then
+    * swept. Leading underscore keeps the marker invisible to Spark. */
   val ConsolidatedMarker = "_CONSOLIDATED"
 
   def batchIdOf(p: Path): Long =
@@ -34,14 +41,26 @@ private[operators] object BatchStore {
       .sortBy(batchIdOf)
   }
 
-  /** The LIVE batch dirs of one side: any `batch=i` with i below the
-    * newest consolidated id is superseded — still on disk only when a
+  private def supersededBy(p: Path): Set[Long] = {
+    val m = p.resolve(ConsolidatedMarker)
+    if (!Files.exists(m)) Set.empty
+    else new String(Files.readAllBytes(m), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** All ids hidden on one side: the union of every present consolidated
+    * dir's superseded set. Safe as a plain union — a superseded id can
+    * never come back as live (stream batch ids are monotonic from the
+    * checkpoint, and compaction ids are required above every live id). */
+  private def hiddenIds(root: String): Set[Long] =
+    listBatchDirs(root).iterator.flatMap(supersededBy).toSet
+
+  /** The LIVE batch dirs of one side: dirs whose id no consolidated dir
+    * claims to have superseded — stale ones are still on disk only when a
     * compaction crashed between its moves and its deletes. */
   def liveBatchDirs(root: String): Vector[Path] = {
-    val all = listBatchDirs(root)
-    val consolidated = all.filter(p => Files.exists(p.resolve(ConsolidatedMarker)))
-    if (consolidated.isEmpty) all
-    else { val c = batchIdOf(consolidated.last); all.filter(batchIdOf(_) >= c) }
+    val hidden = hiddenIds(root)
+    listBatchDirs(root).filterNot(p => hidden(batchIdOf(p)))
   }
 
   /** `<key>=K` dirs across a side's live batches holding `touched` keys. */
@@ -55,13 +74,9 @@ private[operators] object BatchStore {
     * `.compact-*` stage dirs. Runs at every compaction entry. */
   def sweepSuperseded(dir: String, roots: Seq[String]): Unit = {
     roots.foreach { root =>
-      val all = listBatchDirs(root)
-      val cons = all.filter(p => Files.exists(p.resolve(ConsolidatedMarker)))
-      if (cons.nonEmpty) {
-        val c = batchIdOf(cons.last)
-        all.filter(batchIdOf(_) < c)
-          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
-      }
+      val hidden = hiddenIds(root)
+      listBatchDirs(root).filter(p => hidden(batchIdOf(p)))
+        .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     }
     val d = Paths.get(dir)
     if (Files.isDirectory(d))
@@ -87,10 +102,19 @@ private[operators] object BatchStore {
       s"intoBatchId=$intoBatchId must exceed every live batch id")
     val stage = s"$dir/.compact-$intoBatchId"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-    sides.foreach { case (root, write) =>
+    // Marker content per side: the ids this consolidation folds in, PLUS
+    // everything those ids' own markers already hid (transitive closure) —
+    // so even if a superseded consolidated dir's delete quietly fails and
+    // its marker later vanishes, the ids it hid stay hidden rather than
+    // resurfacing as duplicate live data.
+    val supersededIdsBySide = sides.zip(liveBySide).map { case ((root, _), live) =>
+      live.map(batchIdOf).toSet ++ hiddenIds(root)
+    }
+    sides.zip(supersededIdsBySide).foreach { case ((root, write), superseded) =>
       val sideName = Paths.get(root).getFileName.toString
       write(s"$stage/$sideName")
-      Files.createFile(Paths.get(s"$stage/$sideName", ConsolidatedMarker))
+      Files.write(Paths.get(s"$stage/$sideName", ConsolidatedMarker),
+        superseded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     }
     crashPoint("staged")
     sides.foreach { case (root, _) =>
@@ -98,8 +122,8 @@ private[operators] object BatchStore {
       Files.move(Paths.get(s"$stage/$sideName"), Paths.get(s"$root/batch=$intoBatchId"))
       crashPoint(s"moved-$sideName")
     }
-    sides.foreach { case (root, _) =>
-      listBatchDirs(root).filter(batchIdOf(_) < intoBatchId)
+    sides.zip(supersededIdsBySide).foreach { case ((root, _), superseded) =>
+      listBatchDirs(root).filter(p => superseded(batchIdOf(p)))
         .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))

@@ -251,9 +251,11 @@ object DedupOps {
       * FIRST, and only then are the superseded `batch=` dirs deleted — a
       * crash at any point leaves the store serving the exact full data
       * set, because readers resolve each side's LIVE batch dirs
-      * independently (a consolidated dir supersedes every lower id; see
-      * [[liveBatchDirs]]) and a re-run of compactBatches (with a higher
-      * id) sweeps any stranded superseded dirs. `crashPoint` is a test
+      * independently (a consolidated dir supersedes exactly the ids its
+      * marker lists — so batches a resumed stream appends after the
+      * compaction stay live; see [[BatchStore.liveBatchDirs]]) and a
+      * re-run of compactBatches (with a higher id) sweeps any stranded
+      * superseded dirs. `intoBatchId` must exceed every live batch id. `crashPoint` is a test
       * seam — called with "staged" / "moved-rows" / "moved-bands" so a
       * spec can kill the compaction inside each window. */
     def compactBatches(s: org.apache.spark.sql.SparkSession, intoBatchId: Long,

@@ -171,6 +171,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("a batch appended AFTER compaction (resumed stream, small id) stays live through sweep and re-compaction") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cut = 400L
+    val store = DedupOps.SigStore(Files.createTempDirectory("graft-sigresume").toString)
+    store.append(DedupOps.signatures(spark, docs.filter(col("doc_id") < cut)), 0L)
+    store.append(DedupOps.signatures(spark,
+      docs.filter(col("doc_id") >= cut && col("doc_id") < 450L)), 1L)
+    store.compactBatches(spark, intoBatchId = 1000L)
+
+    // the stream resumes from its checkpoint: next microbatch id is SMALL
+    val lateSigs = DedupOps.signatures(spark, docs.filter(col("doc_id") >= 450L))
+      .localCheckpoint()
+    store.append(lateSigs, 2L)
+
+    import scala.jdk.CollectionConverters._
+    def liveIds(p: String): Set[Long] =
+      BatchStore.liveBatchDirs(p).map(BatchStore.batchIdOf).toSet
+    // batch=2 < 1000 but was NOT superseded by the compaction — must be live
+    assert(liveIds(store.rowsDir) == Set(2L, 1000L), s"rows live: ${liveIds(store.rowsDir)}")
+    assert(liveIds(store.bandsDir) == Set(2L, 1000L))
+    // ... and a recovery sweep must NOT delete it
+    BatchStore.sweepSuperseded(store.dir, Seq(store.rowsDir, store.bandsDir))
+    assert(liveIds(store.rowsDir) == Set(2L, 1000L), "sweep deleted a post-compaction batch")
+
+    // the late batch's pairing sees the whole corpus (old + compacted + new)
+    val got = DedupOps.incrementalVerifiedPairsStored(spark, store, lateSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = DedupOps.lshVerifiedPairs(spark, sfDir)
+      .filter(col("a") >= 450L || col("b") >= 450L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"post-compaction batch mispaired: ${got.size} vs ${want.size}")
+
+    // a second compaction folds BOTH live dirs and serves identical pairs
+    store.compactBatches(spark, intoBatchId = 2000L)
+    assert(liveIds(store.rowsDir) == Set(2000L))
+    val after = DedupOps.incrementalVerifiedPairsStored(spark, store, lateSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == got)
+    assert(store.rows(spark).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0, "duplicate signatures after re-compaction")
+  }
+
   test("an empty batch yields no pairs (and no corpus re-pairing)") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
