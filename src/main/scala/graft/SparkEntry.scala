@@ -12,7 +12,8 @@ object SparkEntry {
   private val allOps: Seq[OpQuery] =
     Relational.queries ++ DedupOps.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ Multimodal.queries ++ SkewOps.queries ++
-      SamplingOps.queries ++ SessionOps.queries ++ CurationOps.queries ++ CdcQueries.queries
+      SamplingOps.queries ++ SessionOps.queries ++ CurationOps.queries ++
+      JoinOps.queries ++ CdcQueries.queries
 
   /** Flagship: the CDC pipeline end-to-end at tiny scale — generate a seeded
     * protobuf change log, replay it through decode → MERGE into an IceLite

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.ld
+
+/** Temporal join operators Spark has no native form of — AS-OF join and
+  * interval/range join — built as compositions of existing relational
+  * operators (SURVEY.md §4.2 preference (a): no custom plan node needed),
+  * each with a single-shuffle scale story.
+  *
+  * The reference (a per-record NiFi codec, ProtobufDecoder.java) has no
+  * join surface at all; these extend the CDC engine's query layer for the
+  * event/dimension correlation a change-log consumer runs downstream.
+  */
+object JoinOps {
+
+  /** AS-OF join: for each left row, the single right row with the same key
+    * and the greatest `rightTs` ≤ `leftTs` (ties on `rightTs` broken by the
+    * greatest `tiebreak`). Unmatched left rows keep NULL right columns —
+    * i.e. DuckDB's `ASOF LEFT JOIN` with a deterministic tie rule.
+    *
+    * Implementation: union-tag + one running-window pass, NOT a join —
+    * both sides are tagged and unioned, then ONE window
+    * `last(right_payload, ignoreNulls)` over
+    * (partitionBy key, orderBy ts, src, tiebreak, rows unbounded→current)
+    * carries the latest right payload forward into each left row. Right
+    * rows sort BEFORE left rows at an equal timestamp (src 0 < 1), so the
+    * match is inclusive (rightTs == leftTs matches), and ascending
+    * tiebreak makes `last` pick the max-tiebreak row among equal-ts rights.
+    *
+    * Scale: exactly ONE shuffle, on the join key — no row explosion, no
+    * per-key driver loop, and the sort is Spark's normal spill-aware
+    * window sort. At 100 TB the cost is that of a single groupBy on the
+    * same key. A pathologically hot key serializes into one task's sorted
+    * run (the ordering is inherently per-key sequential); for that regime,
+    * band the timeline and run per-band with carried-forward boundary
+    * state — the same two-pass trick Sessionize uses. NULL `leftTs` rows
+    * sort first and therefore match nothing; NULL-key/NULL-ts right rows
+    * are dropped (they can never be an as-of match).
+    *
+    * @param rightVals right columns to carry onto the matched left row
+    *                  (flattened into the output under their own names —
+    *                  rename beforehand on a collision with a left column)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      tiebreak: String, rightVals: Seq[String]): DataFrame = {
+    val payload = (tiebreak +: rightVals).distinct
+    val payloadT = right.select(payload.map(col): _*).schema
+    val rPrep = right
+      .where(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("__k"),
+        col(rightTs).as("__t"),
+        lit(0).as("__src"),
+        col(tiebreak).as("__tb"),
+        struct(payload.map(col): _*).as("__r"))
+    val lPrep = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTs))
+      .withColumn("__src", lit(1))
+      .withColumn("__tb", lit(null).cast(right.schema(tiebreak).dataType))
+      .withColumn("__r", lit(null).cast(payloadT))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__src").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPrep.unionByName(rPrep, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(left.columns.map(col) ++ payload.map(v => col("__m")(v).as(v)): _*)
+  }
+
+  /** Range (proximity) join: every (left, right) pair whose event times lie
+    * within `tolUs` microseconds of each other — both boundaries inclusive.
+    * There is deliberately NO equi-key: this is the pure time-range case
+    * Catalyst would plan as a nested-loop / cartesian join.
+    *
+    * Implementation: time bucketing turns the theta-join into an equi-join.
+    * Left rows land in bucket floor(ts/tol); right rows are exploded into
+    * the three buckets {b-1, b, b+1} any |Δts| ≤ tol partner can occupy;
+    * the equi-join on the bucket id then only compares temporally-close
+    * rows, with the exact |Δts| ≤ tol filter applied after. Each qualifying
+    * pair is produced exactly once (the left row's bucket is unique, and a
+    * right row visits each of its three buckets once).
+    *
+    * Scale: one shuffle, on the bucket id; per-task work is
+    * O(bucket-pair density), never O(n²) globally. Bucket population
+    * follows the event-rate distribution — a burst second is a hot bucket;
+    * salt the bucket (split left occupants, replicate right occupants per
+    * salt) if a single bucket's pair count outgrows a task, exactly the
+    * SkewOps salting recipe. */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftTsUs: String, rightTsUs: String, tolUs: Long): DataFrame = {
+    require(tolUs > 0, s"tolUs must be positive, got $tolUs")
+    val l = left.withColumn("__b", floor(col(leftTsUs) / tolUs))
+    val r = right
+      .withColumn("__b", explode(array(
+        floor(col(rightTsUs) / tolUs) - 1,
+        floor(col(rightTsUs) / tolUs),
+        floor(col(rightTsUs) / tolUs) + 1)))
+    l.join(r, Seq("__b"))
+      .where(abs(col(leftTsUs) - col(rightTsUs)) <= tolUs)
+      .drop("__b")
+  }
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // AS-OF join gate: each event (with a deterministic as-of timestamp
+    // derived into the order-history range) picks up the latest order of
+    // its user at or before that instant. The oracle is DuckDB's native
+    // ASOF LEFT JOIN over a tie-deduped right side (arg_max per
+    // (custkey, orderdate) — the operator's max-tiebreak rule).
+    OpQuery("q52_asof_join",
+      (s, d) => {
+        val ev = ld(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, CAST(event_id % 2400 AS INT), 0, 0, 0)")
+            .as("as_of_ts"))
+        val ord = ld(s, d, "orders")
+        asofJoin(ev, ord, "user_id", "o_custkey", "as_of_ts", "o_orderdate",
+            "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("as_of_ts")).as("asof_us"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id,
+            TIMESTAMP '1995-01-01' + (event_id % 2400) * INTERVAL 1 DAY AS as_of_ts
+          FROM events
+        ), r AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT ev.event_id, ev.user_id, epoch_us(ev.as_of_ts) AS asof_us,
+               r.o_orderkey, r.o_totalprice
+        FROM ev ASOF LEFT JOIN r
+          ON ev.user_id = r.o_custkey AND ev.as_of_ts >= r.o_orderdate
+        ORDER BY event_id""")),
+
+    // Range-join gate: all events within ±30 s of any purchase event
+    // (excluding the purchase itself) — the no-equi-key proximity case.
+    OpQuery("q54_range_join",
+      (s, d) => {
+        val ev = ld(s, d, "events")
+          .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val markers = ld(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("marker_id"),
+            unix_micros(col("ts").cast("timestamp")).as("mts_us"))
+        rangeJoin(ev, markers, "ts_us", "mts_us", tolUs = 30L * 1000000L)
+          .where(col("event_id") =!= col("marker_id"))
+          .select(col("marker_id"), col("event_id"),
+            (col("ts_us") - col("mts_us")).as("diff_us"))
+          .orderBy("marker_id", "event_id")
+      },
+      Some("""WITH m AS (
+          SELECT event_id AS marker_id, ts AS mts FROM events
+          WHERE event_type = 'purchase')
+        SELECT m.marker_id, e.event_id,
+               epoch_us(e.ts) - epoch_us(m.mts) AS diff_us
+        FROM events e JOIN m
+          ON e.ts BETWEEN m.mts - INTERVAL 30 SECOND
+                      AND m.mts + INTERVAL 30 SECOND
+        WHERE e.event_id <> m.marker_id
+        ORDER BY m.marker_id, e.event_id"""))
+  )
+}

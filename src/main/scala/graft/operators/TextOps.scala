@@ -83,6 +83,40 @@ object TextOps {
             FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t) u
           WHERE len(ws) > 0) q""".stripMargin.replace("\n", " ")
 
+  /** All whitespace-delimited word n-grams of each document, one row per
+    * (doc_id, gram) — the unit of benchmark-decontamination overlap.
+    * One projection pass: tokenize once, slide an n-window via
+    * transform(sequence(...)) (codegen'd higher-order functions, no UDF). */
+  def wordNgrams(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+          .as("gram"))
+  }
+
+  /** Benchmark DECONTAMINATION (the GPT-3/Pile 13-gram rule): flag every
+    * corpus document sharing at least one word n-gram with the evaluation
+    * set. Returns (doc_id, n_hit = distinct benchmark grams matched,
+    * contaminated) for EVERY corpus doc — the caller filters or joins.
+    *
+    * Scale: the benchmark gram set is small and static (a few million
+    * grams for every public eval suite combined), so it is broadcast —
+    * the corpus side never shuffles; per-doc gram explosion is ~n_words
+    * rows wide and collapses immediately in a partial (map-side)
+    * countDistinct. At 100 TB this is one broadcast-hash-semi pass over
+    * the corpus. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+      benchGrams: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val hits = wordNgrams(corpus, n)
+      .join(broadcast(benchGrams.select("gram").distinct()), Seq("gram"))
+      .groupBy("doc_id").agg(countDistinct("gram").as("n_hit"))
+    corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q13_token_stats",
@@ -233,6 +267,35 @@ object TextOps {
       // the same loop — not an O(n²) HOF chain); every fraction is an
       // int/int double division so the oracle's values are bit-identical.
       (s, d) => repetitionStats(s, ld(s, d, "documents")).orderBy("doc_id"),
-      Some(s"""$repetitionDuckSelect ORDER BY doc_id"""))
+      Some(s"""$repetitionDuckSelect ORDER BY doc_id""")),
+
+    OpQuery("q53_decontaminate",
+      // Benchmark decontamination: docs with doc_id % 5 == 0 stand in for
+      // the held-out eval set; every remaining doc is scored by how many
+      // distinct eval 13-grams it contains (whitespace tokens — the
+      // GPT-3/Pile overlap rule). The eval gram set is BROADCAST: the
+      // corpus side is one shuffle-free semi pass however big it gets.
+      (s, d) => {
+        val docs = ld(s, d, "documents")
+        val bench = wordNgrams(docs.filter(col("doc_id") % 5 === 0), 13)
+        decontaminate(docs.filter(col("doc_id") % 5 =!= 0), bench, 13)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 12)) AS i) g
+          WHERE len(t) >= 13),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 5 = 0),
+        hits AS (
+          SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit
+          FROM grams g JOIN bench b USING (gram)
+          WHERE g.doc_id % 5 <> 0 GROUP BY g.doc_id)
+        SELECT d.doc_id, coalesce(h.n_hit, 0) AS n_hit,
+               coalesce(h.n_hit, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id"""))
   )
 }
