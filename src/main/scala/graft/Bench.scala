@@ -190,7 +190,7 @@ object Bench {
         "q40_dedup_stream", "q41_encode_roundtrip", "q42_point_lookup",
         "q43_sessionize_stream", "q44_curation_pipeline", "q46_time_travel",
         "q47_streaming_ingest", "q48_lineage_metrics", "q49_dead_letter_routing",
-        "q50_drop_column_travel", "q51_embed_neardup_stream")
+        "q50_drop_column_travel", "q51_embed_neardup_stream", "q55_ann_ivf_append")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

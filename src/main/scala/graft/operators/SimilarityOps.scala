@@ -431,12 +431,19 @@ object SimilarityOps {
   }
 
   /** The persisted IVF index:
-    *   <dir>/cents/          trained centroids (cid, cv: array<double>) —
-    *                         also the oracle's input
-    *   <dir>/data/cell=K/    the corpus partitioned by assigned cell
-    * Probing reads ONLY the probed cells' directories (structural path
-    * pruning, the SigStore pattern) — candidate retrieval cost is
-    * O(probed cells' files), not a filter over the whole corpus. */
+    *   <dir>/cents/                  trained centroids (cid, cv:
+    *                                 array<double>) — also the oracle's input
+    *   <dir>/data/batch=N/cell=K/    the corpus partitioned by assigned cell,
+    *                                 one subtree per ingest batch
+    * Probing reads ONLY the probed cells' directories across the LIVE
+    * batches (structural path pruning, the SigStore pattern) — candidate
+    * retrieval cost is O(probed cells' files), not a filter over the whole
+    * corpus. The index is INCREMENTALLY APPENDABLE ([[appendBatch]]: new
+    * vectors are assigned to the FIXED trained centroids — real IVF ingest;
+    * re-train via a fresh build when drift warrants a rebucket), and batch
+    * accumulation is bounded offline by [[compactBatches]] — liveness,
+    * idempotent per-batch overwrite, and the crash-safe swap are the shared
+    * [[BatchStore]] machinery. */
   final case class IvfIndex(dir: String) {
     import java.nio.file.{Files, Paths}
     def centsDir: String = s"$dir/cents"
@@ -448,25 +455,57 @@ object SimilarityOps {
         .collect().sortBy(_._1).map { case (cid, cv) => withNorm(cid, cv.toArray) }
     }
 
-    /** The `cell=K` directories probing would read (files-read audit). */
+    /** The `cell=K` directories (across live batches) probing would read
+      * (files-read audit). */
     def prunedPaths(cells: Set[Long]): Seq[String] =
-      cells.toSeq.sorted.map(c => Paths.get(dataDir, s"cell=$c"))
-        .filter(Files.isDirectory(_)).map(_.toString)
+      BatchStore.liveBatchDirs(dataDir)
+        .flatMap(b => cells.toSeq.sorted.iterator.map(c => b.resolve(s"cell=$c"))
+          .filter(Files.isDirectory(_)))
+        .map(_.toString).sorted
 
     def allPaths: Seq[String] = {
       import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(dataDir)).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("cell="))
+      BatchStore.liveBatchDirs(dataDir)
+        .flatMap(b => Files.list(b).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("cell=")))
         .map(_.toString).toVector.sorted
     }
 
-    /** Candidates from ONLY the probed cells. */
+    /** Candidates from ONLY the probed cells (live batches). */
     def candidates(s: org.apache.spark.sql.SparkSession,
         cells: Set[Long]): org.apache.spark.sql.DataFrame = {
       val paths = prunedPaths(cells)
       s.read.option("basePath", dataDir).parquet(paths: _*)
         .select(col("cand"), col("vb"), col("cell"))
     }
+
+    /** Every live (cand, vb, cell) row — maintenance/diagnostics input. */
+    def data(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+      s.read.option("basePath", dataDir)
+        .parquet(BatchStore.liveBatchDirs(dataDir).map(_.toString): _*)
+        .select(col("cand"), col("vb"), col("cell"))
+
+    /** Append one ingest batch: assign its vectors to the index's FIXED
+      * trained centroids and write them under `data/batch=<id>/cell=K`
+      * (idempotent per batchId — a foreachBatch replay overwrites). The
+      * serving path immediately probes the new vectors; no retrain, no
+      * rewrite of earlier batches. */
+    def appendBatch(s: org.apache.spark.sql.SparkSession,
+        e: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      assignCells(s, e, centroids(s))
+        .select(col("cand"), col("vb"), col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dataDir/batch=$batchId")
+
+    /** OFFLINE maintenance: consolidate accumulated `batch=N` subtrees into
+      * one (same cell partitioning — pruning semantics unchanged) under the
+      * shared crash-safe stage/mark/move/delete swap ([[BatchStore.compact]]). */
+    def compactBatches(s: org.apache.spark.sql.SparkSession, intoBatchId: Long,
+        crashPoint: String => Unit = _ => ()): Int =
+      BatchStore.compact(dir, Seq(
+        dataDir -> ((stage: String) =>
+          data(s).write.partitionBy("cell").mode("overwrite").parquet(stage))),
+        intoBatchId, crashPoint)
   }
 
   /** One-off maintenance pass (the rebucket analogue): train the quantizer,
@@ -488,9 +527,8 @@ object SimilarityOps {
     cents.toSeq.map { case (cid, cv, _) => (cid, cv.toSeq) }
       .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(idx.centsDir)
     assignCells(s, e, cents)
-      .withColumnRenamed("cand", "vec_id").withColumnRenamed("vb", "embedding")
-      .select(col("vec_id").as("cand"), col("embedding").as("vb"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(idx.dataDir)
+      .select(col("cand"), col("vb"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"${idx.dataDir}/batch=0")
     idx
   }
 
@@ -575,7 +613,7 @@ object SimilarityOps {
       queryVecs: org.apache.spark.sql.DataFrame, nprobe: Int = 16): Double = {
     import s.implicits._
     val cents = idx.centroids(s)
-    val sizes = s.read.parquet(idx.dataDir).groupBy("cell").count()
+    val sizes = idx.data(s).groupBy("cell").count()
       .as[(Long, Long)].collect().toMap
     val total = sizes.values.sum.toDouble
     val qrows = queryVecs.select(col("vec_id"), col("embedding"))
@@ -771,8 +809,41 @@ object SimilarityOps {
             .localCheckpoint()
         }
       },
-      Some(s"""WITH cents AS (
-          SELECT cid, cv FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/graft-q36/cents/*.parquet')),
+      Some(ivfOracleSql("graft-q36"))),
+
+    OpQuery("q55_ann_ivf_append",
+      // INCREMENTAL IVF ingest under the gate: train the quantizer on the
+      // FIRST wave only (2/3 of the corpus), build the index from it, then
+      // APPEND the second wave — assigned to the same fixed centroids, the
+      // real-pipeline ingest path (no retrain, no rewrite of earlier
+      // batches) — and probe the full corpus through the pruned two-batch
+      // reader. The oracle re-derives assignment/probe/top-k over the FULL
+      // corpus from the dumped (wave-1-trained) centroids: it matches
+      // exactly because appendBatch assigns with those same centroids.
+      (s, d) => {
+        val clock = new CdcQueries.PhaseClock("q55")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q55"
+        val e = ld(s, d, "embeddings")
+        val wave1 = e.filter(col("vec_id") % 3 =!= 0)
+        val wave2 = e.filter(col("vec_id") % 3 === 0)
+        val cents = clock("train") { trainCentroids(s, wave1, k = 128, iters = 5) }
+        val idx = clock("build") { buildIvfIndexWith(s, wave1, root, cents) }
+        clock("append") { idx.appendBatch(s, wave2, batchId = 1L) }
+        clock("probe") {
+          ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 5), k = 10, nprobe = 32)
+            .localCheckpoint()
+        }
+      },
+      Some(ivfOracleSql("graft-q55")))
+  )
+
+  /** The IVF oracle (shared q36/q55): re-derive assignment, probes, and
+    * top-k in SQL from the centroids parquet the query fn dumped under
+    * `<java.io.tmpdir>/<root>/cents` — training stays opaque to DuckDB
+    * (the q00 dump-then-refold pattern). */
+  private def ivfOracleSql(root: String): String =
+    s"""WITH cents AS (
+          SELECT cid, cv FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/$root/cents/*.parquet')),
         asg AS (
           SELECT vec_id, embedding, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
@@ -787,6 +858,5 @@ object SimilarityOps {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rank
           FROM (SELECT qid, cand, $duckCos AS cos
             FROM probes JOIN cells ON probe = cell AND qid <> cand) t) r
-        WHERE rank <= 10 ORDER BY qid, rank"""))
-  )
+        WHERE rank <= 10 ORDER BY qid, rank"""
 }

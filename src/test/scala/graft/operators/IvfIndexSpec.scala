@@ -53,6 +53,48 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(pruned.size < all.size, s"no pruning: ${pruned.size} of ${all.size} dirs")
   }
 
+  test("appendBatch == one-shot build with the same centroids; idempotent; compaction preserves results") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val wave1 = e.filter(col("vec_id") % 3 =!= 0)
+    val wave2 = e.filter(col("vec_id") % 3 === 0)
+    val queries = e.filter(col("vec_id") < 5)
+    val cents = SimilarityOps.trainCentroids(spark, wave1, k = 16, iters = 3)
+
+    val incDir = Files.createTempDirectory("graft-ivf-inc").toString
+    val inc = SimilarityOps.buildIvfIndexWith(spark, wave1, incDir, cents)
+    inc.appendBatch(spark, wave2, batchId = 1L)
+    val fullDir = Files.createTempDirectory("graft-ivf-full").toString
+    val full = SimilarityOps.buildIvfIndexWith(spark, e, fullDir, cents)
+
+    def topk(idx: SimilarityOps.IvfIndex): Seq[(Long, Long, Long, Double)] =
+      SimilarityOps.ivfTopKIndexed(spark, idx, queries, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = topk(full)
+    assert(want.nonEmpty && topk(inc) == want, "append diverged from one-shot build")
+
+    // idempotency: a foreachBatch replay overwrites, never duplicates
+    inc.appendBatch(spark, wave2, batchId = 1L)
+    assert(inc.data(spark).count() == e.count())
+    assert(topk(inc) == want, "re-append changed results")
+
+    // the pruned read spans BOTH live batch dirs (wave-2 vectors are served)
+    assert(inc.allPaths.exists(_.contains("batch=0")) &&
+      inc.allPaths.exists(_.contains("batch=1")), s"paths: ${inc.allPaths.take(4)}")
+
+    // a crash between stage and swap leaves the index serving everything...
+    case object Boom extends RuntimeException("injected crash")
+    intercept[Boom.type] {
+      inc.compactBatches(spark, intoBatchId = 1000L,
+        crashPoint = w => if (w == "staged") throw Boom)
+    }
+    assert(topk(inc) == want, "crashed compaction changed results")
+    // ...and the re-run consolidates to ONE live batch with identical results
+    inc.compactBatches(spark, intoBatchId = 2000L)
+    assert(BatchStore.liveBatchDirs(inc.dataDir).map(BatchStore.batchIdOf) == Vector(2000L))
+    assert(inc.data(spark).count() == e.count())
+    assert(topk(inc) == want, "compaction changed results")
+  }
+
   test("training is deterministic and centroids round-trip through the dump") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val a = SimilarityOps.trainCentroids(spark, e, k = 16, iters = 3)
