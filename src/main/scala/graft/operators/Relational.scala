@@ -207,6 +207,100 @@ object Relational {
       Some("""SELECT user_id, event_type, value AS last_value, event_id AS last_event_id
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
           ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
-        WHERE rn = 1 ORDER BY user_id, event_type"""))
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    OpQuery("q56_cube_grouping",
+      // CUBE over two dims + grouping_id so every aggregation level is
+      // distinguishable (NULL data vs NULL subtotal) — one pass, Catalyst
+      // expands to grouping sets internally (no per-level rescan)
+      (s, d) => {
+        ld(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+          .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+            col("n"), col("sum_price"))
+          .orderBy("gid", "o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+          o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority""")),
+
+    OpQuery("q57_pivot_events",
+      // PIVOT: per-user event-type counts as columns. The value set is
+      // explicit (no pre-pass to discover it — at scale that's a full
+      // extra scan); the oracle is the equivalent conditional aggregate.
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = ld(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+          count(*) FILTER (WHERE event_type = 'click') AS click,
+          count(*) FILTER (WHERE event_type = 'error') AS error,
+          count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    OpQuery("q58_percentile_disc",
+      // EXACT discrete percentiles per group, computed by rank selection
+      // (smallest value at sorted position >= ceil(p*n)) — identical
+      // arithmetic in both engines, doubles pass through untouched (the
+      // interpolated percentile_cont is engine-formula-dependent; disc is
+      // not). One window pass + one aggregate.
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val cw = Window.partitionBy("event_type")
+        ld(s, d, "events")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(cw))
+          .groupBy("event_type")
+          .agg(
+            max(col("n")).as("n"),
+            min(col("value")).as("vmin"),
+            min(when(col("rn") >= ceil(lit(0.5) * col("n")), col("value"))).as("p50"),
+            min(when(col("rn") >= ceil(lit(0.9) * col("n")), col("value"))).as("p90"),
+            max(col("value")).as("vmax"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, max(n) AS n, min(value) AS vmin,
+          min(CASE WHEN rn >= ceil(0.5 * n) THEN value END) AS p50,
+          min(CASE WHEN rn >= ceil(0.9 * n) THEN value END) AS p90,
+          max(value) AS vmax
+        FROM (SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events) t
+        GROUP BY event_type ORDER BY event_type""")),
+
+    OpQuery("q59_json_props",
+      // JSON extraction in the hot path: pull a typed field out of the
+      // events' JSON props column (codegen'd JsonPath — no UDF) and
+      // aggregate on it. The semi-structured sidecar-column pattern every
+      // event pipeline hits.
+      (s, d) => {
+        ld(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"), (col("k") % 10).as("kb"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type", "kb")
+      },
+      Some("""SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
+          count(*) AS n,
+          sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1, 2 ORDER BY event_type, kb"""))
   )
 }

@@ -296,6 +296,35 @@ object TextOps {
         SELECT d.doc_id, coalesce(h.n_hit, 0) AS n_hit,
                coalesce(h.n_hit, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
-        WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id"""))
+        WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""")),
+
+    OpQuery("q60_fuzzy_topk",
+      // Edit-distance fuzzy matching: top-3 nearest docs per query doc by
+      // levenshtein over a 32-char prefix (both engines implement the same
+      // integer DP). Deliberately the O(Q×N) brute-force contrast — the
+      // scale path for fuzzy dedup is the q17/q18 signature pipeline; this
+      // is the exact verifier one runs on candidate pairs.
+      (s, d) => {
+        val docs = ld(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 32).as("pfx"))
+        val q = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("pfx").as("qpfx"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("dist"), col("doc_id"))
+        broadcast(q).join(docs, col("qid") =!= col("doc_id"))
+          .withColumn("dist", levenshtein(col("qpfx"), col("pfx")).cast("long"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("doc_id").as("cand"), col("dist"))
+          .orderBy("qid", "rank")
+      },
+      Some("""SELECT qid, rank, cand, dist FROM (
+          SELECT q.doc_id AS qid, c.doc_id AS cand,
+            CAST(levenshtein(substr(q.text, 1, 32), substr(c.text, 1, 32)) AS BIGINT) AS dist,
+            row_number() OVER (PARTITION BY q.doc_id
+              ORDER BY levenshtein(substr(q.text, 1, 32), substr(c.text, 1, 32)), c.doc_id) AS rank
+          FROM (SELECT doc_id, text FROM documents WHERE doc_id < 5) q
+          JOIN documents c ON q.doc_id <> c.doc_id) t
+        WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }
