@@ -73,8 +73,10 @@ object Compaction {
 
     // compaction output is pure BASE state (no __origin dirs → origin 0 from
     // the scan, overridden: these are not change rows)
-    val newFiles = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
-      .map { case (f, _) => f.copy(delta = false) }
+    val scanned = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
+    val blooms = KeyBloom.forEpoch(spark, scanned.map(_._1), base.keyCols)
+    val newFiles = scanned
+      .map { case (f, _) => f.copy(delta = false, bloom = blooms.get(f.path)) }
     // touches exactly the chosen buckets — any concurrent commit on them
     // conflicts loudly (IceLite.commit) instead of losing files
     IceLite.commit(dir, base, IceLite.CommitDelta(
@@ -115,8 +117,10 @@ object Compaction {
     val rowsAfter = obs.get("rows").asInstanceOf[Long]
     val rowsBefore = preObs.get("rows").asInstanceOf[Long]
 
-    val newFiles = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
-      .map { case (f, _) => f.copy(delta = false) }
+    val scanned2 = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
+    val blooms2 = KeyBloom.forEpoch(spark, scanned2.map(_._1), base.keyCols)
+    val newFiles = scanned2
+      .map { case (f, _) => f.copy(delta = false, bloom = blooms2.get(f.path)) }
     IceLite.commitRebucket(dir, base, epochId, newBuckets, newFiles)
     CompactionStats(newBuckets, rowsBefore, rowsAfter, base.files.size)
   }

@@ -69,11 +69,24 @@ object IceLite {
   final case class DataFile(path: String, bucket: Int, rows: Long, schemaVersion: Int,
       delta: Boolean = false,
       minSeq: Long = Long.MinValue, maxSeq: Long = Long.MaxValue,
-      keyMin: Vector[String] = Vector.empty, keyMax: Vector[String] = Vector.empty) {
+      keyMin: Vector[String] = Vector.empty, keyMax: Vector[String] = Vector.empty,
+      /** per-file key Bloom filter ([[KeyBloom]]) — delta files are
+        * hash-sharded so key bounds span the bucket's whole range and prune
+        * nothing; the bloom is what keeps point-lookup file opens O(1) as
+        * uncompacted epochs accumulate. None = unknown = never pruned. */
+      bloom: Option[Array[Byte]] = None) {
     def mayContainKey(keyVals: Seq[String]): Boolean =
       keyMin.isEmpty || keyMax.isEmpty ||
         keyVals.indices.forall(i =>
           utf8Compare(keyVals(i), keyMin(i)) >= 0 && utf8Compare(keyVals(i), keyMax(i)) <= 0)
+    /** bounds AND bloom; `keyHash` is the Spark-canonical xxhash64 of the
+      * key columns (None when a key type is outside the host-hashable
+      * surface → bloom skipped, bounds still apply). */
+    def mayContainKeyHash(keyVals: Seq[String], keyHash: Option[Long]): Boolean =
+      mayContainKey(keyVals) && (keyHash match {
+        case Some(h) => bloom.forall(b => KeyBloom.mayContain(b, h))
+        case None => true
+      })
   }
 
   /** Parquet binary stats order strings by UNSIGNED UTF-8 BYTES; Java's
@@ -208,6 +221,7 @@ object IceLite {
     if (f.maxSeq != Long.MaxValue) o.put("maxSeq", f.maxSeq)
     if (f.keyMin.nonEmpty) { val a = o.putArray("keyMin"); f.keyMin.foreach(a.add) }
     if (f.keyMax.nonEmpty) { val a = o.putArray("keyMax"); f.keyMax.foreach(a.add) }
+    f.bloom.foreach(b => o.put("bloom", java.util.Base64.getEncoder.encodeToString(b)))
   }
 
   private def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
@@ -217,7 +231,8 @@ object IceLite {
       minSeq = Option(f.get("minSeq")).map(_.asLong()).getOrElse(Long.MinValue),
       maxSeq = Option(f.get("maxSeq")).map(_.asLong()).getOrElse(Long.MaxValue),
       keyMin = Option(f.get("keyMin")).map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty),
-      keyMax = Option(f.get("keyMax")).map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty))
+      keyMax = Option(f.get("keyMax")).map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty),
+      bloom = Option(f.get("bloom")).map(n => java.util.Base64.getDecoder.decode(n.asText())))
 
   private def toJson(s: Snapshot): String = {
     val root = mapper.createObjectNode()
@@ -735,10 +750,18 @@ object IceLite {
 
   def lookup(spark: SparkSession, snap: Snapshot, key: Map[String, Any]): DataFrame = {
     require(snap.keyCols.forall(key.contains), s"need all key cols ${snap.keyCols}")
-    val bucket = bucketOfKey(spark, snap, key)
-    val keyVals = snap.keyCols.map(k => String.valueOf(key(k)))
-    val pruned = read(spark, snap,
-      f => f.bucket == bucket && f.mayContainKey(keyVals))
+    // shares lookupFiles' full pruning stack (bucket + bounds + bloom); for
+    // key types outside the host-hash surface fall back to a Spark-side
+    // bucket derivation with bounds-only pruning
+    val pruned =
+      if (graft.functions.XxHash64Host.supports(snap.keyCols.map(key))) {
+        val ok = lookupFiles(snap, key).map(_.path).toSet
+        read(spark, snap, f => ok(f.path))
+      } else {
+        val bucket = bucketOfKey(spark, snap, key)
+        val keyVals = snap.keyCols.map(k => String.valueOf(key(k)))
+        read(spark, snap, f => f.bucket == bucket && f.mayContainKey(keyVals))
+      }
     snap.keyCols.foldLeft(pruned) { (df, k) =>
       df.filter(col(k) === lit(key(k)))
     }
@@ -835,7 +858,19 @@ object IceLite {
     var bestSeq = Long.MinValue
     var bestDel = false
     var bestVals: Map[String, Any] = null
-    files.foreach { f =>
+    // newest files first (path tiebreak for determinism): once the found
+    // winner's __seq strictly exceeds the next file's maxSeq, no remaining
+    // row can win the `seq > bestSeq` fold — with blooms pruning the
+    // candidate list, the common case opens exactly one file. maxSeq
+    // defaults to Long.MaxValue when footer stats were unreadable, so
+    // stat-less files are never skipped.
+    val ordered = files.sortBy(f => (-f.maxSeq, f.path))
+    val it = ordered.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val f = it.next()
+      if (bestVals != null && bestSeq > f.maxSeq) done = true
+      else {
       val old = snap.schemas(f.schemaVersion)
       val oldById = old.map(c => c.id -> c).toMap
       val oldByName = old.map(c => c.name -> c).toMap
@@ -897,6 +932,7 @@ object IceLite {
           g = reader.read()
         }
       } finally reader.close()
+      }
     }
     if (bestVals == null || bestDel) None else Some(bestVals)
   }
@@ -916,13 +952,31 @@ object IceLite {
     * audit stats pruning. Bucket-prunes host-side (no Spark job) for
     * supported key types, then intersects with footer key bounds. */
   def lookupFiles(snap: Snapshot, key: Map[String, Any]): Vector[DataFile] = {
+    import org.apache.spark.sql.types._
     val keyVals = snap.keyCols.map(k => String.valueOf(key(k)))
-    val vals = snap.keyCols.map(key)
+    val curByName = snap.currentSchema.map(c => c.name -> c).toMap
+    // normalize probe values to the COLUMN's declared type before hashing —
+    // Spark hashed the stored column at its type, so an Int probe against a
+    // BIGINT key must hash as a Long to land in the right bucket (and hit
+    // the right bloom bits)
+    val vals = snap.keyCols.map { k =>
+      (curByName.get(k).map(_.sparkType), key(k)) match {
+        case (Some(LongType), n: Number) => n.longValue()
+        case (Some(IntegerType), n: Number) => n.intValue()
+        case (Some(ShortType), n: Number) => n.shortValue()
+        case (_, v) => v
+      }
+    }
+    val hostHashable = graft.functions.XxHash64Host.supports(vals)
     val byBucket =
-      if (graft.functions.XxHash64Host.supports(vals)) {
+      if (hostHashable) {
         val b = graft.functions.XxHash64Host.bucketOf(vals, snap.buckets)
         snap.files.filter(_.bucket == b)
       } else snap.files
-    byBucket.filter(_.mayContainKey(keyVals))
+    // the bloom element hash is the SAME Spark-canonical column hash the
+    // bucket derives from (different probe seeds decorrelate the bits)
+    val keyHash =
+      if (hostHashable) Some(graft.functions.XxHash64Host.hashColumns(vals)) else None
+    byBucket.filter(_.mayContainKeyHash(keyVals, keyHash))
   }
 }

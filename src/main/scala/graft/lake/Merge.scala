@@ -248,8 +248,14 @@ object Merge {
     // over any concurrent disjoint commit); on an overlapping rewrite the
     // commit fails loudly (IceLite.commit). Footer stats (rows, key bounds,
     // __seq range) ride each DataFile for manifest-level pruning.
-    val newFiles = IceLite.scanEpochFiles(epochDir, schemaVersion, keyCols)
-      .map { case (f, origin) => f.copy(delta = origin == 0) }
+    val scanned = IceLite.scanEpochFiles(epochDir, schemaVersion, keyCols)
+    // per-file key blooms for the small (delta-sized) files just written —
+    // one narrow key-column job over the epoch, skipped when every file is
+    // over KeyBloom.RowCap (bulk-replay epochs)
+    val blooms = KeyBloom.forEpoch(spark, scanned.map(_._1), keyCols)
+    lap("bloom")
+    val newFiles = scanned
+      .map { case (f, origin) => f.copy(delta = origin == 0, bloom = blooms.get(f.path)) }
     IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema, batchMaxSeq))
     lap("commit")
 

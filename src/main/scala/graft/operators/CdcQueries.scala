@@ -558,6 +558,118 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q42")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path LIMIT 20""")),
 
+    OpQuery("q61_bloom_lookup",
+      // point lookups against a DELTA-HEAVY table (5 uncompacted epochs):
+      // the manifest-carried per-file key blooms (KeyBloom) must cut the
+      // candidate file set hard — delta files are hash-sharded, so key
+      // bounds prune nothing inside a bucket and, without blooms, every
+      // epoch's delta files get opened per GET. The gate hard-asserts the
+      // pruning ratio (≥2x on live keys, ≥5x on absent keys) AND serves
+      // every probed key through BOTH lookup paths; the oracle re-derives
+      // the served rows from the decoded dump (LWW fold) — an over-eager
+      // bloom (false negative) surfaces as a missing/stale row here.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q61")
+        val root = workDir("q61")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 6000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 5)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        val snap = IceLite.load(tableDir)
+        val deltas = snap.files.filter(_.delta)
+        require(deltas.length >= 5 * 8,
+          s"fixture must be delta-heavy (got ${deltas.length} delta files)")
+        require(deltas.forall(_.bloom.isDefined), "delta files must carry blooms")
+        val noBloom = snap.copy(files = snap.files.map(_.copy(bloom = None)))
+
+        val keyPool = clock("key_list") {
+          IceLite.read(s, snap).select("repo", "path")
+            .orderBy("repo", "path").limit(120)
+            .as[(String, String)].collect()
+        }
+        val keys = keyPool.take(20)
+        keys.headOption.foreach { case (r, p) => // JIT/classload warmup
+          IceLite.lookupLocal(snap, Map("repo" -> r, "path" -> p))
+        }
+        var candWith = 0L; var candWithout = 0L
+        val localLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val result = clock("lookups") {
+          var schema: org.apache.spark.sql.types.StructType = null
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+          val rows = keys.toSeq.flatMap { case (r, p) =>
+            val key = Map[String, Any]("repo" -> r, "path" -> p)
+            candWith += IceLite.lookupFiles(snap, key).length
+            candWithout += IceLite.lookupFiles(noBloom, key).length
+            val t0 = System.nanoTime()
+            val loc = IceLite.lookupLocal(snap, key)
+            localLat += (System.nanoTime() - t0) / 1e6
+            val df = IceLite.lookup(s, snap, key)
+              .select(col("repo"), col("path"), col("commit"), col("lang"),
+                sha2(col("content"), 256).as("content_sha"), col("author"))
+            schema = df.schema
+            val out = df.collect()
+            require(loc.isDefined && out.length == 1,
+              s"lookupLocal/lookup disagree on presence of ($r, $p)")
+            val m = loc.get
+            val contentBytes = m("content") match {
+              case b: Array[Byte] => b
+              case s2: String => s2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }
+            val locSha = sha.digest(contentBytes).map(b => f"$b%02x").mkString
+            val same = Seq("repo" -> m("repo"), "path" -> m("path"),
+              "commit" -> m("commit"), "lang" -> m("lang"),
+              "content_sha" -> locSha, "author" -> m("author"))
+              .forall { case (cn, lv) => lv == out(0).getAs[Any](cn) }
+            require(same, s"lookupLocal row differs from Spark lookup for ($r, $p)")
+            out.toSeq
+          }
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.asJava, schema).orderBy("repo", "path")
+        }
+        // absent keys: the dedup/existence-check workload — blooms should
+        // answer nearly all of them with ZERO file opens. Ghost keys are
+        // DERIVED from live ones (real repo, live path + suffix) so they
+        // land INSIDE the per-file key bounds — bounds prune nothing, the
+        // bloom is what answers the probe
+        var ghostWith = 0L; var ghostWithout = 0L
+        clock("absent_probes") {
+          keyPool.takeRight(20).foreach { case (r, p) =>
+            val key = Map[String, Any]("repo" -> r, "path" -> s"$p!g")
+            ghostWith += IceLite.lookupFiles(snap, key).length
+            ghostWithout += IceLite.lookupFiles(noBloom, key).length
+            require(IceLite.lookupLocal(snap, key).isEmpty, s"ghost key $key served")
+          }
+        }
+        require(candWith * 2 <= candWithout,
+          s"blooms must prune ≥2x on live keys: $candWith vs $candWithout")
+        require(ghostWith * 5 <= ghostWithout,
+          s"blooms must prune ≥5x on absent keys: $ghostWith vs $ghostWithout")
+        putMetric("q61", "live_files_bloom", candWith.toDouble)
+        putMetric("q61", "live_files_bounds_only", candWithout.toDouble)
+        putMetric("q61", "absent_files_bloom", ghostWith.toDouble)
+        putMetric("q61", "absent_files_bounds_only", ghostWithout.toDouble)
+        val sorted = localLat.sorted
+        putMetric("q61", "lookup_local_med_ms", sorted(sorted.length / 2))
+        result
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q61")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path LIMIT 20""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
