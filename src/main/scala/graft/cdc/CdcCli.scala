@@ -151,6 +151,14 @@ object CdcCli {
       val snap = IceLite.dropColumn(tableDir, epochId, colName)
       println(s"dropped $colName (field id retired: ${snap.retiredIds.toSeq.sorted.mkString(",")}); " +
         s"table at v${snap.version}, schema v${snap.currentSchemaVersion}")
+    case "rename-column" :: tableDir :: from :: to :: rest =>
+      // schema-only DDL: metadata rename, no file rewrite (reads resolve by
+      // field id); the id is PINNED so older writer descriptors cannot
+      // rename it back — their values still land (id-matched batch columns)
+      val epochId = rest.headOption.getOrElse(s"ddl-${System.nanoTime()}")
+      val snap = IceLite.renameColumn(tableDir, epochId, from, to)
+      println(s"renamed $from -> $to (field id pinned: ${snap.pinnedIds.toSeq.sorted.mkString(",")}); " +
+        s"table at v${snap.version}, schema v${snap.currentSchemaVersion}")
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val expired = graft.lake.Compaction.expire(tableDir, keep)

@@ -179,7 +179,13 @@ object IceLite {
         * field (older writer descriptor) must NOT silently resurrect it —
         * Iceberg's drop-column rule is that a re-added column takes a NEW
         * id. Merge.evolve filters additions against this set. */
-      retiredIds: Set[Int] = Set.empty) {
+      retiredIds: Set[Int] = Set.empty,
+      /** field ids renamed by DDL (renameColumn): the table's name for a
+        * pinned id is AUTHORITATIVE — a later batch whose (older) writer
+        * descriptor still carries the pre-rename name must not silently
+        * rename the column back through Merge.evolve (its VALUES still
+        * land: batch normalization matches by field id). */
+      pinnedIds: Set[Int] = Set.empty) {
     def currentSchemaVersion: Int = schemas.length - 1
     def currentSchema: Vector[ColDef] = schemas.last
     def currentStruct: StructType = structOf(currentSchema)
@@ -259,6 +265,9 @@ object IceLite {
     if (s.retiredIds.nonEmpty) {
       val rids = root.putArray("retiredIds"); s.retiredIds.toSeq.sorted.foreach(rids.add)
     }
+    if (s.pinnedIds.nonEmpty) {
+      val pids = root.putArray("pinnedIds"); s.pinnedIds.toSeq.sorted.foreach(pids.add)
+    }
     val mans = root.putArray("manifests")
     s.manifests.foreach { m =>
       val o = mans.addObject()
@@ -301,6 +310,8 @@ object IceLite {
         ManifestRef(m.get("path").asText(), m.get("range").asInt(),
           m.get("fileCount").asInt())).toVector).getOrElse(Vector.empty),
       retiredIds = Option(n.get("retiredIds"))
+        .map(_.elements().asScala.map(_.asInt()).toSet).getOrElse(Set.empty),
+      pinnedIds = Option(n.get("pinnedIds"))
         .map(_.elements().asScala.map(_.asInt()).toSet).getOrElse(Set.empty))
   }
 
@@ -395,7 +406,11 @@ object IceLite {
       /** highest __seq in this epoch's batch (-1 = none/unknown). */
       maxSeq: Long = -1L,
       /** field ids to RETIRE with this commit (dropColumn). */
-      retireIds: Set[Int] = Set.empty)
+      retireIds: Set[Int] = Set.empty,
+      /** field ids whose current name becomes DDL-authoritative with this
+        * commit (renameColumn) — descriptor-driven evolution stops renaming
+        * them. */
+      pinIds: Set[Int] = Set.empty)
 
   /** Commit `delta` on top of `base`. Returns the committed snapshot, or the
     * CURRENT snapshot unchanged if the epoch was already committed by someone
@@ -489,7 +504,8 @@ object IceLite {
         files = newFiles,
         manifests = keptRefs ++ newRefs,
         maxSeq = math.max(cur.maxSeq, delta.maxSeq),
-        retiredIds = cur.retiredIds ++ delta.retireIds)
+        retiredIds = cur.retiredIds ++ delta.retireIds,
+        pinnedIds = cur.pinnedIds ++ delta.pinIds)
       if (writeAtomic(dir, attempt)) return attempt
       // lost the race — re-read, re-fence, rebase or fail. Manifests written
       // for the failed attempt become orphans; vacuum() sweeps them.
@@ -543,6 +559,30 @@ object IceLite {
     require(!target.hidden, s"cannot drop hidden column $colName")
     commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
       cur.filterNot(_.name == colName), retireIds = Set(target.id)))
+  }
+
+  /** Schema-only DDL commit: RENAME a data column (Iceberg rename
+    * semantics — metadata-only, no file rewrite; reads resolve by field
+    * id, so files written under the old name keep serving). The field id
+    * is PINNED: a later batch whose older writer descriptor still carries
+    * the pre-rename name cannot rename the column back through
+    * Merge.evolve — but its values still land, because batch
+    * normalization matches columns by field id, not name. Key columns
+    * cannot be renamed (the key list, bucket derivation, and MERGE key
+    * resolution are name-addressed); neither can hidden CDC columns. */
+  def renameColumn(dir: String, epochId: String, from: String, to: String): Snapshot = {
+    val base = load(dir)
+    if (base.hasEpoch(epochId)) return base
+    val cur = base.currentSchema
+    val target = cur.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $from"))
+    require(!base.keyCols.contains(from), s"cannot rename key column $from")
+    require(!target.hidden, s"cannot rename hidden column $from")
+    require(!cur.exists(_.name == to), s"column $to already exists")
+    require(to.nonEmpty && !to.startsWith("__"), s"invalid column name: $to")
+    commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
+      cur.map(c => if (c.id == target.id) c.copy(name = to) else c),
+      pinIds = Set(target.id)))
   }
 
   // ------------------------------------------------------------ file stats

@@ -46,12 +46,18 @@ object Merge {
     * descriptor that still carries the dropped field must not resurrect it
     * (Iceberg's rule: re-adding a dropped column takes a NEW id). */
   def evolve(current: Vector[ColDef], incoming: Vector[ColDef],
-      retired: Set[Int] = Set.empty): Vector[ColDef] = {
+      retired: Set[Int] = Set.empty,
+      /** ids renamed by DDL (IceLite.renameColumn): the table's name is
+        * authoritative — an older writer descriptor carrying the
+        * pre-rename name must not rename the column back (widening still
+        * applies). */
+      pinned: Set[Int] = Set.empty): Vector[ColDef] = {
     val byId = current.map(c => c.id -> c).toMap
     val updated = current.map { c =>
       incoming.find(_.id == c.id) match {
         case Some(in) if in.name != c.name || widens(c, in) =>
-          c.copy(name = in.name, dataType = if (widens(c, in)) in.dataType else c.dataType)
+          c.copy(name = if (pinned(c.id)) c.name else in.name,
+            dataType = if (widens(c, in)) in.dataType else c.dataType)
         case _ => c
       }
     }
@@ -109,7 +115,7 @@ object Merge {
     val keyCols = base.keyCols
     val dataColDefs = colDefsOf(org.apache.spark.sql.types.StructType(
       updates.schema.fields.filterNot(f => f.name == seqCol || f.name == opCol)))
-    val newSchema = evolve(base.currentSchema, dataColDefs, base.retiredIds)
+    val newSchema = evolve(base.currentSchema, dataColDefs, base.retiredIds, base.pinnedIds)
     val schemas = if (newSchema == base.currentSchema) base.schemas else base.schemas :+ newSchema
     val schemaVersion = schemas.length - 1
 
@@ -118,10 +124,20 @@ object Merge {
     // evolved table has that this batch lacks (old-descriptor events)
     val visible = newSchema.filterNot(_.hidden)
     val updCols = updates.columns.toSet
+    // resolve batch columns by FIELD ID first (graft.fieldId metadata),
+    // then by name: after a DDL rename the table's name differs from an
+    // old writer descriptor's, but the values must still land
+    val incomingNameById: Map[Int, String] = updates.schema.fields.iterator
+      .filter(f => f.metadata.contains("graft.fieldId"))
+      .map(f => f.metadata.getLong("graft.fieldId").toInt -> f.name).toMap
+    def sourceCol(cd: ColDef): Option[String] =
+      incomingNameById.get(cd.id).orElse(if (updCols(cd.name)) Some(cd.name) else None)
     val batch = updates.select(
       (visible.map(cd =>
-        (if (updCols(cd.name)) col(cd.name).cast(cd.sparkType)
-         else lit(null).cast(cd.sparkType)).as(cd.name)) :+
+        (sourceCol(cd) match {
+          case Some(src) => col(src).cast(cd.sparkType)
+          case None => lit(null).cast(cd.sparkType)
+        }).as(cd.name)) :+
         col(seqCol).cast("long").as(IceLite.SeqCol.name) :+
         (col(opCol) === "DELETE").as(IceLite.DelCol.name)): _*)
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))

@@ -458,6 +458,78 @@ object CdcQueries {
           WHERE rn = 1 AND op <> 'DELETE') u
         ORDER BY as_of, repo, path""")),
 
+    OpQuery("q62_rename_travel",
+      // RENAME DDL + TIME TRAVEL under the hard gate: replay epochs 0-1,
+      // RENAME `author` → `author_name` (metadata-only; the field id is
+      // PINNED), then replay epoch 2 whose writer descriptors still say
+      // `author`. Three things must hold at once: (a) the current read
+      // serves `author_name` — including epoch-2 VALUES, which land via
+      // field-id-matched batch normalization despite the old name; (b) the
+      // pin stops epoch 2's descriptors renaming the column back; (c) AS OF
+      // the pre-rename snapshot still serves `author`. The oracle folds the
+      // decoded dump (where the column is always `author`) for both legs —
+      // null-filled epoch-2 authors, a reverted rename, or a mutated old
+      // snapshot all break equality or throw.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q62")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val log = s.read.parquet(logDir)
+        (0 until 3).map { e =>
+          val ev = log.filter(col("epoch") === e)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        val log01 = s"$root/log01"; val log2 = s"$root/log2"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
+        Seq(0, 1).foreach(e => java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, s"epoch=$e"),
+          java.nio.file.Paths.get(log01, s"epoch=$e")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(log2, "epoch=2"))
+        Replay.replayLog(s, log01, tableDir, buckets = 8)
+        val preRename = IceLite.load(tableDir).version
+        IceLite.renameColumn(tableDir, "ddl-rn", "author", "author_name")
+        Replay.replayLog(s, log2, tableDir, buckets = 8) // old descriptors say `author`
+        val cur = IceLite.read(s, IceLite.load(tableDir))
+        require(cur.columns.contains("author_name") && !cur.columns.contains("author"),
+          "rename must hold after old-descriptor epochs (pinned id)")
+        val curHalf = cur.select(lit("cur").as("as_of"),
+          col("repo"), col("path"), col("commit"),
+          sha2(col("content"), 256).as("content_sha"),
+          col("author_name"))
+        val oldSnap = IceLite.read(s, IceLite.loadVersion(tableDir, preRename))
+        require(oldSnap.columns.contains("author") && !oldSnap.columns.contains("author_name"),
+          "pre-rename snapshot must keep the old name")
+        val asofHalf = oldSnap.select(lit("v2").as("as_of"),
+          col("repo"), col("path"), col("commit"),
+          sha2(col("content"), 256).as("content_sha"),
+          col("author").as("author_name"))
+        curHalf.unionByName(asofHalf).orderBy("as_of", "repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q62")}/decoded/*.parquet'))
+        SELECT * FROM (
+          SELECT 'cur' AS as_of, repo, path, "commit",
+                 sha256(content) AS content_sha, author AS author_name
+          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM d) t
+          WHERE rn = 1 AND op <> 'DELETE'
+          UNION ALL
+          SELECT 'v2' AS as_of, repo, path, "commit",
+                 sha256(content) AS content_sha, author AS author_name
+          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM d WHERE epoch <= 1) t2
+          WHERE rn = 1 AND op <> 'DELETE') u
+        ORDER BY as_of, repo, path""")),
+
     OpQuery("q42_point_lookup",
       // the lake's primary-key GET under the hard gate: replay a seeded
       // log, then serve the 20 smallest live keys via IceLite.lookup —

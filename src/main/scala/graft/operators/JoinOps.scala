@@ -142,6 +142,53 @@ object JoinOps {
           ON ev.user_id = r.o_custkey AND ev.as_of_ts >= r.o_orderdate
         ORDER BY event_id""")),
 
+    // Streaming temporal-enrichment gate: the SAME as-of semantics as q52,
+    // but the fact side arrives as a STREAM in two waves with a checkpoint
+    // resume between them — each microbatch is enriched in foreachBatch
+    // (EnrichStream) and appended idempotently (per-batch overwrite dirs).
+    // The oracle is q52's: DuckDB ASOF LEFT JOIN over ALL facts — a lost
+    // microbatch, a duplicated replay, or a wave served against the wrong
+    // dim state all break row counts or values.
+    OpQuery("q63_stream_enrich",
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q63"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val streamDir = s"$root/stream"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+        val ev = ld(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, CAST(event_id % 2400 AS INT), 0, 0, 0)")
+            .as("as_of_ts"))
+        val ord = ld(s, d, "orders")
+        val factSchema = ev.schema
+        def wave(pred: org.apache.spark.sql.Column): Unit = {
+          ev.filter(pred).repartition(3).write.mode("append").parquet(streamDir)
+          graft.streaming.EnrichStream.runWave(s, streamDir, factSchema, ord,
+            outDir, ckpt, "user_id", "o_custkey", "as_of_ts", "o_orderdate",
+            "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+        }
+        wave(col("event_id") % 2 === 0)
+        wave(col("event_id") % 2 === 1) // resumes from the same checkpoint
+        s.read.parquet(outDir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("as_of_ts")).as("asof_us"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id,
+            TIMESTAMP '1995-01-01' + (event_id % 2400) * INTERVAL 1 DAY AS as_of_ts
+          FROM events
+        ), r AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT ev.event_id, ev.user_id, epoch_us(ev.as_of_ts) AS asof_us,
+               r.o_orderkey, r.o_totalprice
+        FROM ev ASOF LEFT JOIN r
+          ON ev.user_id = r.o_custkey AND ev.as_of_ts >= r.o_orderdate
+        ORDER BY event_id""")),
+
     // Range-join gate: all events within ±30 s of any purchase event
     // (excluding the purchase itself) — the no-equi-key proximity case.
     OpQuery("q54_range_join",

@@ -1113,6 +1113,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(!IceLite.read(spark, IceLite.load(dir)).columns.contains("lang"))
   }
 
+  test("renameColumn pins the field id: old-descriptor batches keep landing values, name stays") {
+    import spark.implicits._
+    val dir = tmp("renamecol")
+    Replay.createTable(dir, buckets = 2)
+    def upd(rows: Seq[(String, String, String, Long, String)]): DataFrame = {
+      val df = rows.toDF("repo", "path", "content", "seq", "op")
+        .withColumn("commit", lit("c")).withColumn("lang", lit("scala"))
+      val ids = Map("repo" -> 1, "path" -> 2, "commit" -> 3, "lang" -> 4, "content" -> 5)
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", id.toLong).build())
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Merge.mergeEpoch(spark, dir, upd(Seq(("r1", "a", "v0", 10L, "UPSERT"))), "seq", "op", "rn-0")
+    val vBefore = IceLite.load(dir).version
+    IceLite.renameColumn(dir, "ddl-rn", "lang", "language")
+    val after = IceLite.load(dir)
+    assert(after.pinnedIds == Set(4))
+    // metadata-only: the stored file still carries "lang" bytes; reads
+    // resolve by field id and serve the NEW name with the old values
+    val t0 = IceLite.read(spark, after)
+    assert(t0.columns.contains("language") && !t0.columns.contains("lang"))
+    assert(t0.select("language").as[String].collect().toSeq == Seq("scala"))
+    // fenced: replaying the DDL epoch is a no-op
+    assert(IceLite.renameColumn(dir, "ddl-rn", "lang", "language").version == after.version)
+
+    // a later batch from the OLD writer descriptor still says "lang" (same
+    // field id 4): the pin keeps the table's name, the VALUES still land
+    val oldDescBatch = upd(Seq(("r1", "a", "v1", 20L, "UPSERT")))
+      .withColumn("lang2", lit("java"))
+      .drop("lang").withColumnRenamed("lang2", "lang")
+      .select(col("repo"), col("path"), col("content"), col("seq"), col("op"), col("commit"),
+        col("lang").as("lang", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.fieldId", 4L).build()))
+    Merge.mergeEpoch(spark, dir, oldDescBatch, "seq", "op", "rn-1")
+    val t1 = IceLite.read(spark, IceLite.load(dir))
+    assert(t1.columns.contains("language") && !t1.columns.contains("lang"))
+    assert(t1.select("language").as[String].collect().toSeq == Seq("java"),
+      "old-descriptor batch values must land in the renamed column (id-matched)")
+    // the serving path agrees
+    val got = IceLite.lookupLocal(IceLite.load(dir), Map("repo" -> "r1", "path" -> "a"))
+    assert(got.get("language") == "java" && !got.get.contains("lang"))
+
+    // time travel: the pre-rename version still serves the OLD name
+    val old = IceLite.read(spark, IceLite.loadVersion(dir, vBefore))
+    assert(old.columns.contains("lang") && !old.columns.contains("language"))
+
+    // guard rails
+    intercept[IllegalArgumentException] { IceLite.renameColumn(dir, "ddl-x", "repo", "r2") }
+    intercept[IllegalArgumentException] { IceLite.renameColumn(dir, "ddl-x", "nope", "x") }
+    intercept[IllegalArgumentException] { IceLite.renameColumn(dir, "ddl-x", "language", "content") }
+  }
+
   test("vacuum retention age: young orphans survive the default sweep (in-flight-commit safety)") {
     val dir = tmp("vacage")
     Replay.createTable(dir, buckets = 2)
