@@ -159,6 +159,13 @@ object CdcCli {
       val snap = IceLite.renameColumn(tableDir, epochId, from, to)
       println(s"renamed $from -> $to (field id pinned: ${snap.pinnedIds.toSeq.sorted.mkString(",")}); " +
         s"table at v${snap.version}, schema v${snap.currentSchemaVersion}")
+    case "create-index" :: tableDir :: colName :: rest =>
+      // secondary bloom index: per-bucket value blooms, backfilled now and
+      // kept fresh by every later commit; readWhere prunes whole buckets
+      val epochId = rest.headOption.getOrElse(s"idx-${System.nanoTime()}")
+      val snap = IceLite.addBloomIndex(spark, tableDir, epochId, colName)
+      println(s"indexed $colName (indexed cols: ${snap.indexedCols.toSeq.sorted.mkString(",")}); " +
+        s"table at v${snap.version}")
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val expired = graft.lake.Compaction.expire(tableDir, keep)

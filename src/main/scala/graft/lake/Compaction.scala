@@ -77,10 +77,26 @@ object Compaction {
     val blooms = KeyBloom.forEpoch(spark, scanned.map(_._1), base.keyCols)
     val newFiles = scanned
       .map { case (f, _) => f.copy(delta = false, bloom = blooms.get(f.path)) }
+    // secondary bloom index: a compaction rewrites the chosen buckets' FULL
+    // state, so their value blooms are REPLACED from the output — this is
+    // where deleted values finally shed from the index (the OR path on
+    // append epochs can only grow it). Chosen buckets with no surviving
+    // rows get an empty bloom, not a stale one.
+    val valueRep =
+      if (base.indexedCols.isEmpty) Map.empty[String, Map[Int, Array[Byte]]]
+      else {
+        val computed = KeyBloom.valueBloomsForEpoch(spark, newFiles,
+          base.indexedCols.toSeq.sorted)
+        base.indexedCols.toSeq.sorted.map { c =>
+          val byBucket = computed.getOrElse(c, Map.empty)
+          c -> chosen.map(b => b -> byBucket.getOrElse(b,
+            new Array[Byte](KeyBloom.FixedBits >>> 3))).toMap
+        }.toMap
+      }
     // touches exactly the chosen buckets — any concurrent commit on them
     // conflicts loudly (IceLite.commit) instead of losing files
     IceLite.commit(dir, base, IceLite.CommitDelta(
-      epochId, chosen, newFiles, base.currentSchema))
+      epochId, chosen, newFiles, base.currentSchema, valueBloomReplace = valueRep))
     // filesReplaced: superseded by the new per-bucket files; physical removal
     // happens in vacuum once time travel can go
     CompactionStats(chosen.size, rowsBefore, rowsAfter, oldFiles.size)
@@ -121,7 +137,11 @@ object Compaction {
     val blooms2 = KeyBloom.forEpoch(spark, scanned2.map(_._1), base.keyCols)
     val newFiles = scanned2
       .map { case (f, _) => f.copy(delta = false, bloom = blooms2.get(f.path)) }
-    IceLite.commitRebucket(dir, base, epochId, newBuckets, newFiles)
+    // the value index is recomputed under the NEW bucket numbering
+    val newValueIndex =
+      if (base.indexedCols.isEmpty) Map.empty[String, Map[Int, Array[Byte]]]
+      else KeyBloom.valueBloomsForEpoch(spark, newFiles, base.indexedCols.toSeq.sorted)
+    IceLite.commitRebucket(dir, base, epochId, newBuckets, newFiles, newValueIndex)
     CompactionStats(newBuckets, rowsBefore, rowsAfter, base.files.size)
   }
 

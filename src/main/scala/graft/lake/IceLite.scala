@@ -185,7 +185,17 @@ object IceLite {
         * descriptor still carries the pre-rename name must not silently
         * rename the column back through Merge.evolve (its VALUES still
         * land: batch normalization matches by field id). */
-      pinnedIds: Set[Int] = Set.empty) {
+      pinnedIds: Set[Int] = Set.empty,
+      /** non-key columns with a SECONDARY BLOOM INDEX (addBloomIndex):
+        * per-bucket fixed-size value blooms in `valueIndex`, kept fresh by
+        * every commit — readWhere prunes whole buckets for equality
+        * predicates. Bucket (not file) granularity because merge-on-read
+        * resolution is per key: a sibling file may carry the newer version
+        * of a matching key, so files can't be skipped individually. */
+      indexedCols: Set[String] = Set.empty,
+      /** col → bucket → fixed-size bloom ([[KeyBloom.FixedBits]]). A
+        * missing (col, bucket) entry means "may contain" (sound). */
+      valueIndex: Map[String, Map[Int, Array[Byte]]] = Map.empty) {
     def currentSchemaVersion: Int = schemas.length - 1
     def currentSchema: Vector[ColDef] = schemas.last
     def currentStruct: StructType = structOf(currentSchema)
@@ -268,6 +278,18 @@ object IceLite {
     if (s.pinnedIds.nonEmpty) {
       val pids = root.putArray("pinnedIds"); s.pinnedIds.toSeq.sorted.foreach(pids.add)
     }
+    if (s.indexedCols.nonEmpty) {
+      val ics = root.putArray("indexedCols"); s.indexedCols.toSeq.sorted.foreach(ics.add)
+    }
+    if (s.valueIndex.nonEmpty) {
+      val vi = root.putObject("valueIndex")
+      s.valueIndex.toSeq.sortBy(_._1).foreach { case (c, byBucket) =>
+        val o = vi.putObject(c)
+        byBucket.toSeq.sortBy(_._1).foreach { case (b, bloom) =>
+          o.put(b.toString, java.util.Base64.getEncoder.encodeToString(bloom))
+        }
+      }
+    }
     val mans = root.putArray("manifests")
     s.manifests.foreach { m =>
       val o = mans.addObject()
@@ -312,7 +334,16 @@ object IceLite {
       retiredIds = Option(n.get("retiredIds"))
         .map(_.elements().asScala.map(_.asInt()).toSet).getOrElse(Set.empty),
       pinnedIds = Option(n.get("pinnedIds"))
-        .map(_.elements().asScala.map(_.asInt()).toSet).getOrElse(Set.empty))
+        .map(_.elements().asScala.map(_.asInt()).toSet).getOrElse(Set.empty),
+      indexedCols = Option(n.get("indexedCols"))
+        .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty),
+      valueIndex = Option(n.get("valueIndex")).map { vi =>
+        vi.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map { be =>
+            be.getKey.toInt -> java.util.Base64.getDecoder.decode(be.getValue.asText())
+          }.toMap
+        }.toMap
+      }.getOrElse(Map.empty))
   }
 
   // ------------------------------------------------------------- manifests
@@ -410,7 +441,18 @@ object IceLite {
       /** field ids whose current name becomes DDL-authoritative with this
         * commit (renameColumn) — descriptor-driven evolution stops renaming
         * them. */
-      pinIds: Set[Int] = Set.empty)
+      pinIds: Set[Int] = Set.empty,
+      /** columns becoming bloom-indexed with this commit (addBloomIndex). */
+      indexCols: Set[String] = Set.empty,
+      /** columns whose bloom index is removed (dropColumn of an indexed
+        * column; renameColumn re-keys via unindex(from) + index(to)). */
+      unindexCols: Set[String] = Set.empty,
+      /** per-bucket value blooms OR-merged into the index (append epochs:
+        * the batch's values join the bucket's accumulated set). */
+      valueBloomOr: Map[String, Map[Int, Array[Byte]]] = Map.empty,
+      /** per-bucket value blooms REPLACING the index entry (full-state
+        * rewrites: compaction/backfill shed deleted values). */
+      valueBloomReplace: Map[String, Map[Int, Array[Byte]]] = Map.empty)
 
   /** Commit `delta` on top of `base`. Returns the committed snapshot, or the
     * CURRENT snapshot unchanged if the epoch was already committed by someone
@@ -505,7 +547,10 @@ object IceLite {
         manifests = keptRefs ++ newRefs,
         maxSeq = math.max(cur.maxSeq, delta.maxSeq),
         retiredIds = cur.retiredIds ++ delta.retireIds,
-        pinnedIds = cur.pinnedIds ++ delta.pinIds)
+        pinnedIds = cur.pinnedIds ++ delta.pinIds,
+        indexedCols = (cur.indexedCols -- delta.unindexCols) ++ delta.indexCols,
+        valueIndex = mergeValueIndex(cur.valueIndex -- delta.unindexCols,
+          delta.valueBloomOr, delta.valueBloomReplace))
       if (writeAtomic(dir, attempt)) return attempt
       // lost the race — re-read, re-fence, rebase or fail. Manifests written
       // for the failed attempt become orphans; vacuum() sweeps them.
@@ -515,12 +560,32 @@ object IceLite {
     throw new IllegalStateException("commit retry limit exceeded")
   }
 
+  /** OR-merge then REPLACE per-bucket value blooms into `cur` — OR is
+    * commutative (a commit retry re-ORing the same batch is idempotent);
+    * replace wins where both are present for the same (col, bucket). */
+  private def mergeValueIndex(
+      cur: Map[String, Map[Int, Array[Byte]]],
+      or: Map[String, Map[Int, Array[Byte]]],
+      replace: Map[String, Map[Int, Array[Byte]]]): Map[String, Map[Int, Array[Byte]]] = {
+    val cols = cur.keySet ++ or.keySet ++ replace.keySet
+    cols.iterator.map { c =>
+      val base = cur.getOrElse(c, Map.empty)
+      val ored = or.getOrElse(c, Map.empty).foldLeft(base) { case (acc, (b, bloom)) =>
+        acc.updated(b, acc.get(b).map(KeyBloom.orMerge(_, bloom)).getOrElse(bloom))
+      }
+      c -> (ored ++ replace.getOrElse(c, Map.empty))
+    }.toMap
+  }
+
   /** Commit a full-table REBUCKET: replaces every file and changes the
     * bucket count in one atomic snapshot. No rebase is possible (the
     * rewrite derives from the whole table), so any intervening commit
     * conflicts loudly; duplicate epochs fence as usual. */
   def commitRebucket(dir: String, base: Snapshot, epochId: String,
-      newBuckets: Int, newFiles: Vector[DataFile]): Snapshot = {
+      newBuckets: Int, newFiles: Vector[DataFile],
+      /** value blooms recomputed under the NEW bucket numbering — the old
+        * index is meaningless after a rebucket. */
+      newValueIndex: Map[String, Map[Int, Array[Byte]]] = Map.empty): Snapshot = {
     val cur = load(dir)
     if (cur.hasEpoch(epochId)) return cur
     if (cur.version != base.version)
@@ -532,7 +597,8 @@ object IceLite {
       buckets = newBuckets,
       files = newFiles,
       manifests = Vector.empty,
-      maxSeq = cur.maxSeq)
+      maxSeq = cur.maxSeq,
+      valueIndex = newValueIndex)
     val refs = newFiles.groupBy(f => attempt0.rangeOf(f.bucket)).toVector.sortBy(_._1)
       .map { case (r, fs) => writeManifest(dir, r, fs) }
     val attempt = attempt0.copy(manifests = refs)
@@ -558,7 +624,8 @@ object IceLite {
     require(!base.keyCols.contains(colName), s"cannot drop key column $colName")
     require(!target.hidden, s"cannot drop hidden column $colName")
     commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
-      cur.filterNot(_.name == colName), retireIds = Set(target.id)))
+      cur.filterNot(_.name == colName), retireIds = Set(target.id),
+      unindexCols = Set(colName))) // a dropped column's bloom index goes too
   }
 
   /** Schema-only DDL commit: RENAME a data column (Iceberg rename
@@ -580,9 +647,88 @@ object IceLite {
     require(!target.hidden, s"cannot rename hidden column $from")
     require(!cur.exists(_.name == to), s"column $to already exists")
     require(to.nonEmpty && !to.startsWith("__"), s"invalid column name: $to")
+    // an indexed column keeps its index under the new name (blooms hash
+    // values, not names — the map just re-keys)
+    val (idxAdd, idxRm, idxRep) =
+      if (base.indexedCols(from))
+        (Set(to), Set(from), Map(to -> base.valueIndex.getOrElse(from, Map.empty)))
+      else (Set.empty[String], Set.empty[String],
+        Map.empty[String, Map[Int, Array[Byte]]])
     commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
       cur.map(c => if (c.id == target.id) c.copy(name = to) else c),
-      pinIds = Set(target.id)))
+      pinIds = Set(target.id),
+      indexCols = idxAdd, unindexCols = idxRm, valueBloomReplace = idxRep))
+  }
+
+  /** CREATE INDEX: add a per-bucket value-bloom index on a non-key data
+    * column, BACKFILLED from the current resolved state in one narrow job
+    * (bucket column + value hash, per-bucket bloom build). Every later
+    * commit keeps the index fresh: append epochs OR their batch values in,
+    * compaction/rebucket replace from the rewritten state. [[readWhere]]
+    * then prunes whole buckets for equality predicates — at 10^5 buckets
+    * that turns a full scan for a rare value into a few-bucket read.
+    * Bucket granularity is what keeps it SOUND under merge-on-read (see
+    * Snapshot.indexedCols). */
+  def addBloomIndex(spark: SparkSession, dir: String, epochId: String,
+      colName: String): Snapshot = {
+    import org.apache.spark.sql.types._
+    val base = load(dir)
+    if (base.hasEpoch(epochId)) return base
+    val target = base.currentSchema.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $colName"))
+    require(!target.hidden, s"cannot index hidden column $colName")
+    require(Seq(StringType, LongType, IntegerType, ShortType, BooleanType)
+        .contains(target.sparkType),
+      s"bloom index needs a host-hashable type, got ${target.sparkType} for $colName")
+    import spark.implicits._
+    val built = read(spark, base)
+      .select(bucketExpr(base.keyCols, base.buckets).as("__b"),
+        xxhash64(col(colName)).as("__h"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) => (b, KeyBloom.buildFixed(it.map(_._2))) }
+      .collect().toMap
+    // buckets with NO live rows get an explicit empty bloom — a missing
+    // entry means "may contain" (sound but useless), an empty one means
+    // "contains nothing" (provable here: the resolved state has no rows)
+    val full = (0 until base.buckets).map(b =>
+      b -> built.getOrElse(b, new Array[Byte](KeyBloom.FixedBits >>> 3))).toMap
+    // the field id is PINNED alongside: a descriptor-driven rename would
+    // orphan the index's name key — with the pin, only renameColumn (which
+    // re-keys the index) can change it
+    commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
+      base.currentSchema, pinIds = Set(target.id), indexCols = Set(colName),
+      valueBloomReplace = Map(colName -> full)))
+  }
+
+  /** Buckets that MAY hold a row whose `colName` equals `value` — all of
+    * them when the column isn't indexed or the value's type can't be
+    * host-hashed (sound fallback). */
+  def bucketsForValue(snap: Snapshot, colName: String, value: Any): Set[Int] = {
+    import org.apache.spark.sql.types._
+    val all = (0 until snap.buckets).toSet
+    if (!snap.indexedCols(colName)) return all
+    val colType = snap.currentSchema.find(_.name == colName).map(_.sparkType)
+    val v = (colType, value) match {
+      case (Some(LongType), n: Number) => n.longValue()
+      case (Some(IntegerType), n: Number) => n.intValue()
+      case (Some(ShortType), n: Number) => n.shortValue()
+      case (_, x) => x
+    }
+    if (!graft.functions.XxHash64Host.supports(Seq(v))) return all
+    val h = graft.functions.XxHash64Host.hashColumns(Seq(v))
+    val byBucket = snap.valueIndex.getOrElse(colName, Map.empty)
+    all.filter(b => byBucket.get(b).forall(KeyBloom.mayContainFixed(_, h)))
+  }
+
+  /** Equality-predicate read through the secondary bloom index: resolves
+    * ONLY the surviving buckets (merge-on-read LWW within each), then
+    * applies the predicate — same rows as `read(...).filter(col === v)`,
+    * a fraction of the scan for selective values. */
+  def readWhere(spark: SparkSession, snap: Snapshot, colName: String,
+      value: Any): DataFrame = {
+    val bs = bucketsForValue(snap, colName, value)
+    read(spark, snap, f => bs(f.bucket)).filter(col(colName) === lit(value))
   }
 
   // ------------------------------------------------------------ file stats

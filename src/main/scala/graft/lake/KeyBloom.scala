@@ -94,6 +94,95 @@ object KeyBloom {
     true
   }
 
+  // ---------------------------------------------------------------------
+  // Fixed-size per-BUCKET value blooms (the secondary bloom index).
+  //
+  // Why bucket granularity: merge-on-read resolution is per key — a file
+  // could hold the NEWER version of a key whose older version matches the
+  // predicate, so skipping individual files on a non-key predicate would
+  // serve stale rows. A bucket holds every version of its keys, so buckets
+  // stand or fall together: pruning a bucket whose no file may contain the
+  // value is sound. Fixed m lets blooms OR-merge monotonically across
+  // commits (append epochs OR the batch in; compaction/rebucket REPLACE
+  // from the rewritten state, shedding deleted values).
+
+  /** 2^17 bits = 16 KiB per (column, bucket); ~10k distinct values/bucket
+    * at <1% FPR, saturating SOUNDLY (an over-full bloom reads as "may
+    * contain", never skips). */
+  val FixedBits = 1 << 17
+  val KFixed = 5
+
+  def buildFixed(hashes: Iterator[Long]): Array[Byte] = {
+    val bits = new Array[Byte](FixedBits >>> 3)
+    hashes.foreach(h => setFixed(bits, h))
+    bits
+  }
+
+  private def setFixed(bits: Array[Byte], keyHash: Long): Unit = {
+    val h1 = graft.functions.XxHash64Host.hashLong(keyHash, Seed1)
+    val h2 = graft.functions.XxHash64Host.hashLong(keyHash, Seed2) | 1L
+    var j = 0
+    while (j < KFixed) {
+      val pos = (((h1 + j * h2) % FixedBits + FixedBits) % FixedBits).toInt
+      bits(pos >>> 3) = (bits(pos >>> 3) | (1 << (pos & 7))).toByte
+      j += 1
+    }
+  }
+
+  def mayContainFixed(bloom: Array[Byte], keyHash: Long): Boolean = {
+    val h1 = graft.functions.XxHash64Host.hashLong(keyHash, Seed1)
+    val h2 = graft.functions.XxHash64Host.hashLong(keyHash, Seed2) | 1L
+    var j = 0
+    while (j < KFixed) {
+      val pos = (((h1 + j * h2) % FixedBits + FixedBits) % FixedBits).toInt
+      if ((bloom(pos >>> 3) & (1 << (pos & 7))) == 0) return false
+      j += 1
+    }
+    true
+  }
+
+  def orMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length, "bloom size mismatch")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
+
+  /** Per-bucket value blooms for `cols` over a freshly-written epoch's
+    * files: ONE narrow job reading only the indexed columns, grouped by
+    * bucket (derived from each row's file). NULL values hash to the seed
+    * and contribute nothing meaningful — a NULL-equality probe is not a
+    * bloom workload. Returns col → bucket → bloom. */
+  def valueBloomsForEpoch(spark: SparkSession, files: Seq[IceLite.DataFile],
+      cols: Seq[String]): Map[String, Map[Int, Array[Byte]]] = {
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    import spark.implicits._
+    def normalize(uri: String): String =
+      try new java.net.URI(uri).getPath match { case null => uri; case p => p }
+      catch { case _: Exception => uri.stripPrefix("file:") }
+    val bucketByPath = files.map(f => f.path -> f.bucket).toMap
+    val bcast = spark.sparkContext.broadcast(bucketByPath)
+    val built = spark.read.parquet(files.map(_.path): _*)
+      .select(input_file_name().as("__f") +:
+        cols.map(c => xxhash64(col(c)).as(s"__h_$c")): _*)
+      .map(r => (bcast.value(normalize(r.getString(0))),
+        Array.tabulate(cols.length)(i => r.getLong(i + 1))))
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val blooms = Array.fill(cols.length)(new Array[Byte](FixedBits >>> 3))
+        it.foreach { case (_, hs) =>
+          var i = 0
+          while (i < hs.length) { setFixed(blooms(i), hs(i)); i += 1 }
+        }
+        blooms.iterator.zipWithIndex.map { case (b, i) => (bucket, i, b) }
+      }
+      .collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> built.collect { case (b, ci, bloom) if ci == i => b -> bloom }.toMap
+    }.toMap
+  }
+
   /** Blooms for a freshly-written epoch's eligible files: ONE narrow job
     * reading only the key columns of files under [[RowCap]], partial
     * per-file grouping (a file is read by one task at delta sizes), a

@@ -269,10 +269,19 @@ object Merge {
     // one narrow key-column job over the epoch, skipped when every file is
     // over KeyBloom.RowCap (bulk-replay epochs)
     val blooms = KeyBloom.forEpoch(spark, scanned.map(_._1), keyCols)
+    // secondary bloom index upkeep: OR this epoch's values into the touched
+    // buckets' blooms (COW buckets include carried rows — a superset OR,
+    // sound). One extra narrow job over the indexed columns, skipped when
+    // no index exists.
+    val valueOr =
+      if (base.indexedCols.isEmpty) Map.empty[String, Map[Int, Array[Byte]]]
+      else KeyBloom.valueBloomsForEpoch(spark, scanned.map(_._1),
+        base.indexedCols.toSeq.sorted)
     lap("bloom")
     val newFiles = scanned
       .map { case (f, origin) => f.copy(delta = origin == 0, bloom = blooms.get(f.path)) }
-    IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema, batchMaxSeq))
+    IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema,
+      batchMaxSeq, valueBloomOr = valueOr))
     lap("commit")
 
     MergeStats(epochId, applied = true, batchRows, batchRows - deletes, deletes,

@@ -742,6 +742,95 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q61")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path LIMIT 20""")),
 
+    OpQuery("q64_secondary_index",
+      // SECONDARY BLOOM INDEX under the hard gate: replay epochs 0-1,
+      // CREATE INDEX on the non-key `commit` column mid-history
+      // (addBloomIndex backfills per-bucket value blooms from the resolved
+      // state), then replay epoch 2 — whose merge must keep the index
+      // fresh by OR-ing its values in. Two probes run through readWhere
+      // (bucket-pruned equality read): the min commit of the final state
+      // and the min SURVIVING commit introduced in epoch 2 (indexed only
+      // via the upkeep path). The gate hard-asserts real pruning (≤ half
+      // the buckets per probe; ≤1 for an absent value); the oracle
+      // re-derives both probes from the decoded dump — a bloom false
+      // negative (a pruned bucket that held a matching row) surfaces as a
+      // missing row here.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q64")
+        val root = workDir("q64")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val log01 = s"$root/log01"; val log2 = s"$root/log2"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
+        Seq(0, 1).foreach(e => java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, s"epoch=$e"),
+          java.nio.file.Paths.get(log01, s"epoch=$e")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(log2, "epoch=2"))
+        clock("replay01") { Replay.replayLog(s, log01, tableDir, buckets = 8) }
+        clock("index_backfill") {
+          IceLite.addBloomIndex(s, tableDir, "idx-commit", "commit")
+        }
+        clock("replay2") { Replay.replayLog(s, log2, tableDir, buckets = 8) }
+        val snap = IceLite.load(tableDir)
+        require(snap.indexedCols == Set("commit"),
+          "index must survive the epoch-2 merge")
+        val (probeA, probeB) = clock("pick_probes") {
+          val fin = IceLite.read(s, snap)
+          val a = fin.agg(min("commit")).as[String].head()
+          val intro2 = s.read.parquet(s"$root/decoded")
+            .groupBy("commit").agg(min("epoch").as("e0"))
+            .filter(col("e0") === 2).select("commit")
+          val b = fin.join(intro2, "commit").agg(min("commit")).as[String].head()
+          (a, b)
+        }
+        require(probeB != null,
+          "epoch 2 must introduce at least one surviving commit")
+        Seq(probeA, probeB).foreach { v =>
+          val bs = IceLite.bucketsForValue(snap, "commit", v)
+          require(bs.size * 2 <= snap.buckets,
+            s"index must prune: value $v in ${bs.size}/${snap.buckets} buckets")
+        }
+        val ghost = IceLite.bucketsForValue(snap, "commit", probeA + "!g")
+        require(ghost.size <= 1, s"absent value must prune to ~0 buckets: $ghost")
+        putMetric("q64", "probe_buckets",
+          IceLite.bucketsForValue(snap, "commit", probeA).size.toDouble)
+        putMetric("q64", "total_buckets", snap.buckets.toDouble)
+        Seq(probeA, probeB).distinct
+          .map(v => IceLite.readWhere(s, snap, "commit", v))
+          .reduce(_.unionByName(_))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q64")}/decoded/*.parquet')),
+        fold AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                 FROM d) t WHERE rn = 1 AND op <> 'DELETE'),
+        intro2 AS (SELECT "commit" FROM d GROUP BY 1 HAVING min(epoch) = 2)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM fold
+        WHERE "commit" IN ((SELECT min("commit") FROM fold),
+                           (SELECT min(f."commit") FROM fold f JOIN intro2 i ON f."commit" = i."commit"))
+        ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
