@@ -1,0 +1,180 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** INCREMENTAL MATERIALIZED VIEW over a CDC-maintained IceLite table — the
+  * canonical change-feed consumer. The view is a grouped aggregate
+  * (`GROUP BY groupCols` with `count(*)` plus integral `sum(expr)`s) stored
+  * as its own IceLite table keyed by the group columns, maintained by
+  * RETRACTION from the source's change feed instead of recomputation:
+  *
+  *   refresh cost = O(keys changed since last refresh), not O(source).
+  *
+  * At 10^10 source rows with a per-epoch delta of 10^5 keys, recomputing a
+  * grouped aggregate is a full shuffle of the table; this refresh reads the
+  * window's delta files ([[IceLite.changes]]), the pre-image of ONLY the
+  * changed keys (bucket-pruned + semi-join), and the current view rows of
+  * ONLY the touched groups — three O(delta)-shaped reads and one tiny merge.
+  *
+  * Exactly-once: the refresh's MERGE commit carries epoch id
+  * `src-<toVersion>` — the view's own epoch ledger IS the refresh watermark
+  * (atomic with the data; a replayed refresh fences as a no-op, and
+  * `lastApplied` is re-derived from the ledger on every call, so there is no
+  * separate watermark file to get out of sync).
+  *
+  * Caveats (documented, not silent): the source snapshot at the last applied
+  * version must still be retained (run refresh ahead of `Compaction.expire`);
+  * sum expressions must be integral (sums are BIGINT — cross-engine exact,
+  * no float drift); a group column value of NULL groups like SQL (null-safe
+  * join internally). */
+object MatView {
+
+  /** What the view computes: `GROUP BY groupCols` with `count(*) AS cnt`
+    * and, per (outCol, sqlExpr), `sum(CAST(sqlExpr AS BIGINT)) AS outCol`. */
+  final case class Spec(groupCols: Vector[String], sums: Vector[(String, String)])
+
+  final case class RefreshStats(fromVersion: Int, toVersion: Int,
+      applied: Boolean, changedKeys: Long, touchedGroups: Long)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def specPath(mvDir: String) = Paths.get(mvDir, "mv.json")
+
+  private def writeSpec(mvDir: String, spec: Spec): Unit = {
+    val root = mapper.createObjectNode()
+    val g = root.putArray("groupCols"); spec.groupCols.foreach(g.add)
+    val sm = root.putArray("sums")
+    spec.sums.foreach { case (o, e) => val a = sm.addArray(); a.add(o); a.add(e) }
+    Files.write(specPath(mvDir), mapper.writeValueAsBytes(root))
+  }
+
+  def loadSpec(mvDir: String): Spec = {
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(Files.readAllBytes(specPath(mvDir)))
+    Spec(
+      n.get("groupCols").elements().asScala.map(_.asText()).toVector,
+      n.get("sums").elements().asScala.map(a =>
+        (a.get(0).asText(), a.get(1).asText())).toVector)
+  }
+
+  /** Create the view table (empty; the first refresh backfills — from
+    * version 0 the "delta" is the whole source, one initial full pass). */
+  def create(srcDir: String, mvDir: String, spec: Spec,
+      buckets: Int = 8): IceLite.Snapshot = {
+    val src = IceLite.load(srcDir)
+    val groupDefs = spec.groupCols.zipWithIndex.map { case (gc, i) =>
+      val cd = src.currentSchema.find(_.name == gc).getOrElse(
+        throw new IllegalArgumentException(s"no such source column: $gc"))
+      require(!cd.hidden, s"cannot group by hidden column $gc")
+      IceLite.ColDef(i + 1, gc, cd.dataType)
+    }
+    val k = spec.groupCols.length
+    val aggDefs = IceLite.ColDef(k + 1, "cnt", "BIGINT") +:
+      spec.sums.zipWithIndex.map { case ((o, _), i) =>
+        require(o != "cnt" && !spec.groupCols.contains(o), s"sum name clash: $o")
+        IceLite.ColDef(k + 2 + i, o, "BIGINT")
+      }
+    val snap = IceLite.create(mvDir,
+      IceLite.withCdcCols(groupDefs ++ aggDefs), spec.groupCols, buckets)
+    writeSpec(mvDir, spec)
+    snap
+  }
+
+  /** Last source version this view has applied — the max `src-<N>` epoch in
+    * the view's own ledger (0 when none: version 0 is the source's create). */
+  def lastApplied(mv: IceLite.Snapshot): Int = {
+    val led = mv.ledger
+    val wm = led.watermarks.getOrElse("src", -1L)
+    val rc = led.recent.getOrElse("src", Set.empty).foldLeft(-1L)(math.max)
+    math.max(0L, math.max(wm, rc)).toInt
+  }
+
+  def read(spark: SparkSession, mvDir: String): DataFrame =
+    IceLite.read(spark, IceLite.load(mvDir))
+
+  /** Advance the view to the source's current version by retraction:
+    *   delta(group) = Σ contributions(new state of changed keys)
+    *                − Σ contributions(pre-image of changed keys)
+    *   view(group) += delta(group); groups reaching cnt = 0 are DELETEd.
+    * Idempotent (epoch-fenced) and atomic (one MERGE commit). */
+  def refresh(spark: SparkSession, srcDir: String, mvDir: String): RefreshStats = {
+    import spark.implicits._
+    val spec = loadSpec(mvDir)
+    val mvSnap = IceLite.load(mvDir)
+    val srcSnap = IceLite.load(srcDir)
+    val to = srcSnap.version
+    val from = lastApplied(mvSnap)
+    if (to <= from || mvSnap.hasEpoch(s"src-$to"))
+      return RefreshStats(from, to, applied = false, 0, 0)
+    val fromSnap = IceLite.loadVersion(srcDir, from)
+    val keyCols = srcSnap.keyCols
+
+    // the window's change rows, folded to one NET row per changed key
+    // (latest __seq wins — intermediate versions cancel out). O(delta);
+    // localCheckpoint because three downstream reads branch from it.
+    val wnd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(IceLite.SeqCol.name).desc)
+    val folded = IceLite.changes(spark, srcDir, from, to)
+      .withColumn("__rn", row_number().over(wnd))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    val changedCnt = folded.count()
+    val newState = folded.filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+    val changedKeys = folded.select(keyCols.map(col): _*)
+
+    // pre-image of exactly the changed keys: driver-derived touched-bucket
+    // set (bounded by the bucket count, never the corpus) prunes the scan
+    // structurally; the semi-join then keeps only the changed keys
+    val touched = folded
+      .select(IceLite.bucketExpr(keyCols, fromSnap.buckets).as("__b"))
+      .distinct().as[Int].collect().toSet
+    val oldState = IceLite.read(spark, fromSnap, f => touched(f.bucket))
+      .join(changedKeys, keyCols, "left_semi")
+
+    // signed contributions → net per-group delta
+    def contrib(df: DataFrame, sign: Int): DataFrame = df.select(
+      spec.groupCols.map(col) ++
+        (lit(sign.toLong).as("__dc") +:
+          spec.sums.map { case (o, e) =>
+            (expr(e).cast("long") * sign).as(s"__d_$o") }): _*)
+    val aggs = sum("__dc").as("__dc") +:
+      spec.sums.map { case (o, _) => sum(s"__d_$o").as(s"__d_$o") }
+    val delta0 = contrib(newState, 1).unionByName(contrib(oldState, -1))
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // all-zero rows (updates that didn't move any aggregate) write nothing
+    val delta = delta0.filter(
+      ((col("__dc") =!= 0L) +:
+        spec.sums.map { case (o, _) => col(s"__d_$o") =!= 0L })
+        .reduce(_ || _))
+
+    // current view rows for the touched groups only (same pruning shape),
+    // null-safe join so a NULL group value behaves like SQL GROUP BY
+    val mvTouched = delta
+      .select(IceLite.bucketExpr(spec.groupCols, mvSnap.buckets).as("__b"))
+      .distinct().as[Int].collect().toSet
+    val mvOld = IceLite.read(spark, mvSnap, f => mvTouched(f.bucket))
+    val cond = spec.groupCols.map(c => delta(c) <=> mvOld(c)).reduce(_ && _)
+    val joined = delta.join(mvOld, cond, "left_outer")
+    val newRows = joined.select(
+      spec.groupCols.map(c => delta(c).as(c)) ++
+        ((coalesce(mvOld("cnt"), lit(0L)) + col("__dc")).as("cnt") +:
+          spec.sums.map { case (o, _) =>
+            (coalesce(mvOld(o), lit(0L)) + col(s"__d_$o")).as(o) }): _*)
+      .withColumn("__op", when(col("cnt") === 0L, "DELETE").otherwise("UPSERT"))
+      .withColumn("__sq", lit(to.toLong))
+
+    // field ids pinned from the view schema → Merge normalization is exact
+    val visible = mvSnap.currentSchema.filterNot(_.hidden)
+    val batch = newRows.select(
+      visible.map(cd => col(cd.name).as(cd.name,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.fieldId", cd.id.toLong).build())) ++
+        Seq(col("__sq"), col("__op")): _*)
+    val stats = Merge.mergeEpoch(spark, mvDir, batch, "__sq", "__op", s"src-$to")
+    RefreshStats(from, to, stats.applied, changedCnt, stats.batchRows)
+  }
+}

@@ -831,6 +831,75 @@ object CdcQueries {
                            (SELECT min(f."commit") FROM fold f JOIN intro2 i ON f."commit" = i."commit"))
         ORDER BY repo, path""")),
 
+    OpQuery("q65_incremental_matview",
+      // INCREMENTAL MATERIALIZED VIEW under the hard gate: a grouped
+      // aggregate (count + sum(length(content)) BY repo, lang) maintained
+      // from the change feed by RETRACTION — three per-epoch refreshes,
+      // each O(changed keys), never a recompute. A path changing lang
+      // moves its key BETWEEN groups, so retraction must hit the old group.
+      // The gate hard-asserts incrementality (per-refresh changed keys <
+      // table keys) and fencing (a replayed refresh is a no-op); the
+      // oracle recomputes the aggregate from the decoded dump's LWW fold —
+      // any retraction error (missed pre-image, double-applied delta,
+      // un-deleted empty group) breaks equality.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q65")
+        val root = workDir("q65")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        val mvDir = s"$root/mv"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        // three separate replay+refresh rounds: split the log per epoch
+        val epochDirs = (0 until 3).map { e =>
+          val d = s"$root/log$e"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(logDir, s"epoch=$e"),
+            java.nio.file.Paths.get(d, s"epoch=$e"))
+          d
+        }
+        import graft.lake.MatView
+        var totalChanged = 0L
+        (0 until 3).foreach { e =>
+          clock(s"replay$e") { Replay.replayLog(s, epochDirs(e), tableDir, buckets = 8) }
+          if (e == 0) MatView.create(tableDir, mvDir, MatView.Spec(
+            Vector("repo", "lang"), Vector("content_len" -> "length(content)")))
+          val r = clock(s"refresh$e") { MatView.refresh(s, tableDir, mvDir) }
+          require(r.applied && r.toVersion == e + 1,
+            s"refresh $e must apply up to src v${e + 1}, got $r")
+          totalChanged += r.changedKeys
+          putMetric("q65", s"refresh${e}_changed_keys", r.changedKeys.toDouble)
+          putMetric("q65", s"refresh${e}_touched_groups", r.touchedGroups.toDouble)
+        }
+        val tableKeys = graft.lake.IceLite.read(s, graft.lake.IceLite.load(tableDir)).count()
+        require(totalChanged < 3 * tableKeys,
+          s"refreshes must be O(delta): $totalChanged changed vs $tableKeys keys x3")
+        val again = MatView.refresh(s, tableDir, mvDir)
+        require(!again.applied, "a replayed refresh must fence as a no-op")
+        MatView.read(s, mvDir)
+          .select("repo", "lang", "cnt", "content_len")
+          .orderBy("repo", "lang")
+      },
+      Some(s"""SELECT repo, lang, count(*) AS cnt,
+               CAST(sum(length(content)) AS BIGINT) AS content_len
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q65")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE'
+        GROUP BY repo, lang ORDER BY repo, lang""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,

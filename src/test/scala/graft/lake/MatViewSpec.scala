@@ -1,0 +1,120 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Incremental materialized view: retraction-maintained grouped aggregate
+  * over a CDC table ≡ recomputation, at O(changed keys) refresh cost. */
+class MatViewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+    .putLong("graft.fieldId", n).build()
+
+  private def batch(rows: Seq[(Long, String, Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "v", "seq", "op")
+      .select(col("id").as("id", fid(1)), col("grp").as("grp", fid(2)),
+        col("v").as("v", fid(3)), col("seq"), col("op"))
+  }
+
+  private def fresh(tag: String): (String, String) = {
+    val root = Files.createTempDirectory(s"graft-$tag").toString
+    val src = s"$root/src"
+    IceLite.create(src, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "id", "BIGINT"), IceLite.ColDef(2, "grp", "STRING"),
+      IceLite.ColDef(3, "v", "BIGINT"))), Vector("id"), buckets = 8)
+    (src, s"$root/mv")
+  }
+
+  private def recompute(src: String): Set[(String, Long, Long)] = {
+    import spark.implicits._
+    IceLite.read(spark, IceLite.load(src)).groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      .as[(String, Long, Long)].collect().toSet
+  }
+
+  private def mvState(mv: String): Set[(String, Long, Long)] = {
+    import spark.implicits._
+    MatView.read(spark, mv).select("grp", "cnt", "sum_v")
+      .as[(String, Long, Long)].collect().toSet
+  }
+
+  test("refresh ≡ recompute across inserts, group moves, deletes; fenced; O(delta)") {
+    val (src, mv) = fresh("mv")
+    // epoch 1: 120 keys over 3 groups
+    Merge.mergeEpoch(spark, src,
+      batch((1L to 120L).map(i => (i, s"g${i % 3}", i * 10, i, "UPSERT"))),
+      "seq", "op", "e-1")
+    MatView.create(src, mv, MatView.Spec(Vector("grp"), Vector("sum_v" -> "v")))
+    val r1 = MatView.refresh(spark, src, mv)
+    assert(r1.applied && r1.fromVersion == 0)
+    assert(mvState(mv) == recompute(src))
+
+    // epoch 2: move a key g1→g2, change a value in place, delete one key,
+    // insert a NEW group, and empty group g0 entirely
+    val kill = (1L to 120L).filter(_ % 3 == 0) // all of g0
+    val moves = Seq((1L, "g2", 10L, 1000L, "UPSERT"),   // was g1
+      (2L, "g2", 999L, 1001L, "UPSERT"),                 // value change in place
+      (4L, "", 0L, 1002L, "DELETE"),                     // delete from g1
+      (500L, "gNew", 7L, 1003L, "UPSERT")) ++             // new group
+      kill.zipWithIndex.map { case (k, i) => (k, "", 0L, 1100L + i, "DELETE") }
+    Merge.mergeEpoch(spark, src, batch(moves), "seq", "op", "e-2")
+    val r2 = MatView.refresh(spark, src, mv)
+    assert(r2.applied)
+    // O(delta): only the batch's keys were processed, not the table
+    assert(r2.changedKeys == moves.map(_._1).distinct.size,
+      s"refresh must touch only changed keys, got ${r2.changedKeys}")
+    assert(mvState(mv) == recompute(src))
+    assert(!mvState(mv).exists(_._1 == "g0"), "emptied group must be DELETEd")
+
+    // replayed refresh fences as a no-op
+    val r3 = MatView.refresh(spark, src, mv)
+    assert(!r3.applied && r3.fromVersion == r3.toVersion)
+  }
+
+  test("one refresh over several skipped epochs ≡ per-epoch refreshes") {
+    val (src, mv) = fresh("mv-skip")
+    Merge.mergeEpoch(spark, src,
+      batch((1L to 40L).map(i => (i, s"g${i % 4}", i, i, "UPSERT"))),
+      "seq", "op", "e-1")
+    MatView.create(src, mv, MatView.Spec(Vector("grp"), Vector("sum_v" -> "v")))
+    MatView.refresh(spark, src, mv)
+    // three more epochs, NO refresh in between (insert+delete within the
+    // window must net out; repeated updates must collapse to the latest)
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((41L, "gX", 5L, 100L, "UPSERT"))), "seq", "op", "e-2")
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((41L, "", 0L, 200L, "DELETE"), (3L, "g0", 777L, 201L, "UPSERT"))),
+      "seq", "op", "e-3")
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((3L, "g1", 888L, 300L, "UPSERT"))), "seq", "op", "e-4")
+    val r = MatView.refresh(spark, src, mv)
+    assert(r.applied && r.toVersion - r.fromVersion == 3)
+    assert(mvState(mv) == recompute(src))
+  }
+
+  test("NULL group values aggregate like SQL GROUP BY") {
+    val (src, mv) = fresh("mv-null")
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((1L, null, 3L, 1L, "UPSERT"), (2L, null, 4L, 2L, "UPSERT"),
+        (3L, "ga", 5L, 3L, "UPSERT"))), "seq", "op", "e-1")
+    MatView.create(src, mv, MatView.Spec(Vector("grp"), Vector("sum_v" -> "v")))
+    MatView.refresh(spark, src, mv)
+    assert(mvState(mv) == recompute(src))
+    // retraction against the NULL group (null-safe join path)
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((1L, "", 0L, 10L, "DELETE"))), "seq", "op", "e-2")
+    MatView.refresh(spark, src, mv)
+    assert(mvState(mv) == recompute(src))
+    assert(mvState(mv).exists(t => t._1 == null && t._2 == 1L && t._3 == 4L))
+  }
+}
