@@ -134,12 +134,24 @@ object CdcCli {
       row.show(5, truncate = 60)
       println(s"found ${row.count()} row(s)")
     case "compact" :: tableDir :: rest =>
-      val epochId = rest.headOption.getOrElse(s"compact-${System.nanoTime()}")
+      // `compact <dir> [epochId] [buckets] [--cluster <col>]` — with
+      // --cluster, buckets rewrite sorted by <col> into range-contiguous
+      // files whose bounds feed readRange's file skipping
+      val (cluster, positional) = rest.indexOf("--cluster") match {
+        case -1 => (None, rest)
+        case i if i + 1 < rest.length =>
+          (Some(rest(i + 1)), rest.patch(i, Nil, 2))
+        case _ =>
+          System.err.println("usage: compact <dir> [epochId] [buckets] [--cluster <col>]"); sys.exit(2)
+      }
+      val epochId = positional.headOption.getOrElse(s"compact-${System.nanoTime()}")
       // optional 2nd arg: comma-separated bucket subset for incremental
       // maintenance that doesn't conflict with live merges on other buckets
-      val buckets = rest.drop(1).headOption.map(_.split(',').map(_.toInt).toSet)
-      val st = graft.lake.Compaction.compact(spark, tableDir, epochId, buckets)
-      println(s"compacted ${st.buckets} buckets: rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
+      val buckets = positional.drop(1).headOption.map(_.split(',').map(_.toInt).toSet)
+      val st = graft.lake.Compaction.compact(spark, tableDir, epochId, buckets, cluster)
+      println(s"compacted ${st.buckets} buckets" +
+        cluster.map(c => s" (clustered by $c)").getOrElse("") +
+        s": rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
     case "rebucket" :: tableDir :: nb :: rest =>
       val epochId = rest.headOption.getOrElse(s"rebucket-${System.nanoTime()}")
       val st = graft.lake.Compaction.rebucket(spark, tableDir, nb.toInt, epochId)
@@ -166,6 +178,25 @@ object CdcCli {
       val snap = IceLite.addBloomIndex(spark, tableDir, epochId, colName)
       println(s"indexed $colName (indexed cols: ${snap.indexedCols.toSeq.sorted.mkString(",")}); " +
         s"table at v${snap.version}")
+    case "mv-create" :: srcDir :: mvDir :: groupCols :: rest =>
+      // incremental materialized view: `mv-create <src> <mv> lang,author
+      // [sum_name=expr ...]` — grouped count(*) plus integral sums,
+      // maintained from the change feed by mv-refresh
+      val sums = rest.toVector.map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"sum must be name=expr, got $a")
+        (a.substring(0, i), a.substring(i + 1))
+      }
+      val spec = graft.lake.MatView.Spec(groupCols.split(',').toVector, sums)
+      graft.lake.MatView.create(srcDir, mvDir, spec)
+      println(s"created view at $mvDir: GROUP BY ${spec.groupCols.mkString(",")} " +
+        s"with cnt${spec.sums.map { case (o, e) => s", $o=sum($e)" }.mkString}")
+    case "mv-refresh" :: srcDir :: mvDir :: Nil =>
+      val st = graft.lake.MatView.refresh(spark, srcDir, mvDir)
+      println(if (st.applied)
+        s"refreshed v${st.fromVersion} -> v${st.toVersion}: " +
+          s"${st.changedKeys} changed keys, ${st.touchedGroups} groups touched"
+      else s"up to date at v${st.toVersion} (nothing to apply)")
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val expired = graft.lake.Compaction.expire(tableDir, keep)

@@ -106,7 +106,11 @@ object Replay {
         * the log but absent from the registry are loaded from this directory
         * (files named `<schemaId>-v<version>.desc` / `.proto`) on the DRIVER
         * before the broadcast — executors never do I/O for schemas. */
-      schemaDir: Option[String] = None): ReplayResult = {
+      schemaDir: Option[String] = None,
+      /** passthrough to [[Merge.mergeEpoch]]'s merge-on-read policy; gates
+        * that need a structurally delta-heavy table raise it so no bucket
+        * compacts inline regardless of task-count-dependent file counts. */
+      deltaThreshold: Int = 8): ReplayResult = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
@@ -144,7 +148,8 @@ object Replay {
       else None
       // namespaced fence id: replay partition numbers can never collide with
       // a streaming tail's batchIds on the same table
-      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", s"replay-$e", keys)
+      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", s"replay-$e", keys,
+        deltaThreshold = deltaThreshold)
       if (st.applied) batch.flushDeadLetters()
       (st, batch.routeStats)
     }

@@ -38,9 +38,25 @@ object Compaction {
       /** buckets to compact; None = every bucket (full maintenance pass).
         * Compact in subsets on a live table: the conflict window is only
         * the chosen buckets, not the whole table. */
-      buckets: Option[Set[Int]] = None): CompactionStats = {
+      buckets: Option[Set[Int]] = None,
+      /** CLUSTERING policy: sort each rewritten bucket by this column
+        * (instead of the key columns) and split it into ~`filesPerBucket`
+        * range-contiguous files with recorded [sortMin, sortMax] bounds —
+        * [[IceLite.readRange]] then skips non-overlapping files for range
+        * predicates. At 10^5 buckets × 8 files a selective range scan
+        * opens a small fraction of the table instead of all of it. */
+      clusterBy: Option[String] = None,
+      filesPerBucket: Int = 4): CompactionStats = {
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) return CompactionStats(0, 0, 0, 0)
+    clusterBy.foreach { c =>
+      import org.apache.spark.sql.types._
+      val cd = base.currentSchema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such cluster column: $c"))
+      require(!cd.hidden, s"cannot cluster by hidden column $c")
+      require(Seq(StringType, LongType, IntegerType, ShortType).contains(cd.sparkType),
+        s"clusterBy needs a string or integral column, got ${cd.sparkType} for $c")
+    }
     val chosen: Set[Int] = buckets.getOrElse((0 until base.buckets).toSet)
     val oldFiles = base.files.filter(f => chosen(f.bucket))
 
@@ -63,11 +79,27 @@ object Compaction {
 
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId-compact").toString
     val obs = org.apache.spark.sql.Observation(s"compact-$epochId")
-    live
+    val sortCols = clusterBy match {
+      case Some(c) => Seq(col("__bucket"), col(c))
+      case None => col("__bucket") +: base.keyCols.map(col)
+    }
+    val writer0 = live
       .repartition(math.max(chosen.size, 1), col("__bucket"))
-      .sortWithinPartitions(col("__bucket") +: base.keyCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
       .observe(obs, count(lit(1)).as("rows"))
-      .write.partitionBy("__bucket").mode("overwrite").parquet(epochDir)
+      .write.partitionBy("__bucket").mode("overwrite")
+    val writer = clusterBy match {
+      case Some(_) =>
+        // size the range split from the manifest's row counts (an upper
+        // bound incl. superseded versions — files come out slightly small,
+        // never fewer than asked); data is sorted within the task, so each
+        // maxRecordsPerFile chunk is CONTIGUOUS in the cluster column
+        val estRows = math.max(1L, oldFiles.map(_.rows).sum)
+        writer0.option("maxRecordsPerFile",
+          math.max(1L, estRows / math.max(1, chosen.size * filesPerBucket)))
+      case None => writer0
+    }
+    writer.parquet(epochDir)
     val rowsAfter = obs.get("rows").asInstanceOf[Long]
     val rowsBefore = preObs.get("rows").asInstanceOf[Long]
 
@@ -75,8 +107,32 @@ object Compaction {
     // the scan, overridden: these are not change rows)
     val scanned = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
     val blooms = KeyBloom.forEpoch(spark, scanned.map(_._1), base.keyCols)
-    val newFiles = scanned
-      .map { case (f, _) => f.copy(delta = false, bloom = blooms.get(f.path)) }
+    // clustered files record their [min, max] of the cluster column — one
+    // narrow job over just that column; an all-NULL file keeps no bounds
+    // (never pruned, sound)
+    val sortStats: Map[String, (String, String)] = clusterBy match {
+      case Some(c) if scanned.nonEmpty =>
+        import spark.implicits._
+        def normalize(uri: String): String =
+          try new java.net.URI(uri).getPath match { case null => uri; case p => p }
+          catch { case _: Exception => uri.stripPrefix("file:") }
+        spark.read.parquet(scanned.map(_._1.path): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c)).cast("string").as("mn"), max(col(c)).cast("string").as("mx"))
+          .as[(String, String, String)].collect()
+          .flatMap { case (f, mn, mx) =>
+            if (mn == null || mx == null) None else Some(normalize(f) -> (mn, mx)) }
+          .toMap
+      case _ => Map.empty
+    }
+    val newFiles = scanned.map { case (f, _) =>
+      val g = f.copy(delta = false, bloom = blooms.get(f.path))
+      sortStats.get(f.path) match {
+        case Some((mn, mx)) =>
+          g.copy(sortCol = clusterBy, sortMin = Some(mn), sortMax = Some(mx))
+        case None => g
+      }
+    }
     // secondary bloom index: a compaction rewrites the chosen buckets' FULL
     // state, so their value blooms are REPLACED from the output — this is
     // where deleted values finally shed from the index (the OR path on

@@ -74,7 +74,16 @@ object IceLite {
         * hash-sharded so key bounds span the bucket's whole range and prune
         * nothing; the bloom is what keeps point-lookup file opens O(1) as
         * uncompacted epochs accumulate. None = unknown = never pruned. */
-      bloom: Option[Array[Byte]] = None) {
+      bloom: Option[Array[Byte]] = None,
+      /** CLUSTERED base file: a compaction with `clusterBy` sorted this
+        * bucket by `sortCol` and split it into range-contiguous files, so
+        * [sortMin, sortMax] tightly bounds the column and [[IceLite
+        * .rangeFiles]] can skip the file for non-overlapping range
+        * predicates. None = not clustered = never range-pruned. Bounds are
+        * stored as strings; numeric columns compare via the declared type. */
+      sortCol: Option[String] = None,
+      sortMin: Option[String] = None,
+      sortMax: Option[String] = None) {
     def mayContainKey(keyVals: Seq[String]): Boolean =
       keyMin.isEmpty || keyMax.isEmpty ||
         keyVals.indices.forall(i =>
@@ -238,6 +247,9 @@ object IceLite {
     if (f.keyMin.nonEmpty) { val a = o.putArray("keyMin"); f.keyMin.foreach(a.add) }
     if (f.keyMax.nonEmpty) { val a = o.putArray("keyMax"); f.keyMax.foreach(a.add) }
     f.bloom.foreach(b => o.put("bloom", java.util.Base64.getEncoder.encodeToString(b)))
+    f.sortCol.foreach(o.put("sortCol", _))
+    f.sortMin.foreach(o.put("sortMin", _))
+    f.sortMax.foreach(o.put("sortMax", _))
   }
 
   private def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
@@ -248,7 +260,10 @@ object IceLite {
       maxSeq = Option(f.get("maxSeq")).map(_.asLong()).getOrElse(Long.MaxValue),
       keyMin = Option(f.get("keyMin")).map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty),
       keyMax = Option(f.get("keyMax")).map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty),
-      bloom = Option(f.get("bloom")).map(n => java.util.Base64.getDecoder.decode(n.asText())))
+      bloom = Option(f.get("bloom")).map(n => java.util.Base64.getDecoder.decode(n.asText())),
+      sortCol = Option(f.get("sortCol")).map(_.asText()),
+      sortMin = Option(f.get("sortMin")).map(_.asText()),
+      sortMax = Option(f.get("sortMax")).map(_.asText()))
 
   private def toJson(s: Snapshot): String = {
     val root = mapper.createObjectNode()
@@ -729,6 +744,52 @@ object IceLite {
       value: Any): DataFrame = {
     val bs = bucketsForValue(snap, colName, value)
     read(spark, snap, f => bs(f.bucket)).filter(col(colName) === lit(value))
+  }
+
+  /** The candidate files for a range predicate `colName ∈ [lo, hi]`:
+    * CLUSTERED base files (compaction with `clusterBy`) whose
+    * [sortMin, sortMax] misses the range are skipped; delta files and
+    * unclustered base files are always kept.
+    *
+    * STALE-DELTA GUARD: merge-on-read LWW means a skipped base file could
+    * hold the NEWEST version of a key whose OLDER, stale version sits in a
+    * kept delta INSIDE the range — without the base file the stale row
+    * would win resolution and leak through the filter. That requires a
+    * delta carrying seqs at or below the base file's maxSeq (a late
+    * event), so a base file is only skipped when every delta in its bucket
+    * starts strictly above its maxSeq — the common case the moment after
+    * any clustering compaction, and permanently for seq-monotone feeds. */
+  def rangeFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Vector[DataFile] = {
+    import org.apache.spark.sql.types._
+    val cmp: (String, String) => Int =
+      snap.currentSchema.find(_.name == colName).map(_.sparkType) match {
+        case Some(LongType | IntegerType | ShortType) =>
+          (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+        case _ => utf8Compare
+      }
+    val loS = String.valueOf(lo); val hiS = String.valueOf(hi)
+    // per-bucket floor of delta seqs; an unknown minSeq poisons the bucket
+    // (Long.MinValue → guard never passes → nothing skipped there)
+    val deltaFloor: Map[Int, Long] = snap.files.filter(_.delta)
+      .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.minSeq).min }
+    snap.files.filter { f =>
+      val clusteredMiss = !f.delta && f.sortCol.contains(colName) &&
+        f.sortMin.isDefined && f.sortMax.isDefined &&
+        (cmp(f.sortMax.get, loS) < 0 || cmp(f.sortMin.get, hiS) > 0)
+      val guardOk = deltaFloor.getOrElse(f.bucket, Long.MaxValue) > f.maxSeq
+      !(clusteredMiss && guardOk)
+    }
+  }
+
+  /** Range-predicate read over a clustered table: resolves only the
+    * surviving files of [[rangeFiles]], then applies the exact predicate —
+    * same rows as `read(...).filter(col between lo and hi)`, a fraction of
+    * the scan once a clustering compaction has run. */
+  def readRange(spark: SparkSession, snap: Snapshot, colName: String,
+      lo: Any, hi: Any): DataFrame = {
+    val keep = rangeFiles(snap, colName, lo, hi).map(_.path).toSet
+    read(spark, snap, f => keep(f.path))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   // ------------------------------------------------------------ file stats

@@ -659,7 +659,13 @@ object CdcQueries {
           Replay.decodeForMerge(ev, registry, None).updates
             .write.mode("overwrite").parquet(s"$root/decoded")
         }
-        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        // deltaThreshold raised past any reachable per-bucket file count so
+        // NO bucket compacts inline: the fixture is delta-heavy by
+        // construction, not by task-count accident (at low parallelism the
+        // default threshold flips boundary buckets into COW and collapses
+        // the delta layout this gate exists to exercise)
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8,
+          deltaThreshold = 1000) }
         val snap = IceLite.load(tableDir)
         val deltas = snap.files.filter(_.delta)
         require(deltas.length >= 5 * 8,
@@ -899,6 +905,77 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q65")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE'
         GROUP BY repo, lang ORDER BY repo, lang""")),
+
+    OpQuery("q66_clustered_scan",
+      // CLUSTERING COMPACTION + RANGE-PRUNED SCAN under the hard gate:
+      // replay epochs 0-1, compact with clusterBy=commit (each bucket
+      // rewrites sorted by commit into ~4 range-contiguous files with
+      // recorded bounds), then replay epoch 2 so live deltas sit on top.
+      // A range read (commit BETWEEN '2' AND '5' — hex keys, ~3/16 of the
+      // corpus) must skip most clustered base files (hard-asserted ≥2x)
+      // while keeping every delta, and still serve EXACTLY the oracle's
+      // rows — an unsound skip (a pruned file whose newest version a kept
+      // stale delta would shadow) surfaces as a wrong/extra row here.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q66")
+        val root = workDir("q66")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val log01 = s"$root/log01"; val log2 = s"$root/log2"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
+        Seq(0, 1).foreach(e => java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, s"epoch=$e"),
+          java.nio.file.Paths.get(log01, s"epoch=$e")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(log2, "epoch=2"))
+        clock("replay01") { Replay.replayLog(s, log01, tableDir, buckets = 8) }
+        clock("cluster") {
+          graft.lake.Compaction.compact(s, tableDir, "q66-cluster",
+            clusterBy = Some("commit"), filesPerBucket = 4)
+        }
+        clock("replay2") { Replay.replayLog(s, log2, tableDir, buckets = 8) }
+        val snap = IceLite.load(tableDir)
+        require(snap.files.exists(_.sortCol.contains("commit")),
+          "clustered bounds must survive the epoch-2 merge")
+        val cand = IceLite.rangeFiles(snap, "commit", "2", "5")
+        // deltas are NEVER range-pruned (they're the small live tail); the
+        // pruning claim is about the clustered BASE files, where the data
+        // mass lives — assert on those, and report the rows-weighted
+        // fraction (the number that scales)
+        val baseAll = snap.files.filter(_.sortCol.contains("commit"))
+        val baseKept = cand.filter(_.sortCol.contains("commit"))
+        require(baseKept.size * 2 <= baseAll.size,
+          s"range scan must skip most clustered files: ${baseKept.size}/${baseAll.size}")
+        putMetric("q66", "base_files_kept", baseKept.size.toDouble)
+        putMetric("q66", "base_files_total", baseAll.size.toDouble)
+        putMetric("q66", "rows_scanned_frac",
+          cand.map(_.rows).sum.toDouble / math.max(1L, snap.files.map(_.rows).sum))
+        IceLite.readRange(s, snap, "commit", "2", "5")
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q66")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' AND "commit" >= '2' AND "commit" <= '5'
+        ORDER BY repo, path""")),
 
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
