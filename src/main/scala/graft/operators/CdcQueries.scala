@@ -354,6 +354,58 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q47")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q67_streaming_matview",
+      // STREAMING INGEST + INCREMENTAL VIEW composed under the hard gate:
+      // a Tail stream consumes the log in two waves (the second resumes
+      // from the first's checkpoint), and MatView.refresh advances a
+      // grouped aggregate after each wave — the second refresh starts at
+      // the first's watermark (read from the view's own ledger) and
+      // retracts across ALL the stream's microbatch epochs at once. The
+      // oracle recomputes the aggregate from the decoded dump; a replayed
+      // refresh must fence as a no-op.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q67")
+        val streamDir = s"$root/stream"
+        val tableDir = s"$root/table"
+        val mvDir = s"$root/mv"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.7)
+        val ev = LogGen.events(s, p)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        Replay.decodeForMerge(
+          ev.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent], registry, None)
+          .updates.write.mode("overwrite").parquet(s"$root/decoded")
+        import graft.lake.MatView
+        ev.filter(col("offset") < 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8).awaitTermination()
+        MatView.create(tableDir, mvDir, MatView.Spec(
+          Vector("lang"), Vector("content_len" -> "length(content)")))
+        val r1 = MatView.refresh(s, tableDir, mvDir)
+        require(r1.applied && r1.fromVersion == 0, s"wave-1 backfill: $r1")
+        ev.filter(col("offset") >= 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8).awaitTermination()
+        val r2 = MatView.refresh(s, tableDir, mvDir)
+        require(r2.applied && r2.fromVersion == r1.toVersion,
+          s"wave-2 refresh must resume at wave 1's watermark: $r1 -> $r2")
+        putMetric("q67", "wave2_changed_keys", r2.changedKeys.toDouble)
+        require(!MatView.refresh(s, tableDir, mvDir).applied,
+          "a replayed refresh must fence as a no-op")
+        MatView.read(s, mvDir)
+          .select("lang", "cnt", "content_len").orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS cnt,
+               CAST(sum(length(content)) AS BIGINT) AS content_len
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q67")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE'
+        GROUP BY lang ORDER BY lang""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
