@@ -25,11 +25,16 @@ import java.nio.file.{Files, Paths}
   * `lastApplied` is re-derived from the ledger on every call, so there is no
   * separate watermark file to get out of sync).
   *
-  * Caveats (documented, not silent): the source snapshot at the last applied
-  * version must still be retained (run refresh ahead of `Compaction.expire`);
-  * sum expressions must be integral (sums are BIGINT — cross-engine exact,
-  * no float drift); a group column value of NULL groups like SQL (null-safe
-  * join internally). */
+  * When the last-applied source snapshot has been EXPIRED (aggressive
+  * retention), refresh falls back to a FULL REBUILD: recompute the aggregate
+  * from the current source, diff against the view (null-safe full outer
+  * join), and merge only the differing groups — O(source) for that one
+  * refresh, correct forever after, same epoch fencing.
+  *
+  * Caveats (documented, not silent): sum expressions must be integral (sums
+  * are BIGINT — cross-engine exact, no float drift); a group column value of
+  * NULL groups like SQL (null-safe join internally); dropping a source
+  * column the view groups or sums over fails the refresh loudly. */
 object MatView {
 
   /** What the view computes: `GROUP BY groupCols` with `count(*) AS cnt`
@@ -109,7 +114,15 @@ object MatView {
     val from = lastApplied(mvSnap)
     if (to <= from || mvSnap.hasEpoch(s"src-$to"))
       return RefreshStats(from, to, applied = false, 0, 0)
-    val fromSnap = IceLite.loadVersion(srcDir, from)
+    spec.groupCols.foreach(c => require(srcSnap.currentSchema.exists(_.name == c),
+      s"view groups by '$c' but the source no longer has it (dropped/renamed?)"))
+    val fromSnap =
+      try IceLite.loadVersion(srcDir, from)
+      catch { case _: java.io.IOException =>
+        // the last-applied snapshot was expired — retraction has no
+        // pre-image to read, so rebuild from the current state instead
+        return fullRefresh(spark, spec, srcSnap, mvSnap, mvDir, from, to)
+      }
     val keyCols = srcSnap.keyCols
 
     // the window's change rows, folded to one NET row per changed key
@@ -167,14 +180,48 @@ object MatView {
       .withColumn("__op", when(col("cnt") === 0L, "DELETE").otherwise("UPSERT"))
       .withColumn("__sq", lit(to.toLong))
 
-    // field ids pinned from the view schema → Merge normalization is exact
+    val stats = commitBatch(spark, mvSnap, mvDir, newRows, to)
+    RefreshStats(from, to, stats.applied, changedCnt, stats.batchRows)
+  }
+
+  /** Field ids pinned from the view schema → Merge normalization is exact. */
+  private def commitBatch(spark: SparkSession, mvSnap: IceLite.Snapshot,
+      mvDir: String, newRows: DataFrame, to: Int): Merge.MergeStats = {
     val visible = mvSnap.currentSchema.filterNot(_.hidden)
     val batch = newRows.select(
       visible.map(cd => col(cd.name).as(cd.name,
         new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("graft.fieldId", cd.id.toLong).build())) ++
         Seq(col("__sq"), col("__op")): _*)
-    val stats = Merge.mergeEpoch(spark, mvDir, batch, "__sq", "__op", s"src-$to")
-    RefreshStats(from, to, stats.applied, changedCnt, stats.batchRows)
+    Merge.mergeEpoch(spark, mvDir, batch, "__sq", "__op", s"src-$to")
+  }
+
+  /** Retention fallback: the retraction window's pre-image is gone, so
+    * recompute the aggregate from the CURRENT source, diff it against the
+    * view (null-safe full outer join), and merge only the differing groups
+    * — one O(source) pass, then incremental refreshes resume. Reported
+    * `changedKeys` is the manifest row count actually re-read (the honest
+    * cost signal; incremental refreshes report window keys instead). */
+  private def fullRefresh(spark: SparkSession, spec: Spec,
+      srcSnap: IceLite.Snapshot, mvSnap: IceLite.Snapshot,
+      mvDir: String, from: Int, to: Int): RefreshStats = {
+    val aggCols = count(lit(1)).as("cnt") +:
+      spec.sums.map { case (o, e) => sum(expr(e).cast("long")).as(o) }
+    val target = IceLite.read(spark, srcSnap)
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val cur = IceLite.read(spark, mvSnap)
+    val cond = spec.groupCols.map(c => target(c) <=> cur(c)).reduce(_ && _)
+    val joined = target.join(cur, cond, "full_outer")
+    val valCols = "cnt" +: spec.sums.map(_._1)
+    val differs = valCols.map(o => !(target(o) <=> cur(o))).reduce(_ || _)
+    val newRows = joined.filter(differs).select(
+      spec.groupCols.map(c => coalesce(target(c), cur(c)).as(c)) ++
+        valCols.map(o => coalesce(target(o), lit(0L)).as(o)): _*)
+      .withColumn("__op", when(col("cnt") === 0L, "DELETE").otherwise("UPSERT"))
+      .withColumn("__sq", lit(to.toLong))
+    val stats = commitBatch(spark, mvSnap, mvDir, newRows, to)
+    RefreshStats(from, to, stats.applied,
+      srcSnap.files.map(_.rows).sum, stats.batchRows)
   }
 }

@@ -102,6 +102,69 @@ class MatViewSpec extends AnyFunSuite {
     assert(mvState(mv) == recompute(src))
   }
 
+  test("expired pre-image snapshot → full-rebuild fallback, then incremental resumes") {
+    val (src, mv) = fresh("mv-expire")
+    Merge.mergeEpoch(spark, src,
+      batch((1L to 60L).map(i => (i, s"g${i % 3}", i, i, "UPSERT"))),
+      "seq", "op", "e-1")
+    MatView.create(src, mv, MatView.Spec(Vector("grp"), Vector("sum_v" -> "v")))
+    MatView.refresh(spark, src, mv)
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((5L, "gZ", 100L, 500L, "UPSERT"), (6L, "", 0L, 501L, "DELETE"))),
+      "seq", "op", "e-2")
+    // expire EVERYTHING but the head — the v2 pre-image the next refresh
+    // would retract against is gone
+    Compaction.expire(src, keepLast = 1)
+    val r = MatView.refresh(spark, src, mv)
+    assert(r.applied, "retention loss must fall back to a rebuild, not fail")
+    assert(mvState(mv) == recompute(src))
+    // incremental refreshes resume after the rebuild
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((7L, "gZ", 9L, 600L, "UPSERT"))), "seq", "op", "e-3")
+    val r2 = MatView.refresh(spark, src, mv)
+    assert(r2.applied && r2.changedKeys == 1)
+    assert(mvState(mv) == recompute(src))
+  }
+
+  test("dropping a grouped column fails the refresh loudly") {
+    val (src, mv) = fresh("mv-ddl")
+    Merge.mergeEpoch(spark, src,
+      batch((1L to 20L).map(i => (i, s"g${i % 2}", i, i, "UPSERT"))),
+      "seq", "op", "e-1")
+    MatView.create(src, mv, MatView.Spec(Vector("grp"), Vector("sum_v" -> "v")))
+    MatView.refresh(spark, src, mv)
+    IceLite.dropColumn(src, "ddl-0", "grp")
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, src, mv)
+    }
+    assert(e.getMessage.contains("grp"))
+  }
+
+  test("a schema-only source commit (no data) advances the watermark cleanly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-mv-ddl2").toString
+    val src = s"$root/src"; val mv = s"$root/mv"
+    IceLite.create(src, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "id", "BIGINT"), IceLite.ColDef(2, "grp", "STRING"),
+      IceLite.ColDef(3, "v", "BIGINT"), IceLite.ColDef(4, "note", "STRING"))),
+      Vector("id"), buckets = 4)
+    val b = Seq((1L, "ga", 3L, "x", 1L, "UPSERT"), (2L, "gb", 4L, "y", 2L, "UPSERT"))
+      .toDF("id", "grp", "v", "note", "seq", "op")
+      .select(col("id").as("id", fid(1)), col("grp").as("grp", fid(2)),
+        col("v").as("v", fid(3)), col("note").as("note", fid(4)),
+        col("seq"), col("op"))
+    Merge.mergeEpoch(spark, src, b, "seq", "op", "e-1")
+    MatView.create(src, mv, MatView.Spec(Vector("grp"), Vector("sum_v" -> "v")))
+    MatView.refresh(spark, src, mv)
+    // rename an UNINVOLVED column: a new src version with zero change rows
+    IceLite.renameColumn(src, "ddl-1", "note", "note2")
+    val r = MatView.refresh(spark, src, mv)
+    assert(r.applied && r.changedKeys == 0,
+      s"empty window must still advance the watermark: $r")
+    assert(mvState(mv) == recompute(src))
+    assert(!MatView.refresh(spark, src, mv).applied)
+  }
+
   test("NULL group values aggregate like SQL GROUP BY") {
     val (src, mv) = fresh("mv-null")
     Merge.mergeEpoch(spark, src,
