@@ -52,9 +52,12 @@ object CdcCli {
       LogGen.writeLog(spark, LogGen.Params(nEvents = n.toLong, v1Fraction = v1f), dir, epochs.toInt)
       println(s"wrote $n events in $epochs epochs to $dir")
     case "replay" :: logDir :: tableDir :: rest =>
+      // replay <log> <table> [buckets] [namespace] — distinct namespaces
+      // let two different logs feed one table without fence collisions
       val buckets = rest.headOption.map(_.toInt).getOrElse(32)
+      val ns = rest.drop(1).headOption.getOrElse("replay")
       val t0 = System.nanoTime()
-      val r = Replay.replayLog(spark, logDir, tableDir, buckets)
+      val r = Replay.replayLog(spark, logDir, tableDir, buckets, namespace = ns)
       val sec = (System.nanoTime() - t0) / 1e9
       val applied = r.stats.count(_.applied)
       val rows = r.stats.map(_.batchRows).sum
@@ -197,6 +200,18 @@ object CdcCli {
         s"refreshed v${st.fromVersion} -> v${st.toVersion}: " +
           s"${st.changedKeys} changed keys, ${st.touchedGroups} groups touched"
       else s"up to date at v${st.toVersion} (nothing to apply)")
+    case "branch-fork" :: tableDir :: name :: Nil =>
+      // write-audit-publish: fork the head; the branch dir IS a table dir
+      // (replay/merge/show/verify all work on it), main stays frozen
+      val bdir = graft.lake.Branch.fork(tableDir, name)
+      println(s"forked $name at v${graft.lake.Branch.forkVersion(tableDir, name)}: $bdir")
+    case "branch-publish" :: tableDir :: name :: Nil =>
+      val n = graft.lake.Branch.publish(tableDir, name)
+      println(s"published $n version(s) from $name; main at v${IceLite.load(tableDir).version}")
+    case "branch-discard" :: tableDir :: name :: rest =>
+      val force = rest.contains("--force")
+      graft.lake.Branch.discard(tableDir, name, force)
+      println(s"discarded $name${if (force) " (forced)" else ""}")
     case "vacuum" :: tableDir :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val expired = graft.lake.Compaction.expire(tableDir, keep)

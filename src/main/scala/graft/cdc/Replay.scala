@@ -110,7 +110,13 @@ object Replay {
       /** passthrough to [[Merge.mergeEpoch]]'s merge-on-read policy; gates
         * that need a structurally delta-heavy table raise it so no bucket
         * compacts inline regardless of task-count-dependent file counts. */
-      deltaThreshold: Int = 8): ReplayResult = {
+      deltaThreshold: Int = 8,
+      /** fence namespace: epoch ids commit as `<namespace>-<epoch>`. Two
+        * DIFFERENT logs feeding one table (e.g. a backfill log replayed
+        * onto a WAP branch of a table that already consumed the main log)
+        * must use distinct namespaces, or the second log's epoch numbers
+        * fence against the first's. */
+      namespace: String = "replay"): ReplayResult = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
@@ -148,7 +154,7 @@ object Replay {
       else None
       // namespaced fence id: replay partition numbers can never collide with
       // a streaming tail's batchIds on the same table
-      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", s"replay-$e", keys,
+      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", s"$namespace-$e", keys,
         deltaThreshold = deltaThreshold)
       if (st.applied) batch.flushDeadLetters()
       (st, batch.routeStats)

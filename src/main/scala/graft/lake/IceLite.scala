@@ -383,8 +383,8 @@ object IceLite {
 
   // ---------------------------------------------------------------- commits
 
-  private def metaDir(dir: String): Path = Paths.get(dir, "meta")
-  private def snapPath(dir: String, v: Int): Path = metaDir(dir).resolve(f"v$v%05d.json")
+  private[lake] def metaDir(dir: String): Path = Paths.get(dir, "meta")
+  private[lake] def snapPath(dir: String, v: Int): Path = metaDir(dir).resolve(f"v$v%05d.json")
 
   def create(dir: String, schema: Vector[ColDef], keyCols: Vector[String], buckets: Int): Snapshot = {
     Files.createDirectories(metaDir(dir))

@@ -406,6 +406,69 @@ object CdcQueries {
         WHERE rn = 1 AND op <> 'DELETE'
         GROUP BY lang ORDER BY lang""")),
 
+    OpQuery("q68_wap_branch",
+      // WRITE-AUDIT-PUBLISH under the hard gate: epochs 0-1 replay into
+      // MAIN; epoch 2 (the "risky" ingest) lands on a BRANCH — a fork of
+      // the snapshot chain that is itself a full table dir — is audited
+      // there, and only then PUBLISHES by hard-linking its snapshots onto
+      // main (the same link(2) create-if-absent primitive commits use, so
+      // a racing main commit loses atomically). Hard-asserts: main's
+      // version is frozen while the branch ingests, the audit read sees
+      // epoch 2 on the branch but not on main, and a discard after publish
+      // keeps main fully readable (manifests/data under the branch dir
+      // survive). The oracle folds ALL three epochs of the decoded dump —
+      // a publish that loses the branch epoch, leaks it before publish, or
+      // breaks LWW across the fork boundary breaks equality.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q68")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val log = s.read.parquet(logDir)
+        (0 until 3).map { e =>
+          val ev = log.filter(col("epoch") === e)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        val log01 = s"$root/log01"; val log2 = s"$root/log2"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
+        Seq(0, 1).foreach(e => java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, s"epoch=$e"),
+          java.nio.file.Paths.get(log01, s"epoch=$e")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(log2, "epoch=2"))
+        import graft.lake.Branch
+        Replay.replayLog(s, log01, tableDir, buckets = 8)
+        val mainV = IceLite.load(tableDir).version
+        val preBranch = IceLite.read(s, IceLite.load(tableDir)).count()
+        val bdir = Branch.fork(tableDir, "ingest")
+        Replay.replayLog(s, log2, bdir, buckets = 8)
+        // audit: the branch carries epoch 2, main is untouched
+        require(IceLite.load(tableDir).version == mainV,
+          "main must not advance while the branch ingests")
+        require(IceLite.read(s, IceLite.load(tableDir)).count() == preBranch,
+          "main must not see branch rows before publish")
+        require(Branch.aheadBy(tableDir, "ingest") >= 1, "branch made no commits?")
+        val published = Branch.publish(tableDir, "ingest")
+        putMetric("q68", "published_versions", published.toDouble)
+        Branch.discard(tableDir, "ingest")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q68")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
