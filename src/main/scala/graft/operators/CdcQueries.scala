@@ -469,6 +469,63 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q68")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q69_delete_where",
+      // PREDICATE DELETE under the hard gate: replay a 2-epoch log, then
+      // DELETE WHERE lang = 'java' — expressed as tombstones through the
+      // normal epoch-fenced merge at O(matching rows), never a table
+      // rewrite (the GDPR / right-to-be-forgotten shape at 100 TB). The
+      // oracle folds the decoded dump and filters the predicate's
+      // complement; a delete that misses rows, over-deletes, or a replayed
+      // DML epoch that double-applies all break equality.
+      (s, _) => {
+        replayFinalState(s, nEvents = 3000, tag = "q69", dumpDecodedLog = true)
+        val tableDir = s"${workDir("q69")}/table"
+        val st = graft.lake.Dml.deleteWhere(s, tableDir, "lang = 'java'", "q69-del")
+        putMetric("q69", "deleted_rows", st.deletes.toDouble)
+        putMetric("q69", "touched_buckets", st.touchedBuckets.toDouble)
+        require(st.applied && st.deletes > 0, s"delete matched nothing: $st")
+        require(!graft.lake.Dml.deleteWhere(s, tableDir, "lang = 'java'", "q69-del").applied,
+          "replayed DML epoch must fence as a no-op")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q69")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' AND (lang <> 'java' OR lang IS NULL)
+        ORDER BY repo, path""")),
+
+    OpQuery("q70_update_where",
+      // PREDICATE UPDATE under the hard gate: replay a 2-epoch log, then
+      // UPDATE SET author = 'redacted', commit = upper(commit) WHERE
+      // lang = 'go' — rewritten row versions through the epoch-fenced
+      // merge at O(matching rows). The oracle folds the decoded dump and
+      // applies the same assignments via CASE on the folded winners
+      // (the DML reads the table AS OF its snapshot, so winners are
+      // exactly what it rewrote); content hashes must survive untouched.
+      (s, _) => {
+        replayFinalState(s, nEvents = 3000, tag = "q70", dumpDecodedLog = true)
+        val tableDir = s"${workDir("q70")}/table"
+        val st = graft.lake.Dml.updateWhere(s, tableDir, "lang = 'go'",
+          Seq("author" -> "'redacted'", "commit" -> "upper(commit)"), "q70-upd")
+        putMetric("q70", "updated_rows", st.batchRows.toDouble)
+        putMetric("q70", "touched_buckets", st.touchedBuckets.toDouble)
+        require(st.applied && st.batchRows > 0 && st.deletes == 0, s"update matched nothing: $st")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path,
+          CASE WHEN lang = 'go' THEN upper("commit") ELSE "commit" END AS "commit",
+          lang, sha256(content) AS content_sha,
+          CASE WHEN lang = 'go' THEN 'redacted' ELSE author END AS author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q70")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is

@@ -1,0 +1,109 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Predicate DML as epoch-fenced merges: DELETE/UPDATE WHERE at
+  * O(matching rows), with LWW ordering against the CDC stream. */
+class DmlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+    .putLong("graft.fieldId", n).build()
+
+  private def batch(rows: Seq[(Long, String, Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "v", "seq", "op")
+      .select(col("id").as("id", fid(1)), col("grp").as("grp", fid(2)),
+        col("v").as("v", fid(3)), col("seq"), col("op"))
+  }
+
+  private def fresh(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft-$tag").toString + "/t"
+    IceLite.create(dir, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "id", "BIGINT"), IceLite.ColDef(2, "grp", "STRING"),
+      IceLite.ColDef(3, "v", "BIGINT"))), Vector("id"), buckets = 8)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 100L).map(i => (i, s"g${i % 4}", i * 10, i, "UPSERT"))),
+      "seq", "op", "e-0")
+    dir
+  }
+
+  private def state(dir: String): Map[Long, (String, Long)] = {
+    import spark.implicits._
+    IceLite.read(spark, IceLite.load(dir))
+      .select("id", "grp", "v").as[(Long, String, Long)].collect()
+      .map { case (i, g, v) => i -> (g, v) }.toMap
+  }
+
+  test("deleteWhere tombstones matching rows at O(matches); fenced") {
+    val dir = fresh("del")
+    val st = Dml.deleteWhere(spark, dir, "grp = 'g0'", "dml-0")
+    assert(st.applied && st.deletes == 25 && st.batchRows == 25)
+    val after = state(dir)
+    assert(after.size == 75 && !after.values.exists(_._1 == "g0"))
+    assert(after(1L) == ("g1", 10L), "non-matching rows untouched")
+    // replayed epoch fences
+    assert(!Dml.deleteWhere(spark, dir, "grp = 'g1'", "dml-0").applied)
+    assert(state(dir).size == 75)
+    // empty match: a no-op epoch, not an error
+    assert(Dml.deleteWhere(spark, dir, "grp = 'nope'", "dml-1").batchRows == 0)
+  }
+
+  test("updateWhere rewrites matching rows with SQL expressions, cast to the column type") {
+    val dir = fresh("upd")
+    val st = Dml.updateWhere(spark, dir, "id <= 10",
+      Seq("v" -> "v * 2 + 1", "grp" -> "concat(grp, '-x')"), "dml-0")
+    assert(st.applied && st.batchRows == 10 && st.deletes == 0)
+    val after = state(dir)
+    assert(after(3L) == ("g3-x", 61L) && after(10L) == ("g2-x", 201L))
+    assert(after(11L) == ("g3", 110L), "non-matching rows untouched")
+    assert(after.size == 100)
+  }
+
+  test("DML is an event in the stream: later CDC seq wins over it") {
+    val dir = fresh("lww")
+    Dml.deleteWhere(spark, dir, "id = 5", "dml-0")
+    assert(!state(dir).contains(5L))
+    // a CDC event with seq above the DML's point resurrects the key
+    Merge.mergeEpoch(spark, dir,
+      batch(Seq((5L, "gNew", 7L, 10000L, "UPSERT"))), "seq", "op", "e-1")
+    assert(state(dir)(5L) == ("gNew", 7L))
+    // and an update lands BELOW a newer event's seq → the newer event wins
+    Dml.updateWhere(spark, dir, "id = 5", Seq("v" -> "0"), "dml-1")
+    assert(state(dir)(5L) == ("gNew", 0L),
+      "update at maxSeq+1 must win over the older event")
+  }
+
+  test("updateWhere refuses key columns and unknown columns") {
+    val dir = fresh("guard")
+    val ex = intercept[IllegalArgumentException](
+      Dml.updateWhere(spark, dir, "id = 1", Seq("id" -> "id + 1"), "dml-0"))
+    assert(ex.getMessage.contains("key column"))
+    intercept[IllegalArgumentException](
+      Dml.updateWhere(spark, dir, "id = 1", Seq("nope" -> "1"), "dml-1"))
+    intercept[IllegalArgumentException](
+      Dml.updateWhere(spark, dir, "id = 1", Seq.empty, "dml-2"))
+  }
+
+  test("DML rides the change feed: tombstones and rewrites are visible changes") {
+    val dir = fresh("feed")
+    val v0 = IceLite.load(dir).version
+    Dml.deleteWhere(spark, dir, "id = 7", "dml-0")
+    Dml.updateWhere(spark, dir, "id = 8", Seq("v" -> "999"), "dml-1")
+    val v1 = IceLite.load(dir).version
+    val feed = IceLite.changes(spark, dir, v0, v1)
+    val dels = feed.where(col("__del")).select("id").collect().map(_.getLong(0)).toSet
+    val ups = feed.where(!col("__del")).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dels == Set(7L) && ups == Set((8L, 999L)))
+  }
+}
