@@ -526,6 +526,73 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q70")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q71_audit_gate",
+      // DECLARATIVE AUDIT as the WAP publish gate, under the hard gate:
+      // epochs 0-1 replay into main; a BAD branch poisons the table
+      // (UPDATE content = NULL) and its audit — one-pass NotNull/Unique/
+      // RowCount/Check expectations — must block the publish, leaving main
+      // frozen; a GOOD branch ingests epoch 2, passes the same contract,
+      // and auditAndPublish lands it. The oracle folds all three epochs of
+      // the decoded dump: a bad publish (nulls visible), a lost good
+      // publish, or an audit reading the wrong side all break equality.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q71")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val log = s.read.parquet(logDir)
+        (0 until 3).map { e =>
+          val ev = log.filter(col("epoch") === e)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        val log01 = s"$root/log01"; val log2 = s"$root/log2"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
+        Seq(0, 1).foreach(e => java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, s"epoch=$e"),
+          java.nio.file.Paths.get(log01, s"epoch=$e")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(log2, "epoch=2"))
+        import graft.lake.{Audit, Branch, Dml}
+        Replay.replayLog(s, log01, tableDir, buckets = 8)
+        val mainV = IceLite.load(tableDir).version
+        val contract = Seq(
+          Audit.NotNull(Seq("repo", "path", "content")),
+          Audit.Unique(Seq("repo", "path")),
+          Audit.Check("commit_set", "length(commit) > 0"),
+          Audit.RowCount(min = 1))
+        // bad branch: a poisoning DML nulls content — audit must block it
+        val bad = Branch.fork(tableDir, "bad")
+        Dml.updateWhere(s, bad, "lang = 'md'", Seq("content" -> "NULL"), "poison")
+        val (badReport, badPublished) = Audit.auditAndPublish(s, tableDir, "bad", contract)
+        require(!badPublished && !badReport.passed, s"poisoned branch must fail audit: $badReport")
+        require(IceLite.load(tableDir).version == mainV, "failed audit must not publish")
+        putMetric("q71", "bad_violations",
+          badReport.violations.map(_.violations).sum.toDouble)
+        Branch.discard(tableDir, "bad", force = true)
+        // good branch: epoch 2 passes the same contract and publishes
+        val good = Branch.fork(tableDir, "good")
+        Replay.replayLog(s, log2, good, buckets = 8)
+        val (goodReport, goodPublished) = Audit.auditAndPublish(s, tableDir, "good", contract)
+        require(goodPublished && goodReport.passed, s"clean branch must publish: $goodReport")
+        putMetric("q71", "good_rows", goodReport.rows.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q71")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
