@@ -137,23 +137,29 @@ object CdcCli {
       row.show(5, truncate = 60)
       println(s"found ${row.count()} row(s)")
     case "compact" :: tableDir :: rest =>
-      // `compact <dir> [epochId] [buckets] [--cluster <col>]` — with
-      // --cluster, buckets rewrite sorted by <col> into range-contiguous
-      // files whose bounds feed readRange's file skipping
-      val (cluster, positional) = rest.indexOf("--cluster") match {
-        case -1 => (None, rest)
-        case i if i + 1 < rest.length =>
-          (Some(rest(i + 1)), rest.patch(i, Nil, 2))
-        case _ =>
-          System.err.println("usage: compact <dir> [epochId] [buckets] [--cluster <col>]"); sys.exit(2)
-      }
+      // `compact <dir> [epochId] [buckets] [--cluster <col> | --zorder c1,c2]`
+      // — --cluster sorts buckets by one column, --zorder interleaves 2+
+      // numeric columns; both split into range-contiguous files whose
+      // bounds feed readRange/readRangeMulti's file skipping
+      def takeFlag(args: List[String], flag: String): (Option[String], List[String]) =
+        args.indexOf(flag) match {
+          case -1 => (None, args)
+          case i if i + 1 < args.length => (Some(args(i + 1)), args.patch(i, Nil, 2))
+          case _ =>
+            System.err.println(s"usage: compact <dir> [epochId] [buckets] [--cluster <col> | --zorder c1,c2]")
+            sys.exit(2)
+        }
+      val (cluster, rest1) = takeFlag(rest, "--cluster")
+      val (zorder, positional) = takeFlag(rest1, "--zorder")
       val epochId = positional.headOption.getOrElse(s"compact-${System.nanoTime()}")
       // optional 2nd arg: comma-separated bucket subset for incremental
       // maintenance that doesn't conflict with live merges on other buckets
       val buckets = positional.drop(1).headOption.map(_.split(',').map(_.toInt).toSet)
-      val st = graft.lake.Compaction.compact(spark, tableDir, epochId, buckets, cluster)
+      val st = graft.lake.Compaction.compact(spark, tableDir, epochId, buckets, cluster,
+        zorderBy = zorder.map(_.split(',').toSeq).getOrElse(Nil))
       println(s"compacted ${st.buckets} buckets" +
         cluster.map(c => s" (clustered by $c)").getOrElse("") +
+        zorder.map(z => s" (z-ordered by $z)").getOrElse("") +
         s": rows=${st.rowsAfter}, files replaced=${st.filesReplaced}")
     case "rebucket" :: tableDir :: nb :: rest =>
       val epochId = rest.headOption.getOrElse(s"rebucket-${System.nanoTime()}")

@@ -46,9 +46,22 @@ object Compaction {
         * predicates. At 10^5 buckets × 8 files a selective range scan
         * opens a small fraction of the table instead of all of it. */
       clusterBy: Option[String] = None,
+      /** Z-ORDER policy (multi-dimensional clustering): sort each rewritten
+        * bucket by the bit-interleaved z-value of 2+ NUMERIC columns and
+        * split it range-contiguously like clusterBy — every file then
+        * records REAL per-column [min, max] bounds (colBounds), so
+        * [[IceLite.readRangeMulti]] prunes on any dimension, alone or
+        * ANDed. The z-mapping normalizes each column by its global
+        * [min, max] over the rewritten state (one narrow agg); a coarse
+        * mapping only loosens bounds — pruning soundness never depends on
+        * it, because bounds are measured from the written files. */
+      zorderBy: Seq[String] = Nil,
       filesPerBucket: Int = 4): CompactionStats = {
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) return CompactionStats(0, 0, 0, 0)
+    require(clusterBy.isEmpty || zorderBy.isEmpty, "clusterBy and zorderBy are exclusive")
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs 2+ columns (use clusterBy for one)")
     clusterBy.foreach { c =>
       import org.apache.spark.sql.types._
       val cd = base.currentSchema.find(_.name == c).getOrElse(
@@ -56,6 +69,14 @@ object Compaction {
       require(!cd.hidden, s"cannot cluster by hidden column $c")
       require(Seq(StringType, LongType, IntegerType, ShortType).contains(cd.sparkType),
         s"clusterBy needs a string or integral column, got ${cd.sparkType} for $c")
+    }
+    zorderBy.foreach { c =>
+      import org.apache.spark.sql.types._
+      val cd = base.currentSchema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such z-order column: $c"))
+      require(!cd.hidden, s"cannot z-order by hidden column $c")
+      require(Seq(LongType, IntegerType, ShortType, DoubleType, FloatType).contains(cd.sparkType),
+        s"zorderBy needs numeric columns, got ${cd.sparkType} for $c")
     }
     val chosen: Set[Int] = buckets.getOrElse((0 until base.buckets).toSet)
     val oldFiles = base.files.filter(f => chosen(f.bucket))
@@ -79,26 +100,58 @@ object Compaction {
 
     val epochDir = Paths.get(dir, "data", s"epoch=$epochId-compact").toString
     val obs = org.apache.spark.sql.Observation(s"compact-$epochId")
-    val sortCols = clusterBy match {
-      case Some(c) => Seq(col("__bucket"), col(c))
-      case None => col("__bucket") +: base.keyCols.map(col)
+    // z-value: EQUAL-FREQUENCY normalization — each dimension maps to its
+    // approx-quantile cell (64 cells = 6 bits; one bounded driver-side
+    // approxQuantile, then a codegen'd when-chain), then bit-interleave.
+    // Quantile cells, not min/max scaling: a skewed dimension (median ≪
+    // max) would otherwise squeeze most rows into a sliver of the curve
+    // and leave per-file bounds wide. A coarse mapping only loosens
+    // bounds — pruning soundness is independent of it (bounds are
+    // measured from the written files).
+    val zExpr: Option[org.apache.spark.sql.Column] =
+      if (zorderBy.isEmpty) None
+      else {
+        val cells = 64
+        val k = 31 - Integer.numberOfLeadingZeros(cells) // bits per dimension
+        val probs = (1 until cells).map(_.toDouble / cells).toArray
+        val allCuts = live.stat.approxQuantile(zorderBy.toArray, probs, 0.001)
+          .map(_.distinct.sorted)
+        if (allCuts.exists(_.isEmpty)) None // empty/all-null: key sort
+        else {
+          val norms = zorderBy.zip(allCuts).map { case (c, cuts) =>
+            val d = col(c).cast("double")
+            // chained when, highest cut first — first match wins
+            cuts.zipWithIndex.reverse.foldLeft(when(col(c).isNull, lit(0L))) {
+              case (w, (cut, i)) => w.when(d > lit(cut), lit((i + 1).toLong))
+            }.otherwise(lit(0L))
+          }
+          Some((0 until k).flatMap { b =>
+            norms.zipWithIndex.map { case (n, j) =>
+              shiftleft(shiftright(n, b).bitwiseAND(lit(1L)), b * zorderBy.size + j)
+            }
+          }.reduce(_.bitwiseOR(_)))
+        }
+      }
+    val sortCols = (clusterBy, zExpr) match {
+      case (Some(c), _) => Seq(col("__bucket"), col(c))
+      case (None, Some(z)) => Seq(col("__bucket"), z)
+      case _ => col("__bucket") +: base.keyCols.map(col)
     }
     val writer0 = live
       .repartition(math.max(chosen.size, 1), col("__bucket"))
       .sortWithinPartitions(sortCols: _*)
       .observe(obs, count(lit(1)).as("rows"))
       .write.partitionBy("__bucket").mode("overwrite")
-    val writer = clusterBy match {
-      case Some(_) =>
-        // size the range split from the manifest's row counts (an upper
-        // bound incl. superseded versions — files come out slightly small,
-        // never fewer than asked); data is sorted within the task, so each
-        // maxRecordsPerFile chunk is CONTIGUOUS in the cluster column
-        val estRows = math.max(1L, oldFiles.map(_.rows).sum)
-        writer0.option("maxRecordsPerFile",
-          math.max(1L, estRows / math.max(1, chosen.size * filesPerBucket)))
-      case None => writer0
-    }
+    val writer = if (clusterBy.isDefined || zExpr.isDefined) {
+      // size the range split from the manifest's row counts (an upper
+      // bound incl. superseded versions — files come out slightly small,
+      // never fewer than asked); data is sorted within the task, so each
+      // maxRecordsPerFile chunk is CONTIGUOUS in the cluster column (or
+      // the z-curve)
+      val estRows = math.max(1L, oldFiles.map(_.rows).sum)
+      writer0.option("maxRecordsPerFile",
+        math.max(1L, estRows / math.max(1, chosen.size * filesPerBucket)))
+    } else writer0
     writer.parquet(epochDir)
     val rowsAfter = obs.get("rows").asInstanceOf[Long]
     val rowsBefore = preObs.get("rows").asInstanceOf[Long]
@@ -107,30 +160,40 @@ object Compaction {
     // the scan, overridden: these are not change rows)
     val scanned = IceLite.scanEpochFiles(epochDir, base.currentSchemaVersion, base.keyCols)
     val blooms = KeyBloom.forEpoch(spark, scanned.map(_._1), base.keyCols)
-    // clustered files record their [min, max] of the cluster column — one
-    // narrow job over just that column; an all-NULL file keeps no bounds
-    // (never pruned, sound)
-    val sortStats: Map[String, (String, String)] = clusterBy match {
-      case Some(c) if scanned.nonEmpty =>
-        import spark.implicits._
+    // clustered files record their [min, max] of every cluster/z-order
+    // column — one narrow job over just those columns; an all-NULL file
+    // keeps no bounds for that column (never pruned, sound)
+    val statCols: Seq[String] = clusterBy.map(Seq(_)).getOrElse(zorderBy)
+    val boundStats: Map[String, Map[String, (String, String)]] =
+      if (statCols.isEmpty || scanned.isEmpty) Map.empty
+      else {
         def normalize(uri: String): String =
           try new java.net.URI(uri).getPath match { case null => uri; case p => p }
           catch { case _: Exception => uri.stripPrefix("file:") }
+        val aggs = statCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
         spark.read.parquet(scanned.map(_._1.path): _*)
           .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c)).cast("string").as("mn"), max(col(c)).cast("string").as("mx"))
-          .as[(String, String, String)].collect()
-          .flatMap { case (f, mn, mx) =>
-            if (mn == null || mx == null) None else Some(normalize(f) -> (mn, mx)) }
-          .toMap
-      case _ => Map.empty
-    }
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val bounds = statCols.zipWithIndex.flatMap { case (c, i) =>
+              val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
+              if (mn == null || mx == null) None else Some(c -> (mn, mx))
+            }.toMap
+            normalize(r.getString(0)) -> bounds
+          }.toMap
+      }
     val newFiles = scanned.map { case (f, _) =>
       val g = f.copy(delta = false, bloom = blooms.get(f.path))
-      sortStats.get(f.path) match {
-        case Some((mn, mx)) =>
-          g.copy(sortCol = clusterBy, sortMin = Some(mn), sortMax = Some(mx))
-        case None => g
+      boundStats.get(f.path) match {
+        case Some(bounds) if bounds.nonEmpty =>
+          if (clusterBy.isDefined)
+            g.copy(sortCol = clusterBy,
+              sortMin = bounds.get(clusterBy.get).map(_._1),
+              sortMax = bounds.get(clusterBy.get).map(_._2))
+          else g.copy(colBounds = bounds)
+        case _ => g
       }
     }
     // secondary bloom index: a compaction rewrites the chosen buckets' FULL

@@ -83,7 +83,15 @@ object IceLite {
         * stored as strings; numeric columns compare via the declared type. */
       sortCol: Option[String] = None,
       sortMin: Option[String] = None,
-      sortMax: Option[String] = None) {
+      sortMax: Option[String] = None,
+      /** Z-ORDERED base file: per-column [min, max] for EACH clustering
+        * dimension (a multi-column compaction interleaves the dimensions,
+        * so every dimension's bounds are tight-ish and [[IceLite
+        * .rangeFilesMulti]] can prune on any of them, alone or ANDed).
+        * Bounds are the file's REAL min/max recorded after the write, so
+        * pruning stays sound no matter how coarse the z-mapping was.
+        * Empty = not multi-clustered. */
+      colBounds: Map[String, (String, String)] = Map.empty) {
     def mayContainKey(keyVals: Seq[String]): Boolean =
       keyMin.isEmpty || keyMax.isEmpty ||
         keyVals.indices.forall(i =>
@@ -250,6 +258,12 @@ object IceLite {
     f.sortCol.foreach(o.put("sortCol", _))
     f.sortMin.foreach(o.put("sortMin", _))
     f.sortMax.foreach(o.put("sortMax", _))
+    if (f.colBounds.nonEmpty) {
+      val cb = o.putObject("colBounds")
+      f.colBounds.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val a = cb.putArray(c); a.add(mn); a.add(mx)
+      }
+    }
   }
 
   private def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
@@ -263,7 +277,13 @@ object IceLite {
       bloom = Option(f.get("bloom")).map(n => java.util.Base64.getDecoder.decode(n.asText())),
       sortCol = Option(f.get("sortCol")).map(_.asText()),
       sortMin = Option(f.get("sortMin")).map(_.asText()),
-      sortMax = Option(f.get("sortMax")).map(_.asText()))
+      sortMax = Option(f.get("sortMax")).map(_.asText()),
+      colBounds = Option(f.get("colBounds")).map { cb =>
+        cb.properties().asScala.map { e =>
+          val a = e.getValue
+          e.getKey -> (a.get(0).asText(), a.get(1).asText())
+        }.toMap
+      }.getOrElse(Map.empty))
 
   private def toJson(s: Snapshot): String = {
     val root = mapper.createObjectNode()
@@ -759,23 +779,37 @@ object IceLite {
     * event), so a base file is only skipped when every delta in its bucket
     * starts strictly above its maxSeq — the common case the moment after
     * any clustering compaction, and permanently for seq-monotone feeds. */
-  def rangeFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Vector[DataFile] = {
+  def rangeFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Vector[DataFile] =
+    rangeFilesMulti(snap, Seq((colName, lo, hi)))
+
+  /** Multi-predicate file pruning: a file is skipped when ANY ANDed range
+    * predicate misses its recorded bounds — single-column clustering bounds
+    * ([sortMin, sortMax]) and z-order per-column bounds (colBounds) both
+    * apply. Same stale-delta guard as the single-column path. */
+  def rangeFilesMulti(snap: Snapshot, preds: Seq[(String, Any, Any)]): Vector[DataFile] = {
     import org.apache.spark.sql.types._
-    val cmp: (String, String) => Int =
+    def cmpFor(colName: String): (String, String) => Int =
       snap.currentSchema.find(_.name == colName).map(_.sparkType) match {
         case Some(LongType | IntegerType | ShortType) =>
           (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+        case Some(DoubleType | FloatType) =>
+          (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
         case _ => utf8Compare
       }
-    val loS = String.valueOf(lo); val hiS = String.valueOf(hi)
+    val compiled = preds.map { case (c, lo, hi) =>
+      (c, cmpFor(c), String.valueOf(lo), String.valueOf(hi))
+    }
     // per-bucket floor of delta seqs; an unknown minSeq poisons the bucket
     // (Long.MinValue → guard never passes → nothing skipped there)
     val deltaFloor: Map[Int, Long] = snap.files.filter(_.delta)
       .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.minSeq).min }
     snap.files.filter { f =>
-      val clusteredMiss = !f.delta && f.sortCol.contains(colName) &&
-        f.sortMin.isDefined && f.sortMax.isDefined &&
-        (cmp(f.sortMax.get, loS) < 0 || cmp(f.sortMin.get, hiS) > 0)
+      def boundsOf(c: String): Option[(String, String)] =
+        f.colBounds.get(c).orElse(
+          if (f.sortCol.contains(c)) f.sortMin.zip(f.sortMax) else None)
+      val clusteredMiss = !f.delta && compiled.exists { case (c, cmp, loS, hiS) =>
+        boundsOf(c).exists { case (mn, mx) => cmp(mx, loS) < 0 || cmp(mn, hiS) > 0 }
+      }
       val guardOk = deltaFloor.getOrElse(f.bucket, Long.MaxValue) > f.maxSeq
       !(clusteredMiss && guardOk)
     }
@@ -786,10 +820,20 @@ object IceLite {
     * same rows as `read(...).filter(col between lo and hi)`, a fraction of
     * the scan once a clustering compaction has run. */
   def readRange(spark: SparkSession, snap: Snapshot, colName: String,
-      lo: Any, hi: Any): DataFrame = {
-    val keep = rangeFiles(snap, colName, lo, hi).map(_.path).toSet
-    read(spark, snap, f => keep(f.path))
-      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+      lo: Any, hi: Any): DataFrame =
+    readRangeMulti(spark, snap, Seq((colName, lo, hi)))
+
+  /** ANDed range predicates over a clustered/z-ordered table: prunes with
+    * [[rangeFilesMulti]] then applies every exact predicate — same rows as
+    * `read(...).filter(p1 && p2 && …)`, a fraction of the scan once the
+    * bounds exist. */
+  def readRangeMulti(spark: SparkSession, snap: Snapshot,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readRangeMulti needs at least one predicate")
+    val keep = rangeFilesMulti(snap, preds).map(_.path).toSet
+    preds.foldLeft(read(spark, snap, f => keep(f.path))) {
+      case (df, (c, lo, hi)) => df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
   }
 
   // ------------------------------------------------------------ file stats

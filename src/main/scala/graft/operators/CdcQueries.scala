@@ -593,6 +593,49 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q71")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q72_zorder_scan",
+      // MULTI-DIMENSIONAL (Z-ORDER) CLUSTERING under the hard gate: the
+      // events table lands in an IceLite table, a z-order compaction
+      // interleaves (user_id, value) into range-contiguous files with
+      // per-dimension bounds, and an ANDed 2D range read must (a) prune at
+      // least half the files structurally — hard-asserted — and (b) return
+      // exactly the oracle's filtered rows. Pruning soundness never
+      // depends on the z-mapping quality: bounds are measured from the
+      // written files.
+      (s, dir) => {
+        val root = workDir("q72")
+        val tdir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.fieldId", n).build()
+        IceLite.create(tdir, IceLite.withCdcCols(Vector(
+          IceLite.ColDef(1, "event_id", "BIGINT"), IceLite.ColDef(2, "user_id", "BIGINT"),
+          IceLite.ColDef(3, "event_type", "STRING"), IceLite.ColDef(4, "value", "DOUBLE"))),
+          Vector("event_id"), buckets = 8)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id").as("event_id", fid(1)),
+            col("user_id").as("user_id", fid(2)),
+            col("event_type").as("event_type", fid(3)),
+            col("value").as("value", fid(4)),
+            col("event_id").as("seq"), lit("UPSERT").as("op"))
+        graft.lake.Merge.mergeEpoch(s, tdir, ev, "seq", "op", "load-0")
+        graft.lake.Compaction.compact(s, tdir, "z-0",
+          zorderBy = Seq("user_id", "value"), filesPerBucket = 8)
+        val snap = IceLite.load(tdir)
+        val preds = Seq[(String, Any, Any)](("user_id", 10L, 40L), ("value", 50.0, 150.0))
+        val kept = IceLite.rangeFilesMulti(snap, preds).size
+        putMetric("q72", "files_total", snap.files.size.toDouble)
+        putMetric("q72", "files_read", kept.toDouble)
+        require(kept * 2 <= snap.files.size,
+          s"2D range must skip at least half the files: kept $kept of ${snap.files.size}")
+        IceLite.readRangeMulti(s, snap, preds)
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+        WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50.0 AND 150.0
+        ORDER BY event_id""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
