@@ -206,6 +206,11 @@ object CdcCli {
         s"refreshed v${st.fromVersion} -> v${st.toVersion}: " +
           s"${st.changedKeys} changed keys, ${st.touchedGroups} groups touched"
       else s"up to date at v${st.toVersion} (nothing to apply)")
+    case "rollback" :: tableDir :: toV :: Nil =>
+      // restore an earlier snapshot as a NEW head version (history kept);
+      // the epoch ledger restores too, so the undone epochs can re-apply
+      val snap = IceLite.rollback(tableDir, toV.toInt)
+      println(s"rolled back to v$toV state as v${snap.version}")
     case "branch-fork" :: tableDir :: name :: Nil =>
       // write-audit-publish: fork the head; the branch dir IS a table dir
       // (replay/merge/show/verify all work on it), main stays frozen

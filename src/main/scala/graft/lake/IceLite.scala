@@ -663,6 +663,31 @@ object IceLite {
       unindexCols = Set(colName))) // a dropped column's bloom index goes too
   }
 
+  /** ROLLBACK: make the head state equal an earlier RETAINED snapshot,
+    * committed as a NEW version — history is never rewritten, so time
+    * travel to the rolled-back versions keeps working until `expire`, and
+    * an audit trail of the bad commits survives. The restored state
+    * includes the epoch LEDGER as of `toVersion`: change epochs undone by
+    * the rollback are un-happened, so replaying their log legitimately
+    * RE-APPLIES them (the remediation loop after a bad publish: rollback,
+    * fix the source, replay). Schema, bucket count, indexes and maxSeq all
+    * restore with it. A rollback racing any concurrent commit loses
+    * atomically (same link(2) create-if-absent as every commit) and must
+    * be re-evaluated against the new head. */
+  def rollback(dir: String, toVersion: Int): Snapshot = {
+    val head = load(dir)
+    require(toVersion <= head.version,
+      s"cannot roll forward: head v${head.version}, asked v$toVersion")
+    require(history(dir).contains(toVersion),
+      s"v$toVersion is not retained (expired?) — rollback needs its snapshot")
+    val target = loadVersion(dir, toVersion)
+    val attempt = target.copy(version = head.version + 1)
+    if (!writeAtomic(dir, attempt))
+      throw new java.util.ConcurrentModificationException(
+        s"rollback to v$toVersion lost a race at v${head.version + 1}; re-check the head")
+    attempt
+  }
+
   /** Schema-only DDL commit: RENAME a data column (Iceberg rename
     * semantics — metadata-only, no file rewrite; reads resolve by field
     * id, so files written under the old name keep serving). The field id

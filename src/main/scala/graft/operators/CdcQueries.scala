@@ -636,6 +636,55 @@ object CdcQueries {
         WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50.0 AND 150.0
         ORDER BY event_id""")),
 
+    OpQuery("q73_rollback_replay",
+      // ROLLBACK + REMEDIATION REPLAY under the hard gate: replay 3
+      // epochs, roll the head back to the post-epoch-1 snapshot (a NEW
+      // version — history kept), then re-replay the SAME log: the restored
+      // ledger must fence epochs 0-1 (still applied) and RE-APPLY epoch 2
+      // (un-happened by the rollback) — hard-asserted as exactly 1 of 3
+      // applied. The oracle folds all three epochs: a rollback that loses
+      // state, a ledger that blocks the re-apply, or a fence that
+      // double-applies 0-1 all break equality.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q73")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val log = s.read.parquet(logDir)
+        (0 until 3).map { e =>
+          val ev = log.filter(col("epoch") === e)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        Replay.replayLog(s, logDir, tableDir, buckets = 8) // v1..v3
+        val headRows = IceLite.read(s, IceLite.load(tableDir)).count()
+        val v2Rows = IceLite.read(s, IceLite.loadVersion(tableDir, 2)).count()
+        val rb = IceLite.rollback(tableDir, 2)
+        require(rb.version == 4, s"rollback must commit a NEW version, got v${rb.version}")
+        require(IceLite.read(s, IceLite.load(tableDir)).count() == v2Rows,
+          "rolled-back head must equal the v2 state")
+        // remediation replay: fence 0-1, re-apply 2
+        val re = Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        require(re.stats.count(_.applied) == 1,
+          s"re-replay must apply exactly the un-happened epoch: ${re.stats.map(st => st.epochId -> st.applied)}")
+        putMetric("q73", "reapplied_epochs", re.stats.count(_.applied).toDouble)
+        require(IceLite.read(s, IceLite.load(tableDir)).count() == headRows,
+          "remediated head must equal the pre-rollback state")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q73")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
