@@ -206,6 +206,17 @@ object CdcCli {
         s"refreshed v${st.fromVersion} -> v${st.toVersion}: " +
           s"${st.changedKeys} changed keys, ${st.touchedGroups} groups touched"
       else s"up to date at v${st.toVersion} (nothing to apply)")
+    case "meta" :: tableDir :: kind :: Nil =>
+      // inspection tables: meta <dir> files|history|manifests|epochs
+      val df = kind match {
+        case "files" => graft.lake.MetaTables.files(spark, tableDir)
+        case "history" => graft.lake.MetaTables.history(spark, tableDir)
+        case "manifests" => graft.lake.MetaTables.manifests(spark, tableDir)
+        case "epochs" => graft.lake.MetaTables.epochs(spark, tableDir)
+        case other =>
+          System.err.println(s"unknown meta table: $other"); sys.exit(2)
+      }
+      df.show(50, truncate = 60)
     case "rollback" :: tableDir :: toV :: Nil =>
       // restore an earlier snapshot as a NEW head version (history kept);
       // the epoch ledger restores too, so the undone epochs can re-apply

@@ -444,6 +444,12 @@ object IceLite {
   def loadVersion(dir: String, v: Int): Snapshot =
     loadFiles(fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8")))
 
+  /** Snapshot WITHOUT materializing its file list from manifests — for
+    * metadata-only surfaces ([[MetaTables.history]]) that answer from the
+    * snapshot JSON alone; `files` is empty, `manifests` carries counts. */
+  def loadVersionMeta(dir: String, v: Int): Snapshot =
+    fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
+
   /** Atomic create-if-absent: write a tmp file, then hard-LINK it to the
     * snapshot name — link(2) fails atomically with EEXIST when the target
     * exists, so of two racing committers of the same version exactly one

@@ -685,6 +685,33 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q73")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q74_meta_tables",
+      // METADATA INSPECTION TABLES (rows-only check — file layout is
+      // parallelism-dependent, so no cross-engine oracle): replay a seeded
+      // log, then answer "table health" questions from snapshot metadata
+      // alone — per-version file/epoch counts via MetaTables.history (no
+      // manifest or data reads), internally cross-checked against the
+      // loaded snapshot.
+      (s, _) => {
+        val root = workDir("q74")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 2000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        val snap = IceLite.load(tableDir)
+        val hist = graft.lake.MetaTables.history(s, tableDir)
+        val headFiles = hist.orderBy(col("version").desc)
+          .select("files").head().getLong(0)
+        require(headFiles == snap.files.size.toLong,
+          s"history's manifest-derived file count ($headFiles) must match the loaded snapshot (${snap.files.size})")
+        require(graft.lake.MetaTables.files(s, tableDir).count() == snap.files.size.toLong,
+          "files table must enumerate every live file")
+        hist.orderBy("version")
+      },
+      None),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
