@@ -190,7 +190,12 @@ object Bench {
         "q40_dedup_stream", "q41_encode_roundtrip", "q42_point_lookup",
         "q43_sessionize_stream", "q44_curation_pipeline", "q46_time_travel",
         "q47_streaming_ingest", "q48_lineage_metrics", "q49_dead_letter_routing",
-        "q50_drop_column_travel", "q51_embed_neardup_stream", "q55_ann_ivf_append")
+        "q50_drop_column_travel", "q51_embed_neardup_stream", "q55_ann_ivf_append",
+        "q61_bloom_lookup", "q62_rename_travel", "q63_stream_enrich",
+        "q64_secondary_index", "q65_incremental_matview", "q66_clustered_scan",
+        "q67_streaming_matview", "q68_wap_branch", "q69_delete_where",
+        "q70_update_where", "q71_audit_gate", "q72_zorder_scan",
+        "q73_rollback_replay", "q74_meta_tables")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()
