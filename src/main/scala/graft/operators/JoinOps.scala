@@ -214,6 +214,43 @@ object JoinOps {
           ON e.ts BETWEEN m.mts - INTERVAL 30 SECOND
                       AND m.mts + INTERVAL 30 SECOND
         WHERE e.event_id <> m.marker_id
-        ORDER BY m.marker_id, e.event_id"""))
+        ORDER BY m.marker_id, e.event_id""")),
+
+    // STREAM-STREAM interval join under the hard gate: the events table is
+    // hash-split into two streams (even/odd event ids) that arrive in 3
+    // shared time-banded waves; each wave is a fresh AvailableNow query off
+    // one checkpoint (2 full stop/restarts), so pairs whose two sides land
+    // in different waves can only appear if the buffered join state
+    // survived recovery. The oracle is the plain batch interval join —
+    // dropped state, duplicated emission, or a watermark eating a
+    // matchable row all break equality.
+    OpQuery("q77_stream_stream_join",
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q77"
+        val ev = ld(s, d, "events")
+        val left = ev.filter(pmod(col("event_id"), lit(2)) === 0).select(
+          col("user_id"), col("event_id").as("l_event_id"),
+          col("ts").cast("timestamp").as("l_ts"), col("event_type").as("l_type"))
+        val right = ev.filter(pmod(col("event_id"), lit(2)) === 1).select(
+          col("user_id").as("user_id"), col("event_id").as("r_event_id"),
+          col("ts").cast("timestamp").as("r_ts"), col("event_type").as("r_type"))
+        graft.streaming.StreamJoin.intervalJoinStreamToCompletion(
+            s, left, right, root, chunks = 3,
+            key = "user_id", lTime = "l_ts", rTime = "r_ts",
+            tolSeconds = 6L * 3600)
+          .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+            unix_micros(col("l_ts")).as("l_ts_us"),
+            unix_micros(col("r_ts")).as("r_ts_us"),
+            col("l_type"), col("r_type"))
+          .orderBy("l_event_id", "r_event_id")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id AS l_event_id, epoch_us(ts) AS l_ts_us,
+                 event_type AS l_type FROM events WHERE event_id % 2 = 0),
+             r AS (SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_ts_us,
+                 event_type AS r_type FROM events WHERE event_id % 2 = 1)
+        SELECT l.user_id, l_event_id, r_event_id, l_ts_us, r_ts_us, l_type, r_type
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND r_ts_us >= l_ts_us AND r_ts_us <= l_ts_us + 6::BIGINT*3600*1000000
+        ORDER BY l_event_id, r_event_id"""))
   )
 }
