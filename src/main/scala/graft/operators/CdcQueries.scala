@@ -712,6 +712,287 @@ object CdcQueries {
       },
       None),
 
+    OpQuery("q75_scd2_history",
+      // TYPE-2 SCD under the hard gate: the dimension-history consumer every
+      // CDC warehouse runs. Three epochs replay stepwise; after each, an
+      // INCREMENTAL Scd2.apply seals the versions the epoch superseded into
+      // append-only history and swaps the open rows (O(changed keys) — the
+      // gate hard-asserts incrementality and that a replayed apply fences).
+      // The oracle re-derives every [valid_from, valid_to) interval from the
+      // decoded dump: per-(key, epoch) LWW fold, then lead(seq) per key —
+      // a missed close, a resurrected delete, or a double-applied window
+      // all break interval equality.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q75")
+        val root = workDir("q75")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        val scdDir = s"$root/scd"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val epochDirs = (0 until 3).map { e =>
+          val dd = s"$root/log$e"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dd))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(logDir, s"epoch=$e"),
+            java.nio.file.Paths.get(dd, s"epoch=$e"))
+          dd
+        }
+        import graft.lake.Scd2
+        var totalChanged = 0L
+        (0 until 3).foreach { e =>
+          clock(s"replay$e") { Replay.replayLog(s, epochDirs(e), tableDir, buckets = 8) }
+          if (e == 0) Scd2.create(tableDir, scdDir)
+          val st = clock(s"apply$e") { Scd2.apply(s, tableDir, scdDir) }
+          require(st.applied && st.toVersion == e + 1,
+            s"apply $e must advance to src v${e + 1}, got $st")
+          totalChanged += st.changedKeys
+          putMetric("q75", s"apply${e}_changed_keys", st.changedKeys.toDouble)
+          putMetric("q75", s"apply${e}_closed", st.closed.toDouble)
+        }
+        val tableKeys = IceLite.read(s, IceLite.load(tableDir)).count()
+        require(totalChanged < 3 * tableKeys,
+          s"applies must be O(delta): $totalChanged changed vs $tableKeys keys x3")
+        require(!Scd2.apply(s, tableDir, scdDir).applied,
+          "a replayed apply must fence as a no-op")
+        Scd2.read(s, scdDir)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("repo", "path", "valid_from")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q75")}/decoded/*.parquet')),
+        v AS (SELECT * FROM (SELECT *, row_number()
+              OVER (PARTITION BY repo, path, epoch ORDER BY seq DESC) AS rn FROM d) t
+              WHERE rn = 1),
+        tl AS (SELECT *, lead(seq) OVER (PARTITION BY repo, path ORDER BY seq) AS next_seq
+               FROM v)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
+               seq AS valid_from, next_seq AS valid_to,
+               (next_seq IS NULL) AS is_current
+        FROM tl WHERE op <> 'DELETE' ORDER BY repo, path, valid_from""")),
+
+    OpQuery("q76_cdf_images",
+      // CHANGE FEED WITH ROW IMAGES under the hard gate: the full-fidelity
+      // CDC-out surface (insert / update_preimage / update_postimage /
+      // delete, Delta-CDF-shaped). Replays 3 epochs, then reads images for
+      // the (v1, v3] window — pre-images come from a bucket-pruned read of
+      // ONLY the touched keys' v1 state chained through the window by one
+      // per-key lag(). The oracle re-derives every image from the decoded
+      // dump's version rows; a wrong pre-image, a phantom insert for a
+      // live key, or an image for a redundant delete all break equality.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q76")
+        val root = workDir("q76")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        val images = clock("images") {
+          graft.lake.Cdf.changesWithImages(s, tableDir, fromVersion = 1, toVersion = 3)
+            .localCheckpoint()
+        }
+        val byType = images.groupBy("change_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(byType.getOrElse("update_preimage", 0L) ==
+            byType.getOrElse("update_postimage", 0L),
+          s"every update needs both images, got $byType")
+        putMetric("q76", "inserts", byType.getOrElse("insert", 0L).toDouble)
+        putMetric("q76", "updates", byType.getOrElse("update_postimage", 0L).toDouble)
+        putMetric("q76", "deletes", byType.getOrElse("delete", 0L).toDouble)
+        images
+          .select(col("change_type"), col("repo"), col("path"), col("commit"),
+            col("lang"), sha2(col("content"), 256).as("content_sha"),
+            col("author"), col("seq"))
+          .orderBy("seq", "change_type")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q76")}/decoded/*.parquet')),
+        v AS (SELECT * FROM (SELECT *, row_number()
+              OVER (PARTITION BY repo, path, epoch ORDER BY seq DESC) AS rn FROM d) t
+              WHERE rn = 1),
+        tl AS (SELECT *, lag(op) OVER w AS p_op, lag("commit") OVER w AS p_commit,
+               lag(lang) OVER w AS p_lang, lag(content) OVER w AS p_content,
+               lag(author) OVER w AS p_author
+               FROM v WINDOW w AS (PARTITION BY repo, path ORDER BY seq)),
+        pre AS (SELECT CASE WHEN op = 'DELETE' THEN 'delete'
+                       ELSE 'update_preimage' END AS change_type,
+                repo, path, p_commit AS "commit", p_lang AS lang,
+                sha256(p_content) AS content_sha, p_author AS author, seq
+                FROM tl WHERE epoch >= 1 AND p_op IS NOT NULL AND p_op <> 'DELETE'),
+        post AS (SELECT CASE WHEN p_op IS NOT NULL AND p_op <> 'DELETE'
+                        THEN 'update_postimage' ELSE 'insert' END AS change_type,
+                 repo, path, "commit", lang, sha256(content) AS content_sha,
+                 author, seq
+                 FROM tl WHERE epoch >= 1 AND op <> 'DELETE')
+        SELECT * FROM pre UNION ALL SELECT * FROM post
+        ORDER BY seq, change_type""")),
+
+    OpQuery("q78_scd2_asof",
+      // TEMPORAL POINT-IN-TIME dimension read: Scd2.asOf(s) returns the
+      // version of every key whose [valid_from, valid_to) interval contains
+      // sequence s — the SCD2 answer to "what did the dimension look like
+      // mid-stream", which outlives snapshot retention. This gate builds
+      // the dimension with ONE apply spanning all 3 epochs (the multi-epoch
+      // window path, complementing q75's per-epoch applies), picks s = the
+      // last sequence of epoch 1, and hard-asserts asOf(s) ≡ SNAPSHOT TIME
+      // TRAVEL to the post-epoch-1 version — two entirely different read
+      // paths (append-only interval history vs manifest replay) agreeing
+      // row-for-row, then both checked against the oracle's interval fold.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q78")
+        val root = workDir("q78")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        val scdDir = s"$root/scd"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        val sMax = clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          val dec = (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_))
+          dec.write.mode("overwrite").parquet(s"$root/decoded")
+          s.read.parquet(s"$root/decoded").filter(col("epoch") === 1)
+            .agg(max("seq")).head().getLong(0)
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        import graft.lake.Scd2
+        Scd2.create(tableDir, scdDir)
+        val st = clock("apply") { Scd2.apply(s, tableDir, scdDir) }
+        require(st.applied && st.fromVersion == 0 && st.toVersion == 3,
+          s"one apply must span the whole (0,3] window, got $st")
+        val proj = Seq(col("repo"), col("path"), col("commit"), col("lang"),
+          sha2(col("content"), 256).as("content_sha"), col("author"))
+        val asOf = clock("asof") {
+          Scd2.asOf(s, scdDir, sMax).select(proj :+ col("valid_from"): _*)
+            .localCheckpoint()
+        }
+        // the cross-path hard assert: interval read ≡ snapshot time travel
+        val travel = IceLite.read(s, IceLite.loadVersion(tableDir, 2)).select(proj: _*)
+        val a = asOf.drop("valid_from")
+        require(a.exceptAll(travel).isEmpty && travel.exceptAll(a).isEmpty,
+          "asOf(s) must equal time travel to the post-epoch-1 snapshot")
+        asOf.orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q78")}/decoded/*.parquet')),
+        v AS (SELECT * FROM (SELECT *, row_number()
+              OVER (PARTITION BY repo, path, epoch ORDER BY seq DESC) AS rn FROM d) t
+              WHERE rn = 1),
+        tl AS (SELECT *, lead(seq) OVER (PARTITION BY repo, path ORDER BY seq) AS next_seq
+               FROM v),
+        sm AS (SELECT max(seq) AS s FROM d WHERE epoch = 1)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
+               seq AS valid_from
+        FROM tl, sm WHERE op <> 'DELETE' AND seq <= sm.s
+          AND (next_seq IS NULL OR next_seq > sm.s)
+        ORDER BY repo, path""")),
+
+    OpQuery("q79_streaming_scd2",
+      // STREAMING INGEST + TYPE-2 SCD composed under the hard gate: a Tail
+      // stream consumes the log in two waves (wave 2 resumes from wave 1's
+      // checkpoint) and Scd2.apply advances the dimension history after
+      // each wave, reading its own watermark from the current-table ledger.
+      // Each 3-file wave fits one microbatch (maxFilesPerTrigger), so a
+      // wave is one merge epoch — hard-asserted via the table version —
+      // and the oracle can re-derive the intervals from a per-(key, wave)
+      // LWW fold + lead(seq).
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q79")
+        val root = workDir("q79")
+        val streamDir = s"$root/stream"
+        val tableDir = s"$root/table"
+        val scdDir = s"$root/scd"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.7)
+        val ev = LogGen.events(s, p)
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          Seq(col("offset") < 1500, col("offset") >= 1500).zipWithIndex.map {
+            case (cond, w) =>
+              Replay.decodeForMerge(
+                ev.filter(cond)
+                  .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+                  .as[graft.decode.ChangeEvent], registry, None)
+                .updates.withColumn("wave", lit(w))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        import graft.lake.Scd2
+        var prevTo = 0
+        Seq(col("offset") < 1500, col("offset") >= 1500).zipWithIndex.foreach {
+          case (cond, w) =>
+            ev.filter(cond).repartition(3).write.mode("append").parquet(streamDir)
+            clock(s"ingest$w") {
+              graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8,
+                maxFilesPerTrigger = 8).awaitTermination()
+            }
+            require(IceLite.load(tableDir).version == w + 1,
+              s"wave $w must land as exactly one merge epoch")
+            if (w == 0) Scd2.create(tableDir, scdDir)
+            val st = clock(s"apply$w") { Scd2.apply(s, tableDir, scdDir) }
+            require(st.applied && st.fromVersion == prevTo,
+              s"wave-$w apply must resume at the previous watermark: $st")
+            prevTo = st.toVersion
+            putMetric("q79", s"apply${w}_changed_keys", st.changedKeys.toDouble)
+        }
+        require(!Scd2.apply(s, tableDir, scdDir).applied,
+          "a replayed apply must fence as a no-op")
+        Scd2.read(s, scdDir)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("repo", "path", "valid_from")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q79")}/decoded/*.parquet')),
+        v AS (SELECT * FROM (SELECT *, row_number()
+              OVER (PARTITION BY repo, path, wave ORDER BY seq DESC) AS rn FROM d) t
+              WHERE rn = 1),
+        tl AS (SELECT *, lead(seq) OVER (PARTITION BY repo, path ORDER BY seq) AS next_seq
+               FROM v)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
+               seq AS valid_from, next_seq AS valid_to,
+               (next_seq IS NULL) AS is_current
+        FROM tl WHERE op <> 'DELETE' ORDER BY repo, path, valid_from""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
