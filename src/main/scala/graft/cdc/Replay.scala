@@ -66,7 +66,14 @@ object Replay {
         Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing)).count()
       }
       if (bad > 0L) deadLetterDir.foreach { dld =>
+        // SELF-CONTAINED store: the schema refs ride along with the kept
+        // original payload (the reference keeps the flowfile's attributes
+        // with the routed original, ProtobufProcessor.java:93-106), so a
+        // later [[Replay.retryDeadLetters]] can re-decode after a registry
+        // fix without the source log
         Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing))
+          .join(events.toDF().select("partition", "offset", "schemaId", "schemaVersion", "messageType"),
+            Seq("partition", "offset"))
           .write.mode("append").parquet(dld)
       }
       bad
@@ -116,7 +123,12 @@ object Replay {
         * onto a WAP branch of a table that already consumed the main log)
         * must use distinct namespaces, or the second log's epoch numbers
         * fence against the first's. */
-      namespace: String = "replay"): ReplayResult = {
+      namespace: String = "replay",
+      /** registry to decode against (default: the built-in CDC registry).
+        * An INCOMPLETE registry routes the unresolvable events to the
+        * dead-letter store instead of failing — pair with
+        * [[retryDeadLetters]] once the missing schema lands. */
+      baseRegistry: Option[graft.registry.DescriptorRegistry] = None): ReplayResult = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
@@ -125,7 +137,7 @@ object Replay {
     // spark.read.parquet per epoch costs a serial driver job each time
     val log = spark.read.parquet(logDir)
 
-    val reg0 = Cdc.registry
+    val reg0 = baseRegistry.getOrElse(Cdc.registry)
     val reg = schemaDir match {
       case Some(dir) =>
         // cheap columnar scan (payload never read) for referenced keys
@@ -165,6 +177,68 @@ object Replay {
       case (st, acc) if st.applied => Lineage.entry(st, acc)
     })
     ReplayResult(epochs.length, results.map(_._1).toSeq)
+  }
+
+  final case class RetryStats(attempted: Long, applied: Boolean,
+      merged: Long, remaining: Long)
+
+  /** DEAD-LETTER RETRY — closes the loop the three-route contract opens:
+    * the store keeps each failed event's ORIGINAL payload plus its schema
+    * refs, so once the failure cause is fixed (typically: the registry
+    * gains the schema version the events were encoded with), the dead
+    * letters re-decode and MERGE into the table as one fenced epoch.
+    *
+    * Ordering is free: `seq` travels INSIDE the payload, so a retried
+    * event merges at its true sequence — the LWW fold converges to exactly
+    * the state it would have reached had the event never failed, even when
+    * later epochs were already applied (a retried stale version loses to
+    * them, a retried newest version wins).
+    *
+    * Rows that STILL fail (e.g. genuinely corrupt payloads) stay in the
+    * store with their fresh route/error; consumed rows leave. The rewrite
+    * swaps move-before-delete (the superseded store survives a crash as
+    * `.deadletter-old-<tag>` — duplicates are recoverable, an empty store
+    * is not), and the MERGE fence makes a replayed retry idempotent. */
+  def retryDeadLetters(
+      spark: SparkSession,
+      tableDir: String,
+      registry: Broadcast[DescriptorRegistry],
+      epochTag: String,
+      framing: Framing.Value = Framing.Raw): RetryStats = {
+    import spark.implicits._
+    val dld = s"$tableDir/_deadletter"
+    val dldPath = java.nio.file.Paths.get(dld)
+    if (!java.nio.file.Files.isDirectory(dldPath))
+      return RetryStats(0, applied = false, 0, 0)
+    // pin the store's contents before the directory is swapped out under it
+    val dl = spark.read.parquet(dld).localCheckpoint()
+    val attempted = dl.count()
+    if (attempted == 0) return RetryStats(0, applied = false, 0, 0)
+    val ev = dl
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[ChangeEvent]
+    val batch = decodeForMerge(ev, registry, None, framing)
+    val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag)
+    // still-failing rows keep their (kept-original) payload + schema refs
+    val still = Decode.deadLetter(
+        Decode.decode(ev, registry, SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, framing))
+      .join(dl.select("partition", "offset", "schemaId", "schemaVersion", "messageType"),
+        Seq("partition", "offset"))
+      .localCheckpoint()
+    val remaining = still.count()
+    val stage = java.nio.file.Paths.get(s"$tableDir/.deadletter-retry-$epochTag")
+    val old = java.nio.file.Paths.get(s"$tableDir/.deadletter-old-$epochTag")
+    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+    if (remaining > 0) {
+      still.write.mode("overwrite").parquet(stage.toString)
+      java.nio.file.Files.move(dldPath, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(stage, dldPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // everything consumed — an absent store is the normal empty state
+      java.nio.file.Files.move(dldPath, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+    RetryStats(attempted, st.applied, st.batchRows, remaining)
   }
 
   /** The oracle fold (FIXTURES.md §C): expected final state computed directly

@@ -993,6 +993,85 @@ object CdcQueries {
                (next_seq IS NULL) AS is_current
         FROM tl WHERE op <> 'DELETE' ORDER BY repo, path, valid_from""")),
 
+    OpQuery("q80_deadletter_retry",
+      // DEAD-LETTER RETRY under the hard gate — the loop the reference's
+      // three routes exist for: operators fix the cause and re-run the
+      // failed originals. Replay runs against a registry MISSING schema v2
+      // (~30% of events dead-letter as invalid_schema) plus some corrupt
+      // payloads (route=error); the retry re-decodes the store with the
+      // FIXED registry and merges in one fenced epoch. seq travels inside
+      // the payload, so the fold converges to the state the table would
+      // have reached had nothing failed (the oracle: clean decode minus
+      // only the corrupt offsets) — and the v2 rows arriving via retry
+      // drive the author-column schema evolution on the fly. Corrupt rows
+      // must SURVIVE the retry; a replayed retry must fence.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q80")
+        val root = workDir("q80")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        }
+        val log = s.read.parquet(logDir)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        clock("decode_dump") {
+          val ev = log
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          graft.decode.Decode.success(graft.decode.Decode.decode(
+            ev, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        // corrupt offsets ≡ 3 (mod 20): these must dead-letter FOREVER
+        log.withColumn("payload",
+            when(col("offset") % 20 === 3, lit(Array(0xFF.toByte))).otherwise(col("payload")))
+          .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/badlog")
+        val nCorrupt = log.filter(col("offset") % 20 === 3).count()
+        val nV2 = log.filter(col("offset") % 20 =!= 3 && col("schemaVersion") === 2).count()
+        // schema resolution precedes payload parsing, so under the v1-only
+        // registry EVERY v2 event (corrupt or not) routes invalid_schema;
+        // only corrupt v1 events reach the parser and route error
+        val nV2all = log.filter(col("schemaVersion") === 2).count()
+        val nCorruptV1 = log.filter(col("offset") % 20 === 3 && col("schemaVersion") === 1).count()
+        clock("replay_v1only") {
+          Replay.replayLog(s, s"$root/badlog", tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV1Only))
+        }
+        val dl = s.read.parquet(s"$tableDir/_deadletter")
+        require(dl.filter(col("route") === "invalid_schema").count() == nV2all,
+          s"expected $nV2all invalid_schema dead letters before the fix")
+        require(dl.filter(col("route") === "error").count() == nCorruptV1,
+          s"expected $nCorruptV1 error dead letters")
+        val st = clock("retry") {
+          Replay.retryDeadLetters(s, tableDir, registry, "retry-1")
+        }
+        require(st.applied && st.merged == nV2 && st.remaining == nCorrupt,
+          s"retry must merge the $nV2 fixed events and keep the $nCorrupt corrupt ones: $st")
+        require(s.read.parquet(s"$tableDir/_deadletter").count() == nCorrupt,
+          "the store must hold exactly the still-failing rows after the swap")
+        val again = Replay.retryDeadLetters(s, tableDir, registry, "retry-1")
+        require(!again.applied && again.remaining == nCorrupt,
+          s"a replayed retry must fence as a no-op: $again")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      // v1-origin winners carry proto3-default '' in the clean decode but
+      // NULL in the table (ingested before the schema HAD the column, then
+      // null-filled by evolution — the correct lake semantics); nullif
+      // models exactly that
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
+               nullif(author, '') AS author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q80")}/decoded/*.parquet')
+              WHERE "offset" % 20 <> 3) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
