@@ -179,6 +179,42 @@ object Replay {
     ReplayResult(epochs.length, results.map(_._1).toSeq)
   }
 
+  /** SNAPSHOT BOOTSTRAP — how a CDC consumer attaches to a table that
+    * already exists: bulk-load a consistent snapshot dump (every live row
+    * with the sequence it was valid at) as ONE fenced epoch, then point
+    * [[replayLog]] at the change log from around the cut. The handoff
+    * tolerates OVERLAP (at-least-once delivery): a re-delivered event at or
+    * below its key's snapshot sequence ties with / loses to the snapshot
+    * row under the LWW merge, so replaying from before the cut is safe —
+    * no offset bookkeeping has to be exact, which is what makes bootstrap
+    * operationally survivable at 10^10 rows.
+    *
+    * `snapshot` carries the data columns plus `seqCol`; field ids are
+    * pinned from the registry's latest descriptor (same identity the
+    * decode path writes), so later log epochs evolve the schema
+    * consistently. */
+  def bootstrap(
+      spark: SparkSession,
+      snapshot: org.apache.spark.sql.DataFrame,
+      seqCol: String,
+      tableDir: String,
+      buckets: Int = 32,
+      epochId: String = "bootstrap-0"): Merge.MergeStats = {
+    if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
+    val latest = Cdc.registry.resolveKey(SchemaKey(Cdc.SchemaId, -1))
+    val fieldIds = Cdc.registry.descriptor(latest, Cdc.MessageType).get._2
+      .fields.map(f => f.name -> f.number).toMap
+    val dataCols = snapshot.columns.filterNot(_ == seqCol)
+    dataCols.foreach(c => require(fieldIds.contains(c),
+      s"snapshot column '$c' is not a field of the registry's ${Cdc.MessageType}"))
+    val batch = snapshot.select(
+      dataCols.toIndexedSeq.map(c => col(c).as(c,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())) ++
+        Seq(col(seqCol), lit("UPSERT").as("__op")): _*)
+    Merge.mergeEpoch(spark, tableDir, batch, seqCol, "__op", epochId)
+  }
+
   final case class RetryStats(attempted: Long, applied: Boolean,
       merged: Long, remaining: Long)
 

@@ -1072,6 +1072,71 @@ object CdcQueries {
               WHERE "offset" % 20 <> 3) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q81_bootstrap_switchover",
+      // SNAPSHOT BOOTSTRAP + OVERLAPPING SWITCH-OVER under the hard gate:
+      // attach to an "existing" table by bulk-loading its consistent
+      // snapshot (the LWW fold of epochs 0-1, each row at its original
+      // sequence) as one fenced epoch, then replay the change log FROM
+      // EPOCH 1 — every epoch-1 event is re-delivered on top of a snapshot
+      // that already includes it (at-least-once overlap), and the LWW
+      // merge must absorb the duplicates. The oracle is the clean fold of
+      // ALL THREE epochs: a dropped snapshot row, a duplicate-applied
+      // overlap event, or a mis-sequenced bootstrap row all break it.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q81")
+        val root = workDir("q81")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        // the consistent snapshot: LWW fold of epochs 0-1, live rows only,
+        // each carrying its winner's ORIGINAL sequence
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("repo", "path").orderBy(col("seq").desc)
+        val snapshot = s.read.parquet(s"$root/decoded").filter(col("epoch") <= 1)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .filter(col("op") =!= "DELETE")
+          .select("repo", "path", "commit", "lang", "content", "author", "seq")
+        val bs = clock("bootstrap") {
+          Replay.bootstrap(s, snapshot, "seq", tableDir, buckets = 8)
+        }
+        require(bs.applied && bs.batchRows == snapshot.count(),
+          s"bootstrap must load the full snapshot: $bs")
+        // switch over at epoch 1: epochs 1-2 re-delivered (epoch 1 OVERLAPS)
+        val tail = s"$root/logtail"
+        (1 until 3).foreach { e =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tail))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(logDir, s"epoch=$e"),
+            java.nio.file.Paths.get(tail, s"epoch=$e"))
+        }
+        clock("replay_tail") { Replay.replayLog(s, tail, tableDir, buckets = 8) }
+        require(IceLite.load(tableDir).version == 3,
+          "bootstrap + 2 log epochs = 3 commits")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q81")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
