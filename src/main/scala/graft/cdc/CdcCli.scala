@@ -12,7 +12,13 @@ import graft.lake.IceLite
   *   runMain graft.cdc.CdcCli show    <tableDir> [n]
   *   runMain graft.cdc.CdcCli verify  <logDir> <tableDir>   — replay-equality check
   *   runMain graft.cdc.CdcCli changes <tableDir> <fromV> <toV> — incremental change feed
+  *   runMain graft.cdc.CdcCli cdf     <tableDir> <fromV> <toV> — change feed with row images
   *   runMain graft.cdc.CdcCli drop-column <tableDir> <col> [epochId] — DDL, retires the field id
+  *   runMain graft.cdc.CdcCli scd2-create <srcDir> <scdDir> [buckets]  — type-2 dimension
+  *   runMain graft.cdc.CdcCli scd2-apply  <srcDir> <scdDir>            — advance to src head
+  *   runMain graft.cdc.CdcCli scd2-asof   <scdDir> <seq> [n]           — point-in-time read
+  *   runMain graft.cdc.CdcCli retry-deadletters <tableDir> [epochTag]  — re-decode kept originals
+  *   runMain graft.cdc.CdcCli bootstrap <snapshotParquet> <tableDir> [buckets] — bulk attach
   */
 object CdcCli {
   def main(args: Array[String]): Unit = {
@@ -244,6 +250,36 @@ object CdcCli {
       val df = IceLite.changes(spark, tableDir, fromV.toInt, toV.toInt)
       df.orderBy("__seq").show(50, truncate = 40)
       println(s"changes v$fromV -> v$toV: ${df.count()} rows (incl. tombstones)")
+    case "scd2-create" :: srcDir :: scdDir :: rest =>
+      graft.lake.Scd2.create(srcDir, scdDir, rest.headOption.map(_.toInt).getOrElse(8))
+      println(s"created SCD2 dimension at $scdDir over $srcDir")
+    case "scd2-apply" :: srcDir :: scdDir :: Nil =>
+      val st = graft.lake.Scd2.apply(spark, srcDir, scdDir)
+      println(if (st.applied)
+        s"applied v${st.fromVersion} -> v${st.toVersion}: ${st.changedKeys} keys, " +
+          s"${st.closed} intervals closed, ${st.opened} opened, ${st.deleted} deleted"
+      else s"up to date at v${st.toVersion} (nothing to apply)")
+    case "scd2-asof" :: scdDir :: seq :: rest =>
+      graft.lake.Scd2.asOf(spark, scdDir, seq.toLong)
+        .show(rest.headOption.map(_.toInt).getOrElse(50), truncate = 40)
+    case "cdf" :: tableDir :: fromV :: toV :: Nil =>
+      // change feed with row images (insert/update_preimage/update_postimage/delete)
+      val df = graft.lake.Cdf.changesWithImages(spark, tableDir, fromV.toInt, toV.toInt)
+      df.orderBy("seq", "change_type").show(50, truncate = 40)
+      println(s"images v$fromV -> v$toV: ${df.count()} rows")
+    case "retry-deadletters" :: tableDir :: rest =>
+      val tag = rest.headOption.getOrElse("retry-1")
+      val reg = spark.sparkContext.broadcast(Cdc.registry)
+      val st = Replay.retryDeadLetters(spark, tableDir, reg, tag)
+      println(s"retried ${st.attempted}: merged ${st.merged}" +
+        s"${if (!st.applied) " (epoch fenced — already applied)" else ""}, " +
+        s"${st.remaining} still failing")
+    case "bootstrap" :: snapshotDir :: tableDir :: rest =>
+      // snapshot rows (data cols + seq) bulk-load as one fenced epoch
+      val st = Replay.bootstrap(spark, spark.read.parquet(snapshotDir), "seq",
+        tableDir, rest.headOption.map(_.toInt).getOrElse(32))
+      println(if (st.applied) s"bootstrapped ${st.batchRows} rows into $tableDir"
+        else "bootstrap epoch already applied (fenced)")
     case "verify" :: logDir :: tableDir :: Nil =>
       val got = IceLite.read(spark, IceLite.load(tableDir))
         .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
