@@ -29,6 +29,20 @@ object Explain {
       // scan — substitute the reviewable un-checkpointed plan
       val df = n match {
         case "q36_ann_ivf_topk" => graft.operators.SimilarityOps.q36ProbePlan(spark, sfDir)
+        case "q77_stream_stream_join" =>
+          // the streaming gate's output plan is just a sink read; the
+          // reviewable plan is the per-microbatch join shape, identical to
+          // the batch interval join over the same two sides
+          import org.apache.spark.sql.functions._
+          val ev = graft.operators.Tables.ld(spark, sfDir, "events")
+          val left = ev.filter(pmod(col("event_id"), lit(2)) === 0).select(
+            col("user_id"), col("event_id").as("l_event_id"),
+            col("ts").cast("timestamp").as("l_ts"))
+          val right = ev.filter(pmod(col("event_id"), lit(2)) === 1).select(
+            col("user_id").as("__r_user_id"), col("event_id").as("r_event_id"),
+            col("ts").cast("timestamp").as("r_ts"))
+          graft.streaming.StreamJoin.intervalJoin(
+            left, right, "user_id", "__r_user_id", "l_ts", "r_ts", 6L * 3600)
         case _ => SparkEntry.queries(n)(spark, sfDir)
       }
       sb.append(s"## $n\n\n```\n")
