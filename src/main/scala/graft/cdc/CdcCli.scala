@@ -259,6 +259,9 @@ object CdcCli {
         s"applied v${st.fromVersion} -> v${st.toVersion}: ${st.changedKeys} keys, " +
           s"${st.closed} intervals closed, ${st.opened} opened, ${st.deleted} deleted"
       else s"up to date at v${st.toVersion} (nothing to apply)")
+    case "scd2-compact" :: scdDir :: Nil =>
+      val n = graft.lake.Scd2.compactHistory(spark, scdDir)
+      println(if (n > 0) s"folded $n history batch dirs" else "nothing to fold")
     case "scd2-asof" :: scdDir :: seq :: rest =>
       graft.lake.Scd2.asOf(spark, scdDir, seq.toLong)
         .show(rest.headOption.map(_.toInt).getOrElse(50), truncate = 40)

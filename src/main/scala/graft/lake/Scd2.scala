@@ -166,19 +166,49 @@ object Scd2 {
     read(spark, scdDir).filter(col("valid_from") <= seq &&
       (col("valid_to").isNull || col("valid_to") > seq))
 
-  /** The full dimension: closed history plus the open rows. */
+  /** The full dimension: closed history plus the open rows. History dirs
+    * resolve through [[graft.operators.BatchStore]]'s liveness rules, so a
+    * compaction crash window (both consolidated and superseded dirs on
+    * disk) still reads each interval exactly once. */
   def read(spark: SparkSession, scdDir: String): DataFrame = {
     val curSnap = IceLite.load(currentDir(scdDir))
     val cur = IceLite.read(spark, curSnap)
       .withColumn("valid_to", lit(null).cast("bigint"))
       .withColumn("is_current", lit(true))
-    val batches = Option(new java.io.File(historyDir(scdDir)).listFiles())
-      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getPath).sorted
+    val batches = graft.operators.BatchStore.liveBatchDirs(historyDir(scdDir))
+      .map(_.toString)
     val hist = batches.foldLeft(Option.empty[DataFrame]) { (acc, p) =>
       val df = spark.read.parquet(p)
       Some(acc.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
     }.map(_.withColumn("is_current", lit(false)))
     hist.map(h => cur.unionByName(h, allowMissingColumns = true)).getOrElse(cur)
+  }
+
+  /** Consolidated-history batch ids live far above any source version, so
+    * a post-compaction apply's `batch=<srcVersion>` can never collide. */
+  private val ConsolidatedBase = 1L << 40
+
+  /** OFFLINE HISTORY COMPACTION: each apply appends one `batch=<v>` dir, so
+    * a long-running dimension accumulates O(refreshes) small dirs — the
+    * same operational problem the signature store solves, and the same
+    * cure: fold all live batches into one consolidated dir via
+    * [[graft.operators.BatchStore.compact]]'s crash-safe swap (stage with a
+    * superseded-ids marker, move into place, only then delete). Returns
+    * the number of dirs collapsed (0 = nothing to do). */
+  def compactHistory(spark: SparkSession, scdDir: String,
+      crashPoint: String => Unit = _ => ()): Int = {
+    import graft.operators.BatchStore
+    val hd = historyDir(scdDir)
+    // entry sweep even when there's nothing to fold — a previous crash's
+    // superseded dirs and stranded stages get reclaimed either way
+    BatchStore.sweepSuperseded(scdDir, Seq(hd))
+    val live = BatchStore.liveBatchDirs(hd)
+    if (live.size <= 1) return 0
+    val into = ConsolidatedBase + live.map(BatchStore.batchIdOf).max
+    val all = live.map(p => spark.read.parquet(p.toString))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    BatchStore.compact(scdDir,
+      Seq(hd -> ((stage: String) => all.write.mode("overwrite").parquet(stage))),
+      into, crashPoint)
   }
 }

@@ -19,7 +19,7 @@ import scala.jdk.CollectionConverters._
   * so every crash window serves the exact full data set, batches appended
   * AFTER a compaction (e.g. by a checkpoint-resumed stream with small
   * microbatch ids) stay live, and the next compaction sweeps strays. */
-private[operators] object BatchStore {
+private[graft] object BatchStore {
 
   /** Marker file a consolidated (compacted) batch dir carries; its CONTENT
     * is the exact list of batch ids it superseded (one per line). Listing

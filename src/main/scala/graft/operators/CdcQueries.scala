@@ -769,6 +769,11 @@ object CdcQueries {
           s"applies must be O(delta): $totalChanged changed vs $tableKeys keys x3")
         require(!Scd2.apply(s, tableDir, scdDir).applied,
           "a replayed apply must fence as a no-op")
+        // offline history compaction folds the per-apply batch dirs; the
+        // final read (and so the oracle) must not notice
+        val collapsed = clock("compact_history") { Scd2.compactHistory(s, scdDir) }
+        require(collapsed >= 2, s"expected >=2 history dirs to fold, got $collapsed")
+        putMetric("q75", "history_dirs_collapsed", collapsed.toDouble)
         Scd2.read(s, scdDir)
           .select(col("repo"), col("path"), col("commit"), col("lang"),
             sha2(col("content"), 256).as("content_sha"), col("author"),

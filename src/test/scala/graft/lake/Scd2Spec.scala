@@ -130,6 +130,44 @@ class Scd2Spec extends AnyFunSuite {
     assert(at(99) == Set((1L, "a3"), (2L, "b2"), (3L, "c")))
   }
 
+  test("history compaction folds batch dirs; crash windows still serve every interval") {
+    val (src, scd) = fresh("scd2-compact")
+    val e1 = (1L to 40L).map(i => (i, s"v$i", i, "UPSERT"))
+    Merge.mergeEpoch(spark, src, batch(e1), "seq", "op", "e-1")
+    Scd2.create(src, scd)
+    Scd2.apply(spark, src, scd)
+    val e2 = Seq((1L, "v1b", 100L, "UPSERT"), (2L, "", 101L, "DELETE"))
+    val e3 = Seq((1L, "v1c", 200L, "UPSERT"), (3L, "v3b", 201L, "UPSERT"))
+    Merge.mergeEpoch(spark, src, batch(e2), "seq", "op", "e-2")
+    Scd2.apply(spark, src, scd)
+    Merge.mergeEpoch(spark, src, batch(e3), "seq", "op", "e-3")
+    Scd2.apply(spark, src, scd)
+    val want = expected(e1 ++ e2 ++ e3)
+    assert(state(scd) == want)
+
+    // crash right after staging: live dirs untouched, state intact
+    val boom = intercept[RuntimeException] {
+      Scd2.compactHistory(spark, scd, cp => if (cp == "staged") throw new RuntimeException("boom"))
+    }
+    assert(boom.getMessage == "boom")
+    assert(state(scd) == want, "a staged-only crash must not change what readers see")
+
+    // crash BETWEEN move and delete: consolidated + superseded both on
+    // disk — liveness rules must still serve each interval exactly once
+    val boom2 = intercept[RuntimeException] {
+      Scd2.compactHistory(spark, scd, cp => if (cp.startsWith("moved")) throw new RuntimeException("boom2"))
+    }
+    assert(boom2.getMessage == "boom2")
+    assert(state(scd) == want, "consolidated dir supersedes exactly its listed ids")
+
+    // the rerun sweeps strays and completes; a later apply stays live
+    assert(Scd2.compactHistory(spark, scd) >= 0)
+    assert(state(scd) == want)
+    Merge.mergeEpoch(spark, src, batch(Seq((1L, "v1d", 300L, "UPSERT"))), "seq", "op", "e-4")
+    Scd2.apply(spark, src, scd)
+    assert(state(scd) == expected(e1 ++ e2 ++ e3 ++ Seq((1L, "v1d", 300L, "UPSERT"))))
+  }
+
   test("stats are O(window), not O(dimension)") {
     val (src, scd) = fresh("scd2-odelta")
     Merge.mergeEpoch(spark, src,
