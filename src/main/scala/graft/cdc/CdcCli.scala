@@ -277,6 +277,13 @@ object CdcCli {
       println(s"retried ${st.attempted}: merged ${st.merged}" +
         s"${if (!st.applied) " (epoch fenced — already applied)" else ""}, " +
         s"${st.remaining} still failing")
+    case "replicate" :: srcDir :: replicaDir :: rest =>
+      // catch the replica up to the source head (fenced per version; the
+      // replica's own ledger is the watermark — safe to run from cron)
+      val n = Replay.replicate(spark, srcDir, replicaDir,
+        rest.headOption.map(_.toInt).getOrElse(32))
+      println(if (n > 0) s"shipped $n source version(s) to $replicaDir"
+        else "replica already at the source head")
     case "bootstrap" :: snapshotDir :: tableDir :: rest =>
       // snapshot rows (data cols + seq) bulk-load as one fenced epoch
       val st = Replay.bootstrap(spark, spark.read.parquet(snapshotDir), "seq",

@@ -215,6 +215,63 @@ object Replay {
     Merge.mergeEpoch(spark, tableDir, batch, seqCol, "__op", epochId)
   }
 
+  /** CHANGE-FEED REPLICATION — apply another table's incremental change
+    * feed ([[graft.lake.IceLite.changes]] rows: data cols + `__seq` +
+    * `__del`) to THIS table as one fenced epoch. With [[bootstrap]] this
+    * closes the replication loop: seed a replica from a snapshot export,
+    * then keep it converged by shipping each source version's feed —
+    * O(changes) per hop, original sequences preserved (so hops may
+    * overlap or arrive late, the LWW merge absorbs both), and the fence
+    * (`repl-<v>`) makes re-shipping a version a no-op. The replica's
+    * bucket count / layout is independent of the source's — replication
+    * is logical, not file copying. */
+  def applyChanges(
+      spark: SparkSession,
+      feed: org.apache.spark.sql.DataFrame,
+      tableDir: String,
+      epochId: String,
+      buckets: Int = 32): Merge.MergeStats = {
+    if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
+    val latest = Cdc.registry.resolveKey(SchemaKey(Cdc.SchemaId, -1))
+    val fieldIds = Cdc.registry.descriptor(latest, Cdc.MessageType).get._2
+      .fields.map(f => f.name -> f.number).toMap
+    val dataCols = feed.columns
+      .filterNot(c => c == IceLite.SeqCol.name || c == IceLite.DelCol.name)
+    dataCols.foreach(c => require(fieldIds.contains(c),
+      s"feed column '$c' is not a field of the registry's ${Cdc.MessageType}"))
+    val batch = feed.select(
+      dataCols.toIndexedSeq.map(c => col(c).as(c,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())) ++
+        Seq(col(IceLite.SeqCol.name).as("__sq"),
+          when(coalesce(col(IceLite.DelCol.name), lit(false)), "DELETE")
+            .otherwise("UPSERT").as("__op")): _*)
+    Merge.mergeEpoch(spark, tableDir, batch, "__sq", "__op", epochId)
+  }
+
+  /** Catch a replica up to the source head: the replica's own `repl`
+    * ledger namespace IS the replication watermark (atomic with the data,
+    * same design as MatView/Scd2), so this is safe to run from cron —
+    * each unapplied source version ships as one fenced epoch, adjacent
+    * windows so per-epoch change granularity is preserved. Returns the
+    * number of versions shipped. */
+  def replicate(spark: SparkSession, srcDir: String, replicaDir: String,
+      buckets: Int = 32): Int = {
+    val head = IceLite.load(srcDir).version
+    val from =
+      if (!IceLite.exists(replicaDir)) 0
+      else {
+        val led = IceLite.load(replicaDir).ledger
+        val wm = led.watermarks.getOrElse("repl", -1L)
+        val rc = led.recent.getOrElse("repl", Set.empty).foldLeft(-1L)(math.max)
+        math.max(0L, math.max(wm, rc)).toInt
+      }
+    (from + 1 to head).count { v =>
+      applyChanges(spark, IceLite.changes(spark, srcDir, v - 1, v),
+        replicaDir, s"repl-$v", buckets).applied
+    }
+  }
+
   final case class RetryStats(attempted: Long, applied: Boolean,
       merged: Long, remaining: Long)
 

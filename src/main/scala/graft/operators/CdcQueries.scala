@@ -1142,6 +1142,68 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q81")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q83_replication",
+      // LOGICAL REPLICATION under the hard gate: seed a replica from the
+      // source's v1 snapshot (every live row at its original sequence,
+      // read AS OF — not the head), then converge it by shipping each
+      // later version's change feed as one fenced epoch. Replication is
+      // logical, so the replica uses a DIFFERENT bucket count; re-shipping
+      // a version must fence. Hard-asserts replica ≡ source row-for-row,
+      // then both are checked against the decoded-dump fold.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q83")
+        val root = workDir("q83")
+        val logDir = s"$root/log"
+        val aDir = s"$root/source"
+        val bDir = s"$root/replica"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay_source") { Replay.replayLog(s, logDir, aDir, buckets = 8) }
+        // seed: the source AS OF v1, every live row at its original seq
+        clock("bootstrap_replica") {
+          val v1 = IceLite.loadVersion(aDir, 1)
+          val snap = IceLite.read(s, v1, includeHidden = true)
+            .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+            .drop(IceLite.DelCol.name)
+          Replay.bootstrap(s, snap, IceLite.SeqCol.name, bDir, buckets = 4)
+        }
+        // converge: ship v2 and v3's change feeds
+        (2 to 3).foreach { v =>
+          val st = clock(s"ship_v$v") {
+            Replay.applyChanges(s, IceLite.changes(s, aDir, v - 1, v),
+              bDir, s"repl-$v", buckets = 4)
+          }
+          require(st.applied, s"shipping v$v must apply: $st")
+          putMetric("q83", s"ship_v${v}_rows", st.batchRows.toDouble)
+        }
+        require(!Replay.applyChanges(s, IceLite.changes(s, aDir, 2, 3),
+            bDir, "repl-3", buckets = 4).applied,
+          "re-shipping a version must fence as a no-op")
+        val proj = Seq(col("repo"), col("path"), col("commit"), col("lang"),
+          sha2(col("content"), 256).as("content_sha"), col("author"))
+        val a = IceLite.read(s, IceLite.load(aDir)).select(proj: _*)
+        val b = IceLite.read(s, IceLite.load(bDir)).select(proj: _*)
+        require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+          "replica must equal the source row-for-row")
+        b.orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q83")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q46_time_travel",
       // SNAPSHOT TIME TRAVEL under the hard gate: replay 3 epochs, then
       // read the table AS OF the snapshot after epoch 1 (version 2 — v0 is
