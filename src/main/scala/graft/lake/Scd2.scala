@@ -44,7 +44,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Granularity caveat (same as any batch CDC consumer): the feed carries
   * each epoch's NET row per key, so intra-epoch intermediate versions
   * collapse — this is SCD2 at commit granularity, exactly what a
-  * change-feed consumer can observe. */
+  * change-feed consumer can observe.
+  *
+  * Schema caveat: the dimension tracks the source columns it was CREATED
+  * with. A column the source gains later is ignored (recreate the
+  * dimension to track it); a tracked column the source drops fails the
+  * apply loudly rather than null-filling history. */
 object Scd2 {
 
   final case class ApplyStats(fromVersion: Int, toVersion: Int, applied: Boolean,
