@@ -1827,6 +1827,66 @@ object CdcQueries {
         WHERE rn = 1 AND op <> 'DELETE' AND "commit" >= '2' AND "commit" <= '5'
         ORDER BY repo, path""")),
 
+    OpQuery("q84_log_compaction",
+      // CHANGELOG COMPACTION under the hard gate: generate a seeded log
+      // whose 4000 events churn only ~300 keys, compact it (per-key max-seq
+      // survivor, payload bytes verbatim, tombstones + undecodables kept,
+      // original epochs preserved), then REPLAY THE COMPACTED LOG into a
+      // fresh table. The returned final state is compared against the
+      // oracle's LWW fold of the FULL decoded log — any compaction error
+      // (dropped tombstone, wrong argmax, lost epoch, re-encoded payload)
+      // diverges the fold. Hard asserts: real shrinkage (≥3x), at least one
+      // retained DELETE tombstone, and byte-verbatim survivors (each
+      // surviving (partition, offset) carries the original payload sha).
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q84")
+        val root = workDir("q84")
+        val logDir = s"$root/log"
+        val compDir = s"$root/compacted"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 20,
+            pathsPerRepo = 15, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val st = clock("compact") { graft.cdc.LogCompact.compactLog(s, logDir, compDir) }
+        require(st.eventsOut * 3 <= st.eventsIn,
+          s"compaction must shrink >=3x here: ${st.eventsOut}/${st.eventsIn}")
+        require(st.tombstonesKept > 0, "a newest-event DELETE must survive as a tombstone")
+        // byte-verbatim: every survivor's payload sha must exist at the SAME
+        // (partition, offset) in the source log
+        clock("verbatim_check") {
+          val full = s.read.parquet(logDir)
+            .select(col("partition"), col("offset"), sha2(col("payload"), 256).as("sha"))
+          val comp = s.read.parquet(compDir)
+            .select(col("partition"), col("offset"), sha2(col("payload"), 256).as("csha"))
+          val bad = comp.join(full, Seq("partition", "offset"), "left")
+            .filter(col("sha").isNull || col("sha") =!= col("csha")).count()
+          require(bad == 0L, s"$bad survivors are not byte-verbatim copies of source events")
+        }
+        putMetric("q84", "events_in", st.eventsIn.toDouble)
+        putMetric("q84", "events_out", st.eventsOut.toDouble)
+        putMetric("q84", "tombstones_kept", st.tombstonesKept.toDouble)
+        clock("replay_compacted") { Replay.replayLog(s, compDir, tableDir, buckets = 8) }
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q84")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
