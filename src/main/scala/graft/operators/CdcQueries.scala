@@ -1887,6 +1887,83 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q84")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q85_key_purge",
+      // KEY ERASURE (right to be forgotten) under the hard gate: replay a
+      // seeded 3-epoch log, pick the hottest live key, then purge it from
+      // EVERY retained snapshot version — physical in-place rewrite of just
+      // the files the lookup pruning stack can't rule out. Hard asserts:
+      // the key was served by the head before the purge; after it, no
+      // version (time travel), no point lookup, and no change-feed window
+      // serves the key; pruning ruled out most files. The returned head
+      // state is compared against the oracle's fold EXCLUDING the victim —
+      // an over-purge (a non-victim row lost in a rewrite) or under-purge
+      // (victim surviving anywhere) diverges it.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q85")
+        val root = workDir("q85")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        // victim: the live key with the most change events (ties by key) —
+        // the same rule the oracle's vic CTE derives from the same dump
+        val (vRepo, vPath) = clock("pick_victim") {
+          val dec = s.read.parquet(s"$root/decoded")
+          val live = dec.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("repo", "path")
+                .orderBy(col("seq").desc)))
+            .filter(col("rn") === 1 && col("op") =!= "DELETE").select("repo", "path")
+          dec.join(live, Seq("repo", "path")).groupBy("repo", "path").count()
+            .orderBy(col("count").desc, col("repo"), col("path"))
+            .select("repo", "path").as[(String, String)].head()
+        }
+        val key = Map[String, Any]("repo" -> vRepo, "path" -> vPath)
+        require(IceLite.lookupLocal(IceLite.load(tableDir), key).nonEmpty,
+          s"victim ($vRepo, $vPath) must be served before the purge")
+        val st = clock("purge") { graft.lake.Purge.purgeKey(s, tableDir, key) }
+        require(st.filesRewritten > 0 && st.rowsPurged > 0, s"purge found nothing: $st")
+        require(st.filesCandidates < st.filesTotal,
+          s"pruning must rule out files: $st")
+        clock("erasure_check") {
+          IceLite.history(tableDir).foreach { v =>
+            require(IceLite.lookupLocal(IceLite.loadVersion(tableDir, v), key).isEmpty,
+              s"version $v still serves the purged key")
+          }
+          val feed = IceLite.changes(s, tableDir, 1, IceLite.history(tableDir).max)
+            .filter(col("repo") === vRepo && col("path") === vPath).count()
+          require(feed == 0L, "change feed must not resurrect a purged key")
+        }
+        putMetric("q85", "files_total", st.filesTotal.toDouble)
+        putMetric("q85", "files_candidates", st.filesCandidates.toDouble)
+        putMetric("q85", "files_rewritten", st.filesRewritten.toDouble)
+        putMetric("q85", "rows_purged", st.rowsPurged.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q85")}/decoded/*.parquet')),
+        fold AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                 FROM d) t WHERE rn = 1 AND op <> 'DELETE'),
+        vic AS (SELECT d.repo, d.path FROM d JOIN fold f ON d.repo = f.repo AND d.path = f.path
+                GROUP BY d.repo, d.path ORDER BY count(*) DESC, d.repo, d.path LIMIT 1)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM fold WHERE NOT EXISTS (SELECT 1 FROM vic WHERE vic.repo = fold.repo AND vic.path = fold.path)
+        ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
