@@ -1964,6 +1964,69 @@ object CdcQueries {
         FROM fold WHERE NOT EXISTS (SELECT 1 FROM vic WHERE vic.repo = fold.repo AND vic.path = fold.path)
         ORDER BY repo, path""")),
 
+    OpQuery("q86_scrub_repair",
+      // STORAGE INTEGRITY under the hard gate: replay a seeded log, record
+      // sha256 checksums for every head data file, then SILENTLY CORRUPT
+      // the largest one (flip 64 bytes mid-file, drop the fs checksum
+      // sidecar — the failure mode fsck never sees). Hard asserts: the
+      // scrub detects exactly that file; repairBucket re-materializes its
+      // bucket from the change log (ledger-committed epochs only) and the
+      // follow-up scrub is clean with the damaged file out of the head.
+      // The returned head state is compared against the oracle's fold of
+      // the decoded log — a repair that dropped a row, resurrected a
+      // deleted key, or leaked an uncommitted event diverges it.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q86")
+        val root = workDir("q86")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, deleteEvery = 20, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        val recorded = clock("record") { graft.lake.Scrub.record(s, tableDir) }
+        require(graft.lake.Scrub.verify(s, tableDir).isEmpty, "fresh table must scrub clean")
+        val victim = IceLite.load(tableDir).files.filter(_.rows > 0).maxBy(_.rows)
+        clock("corrupt") {
+          val raf = new java.io.RandomAccessFile(victim.path, "rw")
+          try { raf.seek(raf.length() / 2); raf.write(Array.fill[Byte](64)(0x5a)) }
+          finally raf.close()
+          val t = java.nio.file.Paths.get(victim.path)
+          java.nio.file.Files.deleteIfExists(
+            t.resolveSibling("." + t.getFileName.toString + ".crc"))
+        }
+        val found = clock("detect") { graft.lake.Scrub.verify(s, tableDir) }
+        require(found == Vector(victim.path),
+          s"scrub must flag exactly the corrupted file, got $found")
+        clock("repair") {
+          graft.lake.Scrub.repairBucket(s, tableDir, logDir, victim.bucket, "repair-0")
+        }
+        require(graft.lake.Scrub.verify(s, tableDir).isEmpty, "post-repair scrub must be clean")
+        require(!IceLite.load(tableDir).files.exists(_.path == victim.path),
+          "damaged file must leave the head snapshot")
+        putMetric("q86", "files_recorded", recorded.toDouble)
+        putMetric("q86", "repaired_bucket", victim.bucket.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q86")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
