@@ -2027,6 +2027,73 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q86")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q87_multi_table_txn",
+      // MULTI-TABLE ATOMIC APPLY under the hard gate: one log feeds two
+      // tables (routed by source partition parity) under a write-ahead-
+      // intent transaction log. The gate CRASHES the epoch-1 transaction
+      // between table a's commit and table b's, hard-asserts the partial
+      // state (a fenced, b absent, epoch invisible behind the done
+      // barrier), then recovers — the redo must fence a's slice and apply
+      // b's. The returned union of both tables (tagged by tbl) is compared
+      // against the oracle's per-parity LWW fold of the decoded dump — a
+      // double-applied slice, a lost slice, or wrong routing diverges it.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q87")
+        val root = workDir("q87")
+        val logDir = s"$root/log"
+        val txnDir = s"$root/txn"
+        val tables = Seq(s"$root/a", s"$root/b")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, v1Fraction = 0.7), logDir, epochs = 2)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          graft.decode.Decode.success(graft.decode.Decode.decode(ev, registry,
+              graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val crashed = clock("apply_crash") {
+          try {
+            graft.cdc.Txn.applyLog(s, logDir, txnDir, tables, buckets = 8,
+              crashPoint = p => if (p == "committed-1-0")
+                throw new RuntimeException("injected-crash"))
+            false
+          } catch { case e: RuntimeException if e.getMessage == "injected-crash" => true }
+        }
+        require(crashed, "the crash seam must fire")
+        require(graft.cdc.Txn.committedEpochs(txnDir) == Set(0L),
+          "epoch 1 must be invisible behind the done barrier")
+        require(IceLite.load(tables.head).hasEpoch("txn-1") &&
+          !IceLite.load(tables(1)).hasEpoch("txn-1"),
+          "crash must leave exactly table a committed")
+        val rec = clock("recover") {
+          graft.cdc.Txn.recover(s, logDir, txnDir, tables, buckets = 8)
+        }
+        require(rec.map(_.epoch) == Vector(1L) &&
+          !rec.head.perTable.head.applied && rec.head.perTable(1).applied,
+          "recovery must fence a's slice and apply b's")
+        require(graft.cdc.Txn.committedEpochs(txnDir) == Set(0L, 1L),
+          "both epochs must be transactionally visible after recovery")
+        putMetric("q87", "recovered_epochs", rec.length.toDouble)
+        tables.zipWithIndex.map { case (dir, i) =>
+          IceLite.read(s, IceLite.load(dir))
+            .select(lit(i.toLong).as("tbl"), col("repo"), col("path"), col("commit"),
+              col("lang"), sha2(col("content"), 256).as("content_sha"), col("author"))
+        }.reduce(_.unionByName(_)).orderBy("tbl", "repo", "path")
+      },
+      Some(s"""SELECT CAST("partition" % 2 AS BIGINT) AS tbl, repo, path, "commit", lang,
+               sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY ("partition" % 2), repo, path
+              ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q87")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY tbl, repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
