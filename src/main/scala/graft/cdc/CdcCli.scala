@@ -290,6 +290,34 @@ object CdcCli {
         tableDir, rest.headOption.map(_.toInt).getOrElse(32))
       println(if (st.applied) s"bootstrapped ${st.batchRows} rows into $tableDir"
         else "bootstrap epoch already applied (fenced)")
+    case "compact-log" :: logDir :: outDir :: Nil =>
+      val st = LogCompact.compactLog(spark, logDir, outDir)
+      println(s"compacted $logDir -> $outDir: ${st.eventsIn} -> ${st.eventsOut} events " +
+        s"(${st.tombstonesKept} tombstones, ${st.undecodableKept} undecodable kept)")
+    case "purge-key" :: tableDir :: repo :: path :: Nil =>
+      val st = graft.lake.Purge.purgeKey(spark, tableDir,
+        Map("repo" -> repo, "path" -> path))
+      println(s"purged ($repo, $path): ${st.rowsPurged} rows from ${st.filesRewritten} files " +
+        s"(candidates ${st.filesCandidates}/${st.filesTotal}, ${st.versions} versions)")
+    case "scrub" :: tableDir :: Nil =>
+      val n = graft.lake.Scrub.record(spark, tableDir)
+      val bad = graft.lake.Scrub.verify(spark, tableDir)
+      println(s"recorded $n new checksums; ${bad.size} corrupt file(s)")
+      bad.foreach(p => println(s"  CORRUPT $p"))
+      if (bad.nonEmpty) sys.exit(1)
+    case "repair-bucket" :: tableDir :: logDir :: bucket :: rest =>
+      graft.lake.Scrub.repairBucket(spark, tableDir, logDir, bucket.toInt,
+        rest.headOption.getOrElse(s"repair-$bucket"))
+      println(s"repaired bucket $bucket of $tableDir from $logDir")
+    case "txn-apply" :: logDir :: txnDir :: tableA :: tableB :: rest =>
+      val st = Txn.applyLog(spark, logDir, txnDir, Seq(tableA, tableB),
+        rest.headOption.map(_.toInt).getOrElse(32))
+      st.foreach(t => println(s"epoch ${t.epoch}: " +
+        (if (t.perTable.isEmpty) "fenced" else t.perTable.map(_.applied).mkString(","))))
+    case "txn-recover" :: logDir :: txnDir :: tableA :: tableB :: rest =>
+      val st = Txn.recover(spark, logDir, txnDir, Seq(tableA, tableB),
+        rest.headOption.map(_.toInt).getOrElse(32))
+      println(s"recovered ${st.length} pending epoch(s): ${st.map(_.epoch).mkString(",")}")
     case "verify" :: logDir :: tableDir :: Nil =>
       val got = IceLite.read(spark, IceLite.load(tableDir))
         .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))

@@ -100,8 +100,44 @@ object Txn {
       crashPoint(s"committed-$epoch-$i")
       st
     }
-    Files.write(donePath(txnDir, epoch), Array.emptyByteArray)
+    // the done marker pins each participant's snapshot VERSION at commit
+    // time — [[consistentRead]]'s cross-table cut. Staged + renamed so a
+    // reader never sees a half-written marker.
+    val versions = tables.map(t => t -> IceLite.load(t).version)
+    val doneJson = s"""{"epoch":$epoch,"versions":{${versions
+      .map { case (t, v) => s""""$t":$v""" }.mkString(",")}}}"""
+    val stage = Paths.get(txnDir, s".done-$epoch.tmp")
+    Files.write(stage, doneJson.getBytes("UTF-8"))
+    Files.move(stage, donePath(txnDir, epoch),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     TxnStats(epoch, stats)
+  }
+
+  /** Transactionally-consistent snapshots: each participant pinned at the
+    * version recorded by the NEWEST done epoch — a reader holding these
+    * never observes a half-applied transaction, even while an apply (or a
+    * recovery) is racing ahead on the raw table heads. Tables default to
+    * their empty create version (0) before any transaction completes. */
+  def consistentRead(txnDir: String, tables: Seq[String]): Seq[(String, IceLite.Snapshot)] = {
+    val done = committedEpochs(txnDir)
+    val pinned: Map[String, Int] =
+      if (done.isEmpty) Map.empty
+      else {
+        val newest = done.max
+        val json = new String(Files.readAllBytes(donePath(txnDir, newest)), "UTF-8")
+        // minimal parse of {"epoch":N,"versions":{"<dir>":V,...}} — dirs
+        // never contain quotes; legacy empty done markers pin nothing
+        val m = """"([^"]+)":(\d+)""".r
+        m.findAllMatchIn(json).collect {
+          case g if g.group(1) != "epoch" => g.group(1) -> g.group(2).toInt
+        }.toMap
+      }
+    tables.map { t =>
+      t -> pinned.get(t).map(v => IceLite.loadVersion(t, v)).getOrElse {
+        val snap = IceLite.load(t)
+        if (snap.version == 0) snap else IceLite.loadVersion(t, 0)
+      }
+    }
   }
 
   /** Apply every epoch of the log in order, completing any pending

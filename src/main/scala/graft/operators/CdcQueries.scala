@@ -2094,6 +2094,87 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q87")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY tbl, repo, path""")),
 
+    OpQuery("q88_schema_compat_gate",
+      // SCHEMA-REGISTRY COMPATIBILITY GATE under the hard gate: replay runs
+      // against a v1-only registry, so every v2 event dead-letters as
+      // invalid_schema (the reference's unresolvable-schema route). Before
+      // the fix lands, THREE hostile v2 candidates are pushed at the
+      // registry — a wire-type break (commit: string -> int64), a
+      // same-wire type change (content: string -> bytes), and a field name
+      // moved to a new number (commit #3 -> #9, which would fork the
+      // column identity) — and every one must be REFUSED with the
+      // violation named. The true v2 passes the gate, the dead letters
+      // retry against it, and the final state must match the clean-decode
+      // oracle fold — proof the gate blocked only what it should.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q88")
+        val root = workDir("q88")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, v1Fraction = 0.5), logDir, epochs = 2)
+        }
+        val log = s.read.parquet(logDir)
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = log
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          graft.decode.Decode.success(graft.decode.Decode.decode(
+            ev, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val nV2 = log.filter(col("schemaVersion") === 2).count()
+        clock("replay_v1only") {
+          Replay.replayLog(s, logDir, tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV1Only))
+        }
+        require(s.read.parquet(s"$tableDir/_deadletter")
+          .filter(col("route") === "invalid_schema").count() == nV2,
+          s"all $nV2 v2 events must dead-letter before the fix")
+        // the gate refuses every hostile candidate, names the violation
+        import graft.registry.Compat
+        import graft.proto.ProtoTextParser
+        val hostile = Seq(
+          "wire_type" -> Cdc.protoV2.replace("string commit  = 3;", "int64 commit   = 3;"),
+          "type_change" -> Cdc.protoV2.replace("string content = 5;", "bytes content  = 5;"),
+          "name_moved" -> Cdc.protoV2.replace("string commit  = 3;", "string commit  = 9;"))
+        clock("compat_gate") {
+          hostile.foreach { case (kind, proto) =>
+            val cand = ProtoTextParser.parse(proto, "hostile.proto")
+            val e = try {
+              Compat.registerChecked(Cdc.registryV1Only, Cdc.KeyV2, cand, Cdc.MessageType)
+              null
+            } catch { case e: IllegalArgumentException => e }
+            require(e != null && e.getMessage.contains(kind),
+              s"the $kind candidate must be refused by name, got $e")
+          }
+        }
+        val fixed = Compat.registerChecked(Cdc.registryV1Only, Cdc.KeyV2, Cdc.fsV2,
+          Cdc.MessageType)
+        val st = clock("retry") {
+          Replay.retryDeadLetters(s, tableDir, s.sparkContext.broadcast(fixed), "retry-1")
+        }
+        require(st.applied && st.merged == nV2 && st.remaining == 0,
+          s"retry under the accepted schema must consume all $nV2 dead letters: $st")
+        putMetric("q88", "dead_lettered", nV2.toDouble)
+        putMetric("q88", "refused_candidates", hostile.size.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      // v1-origin winners: '' in the clean decode, NULL in the table (the
+      // column arrived after them via evolution) — nullif models that
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
+               nullif(author, '') AS author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q88")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,

@@ -47,6 +47,14 @@ class TxnSpec extends AnyFunSuite {
     assert(IceLite.load(tables.head).hasEpoch("txn-1"), "table a committed its slice")
     assert(!IceLite.load(tables(1)).hasEpoch("txn-1"), "table b must not have epoch 1")
 
+    // the consistent-read barrier pins BOTH tables at the epoch-0 cut even
+    // though table a's raw head already carries epoch 1
+    val cut = Txn.consistentRead(txnDir, tables)
+    assert(cut.forall(_._2.hasEpoch("txn-0")) && cut.forall(!_._2.hasEpoch("txn-1")),
+      "mid-crash consistent read must pin the epoch-0 cut on both tables")
+    assert(IceLite.load(tables.head).version > cut.head._2.version,
+      "table a's raw head should be ahead of the consistent cut")
+
     val rec = Txn.recover(spark, logDir, txnDir, tables, buckets = 4)
     assert(rec.map(_.epoch) == Vector(1L))
     assert(Txn.committedEpochs(txnDir) == Set(0L, 1L))
@@ -74,5 +82,9 @@ class TxnSpec extends AnyFunSuite {
     // fully idempotent: a second applyLog is all no-ops
     val again = Txn.applyLog(spark, logDir, txnDir, tables, buckets = 4)
     assert(again.flatMap(_.perTable).forall(!_.applied))
+
+    // post-recovery consistent read advances to the epoch-1 cut
+    val cut2 = Txn.consistentRead(txnDir, tables)
+    assert(cut2.forall(_._2.hasEpoch("txn-1")))
   }
 }
