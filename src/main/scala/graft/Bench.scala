@@ -199,7 +199,8 @@ object Bench {
         "q76_cdf_images", "q77_stream_stream_join", "q78_scd2_asof",
         "q79_streaming_scd2", "q80_deadletter_retry", "q81_bootstrap_switchover",
         "q83_replication", "q84_log_compaction", "q85_key_purge",
-        "q86_scrub_repair", "q87_multi_table_txn", "q88_schema_compat_gate")
+        "q86_scrub_repair", "q87_multi_table_txn", "q88_schema_compat_gate",
+        "q89_analyze_stats")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -2175,6 +2175,55 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q88")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q89_analyze_stats",
+      // ANALYZE under the hard gate: per-column n_rows / n_nulls / KMV NDV
+      // over the replayed table, computed in ONE melted pass. The query
+      // dumps the melt (col_name, xxhash64, is_null) it consumed and the
+      // oracle re-derives EVERY number — counts by aggregation, the NDV by
+      // re-computing the k-th order statistic and the KMV formula in SQL
+      // (the q82 trick: an integer order stat + one IEEE division is
+      // bit-reproducible cross-engine). Saturated columns (repo, lang)
+      // must report exact counts with NULL kth_hash; high-NDV columns
+      // (commit) must estimate through the sketch.
+      (s, _) => {
+        val clock = new PhaseClock("q89")
+        val root = workDir("q89")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, v1Fraction = 0.7), s"$root/log", epochs = 2)
+        }
+        clock("replay") { Replay.replayLog(s, s"$root/log", s"$root/table", buckets = 8) }
+        clock("melt_dump") {
+          graft.lake.Analyze.melt(s, s"$root/table")
+            .write.mode("overwrite").parquet(s"$root/melt")
+        }
+        val stats = clock("analyze") { graft.lake.Analyze.analyze(s, s"$root/table", k = 64) }
+        val byCol = stats.collect().map(r => r.getString(0) -> r).toMap
+        Seq("repo", "lang").foreach(c =>
+          require(byCol(c).isNullAt(4), s"$c must saturate the k=64 sketch"))
+        require(!byCol("commit").isNullAt(4), "commit must estimate through the sketch")
+        require(graft.lake.Analyze.ndv(s"$root/table").size == byCol.size,
+          "stats must persist to meta/stats.json")
+        putMetric("q89", "columns", byCol.size.toDouble)
+        putMetric("q89", "commit_ndv_est", byCol("commit").getDouble(3))
+        stats
+      },
+      Some(s"""WITH m AS (SELECT * FROM parquet_scan('${workDir("q89")}/melt/*.parquet')),
+        agg AS (SELECT col_name, count(*) AS n_rows,
+                CAST(sum(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+                FROM m GROUP BY 1),
+        hh AS (SELECT DISTINCT col_name, h FROM m WHERE NOT isn),
+        r AS (SELECT col_name, h, row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn FROM hh),
+        kk AS (SELECT col_name, count(*) AS exact_d, max(CASE WHEN rn = 64 THEN h END) AS kth
+               FROM r GROUP BY 1)
+        SELECT a.col_name, a.n_rows, a.n_nulls,
+          COALESCE(CASE WHEN kk.kth IS NULL THEN CAST(kk.exact_d AS DOUBLE)
+            ELSE 63.0 / ((CAST(kk.kth AS DOUBLE) + 9.223372036854775808e18) / 1.8446744073709551616e19)
+          END, 0.0) AS est_distinct,
+          kk.kth AS kth_hash
+        FROM agg a LEFT JOIN kk ON a.col_name = kk.col_name ORDER BY a.col_name""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
