@@ -43,6 +43,15 @@ object Explain {
             col("ts").cast("timestamp").as("r_ts"))
           graft.streaming.StreamJoin.intervalJoin(
             left, right, "user_id", "__r_user_id", "l_ts", "r_ts", 6L * 3600)
+        case "q84_log_compaction" =>
+          // the gate's returned DF is the replayed table read; the
+          // reviewable plan is the compaction SELECTION itself (decode →
+          // per-key argmax → identity join back to the raw events)
+          val root = s"${System.getProperty("java.io.tmpdir")}/graft-explain-q84"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+          graft.cdc.LogGen.writeLog(spark, graft.cdc.LogGen.Params(
+            nEvents = 1000, nRepos = 10, pathsPerRepo = 8), s"$root/log", epochs = 2)
+          graft.cdc.LogCompact.selectionPlan(spark, s"$root/log")
         case _ => SparkEntry.queries(n)(spark, sfDir)
       }
       sb.append(s"## $n\n\n```\n")

@@ -53,14 +53,17 @@ object LogCompact {
     * Deterministic: seq ties (not produced by LogGen, but possible in a
     * merged log) break by (partition, offset) descending, so the survivor
     * set is a pure function of the log contents. */
-  def compactLog(
+  /** (slim key projection, keyed winners, surviving raw events) — the
+    * shared selection both [[compactLog]] and the plan-review surface
+    * build. `slim` is returned un-cached; compactLog caches it for its
+    * multi-action run, [[selectionPlan]] explains `out` as-is. */
+  private def selection(
       spark: SparkSession,
       logDir: String,
-      outDir: String,
-      registry: Option[DescriptorRegistry] = None,
-      framing: Framing.Value = Framing.Raw): CompactLogStats = {
+      registry: Option[DescriptorRegistry],
+      framing: Framing.Value,
+      slimCache: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-
     val log = spark.read.parquet(logDir)
     val ev = log
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
@@ -68,25 +71,44 @@ object LogCompact {
     val reg = spark.sparkContext.broadcast(registry.getOrElse(Cdc.registry))
     val decoded = Decode.decode(ev, reg, SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, framing)
 
-    // narrow projection: identity + key + seq + op + route — cached so the
-    // decode pass runs once across the argmax, the stats, and the keep-set
-    val slim = decoded.select(
+    // narrow projection: identity + key + seq + op + route — cached by the
+    // caller so the decode pass runs once across argmax, stats, keep-set
+    val slim = slimCache(decoded.select(
       col("partition"), col("offset"), col("route"),
       col("msg.repo").as("repo"), col("msg.path").as("path"),
-      col("msg.seq").as("seq"), col("msg.op").as("op")).cache()
-    try {
-      val w = Window.partitionBy("repo", "path")
-        .orderBy(col("seq").desc, col("offset").desc, col("partition").desc)
-      val winners = slim.filter(col("route") === Route.Success)
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      val keepKeyed = winners.select("partition", "offset")
-      val keepRaw = slim.filter(col("route") =!= Route.Success).select("partition", "offset")
-      val keep = keepKeyed.unionByName(keepRaw)
+      col("msg.seq").as("seq"), col("msg.op").as("op")))
+    val w = Window.partitionBy("repo", "path")
+      .orderBy(col("seq").desc, col("offset").desc, col("partition").desc)
+    val winners = slim.filter(col("route") === Route.Success)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val keepRaw = slim.filter(col("route") =!= Route.Success).select("partition", "offset")
+    val keep = winners.select("partition", "offset").unionByName(keepRaw)
+    // LEFT SEMI, not inner: identical result (keep is unique per event) but
+    // the planner always BUILDS the keep-set side — the raw log with its
+    // payloads streams past it and is never the hashed/broadcast side
+    // (an inner join here was observed to broadcast the LOG at small scale)
+    (slim, winners, keepRaw, log.join(keep, Seq("partition", "offset"), "left_semi"))
+  }
 
-      val out = log.join(keep, Seq("partition", "offset"))
+  /** The compaction's selection plan (decode → per-key argmax → identity
+    * join back to the raw events), un-executed — the Explain/PLANS.md
+    * review surface. */
+  def selectionPlan(spark: SparkSession, logDir: String,
+      registry: Option[DescriptorRegistry] = None,
+      framing: Framing.Value = Framing.Raw): DataFrame =
+    selection(spark, logDir, registry, framing, identity)._4
+
+  def compactLog(
+      spark: SparkSession,
+      logDir: String,
+      outDir: String,
+      registry: Option[DescriptorRegistry] = None,
+      framing: Framing.Value = Framing.Raw): CompactLogStats = {
+    val (slim, winners, keepRaw, out) =
+      selection(spark, logDir, registry, framing, _.cache())
+    try {
       out.write.option("parquet.block.size", 16 * 1024 * 1024)
         .partitionBy("epoch").mode("overwrite").parquet(outDir)
-
       CompactLogStats(
         eventsIn = slim.count(),
         eventsOut = spark.read.parquet(outDir).count(),
