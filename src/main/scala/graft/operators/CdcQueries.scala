@@ -2224,6 +2224,90 @@ object CdcQueries {
           kk.kth AS kth_hash
         FROM agg a LEFT JOIN kk ON a.col_name = kk.col_name ORDER BY a.col_name""")),
 
+    OpQuery("q90_ops_pipeline",
+      // OPERATIONAL LIFECYCLE, COMPOSED, under the hard gate: the round-5
+      // maintenance operators working together the way an operator would
+      // run them. Replay a seeded log into the primary; COMPACT the log
+      // and rebuild a DR replica from the compacted log alone (must equal
+      // the primary row-for-row); PURGE the hottest key from BOTH (an
+      // erasure has to propagate to replicas); SCRUB both clean; ANALYZE
+      // the primary. Hard asserts at every joint; the returned primary
+      // state is compared against the oracle fold EXCLUDING the victim.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q90")
+        val root = workDir("q90")
+        val logDir = s"$root/log"
+        val primary = s"$root/primary"
+        val replica = s"$root/replica"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, deleteEvery = 20, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay_primary") { Replay.replayLog(s, logDir, primary, buckets = 8) }
+        // DR rebuild path: the compacted log alone reproduces the state
+        val cst = clock("compact_log") {
+          graft.cdc.LogCompact.compactLog(s, logDir, s"$root/log.c")
+        }
+        clock("replay_replica") { Replay.replayLog(s, s"$root/log.c", replica, buckets = 4) }
+        def state(dir: String) = IceLite.read(s, IceLite.load(dir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+        clock("dr_equal") {
+          require(state(primary).exceptAll(state(replica)).isEmpty &&
+            state(replica).exceptAll(state(primary)).isEmpty,
+            "replica rebuilt from the compacted log must equal the primary")
+        }
+        // coordinated erasure: same victim rule as q85
+        val (vRepo, vPath) = clock("pick_victim") {
+          val dec = s.read.parquet(s"$root/decoded")
+          val live = dec.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("repo", "path")
+                .orderBy(col("seq").desc)))
+            .filter(col("rn") === 1 && col("op") =!= "DELETE").select("repo", "path")
+          dec.join(live, Seq("repo", "path")).groupBy("repo", "path").count()
+            .orderBy(col("count").desc, col("repo"), col("path"))
+            .select("repo", "path").as[(String, String)].head()
+        }
+        val key = Map[String, Any]("repo" -> vRepo, "path" -> vPath)
+        clock("purge_both") {
+          Seq(primary, replica).foreach { d =>
+            val st = graft.lake.Purge.purgeKey(s, d, key)
+            require(st.rowsPurged > 0, s"purge found nothing in $d")
+            require(IceLite.lookupLocal(IceLite.load(d), key).isEmpty,
+              s"$d still serves the purged key")
+          }
+        }
+        clock("scrub_both") {
+          Seq(primary, replica).foreach { d =>
+            graft.lake.Scrub.record(s, d)
+            require(graft.lake.Scrub.verify(s, d).isEmpty, s"$d must scrub clean")
+          }
+        }
+        val stats = clock("analyze") { graft.lake.Analyze.analyze(s, primary) }
+        val nRows = stats.filter(col("col_name") === "repo").head().getLong(1)
+        putMetric("q90", "compaction_ratio", cst.eventsIn.toDouble / cst.eventsOut)
+        putMetric("q90", "final_rows", nRows.toDouble)
+        state(primary).orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q90")}/decoded/*.parquet')),
+        fold AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                 FROM d) t WHERE rn = 1 AND op <> 'DELETE'),
+        vic AS (SELECT d.repo, d.path FROM d JOIN fold f ON d.repo = f.repo AND d.path = f.path
+                GROUP BY d.repo, d.path ORDER BY count(*) DESC, d.repo, d.path LIMIT 1)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM fold WHERE NOT EXISTS (SELECT 1 FROM vic WHERE vic.repo = fold.repo AND vic.path = fold.path)
+        ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
