@@ -2308,6 +2308,123 @@ object CdcQueries {
         FROM fold WHERE NOT EXISTS (SELECT 1 FROM vic WHERE vic.repo = fold.repo AND vic.path = fold.path)
         ORDER BY repo, path""")),
 
+    OpQuery("q91_log_order_audit",
+      // TRANSPORT-INTEGRITY AUDIT under the hard gate: generate a clean
+      // seeded log, then corrupt it the way real transports do — DROP a
+      // deterministic subset of events (lost broker segment) and DELIVER
+      // another subset twice (producer retry) — and audit it. The returned
+      // defect ranges (gap/dup rows) are re-derived by the oracle from the
+      // corrupted log itself with an independent lead()-window + group-by,
+      // so a missed hole, a phantom hole at a duplicated offset, or an
+      // off-by-one range boundary all hash-diverge. Hard asserts: the audit
+      // found both defect classes, and the partition summary's implied
+      // missing count equals the sum of the gap ranges.
+      (s, _) => {
+        val root = workDir("q91")
+        val logDir = s"$root/log"
+        val badDir = s"$root/corrupted"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+          pathsPerRepo = 20, v1Fraction = 0.7), logDir, epochs = 2)
+        val clean = s.read.parquet(logDir)
+        // deterministic corruption: ~1% dropped, ~1% double-delivered
+        val dropped = clean.filter(pmod(xxhash64(col("offset")), lit(97)) =!= 13)
+        val doubled = dropped.filter(pmod(xxhash64(col("offset") + 1), lit(101)) === 7)
+        dropped.unionByName(doubled)
+          .write.option("parquet.block.size", 16 * 1024 * 1024)
+          .partitionBy("epoch").mode("overwrite").parquet(badDir)
+        val bad = s.read.parquet(badDir)
+        val audit = graft.cdc.LogAudit.auditOffsets(bad)
+          .orderBy("partition", "off_start", "kind")
+        val byKind = audit.groupBy("kind").agg(count(lit(1)).as("c"), sum("n").as("t"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        require(byKind.contains("gap") && byKind.contains("dup"),
+          s"the audit must surface both defect classes, got ${byKind.keySet}")
+        // cross-check: the per-partition summary's implied missing count must
+        // reconcile with the gap ranges (two independent derivations)
+        val summaryMissing = graft.cdc.LogAudit.partitionSummary(bad)
+          .agg(sum("n_missing")).head().getLong(0)
+        val gapMissing = byKind("gap")._2
+        require(summaryMissing == gapMissing,
+          s"summary implied-missing $summaryMissing must equal the gap-range total $gapMissing")
+        putMetric("q91", "gaps", byKind("gap")._1.toDouble)
+        putMetric("q91", "dups", byKind("dup")._1.toDouble)
+        audit
+      },
+      // the oracle re-derives every defect range from the corrupted log
+      Some(s"""WITH l AS (SELECT "partition", "offset"
+                 FROM parquet_scan('${workDir("q91")}/corrupted/epoch=*/*.parquet')),
+        g AS (SELECT "partition", "offset",
+                lead("offset") OVER (PARTITION BY "partition" ORDER BY "offset") AS nxt
+              FROM (SELECT DISTINCT "partition", "offset" FROM l) d),
+        gaps AS (SELECT "partition", 'gap' AS kind, "offset" + 1 AS off_start,
+                   nxt - 1 AS off_end, nxt - "offset" - 1 AS n
+                 FROM g WHERE nxt > "offset" + 1),
+        dups AS (SELECT "partition", 'dup' AS kind, "offset" AS off_start,
+                   "offset" AS off_end, count(*) AS n
+                 FROM l GROUP BY "partition", "offset" HAVING count(*) > 1)
+        SELECT * FROM gaps UNION ALL SELECT * FROM dups
+        ORDER BY "partition", off_start, kind""")),
+
+    OpQuery("q92_out_of_order_replay",
+      // OUT-OF-ORDER DELIVERY CONVERGENCE under the hard gate: the engine's
+      // replay must converge to the seq-LWW fold no matter how events are
+      // batched across epochs — the property that makes backfills, replica
+      // catch-up, and multi-source tails safe (a late low-seq upsert must
+      // never clobber a newer row or resurrect a deleted key;
+      // Merge.scala's read-time newest-seq-wins + tombstone rules). Events
+      // are scattered across 3 epochs by hash (NOT by offset range), so
+      // every epoch carries interleaved old/new seqs AND interleaved v1/v2
+      // schema versions (evolution arrives in epoch 0, v1 stragglers keep
+      // landing after it). The oracle is the same global fold as q00 — any
+      // order sensitivity in the merge diverges it.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q92")
+        val root = workDir("q92")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 4000, nRepos = 30, pathsPerRepo = 20,
+          v1Fraction = 0.5)
+        clock("gen_scattered") {
+          LogGen.events(s, p)
+            // epoch by hash: each epoch holds an arbitrary seq interleaving
+            .withColumn("epoch", pmod(xxhash64(col("offset")), lit(3)))
+            .write.option("parquet.block.size", 16 * 1024 * 1024)
+            .partitionBy("epoch").mode("overwrite").parquet(logDir)
+        }
+        val log = s.read.parquet(logDir)
+        // prove the epochs really interleave: every epoch's offset span must
+        // overlap every other's (ranges would be disjoint under in-order
+        // batching), and v2 events must already be present in epoch 0
+        val spans = log.groupBy(col("epoch").cast("long").as("epoch"))
+          .agg(min("offset").as("lo"), max("offset").as("hi"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        require(spans.length == 3 &&
+          spans.forall { case (_, lo, hi) => lo < p.nEvents / 4 && hi > p.nEvents * 3 / 4 },
+          s"epochs must interleave seqs, got spans ${spans.mkString(",")}")
+        require(log.filter(col("epoch") === 0 && col("schemaVersion") === 2).count() > 0,
+          "schema evolution must arrive in epoch 0 with v1 stragglers behind it")
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = log
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay_scattered") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q92")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
