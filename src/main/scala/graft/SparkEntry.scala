@@ -13,7 +13,8 @@ object SparkEntry {
     Relational.queries ++ DedupOps.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ Multimodal.queries ++ SkewOps.queries ++
       SamplingOps.queries ++ SessionOps.queries ++ CurationOps.queries ++
-      JoinOps.queries ++ SketchOps.queries ++ CdcQueries.queries
+      JoinOps.queries ++ SketchOps.queries ++ PiiOps.queries ++
+      CdcQueries.queries
 
   /** Flagship: the CDC pipeline end-to-end at tiny scale — generate a seeded
     * protobuf change log, replay it through decode → MERGE into an IceLite

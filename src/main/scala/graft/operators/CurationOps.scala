@@ -95,6 +95,61 @@ object CurationOps {
           FROM deduped)
         SELECT doc_id, lang, n_words,
           CAST('0x' || substr(md5('shard:' || doc_id), 1, 15) AS BIGINT) % $Shards AS shard
-        FROM sel WHERE h < keep_rate ORDER BY doc_id"""))
+        FROM sel WHERE h < keep_rate ORDER BY doc_id""")),
+
+    OpQuery("q94_sequence_packing",
+      (s, d) => packSequences(s, ld(s, d, "documents"), budget = 512L, buckets = 8)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tok, start_tok, start_tok // 512 AS chunk_id FROM (
+          SELECT doc_id, n_tok,
+            COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+          FROM (SELECT doc_id, len($wordsDuck) AS n_tok FROM documents) t) u
+        ORDER BY doc_id"""))
   )
+
+  /** SEQUENCE PACKING for LLM training: lay the corpus out on one global
+    * token axis (docs in deterministic doc_id order, concatenated) and cut
+    * it into fixed-`budget` training sequences; each doc is assigned the
+    * chunk its first token lands in. Deterministic: re-runs, resumes, and
+    * different cluster sizes produce the identical packing.
+    *
+    * Scale shape — a distributed PREFIX SUM, not a global window: a global
+    * `sum() OVER (ORDER BY doc_id)` would single-partition 100 TB. Instead
+    * docs are bucketed by explicit doc_id range (a pure function of the id,
+    * not a sampled RangePartitioner, so every pass sees the same buckets),
+    * per-bucket token totals (`buckets` longs) come back to the driver for
+    * the bucket-offset scan, and the running sum is a per-bucket window —
+    * each window partition is corpus/buckets rows, sized to the executor.
+    * The bucket offsets re-enter the plan as a broadcast join. */
+  def packSequences(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, budget: Long,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    require(budget > 0 && buckets > 0)
+    val toks = docs
+      .withColumn("n_tok", size(expr(TextOps.wordsSpark)).cast("long"))
+      .select("doc_id", "n_tok")
+    val maxId = toks.agg(max("doc_id")).head().getLong(0)
+    val per = maxId / buckets + 1 // ceil over a dense-ish id space
+    val bucketed = toks.withColumn("bucket", (col("doc_id") / per).cast("long"))
+    // phase 1: per-bucket totals — `buckets` rows to the driver, never data
+    val sums = bucketed.groupBy("bucket").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0L until buckets.toLong).scanLeft(0L) {
+      case (acc, b) => acc + sums.getOrElse(b, 0L)
+    }.init
+    val offDf = s.createDataset(offsets.zipWithIndex.map {
+      case (off, b) => (b.toLong, off)
+    }).toDF("bucket", "bucket_off")
+    // phase 2: per-bucket running sum + the broadcast bucket offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("start_tok",
+        coalesce(sum("n_tok").over(w), lit(0L)) + col("bucket_off"))
+      .withColumn("chunk_id", expr(s"start_tok div $budget"))
+      .select("doc_id", "n_tok", "start_tok", "chunk_id")
+  }
 }

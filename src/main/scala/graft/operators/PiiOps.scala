@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Tables.ld
+
+/** PII detection + redaction for a training-data pipeline: emails, IPv4
+  * addresses, and long digit runs (card/account numbers) are counted and
+  * replaced with typed placeholder tokens before text ships to training.
+  *
+  * The patterns are deliberately ASCII-anchored (`\d`, `\b` are ASCII in
+  * both Java regex and RE2) so the Spark run and the DuckDB oracle compute
+  * the same matches; redaction order is fixed (email → ip → num) because
+  * later patterns run over the already-redacted text (an email's digits
+  * must not be re-matched as an account number).
+  *
+  * Scale shape: a single narrow projection over the scan — per-row regex
+  * work inside whole-stage codegen, no shuffle, no UDF. At 100 TB this
+  * pass is bounded by scan bandwidth; counts ride the same pass as the
+  * rewrite so detection metrics cost nothing extra. */
+object PiiOps {
+
+  val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val NumRe = """\b\d{13,19}\b"""
+
+  /** Adds per-type match counts (on the ORIGINAL text) and a `redacted`
+    * column with all three classes replaced by placeholder tokens. Patterns
+    * are passed through the column DSL, never an `expr()` SQL string — a
+    * SQL-string pattern loses one backslash level to SQL unescaping. */
+  def redact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_email", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_num", regexp_count(t, lit(NumRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          NumRe, "<NUM>"))
+  }
+
+  // the oracle-side copies of the same patterns (DuckDB string literals do
+  // not process backslashes, so they land in RE2 exactly as written here)
+  private val emailDuck = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val ipDuck = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val numDuck = """\b\d{13,19}\b"""
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("q93_pii_redaction",
+      // the synthetic corpus carries no natural PII, so the gate INJECTS it
+      // deterministically (both engines build the identical augmented text
+      // from doc_id arithmetic): ~1/3 of docs get an email, 1/5 an IPv4,
+      // 1/7 a 16-digit card — overlapping combinations included. The
+      // oracle re-runs detection + the full redaction chain in RE2 and
+      // compares counts, redacted-text sha256, and redacted length per doc.
+      (s, d) => {
+        val aug = ld(s, d, "documents").withColumn("aug", concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact dev"), pmod(col("doc_id"), lit(97)).cast("string"),
+              lit("@example.org"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" host 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+              lit("."), pmod(col("doc_id"), lit(250)).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" card 4111111111111111")).otherwise(lit(""))))
+        redact(aug, "aug")
+          .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_num"),
+            sha2(col("redacted"), 256).as("redacted_sha"),
+            length(col("redacted")).cast("long").as("redacted_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH a AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0 THEN ' contact dev' || CAST(doc_id % 97 AS VARCHAR) || '@example.org' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111111' ELSE '' END AS aug
+          FROM documents),
+        r AS (
+          SELECT doc_id, aug,
+            regexp_replace(regexp_replace(regexp_replace(aug,
+              '$emailDuck', '<EMAIL>', 'g'),
+              '$ipDuck', '<IP>', 'g'),
+              '$numDuck', '<NUM>', 'g') AS redacted
+          FROM a)
+        SELECT doc_id,
+          len(regexp_extract_all(aug, '$emailDuck')) AS n_email,
+          len(regexp_extract_all(aug, '$ipDuck')) AS n_ip,
+          len(regexp_extract_all(aug, '$numDuck')) AS n_num,
+          sha256(redacted) AS redacted_sha,
+          length(redacted) AS redacted_len
+        FROM r ORDER BY doc_id"""))
+  )
+}

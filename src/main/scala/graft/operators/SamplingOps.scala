@@ -25,6 +25,16 @@ object SamplingOps {
     "CASE " + rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") +
       s" ELSE $defaultRate END"
 
+  /** Per-mille mixing weights by language — >1000 means UPSAMPLING
+    * (repetition): the standard rebalance toward under-represented
+    * domains when composing a training mix. */
+  private val mixWeights =
+    Seq("en" -> 300, "de" -> 1500, "fr" -> 2200, "zh" -> 700)
+  private val mixDefault = 1000
+  private[operators] val mixWeightSql =
+    "CASE " + mixWeights.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") +
+      s" ELSE $mixDefault END"
+
   val queries: Seq[OpQuery] = Seq(
     OpQuery("q31_stratified_sample",
       (s, d) => {
@@ -41,6 +51,40 @@ object SamplingOps {
           CAST('0x' || substr(md5('sample:' || doc_id), 1, 15) AS BIGINT) % 1000 AS h,
           $rateSql AS keep_rate
         FROM documents) t
-        WHERE h < keep_rate ORDER BY doc_id"""))
+        WHERE h < keep_rate ORDER BY doc_id""")),
+
+    OpQuery("q95_domain_mixing",
+      // DOMAIN MIXING with repetition ("epochs") — the full training-mix
+      // move, not just downsampling: a per-domain weight w (per-mille)
+      // expands every doc into floor(w/1000) whole copies plus one more
+      // with probability (w mod 1000)/1000, decided by the shared
+      // deterministic hash. fr docs (w=2200) appear 2-3x, de (w=1500)
+      // 1-2x, en (w=300) is downsampled to ~30%. The oracle re-derives
+      // the exact copy multiset per doc from the same md5-based hash and
+      // a LATERAL generate_series.
+      (s, d) => {
+        graft.functions.Hash60.register(s)
+        ld(s, d, "documents")
+          .withColumn("w", expr(mixWeightSql))
+          .withColumn("h", expr("pmod(hash60(concat('mix:', CAST(doc_id AS STRING))), 1000)"))
+          .withColumn("n_copies",
+            (col("w") / 1000).cast("long") +
+              when(col("h") < col("w") % 1000, 1L).otherwise(0L))
+          .filter(col("n_copies") > 0)
+          .select(col("doc_id"), col("lang"), col("n_copies"),
+            explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+          .orderBy("doc_id", "copy")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, lang, $mixWeightSql AS w,
+            CAST('0x' || substr(md5('mix:' || doc_id), 1, 15) AS BIGINT) % 1000 AS h
+          FROM documents),
+        n AS (SELECT doc_id, lang,
+                CAST(w // 1000 + CASE WHEN h < w % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+              FROM t)
+        SELECT doc_id, lang, n_copies, gs.c AS copy
+        FROM n, LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS c) gs
+        WHERE n_copies > 0 ORDER BY doc_id, copy"""))
   )
+
 }
