@@ -2425,6 +2425,86 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q92")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q96_partition_evolution",
+      // PARTITION EVOLUTION mid-history under the hard gate: a table's
+      // bucket count is an operational knob that must be retunable WHILE
+      // the stream keeps flowing (the 100 TB move when a table outgrows
+      // its layout). Replay epochs 0-1 at 8 buckets, REBUCKET to 16, then
+      // replay epoch 2 into the evolved layout. Proof obligations: the
+      // post-evolution epoch lands (fencing and bucket derivation both
+      // follow the snapshot, not the create-time constant), host-side
+      // point lookups serve through the NEW layout (per-version bucket
+      // derivation), a deleted key stays deleted across the rewrite, and
+      // the final state equals the oracle's global fold of all 3 epochs.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q96")
+        val root = workDir("q96")
+        val logDir = s"$root/log"
+        val logTail = s"$root/logtail"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 30,
+            pathsPerRepo = 20, deleteEvery = 15, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") { // the FULL log, before the tail is split off
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        // epoch 2 becomes "the future of the stream": its own tail dir
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logTail))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(logTail, "epoch=2"))
+        clock("replay_pre") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        require(IceLite.load(tableDir).buckets == 8, "table must start at 8 buckets")
+        clock("rebucket") {
+          graft.lake.Compaction.rebucket(s, tableDir, newBuckets = 16,
+            epochId = "rebucket-1")
+        }
+        require(IceLite.load(tableDir).buckets == 16, "rebucket must evolve the layout")
+        clock("replay_tail") { Replay.replayLog(s, logTail, tableDir, buckets = 8) }
+        // lookups through the evolved layout, against the oracle-side fold
+        val dec = s.read.parquet(s"$root/decoded")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("repo", "path").orderBy(col("seq").desc)
+        val newest = dec.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val snap = IceLite.load(tableDir)
+        clock("lookups") {
+          val liveKeys = newest.filter(col("op") =!= "DELETE")
+            .select("repo", "path", "commit").orderBy("repo", "path").limit(12)
+            .as[(String, String, String)].collect()
+          liveKeys.foreach { case (r, pth, cmt) =>
+            val got = IceLite.lookupLocal(snap, Map("repo" -> r, "path" -> pth))
+            require(got.exists(_.get("commit").contains(cmt)),
+              s"post-evolution lookup of ($r,$pth) must serve commit $cmt, got $got")
+          }
+          val deleted = newest.filter(col("op") === "DELETE")
+            .select("repo", "path").orderBy("repo", "path").limit(3)
+            .as[(String, String)].collect()
+          require(deleted.nonEmpty, "the fixture must leave some newest-DELETE keys")
+          deleted.foreach { case (r, pth) =>
+            require(IceLite.lookupLocal(snap, Map("repo" -> r, "path" -> pth)).isEmpty,
+              s"deleted key ($r,$pth) must not serve after the rewrite")
+          }
+          putMetric("q96", "lookups_live", liveKeys.length.toDouble)
+          putMetric("q96", "lookups_deleted", deleted.length.toDouble)
+        }
+        IceLite.read(s, snap)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q96")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
