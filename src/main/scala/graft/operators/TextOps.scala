@@ -325,6 +325,57 @@ object TextOps {
               ORDER BY levenshtein(substr(q.text, 1, 32), substr(c.text, 1, 32)), c.doc_id) AS rank
           FROM (SELECT doc_id, text FROM documents WHERE doc_id < 5) q
           JOIN documents c ON q.doc_id <> c.doc_id) t
-        WHERE rank <= 3 ORDER BY qid, rank"""))
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    OpQuery("q97_tfidf_topterms",
+      // TF-IDF-weighted distinctive terms per document — the relevance /
+      // keyword-extraction primitive a corpus pipeline needs beside raw
+      // counts (q13). Score = tf × N / df kept INTEGER-EXACT until one
+      // final IEEE division (tf×N as BIGINT, then /df — one multiply and
+      // one divide, both exactly rounded, so Spark and DuckDB produce the
+      // identical double; a log-based idf would hostage the gate to libm
+      // differences). Top-3 terms per doc, ties broken by term.
+      //
+      // Scale shape: two partial-aggregated shuffles (doc×term tf, then
+      // term df over the tf table — already one row per (doc,term), never
+      // the raw token stream twice: tf feeds BOTH the df aggregation and
+      // the join, so it is localCheckpointed as a reduced 3-column
+      // projection, the q18 pattern for a stage consumed twice) + one
+      // term-keyed join; the per-doc top-k is a bounded window per doc_id
+      // (Spark 4 pushes the rank<=3 into the sort as WindowGroupLimit).
+      // No driver collects except the corpus count.
+      (s, d) => {
+        val docs = ld(s, d, "documents")
+        val n = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(expr(wordsSpark)).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, Seq("term"))
+          .withColumn("score",
+            (col("tf") * n).cast("double") / col("df").cast("double"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, t.term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($wordsDuck) AS term FROM documents) t
+          GROUP BY doc_id, t.term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+            CAST(tf.tf * n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+          FROM tf JOIN dfreq USING (term), n)
+        SELECT doc_id, rank, term, tf, df, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rank FROM scored) r
+        WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 }
