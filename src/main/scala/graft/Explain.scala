@@ -52,6 +52,10 @@ object Explain {
           graft.cdc.LogGen.writeLog(spark, graft.cdc.LogGen.Params(
             nEvents = 1000, nRepos = 10, pathsPerRepo = 8), s"$root/log", epochs = 2)
           graft.cdc.LogCompact.selectionPlan(spark, s"$root/log")
+        case "q100_bucketed_smb_join" =>
+          // the reviewable plan is the co-located join itself — the gate's
+          // final orderBy adds one presentation-only range exchange
+          graft.operators.JoinOps.bucketedSmbJoin(spark, sfDir)
         case _ => SparkEntry.queries(n)(spark, sfDir)
       }
       sb.append(s"## $n\n\n```\n")

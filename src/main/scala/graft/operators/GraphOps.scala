@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.ld
+
+/** Iterative graph analytics over relationship graphs derived from the
+  * warehouse tables — the centrality/ranking primitive corpus-curation
+  * pipelines use to weight sources (the public web-scale precedent:
+  * link-graph PageRank as a crawl-quality prior). Complements the
+  * pointer-doubling connected components in [[DedupOps]]: CC answers
+  * "which rows are the same thing", PageRank answers "which nodes matter".
+  *
+  * The reference (a per-record NiFi protobuf codec) has no graph surface;
+  * this extends the engine's derived-pipeline layer.
+  */
+object GraphOps {
+
+  /** Initial rank per node. INTEGER-EXACT scoring (the q97 pattern): ranks
+    * stay BIGINT throughout — per-edge contribution is `r div deg` and the
+    * damping step is `(15·BASE + 85·inflow) div 100`, all positive-operand
+    * floor divisions that Spark (`div`) and DuckDB (`//`) define
+    * identically — so the oracle hash-matches bit for bit. A float
+    * PageRank would hostage the gate to summation order. */
+  val Base = 1000000000000L
+
+  /** `iters` damped PageRank sweeps over a directed edge list (src, dst).
+    * Every node must have out-degree ≥ 1 (callers pass symmetrized edges).
+    *
+    * Scale shape: one shuffle per iteration (the groupBy(dst) that sums
+    * contributions) plus the contribution join partitioned the same way —
+    * the canonical iterative-join plan. The edge list and degree table are
+    * computed ONCE and localCheckpointed as reduced projections (the q18
+    * pattern for a stage consumed `iters` times — without it every
+    * iteration re-derives the edge list and the plan deepens
+    * exponentially). At 100 TB: edges pre-bucketed by src make the
+    * contribution join co-located; the per-iteration shuffle carries one
+    * (node, rank) row per node, not the edge list. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var r = deg.select(col("src").as("node"), lit(Base).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node")).join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+      r = contrib.groupBy("dst")
+        .agg(sum(col("c")).as("inflow"))
+        .select(col("dst").as("node"),
+          expr(s"(${15 * Base}L + 85L * inflow) div 100").as("r"))
+    }
+    r
+  }
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q101_pagerank",
+      // 3 damped sweeps over the symmetrized customer↔supplier trade
+      // graph (an edge per distinct (custkey, suppkey) that traded, both
+      // directions, so no dangling nodes), top-20 nodes. Node ids disjoint
+      // by parity: customer 2k, supplier 2k+1.
+      (s, d) => {
+        val edges = ld(s, d, "orders").select("o_orderkey", "o_custkey")
+          .join(ld(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val both = edges.union(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        pageRank(both, iters = 3)
+          .orderBy(col("r").desc, col("node"))
+          .select(col("node"), col("r").as("pr"))
+          .limit(20)
+      },
+      Some(s"""WITH edges AS (
+          SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        bidir AS (SELECT src, dst FROM edges
+                  UNION ALL SELECT dst, src FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM bidir GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(${Base} AS BIGINT) AS r FROM deg),
+        r1 AS (SELECT e.dst AS node, (${15 * Base} + 85*sum(r0.r // d.deg)) // 100 AS r
+               FROM bidir e JOIN r0 ON e.src = r0.node
+               JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS node, (${15 * Base} + 85*sum(r1.r // d.deg)) // 100 AS r
+               FROM bidir e JOIN r1 ON e.src = r1.node
+               JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS node, (${15 * Base} + 85*sum(r2.r // d.deg)) // 100 AS r
+               FROM bidir e JOIN r2 ON e.src = r2.node
+               JOIN deg d ON e.src = d.src GROUP BY e.dst)
+        SELECT node, r AS pr FROM r3 ORDER BY r DESC, node LIMIT 20"""))
+  )
+}

@@ -106,6 +106,35 @@ object JoinOps {
       .drop("__b")
   }
 
+  /** q100's engine, exposed unsorted so JoinOpsSpec can assert the
+    * executed plan has ZERO shuffle exchanges and Explain can dump the
+    * reviewable join subtree (the gate's final orderBy adds the one
+    * presentation-only range exchange). Writes both sides bucketed, then
+    * joins them through the catalog so the scan carries the bucket spec. */
+  def bucketedSmbJoin(s: SparkSession, d: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-q100"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ev = ld(s, d, "events").filter(col("value").isNotNull)
+    def half(par: Int, cnt: String, sm: String) = ev
+      .filter(pmod(col("event_id"), lit(2)) === par)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as(cnt),
+        sum(col("value").cast("decimal(22,6)")).as("d"))
+      .select(col("user_id"), col(cnt), col("d").cast("double").as(sm))
+    for (t <- Seq("graft_q100_a", "graft_q100_b"))
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    half(0, "cnt_a", "sum_a").write.mode("overwrite").format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .option("path", s"$root/a").saveAsTable("graft_q100_a")
+    half(1, "cnt_b", "sum_b").write.mode("overwrite").format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .option("path", s"$root/b").saveAsTable("graft_q100_b")
+    s.table("graft_q100_a").hint("merge")
+      .join(s.table("graft_q100_b"), Seq("user_id"))
+      .select(col("user_id"), col("cnt_a"), col("sum_a"),
+        col("cnt_b"), col("sum_b"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     // AS-OF join gate: each event (with a deterministic as-of timestamp
@@ -251,6 +280,30 @@ object JoinOps {
         SELECT l.user_id, l_event_id, r_event_id, l_ts_us, r_ts_us, l_type, r_type
         FROM l JOIN r ON l.user_id = r.user_id
           AND r_ts_us >= l_ts_us AND r_ts_us <= l_ts_us + 6::BIGINT*3600*1000000
-        ORDER BY l_event_id, r_event_id"""))
+        ORDER BY l_event_id, r_event_id""")),
+
+    // CO-LOCATED (bucketed) join — the shuffle-free big⋈big strategy the
+    // prompt's scale checklist names next to broadcast and salting. Both
+    // sides are written `bucketBy(8, user_id).sortBy(user_id)` into the
+    // session catalog, so the sort-merge join consumes each table's
+    // bucketing as its distribution: the physical plan has ZERO
+    // ShuffleExchange nodes (asserted in JoinOpsSpec and surfaced in
+    // PLANS.md) — at 100 TB this is the difference between re-shuffling
+    // two huge fact tables per query and paying the shuffle ONCE at write
+    // time, amortized over every subsequent co-located join. The merge
+    // hint keeps AQE from substituting a broadcast at toy scale (which
+    // would hide exactly the property under test).
+    OpQuery("q100_bucketed_smb_join",
+      (s, d) => bucketedSmbJoin(s, d).orderBy("user_id"),
+      Some("""WITH a AS (
+          SELECT user_id, count(*) AS cnt_a,
+                 CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_a
+          FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
+        b AS (
+          SELECT user_id, count(*) AS cnt_b,
+                 CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_b
+          FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1)
+        SELECT user_id, cnt_a, sum_a, cnt_b, sum_b
+        FROM a JOIN b USING (user_id) ORDER BY user_id"""))
   )
 }

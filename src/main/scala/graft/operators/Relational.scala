@@ -282,6 +282,35 @@ object Relational {
           FROM events) t
         GROUP BY event_type ORDER BY event_type""")),
 
+    OpQuery("q99_topk_aggregator",
+      // Custom TYPED Aggregator (the UDAF surface — the one extension API
+      // q06's scalar functions and ProtoDecodeExpression don't cover):
+      // per-group bounded top-k where the AGGREGATION BUFFER is the k-row
+      // heap. The scale property is partial aggregation: each map task
+      // reduces its partition to ≤k rows per group before the shuffle
+      // (ObjectHashAggregate partial → merge), so the exchange carries
+      // O(groups × k) rows, not the table — the aggregate-shaped top-k,
+      // vs q02's windowed top-k that shuffles every row of the group.
+      // Total order (value DESC, event_id ASC) makes reduce/merge
+      // associative + deterministic, so the oracle is a plain window.
+      (s, d) => {
+        val top3 = udaf(new TopKByValue(3),
+          org.apache.spark.sql.Encoders.product[TopKByValue.In])
+        ld(s, d, "events").filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(top3(col("value"), col("event_id")).as("buf"))
+          .select(col("event_type"), posexplode(col("buf.items")))
+          .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.eventId").as("event_id"), col("col.value").as("value"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, rank, event_id, value FROM (
+          SELECT event_type, event_id, value,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id) AS rank
+          FROM events WHERE value IS NOT NULL) t
+        WHERE rank <= 3 ORDER BY event_type, rank""")),
+
     OpQuery("q59_json_props",
       // JSON extraction in the hot path: pull a typed field out of the
       // events' JSON props column (codegen'd JsonPath — no UDF) and
@@ -303,4 +332,39 @@ object Relational {
           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY 1, 2 ORDER BY event_type, kb"""))
   )
+}
+
+object TopKByValue {
+  /** Aggregator input: one event's (value, eventId). */
+  final case class In(value: Double, eventId: Long)
+  /** Buffer/output: the bounded top-k, kept sorted by the total order. */
+  final case class Buf(items: Seq[In])
+}
+
+/** Typed Aggregator keeping the per-group top-`k` rows by
+  * (value DESC, eventId ASC) — a bounded buffer that Spark partial-aggregates
+  * map-side, so a group's shuffle contribution is ≤k rows per task no matter
+  * how many input rows the group has (q99). reduce is O(k) via ordered
+  * insertion; merge is a k-bounded sorted merge — both associative and
+  * commutative under the unique total order, which is what makes the result
+  * deterministic and the DuckDB window oracle exact. */
+final class TopKByValue(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      TopKByValue.In, TopKByValue.Buf, TopKByValue.Buf] {
+  import TopKByValue._
+  private def lt(a: In, b: In): Boolean =
+    a.value > b.value || (a.value == b.value && a.eventId < b.eventId)
+  def zero: Buf = Buf(Vector.empty)
+  def reduce(b: Buf, a: In): Buf =
+    if (b.items.size == k && !lt(a, b.items.last)) b
+    else {
+      val (before, after) = b.items.span(lt(_, a))
+      Buf(((before :+ a) ++ after).take(k))
+    }
+  def merge(b1: Buf, b2: Buf): Buf = b2.items.foldLeft(b1)(reduce)
+  def finish(b: Buf): Buf = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+    org.apache.spark.sql.Encoders.product[Buf]
+  def outputEncoder: org.apache.spark.sql.Encoder[Buf] =
+    org.apache.spark.sql.Encoders.product[Buf]
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** pageRank vs a naive per-node integer reference — pins the exact
+  * floor-division semantics the DuckDB oracle also relies on. */
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graph-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pageRank == naive integer reference on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = (0 until 60).map(_ => (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (raw ++ raw.map(_.swap)).distinct // symmetrize: no dangling nodes
+
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r = deg.keys.map(_ -> GraphOps.Base).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = inflow.map { case (n, in) => n -> (15 * GraphOps.Base + 85 * in) / 100 }
+    }
+    assert(got == r)
+  }
+}

@@ -89,4 +89,23 @@ class JoinOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(got == Set((1L, 2L, true), (2L, 0L, false)))
   }
+
+  test("bucketedSmbJoin: the join subtree has ZERO shuffle exchanges (bucketing is the distribution)") {
+    val joined = JoinOps.bucketedSmbJoin(spark, "/root/testdata/sf0.001")
+    val rows = joined.collect() // execute → AQE finalizes its plan
+    // string-render the final plan: AQE wraps stages in QueryStageExec
+    // leaves that tree-collect does not descend into, but the rendering
+    // shows the whole tree
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"expected a shuffle-free co-located join, found:\n$plan")
+    // and it is a sort-merge join over bucketed scans, not a broadcast
+    assert(plan.contains("SortMergeJoin"), s"expected a SortMergeJoin, got:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans, got:\n$plan")
+    // result sanity vs a plain (shuffled) join of the same inputs
+    val plain = spark.read.parquet(s"${System.getProperty("java.io.tmpdir")}/graft-q100/a")
+      .join(spark.read.parquet(s"${System.getProperty("java.io.tmpdir")}/graft-q100/b"), Seq("user_id"))
+      .select("user_id", "cnt_a", "sum_a", "cnt_b", "sum_b")
+    assert(rows.toSet == plain.collect().toSet)
+  }
 }
