@@ -108,6 +108,28 @@ object CdcCli {
         .filter(col("route") === "success").count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"decoded $n events in $sec%.1f s (${n / sec}%.0f events/s)")
+    case "decode-bench-pruned" :: logDir :: Nil =>
+      // pruned vs full SCALAR decode on the same log: the projection-
+      // pushdown payoff (q102) as a measured number — the pruned plan
+      // length-skips `content` (most of the payload bytes) on the wire
+      graft.functions.PruneProtoDecode.install(spark)
+      val raw = spark.read.parquet(logDir).select("payload").localCheckpoint()
+      def m = graft.functions.ProtoFunctions.proto_decode(
+        col("payload"), Cdc.protoV2, "RepoChange").as("m")
+      def time(cols: Seq[String]): Double = {
+        val df = raw.select(m).select(cols.map(c => col(s"m.$c")): _*)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val all = Cdc.fsV2.findMessage("RepoChange").get.fieldsInNumberOrder.map(_.name)
+      val warmup = time(Seq("repo")); val _ = warmup
+      val full = time(all)
+      val pruned = time(Seq("repo", "path", "seq"))
+      val n = raw.count()
+      println(f"full-decode $n events in $full%.2f s (${n / full}%.0f ev/s); " +
+        f"pruned (repo,path,seq) $pruned%.2f s (${n / pruned}%.0f ev/s); " +
+        f"speedup ${full / pruned}%.2fx")
     case "read-bench" :: logDir :: Nil =>
       val t0 = System.nanoTime()
       val n = spark.read.parquet(logDir).select("payload").count()

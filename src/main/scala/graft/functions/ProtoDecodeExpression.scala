@@ -24,7 +24,17 @@ import graft.proto.{DescParser, ProtoTextParser}
 final case class ProtoDecode(
     child: Expression,
     schemaSource: Either[String, Array[Byte]],
-    messageType: String)
+    messageType: String,
+    /** PROJECTION PUSHDOWN into the codec (set by [[PruneProtoDecode]]):
+      * when defined, only these field NUMBERS are parsed — every other
+      * field's wire bytes are length-skipped, never decoded (for the CDC
+      * envelope that means a (repo, path, seq) projection skips the fat
+      * `content` bytes entirely, the codec analogue of Parquet column
+      * pruning). The OUTPUT TYPE stays the full struct — pruned fields
+      * surface as proto defaults — so downstream ordinals are untouched;
+      * the rule only installs a pruned copy where provably nothing reads
+      * the pruned fields. */
+    allowed: Option[Set[Int]] = None)
   extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val fs: FileSet = schemaSource match {
@@ -34,9 +44,15 @@ final case class ProtoDecode(
   @transient private lazy val desc: MessageDesc =
     fs.findMessage(messageType).getOrElse(
       throw new graft.proto.Descriptors.UnknownMessageTypeException(messageType))
-  @transient private lazy val decoder = new RowDecoder(fs, desc)
+  @transient private lazy val decoder = new RowDecoder(fs, desc, allowed)
   @transient private lazy val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(dataType)
+
+  /** struct ordinal → proto field number (both sides order fields by
+    * number: SparkSchema.structFor and the decoder's fieldsInNumberOrder). */
+  private[functions] lazy val numberOfOrdinal: Array[Int] =
+    desc.fieldsInNumberOrder.map(_.number).toArray
+  private[functions] def fieldCount: Int = numberOfOrdinal.length
 
   override def dataType: DataType = SparkSchema.structFor(fs, desc)
   override def nullable: Boolean = true

@@ -2505,6 +2505,54 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q96")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q102_pruned_decode",
+      // PROJECTION PUSHDOWN INTO THE CODEC under the hard gate: decode the
+      // raw change log through the scalar proto_decode expression with the
+      // PruneProtoDecode optimizer rule installed, reading only
+      // (repo, path, seq) — the rule narrows the decoder to field numbers
+      // {1, 2, 6}, so the fat `content` bytes (the file bodies — most of
+      // the log) are length-skipped on the wire, never allocated. The
+      // oracle is the FULL registry decode dumped by this same run (a
+      // different decoder implementation: typed mapPartitions vs scalar
+      // expression), projected to the same columns — so the gate proves
+      // pruned scalar decode ≡ full bulk decode on the kept fields. The
+      // run hard-asserts the rule actually fired (allowed == {1,2,6} in
+      // the optimized plan) — without that a silently-unpruned plan would
+      // still pass the value check.
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q102")
+        val logDir = s"$root/log"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        // oracle input: the bulk-path full decode
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val ev = s.read.parquet(logDir)
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        Replay.decodeForMerge(ev, registry, None).updates
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        // the query under test: scalar decode + subset projection
+        graft.functions.PruneProtoDecode.install(s)
+        val df = s.read.parquet(logDir)
+          .select(graft.functions.ProtoFunctions.proto_decode(
+            col("payload"), Cdc.protoV2, "RepoChange").as("m"))
+          .select(col("m.repo").as("repo"), col("m.path").as("path"),
+            col("m.seq").as("seq"))
+          .orderBy("seq", "repo", "path")
+        val pruned = df.queryExecution.optimizedPlan.flatMap(
+          _.expressions.flatMap(_.collect {
+            case pd: graft.functions.ProtoDecode => pd.allowed
+          }))
+        require(pruned.nonEmpty && pruned.forall(_.contains(Set(1, 2, 6))),
+          s"PruneProtoDecode must narrow the decode to {1,2,6}, got $pruned")
+        df
+      },
+      Some(s"""SELECT repo, path, seq
+        FROM parquet_scan('${workDir("q102")}/decoded/*.parquet')
+        ORDER BY seq, repo, path""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
