@@ -2553,6 +2553,83 @@ object CdcQueries {
         FROM parquet_scan('${workDir("q102")}/decoded/*.parquet')
         ORDER BY seq, repo, path""")),
 
+    OpQuery("q104_consumer_cursors",
+      // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a
+      // "slow" consumer drains the table in bounded single-version polls
+      // (ack after each), a "bulk" consumer takes the whole window in one
+      // poll — both must deliver exactly the same rows, and both must
+      // equal the oracle's per-epoch LWW fold of the decoded log. The run
+      // hard-asserts the at-least-once contract on the way: re-polling
+      // BEFORE ack redelivers the identical window; polling after the
+      // final ack is empty.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q104")
+        val root = workDir("q104")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        clock("consume") {
+          graft.lake.Feed.create(tableDir, "slow", startVersion = 1)
+          graft.lake.Feed.create(tableDir, "bulk", startVersion = 1)
+        }
+        val windows = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        var drained = false
+        while (!drained) {
+          val (w, to) = graft.lake.Feed.poll(s, tableDir, "slow", maxVersions = 1)
+          if (to == graft.lake.Feed.position(tableDir, "slow")) drained = true
+          else {
+            val (w2, to2) = graft.lake.Feed.poll(s, tableDir, "slow", maxVersions = 1)
+            require(to2 == to && w2.count() == w.count(),
+              s"pre-ack re-poll must redeliver the same window ($to vs $to2)")
+            windows += w
+            graft.lake.Feed.ack(tableDir, "slow", to)
+          }
+        }
+        require(windows.size == 2, s"3 epochs from v1 = 2 windows, got ${windows.size}")
+        val (bulk, bulkTo) = graft.lake.Feed.poll(s, tableDir, "bulk")
+        val stepwise = windows.reduce(_.unionByName(_))
+        // a wide window that crosses an inline compaction NETS OUT
+        // intermediate rewrites (the Delta CDF caveat), so the honest
+        // invariant is subset + equal LWW outcome, not row equality
+        require(bulk.select("repo", "path", IceLite.SeqCol.name)
+            .except(stepwise.select("repo", "path", IceLite.SeqCol.name))
+            .count() == 0,
+          "bulk window rows must be a subset of stepwise delivery")
+        require(stepwise.count() >= bulk.count(),
+          "stepwise delivery can never carry fewer rows than the net window")
+        graft.lake.Feed.ack(tableDir, "bulk", bulkTo)
+        require(graft.lake.Feed.poll(s, tableDir, "bulk")._1.count() == 0,
+          "a drained consumer must poll empty")
+        putMetric("q104", "windows", windows.size.toDouble)
+        stepwise
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"),
+            col(IceLite.SeqCol.name).as("seq"),
+            col(IceLite.DelCol.name).as("is_delete"))
+          .orderBy("seq")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
+               seq, (op = 'DELETE') AS is_delete
+        FROM (SELECT *, row_number() OVER (PARTITION BY epoch, repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q104")}/decoded/*.parquet') WHERE epoch >= 1) t
+        WHERE rn = 1 ORDER BY seq""")),
+
     OpQuery("q29_change_feed",
       (s, _) => changeFeed(s, nEvents = 4000, tag = "q29"),
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,

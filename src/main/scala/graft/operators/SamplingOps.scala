@@ -84,7 +84,37 @@ object SamplingOps {
               FROM t)
         SELECT doc_id, lang, n_copies, gs.c AS copy
         FROM n, LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS c) gs
-        WHERE n_copies > 0 ORDER BY doc_id, copy"""))
+        WHERE n_copies > 0 ORDER BY doc_id, copy""")),
+
+    OpQuery("q103_deterministic_shuffle",
+      // REPRODUCIBLE GLOBAL SHUFFLE into training shards — the ordering
+      // move every corpus build needs before sequence packing: the corpus
+      // is dealt into 16 shards by a seeded hash and ordered WITHIN each
+      // shard by the same hash, so the result is a deterministic
+      // permutation (re-running with the same seed reproduces every
+      // shard's exact order; changing the seed reshuffles). The
+      // scale-honest shape: NO global row_number — shard assignment is a
+      // narrow map and the position window is per-shard (16 parallel
+      // sorts of corpus/16 each), the same reason q94's packing banded
+      // its prefix sum. hash60 on (seed, doc_id) keeps it cross-engine.
+      (s, d) => {
+        graft.functions.Hash60.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("h", "doc_id")
+        ld(s, d, "documents")
+          .withColumn("h", expr("hash60(concat('shuffle-epoch7:', CAST(doc_id AS STRING)))"))
+          .withColumn("shard", pmod(col("h"), lit(16)))
+          .withColumn("pos", row_number().over(w).cast("long") - 1)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some("""SELECT doc_id, shard, pos FROM (
+          SELECT doc_id, h % 16 AS shard,
+            row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS pos
+          FROM (SELECT doc_id,
+            CAST('0x' || substr(md5('shuffle-epoch7:' || doc_id), 1, 15) AS BIGINT) AS h
+            FROM documents) t) s
+        ORDER BY shard, pos"""))
   )
 
 }
