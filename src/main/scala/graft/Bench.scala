@@ -202,7 +202,8 @@ object Bench {
         "q86_scrub_repair", "q87_multi_table_txn", "q88_schema_compat_gate",
         "q89_analyze_stats", "q90_ops_pipeline", "q91_log_order_audit",
         "q92_out_of_order_replay", "q96_partition_evolution",
-        "q100_bucketed_smb_join", "q102_pruned_decode", "q104_consumer_cursors")
+        "q100_bucketed_smb_join", "q102_pruned_decode", "q104_consumer_cursors",
+        "q105_widening_evolution")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

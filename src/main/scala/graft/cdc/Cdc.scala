@@ -46,12 +46,30 @@ object Cdc {
       |  enum Op { UPSERT = 0; DELETE = 1; }
       |}""".stripMargin
 
+  /** v3/v4: the TYPE-WIDENING fixture (q105) — v3 adds `size_bytes` as
+    * int32 (field 9); v4 widens the SAME field number to int64, the
+    * protobuf-sanctioned wire-compatible widening (varint either way).
+    * The table column must evolve INT → BIGINT in place, with v3-origin
+    * files widened on read. */
+  val protoV3: String = protoV2.replace(
+    "string author  = 8;", "string author  = 8;\n  int32  size_bytes = 9;")
+  val protoV4: String = protoV2.replace(
+    "string author  = 8;", "string author  = 8;\n  int64  size_bytes = 9;")
+
   lazy val fsV1: FileSet = ProtoTextParser.parse(protoV1, "repo_change_v1.proto")
   lazy val fsV2: FileSet = ProtoTextParser.parse(protoV2, "repo_change_v2.proto")
+  lazy val fsV3: FileSet = ProtoTextParser.parse(protoV3, "repo_change_v3.proto")
+  lazy val fsV4: FileSet = ProtoTextParser.parse(protoV4, "repo_change_v4.proto")
 
   val KeyV1: SchemaKey = SchemaKey(SchemaId, 1)
   val KeyV2: SchemaKey = SchemaKey(SchemaId, 2)
+  val KeyV3: SchemaKey = SchemaKey(SchemaId, 3)
+  val KeyV4: SchemaKey = SchemaKey(SchemaId, 4)
 
   def registry: DescriptorRegistry = DescriptorRegistry(KeyV1 -> fsV1, KeyV2 -> fsV2)
   def registryV1Only: DescriptorRegistry = DescriptorRegistry(KeyV1 -> fsV1)
+  def registryV3: DescriptorRegistry =
+    DescriptorRegistry(KeyV1 -> fsV1, KeyV2 -> fsV2, KeyV3 -> fsV3)
+  def registryV4: DescriptorRegistry =
+    DescriptorRegistry(KeyV1 -> fsV1, KeyV2 -> fsV2, KeyV3 -> fsV3, KeyV4 -> fsV4)
 }

@@ -131,6 +131,24 @@ object LogGen {
     DynMsg.encode(fs, DynMsg(desc, fields))
   }
 
+  /** v3/v4 widening-fixture encode: the v2 fields + `size_bytes` (field 9,
+    * varint — int32 and int64 writers produce the same wire bytes for
+    * values in int range, which is exactly why the widening is sanctioned). */
+  def encodeChangeSized(c: RawChange, desc: MessageDesc,
+      fs: graft.proto.Descriptors.FileSet, sizeBytes: Long): Array[Byte] = {
+    var fields = TreeMap.empty[Int, PValue]
+    if (c.repo.nonEmpty) fields += (1 -> PStr(c.repo))
+    if (c.path.nonEmpty) fields += (2 -> PStr(c.path))
+    if (c.commit.nonEmpty) fields += (3 -> PStr(c.commit))
+    if (c.lang.nonEmpty) fields += (4 -> PStr(c.lang))
+    if (c.content.nonEmpty) fields += (5 -> PStr(c.content))
+    if (c.seq != 0) fields += (6 -> PLong(c.seq))
+    if (c.op == "DELETE") fields += (7 -> PEnum(1))
+    if (c.author.nonEmpty) fields += (8 -> PStr(c.author))
+    if (sizeBytes != 0) fields += (9 -> PLong(sizeBytes))
+    DynMsg.encode(fs, DynMsg(desc, fields))
+  }
+
   /** Distributed generation of the event log as Dataset[ChangeEvent]. */
   def events(spark: SparkSession, p: Params, partitions: Int = 0): Dataset[ChangeEvent] = {
     import spark.implicits._

@@ -14,6 +14,8 @@ import graft.registry.{DescriptorRegistry, SchemaKey}
 object Replay {
 
   /** Table columns = RepoChange data fields (seq/op are CDC plumbing). */
+  /** The v2 envelope's data columns — kept for tests/docs; the merge
+    * projection derives its columns from the reader descriptor, not this. */
   val dataColNames = Seq("repo", "path", "commit", "lang", "content", "author")
 
   /** Initialize the target table from the v1 descriptor-derived schema
@@ -81,15 +83,21 @@ object Replay {
 
     val ok = Decode.success(decoded)
     // select("msg.*") drops struct-field metadata, so re-attach the proto
-    // field numbers as graft.fieldId — the IceLite evolution identity
+    // field numbers as graft.fieldId — the IceLite evolution identity.
+    // Data columns come from the READER descriptor itself (every field
+    // except the seq/op envelope), so a registry that grows a new field
+    // (e.g. v3's size_bytes, q105) flows through the merge and triggers
+    // IceLite add/widen evolution — no hardcoded column list.
     val latest = registry.value.resolveKey(defaultKey)
-    val fieldIds = registry.value.descriptor(latest, Cdc.MessageType).get._2
-      .fields.map(f => f.name -> f.number).toMap
+    val readerFields = registry.value.descriptor(latest, Cdc.MessageType).get._2
+      .fieldsInNumberOrder
+    val fieldIds = readerFields.map(f => f.name -> f.number).toMap
     val avail = ok.columns.toSet
-    val cols = dataColNames.filter(avail.contains).map { c =>
-      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
-        .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
-    } ++ Seq(col("seq"), col("op"))
+    val cols = readerFields.map(_.name).filterNot(Seq("seq", "op").contains)
+      .filter(avail.contains).map { c =>
+        col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
+      } ++ Seq(col("seq"), col("op"))
     DecodedBatch(ok.select(cols: _*), flushDeadLetters, acc)
   }
 

@@ -2553,6 +2553,95 @@ object CdcQueries {
         FROM parquet_scan('${workDir("q102")}/decoded/*.parquet')
         ORDER BY seq, repo, path""")),
 
+    OpQuery("q105_widening_evolution",
+      // TYPE-WIDENING SCHEMA EVOLUTION end-to-end under the hard gate —
+      // the add/rename/drop gates' missing sibling: schema v3 adds
+      // `size_bytes` as int32, v4 widens the SAME field number to int64
+      // (the protobuf-sanctioned varint widening, accepted by the q88
+      // Compat gate — asserted here too). Epoch 0 (v3 payloads) replays
+      // against a registry that only knows v3: the table column lands as
+      // INT. Epoch 1 (v4 payloads, values ABOVE Int.MaxValue so the widen
+      // is load-bearing, not cosmetic) replays with the grown registry:
+      // Merge.evolve widens the column to BIGINT in place, v3-origin
+      // files are cast on read, and AS OF the pre-widen version still
+      // reads INT. Oracle = LWW fold of the all-v4 decoded dump, incl.
+      // size_bytes.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q105")
+        val root = workDir("q105")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        require(graft.registry.Compat.check(Cdc.fsV3, Cdc.fsV4, Cdc.MessageType).isEmpty,
+          "int32 -> int64 must be a sanctioned widening")
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 25)
+        def gen(v: Int, lo: Long, hi: Long) =
+          s.range(lo, hi, 1, 8).mapPartitions { it =>
+            val fs = if (v == 3) Cdc.fsV3 else Cdc.fsV4
+            val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              val c = LogGen.rawChange(id, p)
+              val size =
+                if (c.op == "DELETE") 0L
+                else if (v == 3) c.content.length.toLong
+                else 4000000000L + c.content.length // needs the widen
+              graft.decode.ChangeEvent(
+                LogGen.encodeChangeSized(c, d, fs, size),
+                Cdc.SchemaId, v, Cdc.MessageType, pid, id)
+            }
+          }
+        clock("gen") {
+          gen(3, 0, 1500).toDF().withColumn("epoch", lit(0L))
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logpre")
+          gen(4, 1500, 3000).toDF().withColumn("epoch", lit(1L))
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logtail")
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registryV4)
+          val ev = s.read.parquet(s"$root/logpre").unionByName(s.read.parquet(s"$root/logtail"))
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay_v3") {
+          Replay.replayLog(s, s"$root/logpre", tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV3))
+        }
+        val preSnap = IceLite.load(tableDir)
+        val preCol = preSnap.currentSchema.find(_.name == "size_bytes")
+        require(preCol.exists(_.dataType.toUpperCase.startsWith("INT")),
+          s"pre-widen column must be INT, got $preCol")
+        clock("replay_v4") {
+          Replay.replayLog(s, s"$root/logtail", tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV4))
+        }
+        val snap = IceLite.load(tableDir)
+        val postCol = snap.currentSchema.find(_.name == "size_bytes")
+        require(postCol.exists(_.dataType.toUpperCase.startsWith("BIGINT")),
+          s"post-widen column must be BIGINT, got $postCol")
+        require(postCol.get.id == preCol.get.id,
+          "widening must keep the field id (column identity)")
+        // AS OF the pre-widen version the column is still INT
+        val travel = IceLite.loadVersion(tableDir, preSnap.version)
+        require(travel.currentSchema.find(_.name == "size_bytes")
+          .exists(_.dataType.toUpperCase.startsWith("INT")),
+          "time travel must read the pre-widen schema")
+        putMetric("q105", "pre_version", preSnap.version.toDouble)
+        IceLite.read(s, snap)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"),
+            col("size_bytes"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
+               author, size_bytes
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q105")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q104_consumer_cursors",
       // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a
       // "slow" consumer drains the table in bounded single-version polls
