@@ -116,9 +116,12 @@ object LogGen {
   private val cdfCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Double), Array[Double]]()
 
-  /** Encode one RawChange with the given descriptor (v1 drops `author`). */
+  /** Encode one RawChange with the given descriptor (v1 drops `author`).
+    * `sizeBytes` (field 9) is the v3/v4 widening fixture — varint either
+    * way, which is exactly why int32 → int64 is a sanctioned widening;
+    * leave 0 for v1/v2 writers whose descriptor lacks the field. */
   def encodeChange(c: RawChange, desc: MessageDesc, fs: graft.proto.Descriptors.FileSet,
-      includeAuthor: Boolean): Array[Byte] = {
+      includeAuthor: Boolean, sizeBytes: Long = 0L): Array[Byte] = {
     var fields = TreeMap.empty[Int, PValue]
     if (c.repo.nonEmpty) fields += (1 -> PStr(c.repo))
     if (c.path.nonEmpty) fields += (2 -> PStr(c.path))
@@ -128,23 +131,6 @@ object LogGen {
     if (c.seq != 0) fields += (6 -> PLong(c.seq))
     if (c.op == "DELETE") fields += (7 -> PEnum(1))
     if (includeAuthor && c.author.nonEmpty) fields += (8 -> PStr(c.author))
-    DynMsg.encode(fs, DynMsg(desc, fields))
-  }
-
-  /** v3/v4 widening-fixture encode: the v2 fields + `size_bytes` (field 9,
-    * varint — int32 and int64 writers produce the same wire bytes for
-    * values in int range, which is exactly why the widening is sanctioned). */
-  def encodeChangeSized(c: RawChange, desc: MessageDesc,
-      fs: graft.proto.Descriptors.FileSet, sizeBytes: Long): Array[Byte] = {
-    var fields = TreeMap.empty[Int, PValue]
-    if (c.repo.nonEmpty) fields += (1 -> PStr(c.repo))
-    if (c.path.nonEmpty) fields += (2 -> PStr(c.path))
-    if (c.commit.nonEmpty) fields += (3 -> PStr(c.commit))
-    if (c.lang.nonEmpty) fields += (4 -> PStr(c.lang))
-    if (c.content.nonEmpty) fields += (5 -> PStr(c.content))
-    if (c.seq != 0) fields += (6 -> PLong(c.seq))
-    if (c.op == "DELETE") fields += (7 -> PEnum(1))
-    if (c.author.nonEmpty) fields += (8 -> PStr(c.author))
     if (sizeBytes != 0) fields += (9 -> PLong(sizeBytes))
     DynMsg.encode(fs, DynMsg(desc, fields))
   }

@@ -13,9 +13,10 @@ import graft.registry.{DescriptorRegistry, SchemaKey}
   * the streaming tail's foreachBatch. */
 object Replay {
 
-  /** Table columns = RepoChange data fields (seq/op are CDC plumbing). */
-  /** The v2 envelope's data columns — kept for tests/docs; the merge
-    * projection derives its columns from the reader descriptor, not this. */
+  /** The v2 envelope's data fields, for tests and docs. The merge
+    * projection does NOT use this list — it derives data columns from the
+    * reader descriptor, so a grown registry (e.g. v3's size_bytes, q105)
+    * flows through without touching it. */
   val dataColNames = Seq("repo", "path", "commit", "lang", "content", "author")
 
   /** Initialize the target table from the v1 descriptor-derived schema

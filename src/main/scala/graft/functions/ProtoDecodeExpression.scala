@@ -52,7 +52,6 @@ final case class ProtoDecode(
     * number: SparkSchema.structFor and the decoder's fieldsInNumberOrder). */
   private[functions] lazy val numberOfOrdinal: Array[Int] =
     desc.fieldsInNumberOrder.map(_.number).toArray
-  private[functions] def fieldCount: Int = numberOfOrdinal.length
 
   override def dataType: DataType = SparkSchema.structFor(fs, desc)
   override def nullable: Boolean = true

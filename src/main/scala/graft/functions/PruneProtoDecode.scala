@@ -76,52 +76,59 @@ object PruneProtoDecode extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-
-    // Shape B first (more specific): narrow a lower-project decode from the
-    // upper project's accesses of its output attribute.
-    case up @ Project(upperList, low @ Project(lowerList, _))
-        if lowerList.exists(a => a.isInstanceOf[Alias] &&
-          a.asInstanceOf[Alias].child.isInstanceOf[ProtoDecode]) =>
-      val decodeByAttr: Map[ExprId, ProtoDecode] = lowerList.collect {
-        case a @ Alias(pd: ProtoDecode, _) => a.exprId -> pd
-      }.toMap
-      // per-attribute ordinal uses in the upper list; bare attr use kills it
-      val ords = scala.collection.mutable.Map.empty[ExprId, scala.collection.mutable.Set[Int]]
-      val bareAttr = scala.collection.mutable.Set.empty[ExprId]
-      def scanUp(e: Expression): Unit = e match {
-        case GetStructField(ar: AttributeReference, ord, _) if decodeByAttr.contains(ar.exprId) =>
-          ords.getOrElseUpdate(ar.exprId, scala.collection.mutable.Set.empty) += ord
-        case ar: AttributeReference if decodeByAttr.contains(ar.exprId) =>
-          bareAttr += ar.exprId
-        case other => other.children.foreach(scanUp)
-      }
-      upperList.foreach(scanUp)
-      val newLower = lowerList.map {
-        case a @ Alias(pd: ProtoDecode, name) if ords.contains(a.exprId) && !bareAttr(a.exprId) =>
-          narrowed(pd, ords(a.exprId).toSet) match {
-            case Some(nums) => Alias(pd.copy(allowed = Some(nums)), name)(
-              a.exprId, a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
-            case None => a
+    // ONE handler applying both shapes, so a Project that qualifies for
+    // both (e.g. an inline decode in the upper list over a lower project
+    // aliasing another decode) gets both rewrites in the same pass.
+    case p: Project =>
+      // Shape A: inline GetStructField(ProtoDecode) within this Project.
+      val listA: Seq[NamedExpression] =
+        if (!p.projectList.exists(_.exists {
+          case GetStructField(_: ProtoDecode, _, _) => true; case _ => false
+        })) p.projectList
+        else {
+          val uses = new Uses
+          p.projectList.foreach(uses.scan)
+          p.projectList.map(_.transform {
+            case g @ GetStructField(pd: ProtoDecode, _, _) =>
+              uses.pruneSet(pd) match {
+                case Some(nums) => g.copy(child = pd.copy(allowed = Some(nums)))
+                case None => g
+              }
+          }.asInstanceOf[NamedExpression])
+        }
+      // Shape B: narrow a child-project decode alias from this project's
+      // accesses of its output attribute.
+      val newChild = p.child match {
+        case low: Project if low.projectList.exists(a => a.isInstanceOf[Alias] &&
+            a.asInstanceOf[Alias].child.isInstanceOf[ProtoDecode]) =>
+          val decodeByAttr: Map[ExprId, ProtoDecode] = low.projectList.collect {
+            case a @ Alias(pd: ProtoDecode, _) => a.exprId -> pd
+          }.toMap
+          val ords = scala.collection.mutable.Map.empty[ExprId, scala.collection.mutable.Set[Int]]
+          val bareAttr = scala.collection.mutable.Set.empty[ExprId]
+          def scanUp(e: Expression): Unit = e match {
+            case GetStructField(ar: AttributeReference, ord, _) if decodeByAttr.contains(ar.exprId) =>
+              ords.getOrElseUpdate(ar.exprId, scala.collection.mutable.Set.empty) += ord
+            case ar: AttributeReference if decodeByAttr.contains(ar.exprId) =>
+              bareAttr += ar.exprId
+            case other => other.children.foreach(scanUp)
           }
-        case other => other
-      }
-      if (newLower.zip(lowerList).forall { case (x, y) => x eq y }) up
-      else up.copy(child = low.copy(projectList = newLower))
-
-    // Shape A: inline GetStructField(ProtoDecode) within one Project.
-    case p: Project if p.projectList.exists(_.exists {
-        case GetStructField(_: ProtoDecode, _, _) => true; case _ => false
-      }) =>
-      val uses = new Uses
-      p.projectList.foreach(uses.scan)
-      val newList = p.projectList.map(_.transform {
-        case g @ GetStructField(pd: ProtoDecode, _, _) =>
-          uses.pruneSet(pd) match {
-            case Some(nums) => g.copy(child = pd.copy(allowed = Some(nums)))
-            case None => g
+          p.projectList.foreach(scanUp)
+          val newLower = low.projectList.map {
+            case a @ Alias(pd: ProtoDecode, name) if ords.contains(a.exprId) && !bareAttr(a.exprId) =>
+              narrowed(pd, ords(a.exprId).toSet) match {
+                case Some(nums) => Alias(pd.copy(allowed = Some(nums)), name)(
+                  a.exprId, a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
+                case None => a
+              }
+            case other => other
           }
-      }.asInstanceOf[NamedExpression])
-      if (newList.zip(p.projectList).forall { case (x, y) => x eq y }) p
-      else p.copy(projectList = newList)
+          if (newLower.zip(low.projectList).forall { case (x, y) => x eq y }) low
+          else low.copy(projectList = newLower)
+        case c => c
+      }
+      if ((newChild eq p.child) &&
+        listA.zip(p.projectList).forall { case (x, y) => x eq y }) p
+      else Project(listA, newChild)
   }
 }

@@ -37,6 +37,10 @@ object Feed {
     * window opens at startVersion — pass 0 to consume everything since the
     * table's creation). Refuses to re-create an existing consumer. */
   def create(dir: String, name: String, startVersion: Int = 0): Unit = {
+    require(startVersion >= 0, s"startVersion must be >= 0, got $startVersion")
+    val head = IceLite.load(dir).version // also validates the table exists
+    require(startVersion <= head,
+      s"startVersion $startVersion is beyond the table head $head")
     require(!Files.exists(path(dir, name)), s"consumer $name already exists at $dir")
     writeCursor(dir, name, startVersion)
   }

@@ -2588,7 +2588,7 @@ object CdcQueries {
                 else if (v == 3) c.content.length.toLong
                 else 4000000000L + c.content.length // needs the widen
               graft.decode.ChangeEvent(
-                LogGen.encodeChangeSized(c, d, fs, size),
+                LogGen.encodeChange(c, d, fs, includeAuthor = true, sizeBytes = size),
                 Cdc.SchemaId, v, Cdc.MessageType, pid, id)
             }
           }

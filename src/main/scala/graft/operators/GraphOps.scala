@@ -21,8 +21,21 @@ object GraphOps {
     * damping step is `(15·BASE + 85·inflow) div 100`, all positive-operand
     * floor divisions that Spark (`div`) and DuckDB (`//`) define
     * identically — so the oracle hash-matches bit for bit. A float
-    * PageRank would hostage the gate to summation order. */
+    * PageRank would hostage the gate to summation order.
+    *
+    * OVERFLOW BOUND: worst case concentrates the whole mass N·base on one
+    * node, and the damping step multiplies inflow by 85 — so base is
+    * capped at `MassCap / N` (N = node count), keeping 85·inflow ≤
+    * 85·MassCap ≈ 7.7e18 < Long.Max with full headroom. Spark's non-ANSI
+    * Long arithmetic would WRAP silently past that while DuckDB's HUGEINT
+    * sum would not — the cap is what keeps the two engines (and the
+    * answer) exact at any graph size, not just toy ones. At ≤ 90k nodes
+    * the cap leaves base at its nominal 1e12. */
   val Base = 1000000000000L
+  val MassCap = 90000000000000000L // 9e16
+
+  /** The adaptive per-node initial rank for an `n`-node graph. */
+  def baseFor(n: Long): Long = math.min(Base, MassCap / math.max(1L, n))
 
   /** `iters` damped PageRank sweeps over a directed edge list (src, dst).
     * Every node must have out-degree ≥ 1 (callers pass symmetrized edges).
@@ -40,14 +53,15 @@ object GraphOps {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    var r = deg.select(col("src").as("node"), lit(Base).as("r"))
+    val base = baseFor(deg.count()) // deg is checkpointed: count is cheap
+    var r = deg.select(col("src").as("node"), lit(base).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node")).join(deg, "src")
         .select(col("dst"), expr("r div deg").as("c"))
       r = contrib.groupBy("dst")
         .agg(sum(col("c")).as("inflow"))
         .select(col("dst").as("node"),
-          expr(s"(${15 * Base}L + 85L * inflow) div 100").as("r"))
+          expr(s"(${15 * base}L + 85L * inflow) div 100").as("r"))
     }
     r
   }
@@ -79,16 +93,18 @@ object GraphOps {
         bidir AS (SELECT src, dst FROM edges
                   UNION ALL SELECT dst, src FROM edges),
         deg AS (SELECT src, count(*) AS deg FROM bidir GROUP BY src),
-        r0 AS (SELECT src AS node, CAST(${Base} AS BIGINT) AS r FROM deg),
-        r1 AS (SELECT e.dst AS node, (${15 * Base} + 85*sum(r0.r // d.deg)) // 100 AS r
+        b AS (SELECT LEAST(CAST(${Base} AS BIGINT),
+                           CAST(${MassCap} AS BIGINT) // count(*)) AS base FROM deg),
+        r0 AS (SELECT src AS node, b.base AS r FROM deg, b),
+        r1 AS (SELECT e.dst AS node, (15*b.base + 85*sum(r0.r // d.deg)) // 100 AS r
                FROM bidir e JOIN r0 ON e.src = r0.node
-               JOIN deg d ON e.src = d.src GROUP BY e.dst),
-        r2 AS (SELECT e.dst AS node, (${15 * Base} + 85*sum(r1.r // d.deg)) // 100 AS r
+               JOIN deg d ON e.src = d.src, b GROUP BY e.dst, b.base),
+        r2 AS (SELECT e.dst AS node, (15*b.base + 85*sum(r1.r // d.deg)) // 100 AS r
                FROM bidir e JOIN r1 ON e.src = r1.node
-               JOIN deg d ON e.src = d.src GROUP BY e.dst),
-        r3 AS (SELECT e.dst AS node, (${15 * Base} + 85*sum(r2.r // d.deg)) // 100 AS r
+               JOIN deg d ON e.src = d.src, b GROUP BY e.dst, b.base),
+        r3 AS (SELECT e.dst AS node, (15*b.base + 85*sum(r2.r // d.deg)) // 100 AS r
                FROM bidir e JOIN r2 ON e.src = r2.node
-               JOIN deg d ON e.src = d.src GROUP BY e.dst)
-        SELECT node, r AS pr FROM r3 ORDER BY r DESC, node LIMIT 20"""))
+               JOIN deg d ON e.src = d.src, b GROUP BY e.dst, b.base)
+        SELECT node, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20"""))
   )
 }

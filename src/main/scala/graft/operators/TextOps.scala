@@ -347,8 +347,15 @@ object TextOps {
       // because an equal-length match can't shift past either edge.
       (s, d) => {
         val k = 2
+        // fixed-length keys only: a short string would collapse its tail
+        // segments to "" and every short doc would pairwise join on the
+        // empty segment — the quadratic blowup the blocking exists to
+        // avoid. This corpus's min doc length is 44, so nothing is
+        // dropped; a general-corpus variant needs length-banded segment
+        // homes instead of this guard.
         val docs = ld(s, d, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+          .filter(length(col("s")) === 40)
         // (segment index, 1-based home position, length): 13+13+14 = 40
         val segDefs = Seq((0, 1, 13), (1, 14, 13), (2, 27, 14))
         val segs = segDefs.map { case (si, home, len) =>
@@ -371,7 +378,8 @@ object TextOps {
           .select(col("a"), col("b"), col("dist"))
           .orderBy("a", "b")
       },
-      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents
+                WHERE length(substr(text, 1, 40)) = 40)
         SELECT a.doc_id AS a, b.doc_id AS b,
                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         FROM d a JOIN d b ON a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 2

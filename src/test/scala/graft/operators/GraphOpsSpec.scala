@@ -25,13 +25,24 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
-    var r = deg.keys.map(_ -> GraphOps.Base).toMap
+    val base = GraphOps.baseFor(deg.size.toLong)
+    var r = deg.keys.map(_ -> base).toMap
     for (_ <- 1 to 3) {
       val inflow = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
       }
-      r = inflow.map { case (n, in) => n -> (15 * GraphOps.Base + 85 * in) / 100 }
+      r = inflow.map { case (n, in) => n -> (15 * base + 85 * in) / 100 }
     }
     assert(got == r)
+  }
+
+  test("baseFor caps the mass so 85x the worst-case inflow stays inside Long") {
+    for (n <- Seq(1L, 10L, 90000L, 1000000L, 3000000000L)) {
+      val b = GraphOps.baseFor(n)
+      assert(b >= 1L && b <= GraphOps.Base)
+      // whole mass on one node, damped: must not wrap
+      assert(85L * (b * math.min(n, GraphOps.MassCap / b)) > 0)
+      assert(b * math.min(n, GraphOps.MassCap / b) <= GraphOps.MassCap)
+    }
   }
 }
