@@ -203,7 +203,7 @@ object Bench {
         "q89_analyze_stats", "q90_ops_pipeline", "q91_log_order_audit",
         "q92_out_of_order_replay", "q96_partition_evolution",
         "q100_bucketed_smb_join", "q102_pruned_decode", "q104_consumer_cursors",
-        "q105_widening_evolution")
+        "q105_widening_evolution", "q106_delimited_replay", "q107_schema_file_load")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

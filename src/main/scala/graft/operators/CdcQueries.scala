@@ -2553,6 +2553,105 @@ object CdcQueries {
         FROM parquet_scan('${workDir("q102")}/decoded/*.parquet')
         ORDER BY seq, repo, path""")),
 
+    OpQuery("q106_delimited_replay",
+      // VARINT-DELIMITED FRAMING end-to-end under the hard gate — the
+      // reference's writeDelimitedTo stream shape (SURVEY §2.1 framing
+      // row, until now covered only by sbt tests): the log's payloads are
+      // SEGMENTS of 64 length-prefixed messages each; decode explodes
+      // every segment into its messages (a truncated tail would
+      // dead-letter just the bad message, q49's contract), replay folds
+      // them by seq, and the final state must equal the oracle's fold of
+      // the same segment log decoded by the bulk path. At 100 TB
+      // segmenting is the difference between 10^10 tiny log rows and
+      // 10^8 scan-friendly ones.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q106")
+        val root = workDir("q106")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeSegmentLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2,
+            msgsPerSegment = 64)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None,
+            graft.decode.Framing.VarintDelimited).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") {
+          Replay.replayLog(s, logDir, tableDir, buckets = 8,
+            framing = graft.decode.Framing.VarintDelimited)
+        }
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q106")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q107_schema_file_load",
+      // GET-OR-LOAD SCHEMA RESOLUTION under the hard gate — the
+      // reference's core deployment shape (a schema FILE resolved at
+      // runtime per record batch, ProtobufService.java:85-87): the
+      // replay starts from a registry that only knows v1; v2 events
+      // reference a schema that exists ONLY as a .proto text file in a
+      // schema directory. replayLog must columnar-scan the referenced
+      // (schemaId, version) pairs, compile the missing descriptor from
+      // the file ON THE DRIVER (executors never do schema I/O), and
+      // decode the v2 share of the log with it — if the load silently
+      // failed, every v2 event would dead-letter and the oracle's full
+      // fold would catch the missing rows.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q107")
+        val root = workDir("q107")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.5), logDir, epochs = 2)
+          val sd = java.nio.file.Paths.get(root, "schemas")
+          java.nio.file.Files.createDirectories(sd)
+          java.nio.file.Files.write(sd.resolve("repo_change-v2.proto"),
+            Cdc.protoV2.getBytes("UTF-8"))
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") {
+          val res = Replay.replayLog(s, logDir, tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV1Only),
+            schemaDir = Some(s"$root/schemas"))
+          require(res.stats.map(_.batchRows).sum == 3000,
+            s"every event incl. the file-loaded v2 half must decode and " +
+              s"merge, got ${res.stats.map(_.batchRows).sum}")
+        }
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q107")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q105_widening_evolution",
       // TYPE-WIDENING SCHEMA EVOLUTION end-to-end under the hard gate —
       // the add/rename/drop gates' missing sibling: schema v3 adds
