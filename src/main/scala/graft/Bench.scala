@@ -203,7 +203,8 @@ object Bench {
         "q89_analyze_stats", "q90_ops_pipeline", "q91_log_order_audit",
         "q92_out_of_order_replay", "q96_partition_evolution",
         "q100_bucketed_smb_join", "q102_pruned_decode", "q104_consumer_cursors",
-        "q105_widening_evolution", "q106_delimited_replay", "q107_schema_file_load")
+        "q105_widening_evolution", "q106_delimited_replay", "q107_schema_file_load",
+        "q108_partial_update", "q109_multi_source_ingest", "q110_default_value_column")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

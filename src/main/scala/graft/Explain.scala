@@ -52,6 +52,30 @@ object Explain {
           graft.cdc.LogGen.writeLog(spark, graft.cdc.LogGen.Params(
             nEvents = 1000, nRepos = 10, pathsPerRepo = 8), s"$root/log", epochs = 2)
           graft.cdc.LogCompact.selectionPlan(spark, s"$root/log")
+        case "q108_partial_update" =>
+          // the gate's returned DF is the table read; the reviewable plan
+          // is the patch FOLD itself: bucket-pruned pre-image read →
+          // broadcast key semi-join → ONE aggregate over O(patched keys)
+          import org.apache.spark.sql.functions._
+          import spark.implicits._
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft-explain-q108"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+          val root = s"$base/t"
+          def fidm(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", n).build()
+          def b(rows: Seq[(Long, String, Long, String, Seq[Int])]) =
+            rows.toDF("id", "a", "seq", "op", graft.lake.Merge.PatchMaskCol)
+              .select(col("id").as("id", fidm(1)), col("a").as("a", fidm(2)),
+                col("seq"), col("op"), col(graft.lake.Merge.PatchMaskCol))
+          graft.lake.IceLite.create(root, graft.lake.IceLite.withCdcCols(Vector(
+            graft.lake.IceLite.ColDef(1, "id", "BIGINT"),
+            graft.lake.IceLite.ColDef(2, "a", "STRING"))), Vector("id"), 4)
+          graft.lake.Merge.mergeEpoch(spark, root,
+            b((1L to 50L).map(i => (i, s"a$i", i, "UPSERT", null: Seq[Int]))),
+            "seq", "op", "e-0")
+          graft.lake.Merge.resolvePatches(spark, root,
+            b((1L to 10L).map(i => (i, s"p$i", 100 + i, "PATCH", Seq(2)))),
+            "seq", "op")
         case "q100_bucketed_smb_join" =>
           // the reviewable plan is the co-located join itself — the gate's
           // final orderBy adds one presentation-only range exchange

@@ -56,15 +56,32 @@ object Cdc {
   val protoV4: String = protoV2.replace(
     "string author  = 8;", "string author  = 8;\n  int64  size_bytes = 9;")
 
+  /** v5: the PARTIAL-UPDATE fixture (q108) — the Debezium/DMS-style changed-
+    * columns contract. A PATCH event carries the key + seq + ONLY the
+    * changed data fields, plus an explicit `changed_fields` mask of their
+    * field numbers. The mask (not proto3 value presence) decides which
+    * columns the patch sets: proto3 scalars can't distinguish "absent" from
+    * "set to the default", so an explicit mask is the only wire-faithful
+    * way to express "set lang to ''" vs "leave lang alone". Both additions
+    * (an enum value, a new repeated field) are sanctioned by the q88
+    * Compat gate. */
+  val protoV5: String = protoV2
+    .replace("string author  = 8;",
+      "string author  = 8;\n  repeated int32 changed_fields = 10;")
+    .replace("enum Op { UPSERT = 0; DELETE = 1; }",
+      "enum Op { UPSERT = 0; DELETE = 1; PATCH = 2; }")
+
   lazy val fsV1: FileSet = ProtoTextParser.parse(protoV1, "repo_change_v1.proto")
   lazy val fsV2: FileSet = ProtoTextParser.parse(protoV2, "repo_change_v2.proto")
   lazy val fsV3: FileSet = ProtoTextParser.parse(protoV3, "repo_change_v3.proto")
   lazy val fsV4: FileSet = ProtoTextParser.parse(protoV4, "repo_change_v4.proto")
+  lazy val fsV5: FileSet = ProtoTextParser.parse(protoV5, "repo_change_v5.proto")
 
   val KeyV1: SchemaKey = SchemaKey(SchemaId, 1)
   val KeyV2: SchemaKey = SchemaKey(SchemaId, 2)
   val KeyV3: SchemaKey = SchemaKey(SchemaId, 3)
   val KeyV4: SchemaKey = SchemaKey(SchemaId, 4)
+  val KeyV5: SchemaKey = SchemaKey(SchemaId, 5)
 
   def registry: DescriptorRegistry = DescriptorRegistry(KeyV1 -> fsV1, KeyV2 -> fsV2)
   def registryV1Only: DescriptorRegistry = DescriptorRegistry(KeyV1 -> fsV1)
@@ -72,4 +89,6 @@ object Cdc {
     DescriptorRegistry(KeyV1 -> fsV1, KeyV2 -> fsV2, KeyV3 -> fsV3)
   def registryV4: DescriptorRegistry =
     DescriptorRegistry(KeyV1 -> fsV1, KeyV2 -> fsV2, KeyV3 -> fsV3, KeyV4 -> fsV4)
+  def registryV5: DescriptorRegistry =
+    DescriptorRegistry(KeyV1 -> fsV1, KeyV2 -> fsV2, KeyV5 -> fsV5)
 }

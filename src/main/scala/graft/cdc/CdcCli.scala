@@ -14,6 +14,7 @@ import graft.lake.IceLite
   *   runMain graft.cdc.CdcCli changes <tableDir> <fromV> <toV> — incremental change feed
   *   runMain graft.cdc.CdcCli cdf     <tableDir> <fromV> <toV> — change feed with row images
   *   runMain graft.cdc.CdcCli drop-column <tableDir> <col> [epochId] — DDL, retires the field id
+  *   runMain graft.cdc.CdcCli add-column <tableDir> <col> <type> <fieldId> [default] [epochId] — DDL with write default
   *   runMain graft.cdc.CdcCli scd2-create <srcDir> <scdDir> [buckets]  — type-2 dimension
   *   runMain graft.cdc.CdcCli scd2-apply  <srcDir> <scdDir>            — advance to src head
   *   runMain graft.cdc.CdcCli scd2-asof   <scdDir> <seq> [n]           — point-in-time read
@@ -203,6 +204,16 @@ object CdcCli {
       val snap = IceLite.dropColumn(tableDir, epochId, colName)
       println(s"dropped $colName (field id retired: ${snap.retiredIds.toSeq.sorted.mkString(",")}); " +
         s"table at v${snap.version}, schema v${snap.currentSchemaVersion}")
+    case "add-column" :: tableDir :: colName :: dataType :: fieldId :: rest =>
+      // schema-only DDL: metadata add with an optional WRITE default —
+      // old files read it, later default-lacking batches are filled with it
+      val default = rest.headOption
+      val epochId = rest.drop(1).headOption.getOrElse(s"ddl-${System.nanoTime()}")
+      val snap = IceLite.addColumn(tableDir, epochId, colName, dataType,
+        fieldId.toInt, default)
+      println(s"added $colName $dataType (field id $fieldId" +
+        default.map(d => s", default '$d'").getOrElse("") +
+        s"); table at v${snap.version}, schema v${snap.currentSchemaVersion}")
     case "rename-column" :: tableDir :: from :: to :: rest =>
       // schema-only DDL: metadata rename, no file rewrite (reads resolve by
       // field id); the id is PINNED so older writer descriptors cannot

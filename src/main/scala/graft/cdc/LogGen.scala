@@ -135,6 +135,32 @@ object LogGen {
     DynMsg.encode(fs, DynMsg(desc, fields))
   }
 
+  /** Encode one PARTIAL-UPDATE event (v5, q108): the key + seq + op=PATCH +
+    * ONLY the masked data fields, plus the `changed_fields` mask itself
+    * (field 10) naming the field numbers this patch sets. A masked field
+    * whose value is the proto3 default ("") is still "set" — the mask, not
+    * wire presence, is the contract. */
+  def encodePatch(c: RawChange, mask: Seq[Int], fs: graft.proto.Descriptors.FileSet,
+      desc: MessageDesc): Array[Byte] = {
+    var fields = TreeMap.empty[Int, PValue]
+    if (c.repo.nonEmpty) fields += (1 -> PStr(c.repo))
+    if (c.path.nonEmpty) fields += (2 -> PStr(c.path))
+    mask.foreach { fid =>
+      val v = fid match {
+        case 3 => c.commit
+        case 4 => c.lang
+        case 5 => c.content
+        case 8 => c.author
+        case _ => ""
+      }
+      if (v.nonEmpty) fields += (fid -> PStr(v))
+    }
+    if (c.seq != 0) fields += (6 -> PLong(c.seq))
+    fields += (7 -> PEnum(2)) // PATCH
+    fields += (10 -> PList(mask.toVector.map(i => PLong(i.toLong))))
+    DynMsg.encode(fs, DynMsg(desc, fields))
+  }
+
   /** Distributed generation of the event log as Dataset[ChangeEvent]. */
   def events(spark: SparkSession, p: Params, partitions: Int = 0): Dataset[ChangeEvent] = {
     import spark.implicits._

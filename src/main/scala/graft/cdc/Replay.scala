@@ -94,11 +94,16 @@ object Replay {
       .fieldsInNumberOrder
     val fieldIds = readerFields.map(f => f.name -> f.number).toMap
     val avail = ok.columns.toSet
-    val cols = readerFields.map(_.name).filterNot(Seq("seq", "op").contains)
+    // `changed_fields` is ENVELOPE, not data: it is the v5 PATCH mask
+    // (Merge.resolvePatches consumes and drops it), never a table column
+    val envelope = Seq("seq", "op", Merge.PatchMaskCol)
+    val cols = readerFields.map(_.name).filterNot(envelope.contains)
       .filter(avail.contains).map { c =>
         col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
           .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
-      } ++ Seq(col("seq"), col("op"))
+      } ++ Seq(col("seq"), col("op")) ++
+      (if (fieldIds.contains(Merge.PatchMaskCol) && avail(Merge.PatchMaskCol))
+        Seq(col(Merge.PatchMaskCol)) else Nil)
     DecodedBatch(ok.select(cols: _*), flushDeadLetters, acc)
   }
 

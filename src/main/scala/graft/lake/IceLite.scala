@@ -43,10 +43,21 @@ object IceLite {
 
   /** One table column: `id` is the proto field number (Iceberg field-ID
     * semantics — rename keeps the id, so old files map by id, not name).
-    * Negative ids are engine-reserved hidden columns (CDC bookkeeping). */
-  final case class ColDef(id: Int, name: String, dataType: String) {
+    * Negative ids are engine-reserved hidden columns (CDC bookkeeping).
+    *
+    * `default` (addColumn DDL) is a WRITE default: batches that lack the
+    * column are filled with it at merge time and files that predate the
+    * column read it instead of null — so the value is deterministic however
+    * compaction later rewrites those rows (Iceberg's initial-default, made
+    * rewrite-stable by also applying it on the write path). Explicitly
+    * written NULLs stay NULL. */
+  final case class ColDef(id: Int, name: String, dataType: String,
+      default: Option[String] = None) {
     def sparkType: DataType = DataType.fromDDL(dataType)
     def hidden: Boolean = id < 0
+    /** the literal standing in for this column when a file/batch lacks it */
+    def absentLit: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.lit(default.orNull).cast(sparkType)
   }
 
   /** Hidden CDC bookkeeping columns: last applied sequence per key and the
@@ -302,6 +313,7 @@ object IceLite {
       cols.foreach { c =>
         val o = arr.addObject()
         o.put("id", c.id); o.put("name", c.name); o.put("type", c.dataType)
+        c.default.foreach(o.put("default", _))
       }
     }
     val keys = root.putArray("keyCols"); s.keyCols.foreach(keys.add)
@@ -357,7 +369,8 @@ object IceLite {
       ledger = ledger,
       schemas = n.get("schemas").elements().asScala.map { arr =>
         arr.elements().asScala.map(c =>
-          ColDef(c.get("id").asInt(), c.get("name").asText(), c.get("type").asText())).toVector
+          ColDef(c.get("id").asInt(), c.get("name").asText(), c.get("type").asText(),
+            Option(c.get("default")).map(_.asText()))).toVector
       }.toVector,
       keyCols = n.get("keyCols").elements().asScala.map(_.asText()).toVector,
       buckets = n.get("buckets").asInt(),
@@ -726,6 +739,42 @@ object IceLite {
       indexCols = idxAdd, unindexCols = idxRm, valueBloomReplace = idxRep))
   }
 
+  /** Schema-only DDL commit: ADD a data column with an optional WRITE
+    * DEFAULT — the fourth cell of the evolution matrix (add/rename/widen/
+    * drop). Metadata-only: no file is touched. Files written before the
+    * column read the default instead of null, and merge batches that lack
+    * the column (older writer descriptors) are FILLED with it at write
+    * time, so the value survives compaction rewrites deterministically
+    * (see ColDef.default). The field id is pinned: a writer descriptor
+    * later carrying the same id under a different name cannot rename the
+    * DDL'd column. Explicit NULL writes are preserved — the default is an
+    * absence rule, not a read-time coalesce. */
+  def addColumn(dir: String, epochId: String, name: String, dataType: String,
+      fieldId: Int, default: Option[String] = None): Snapshot = {
+    val base = load(dir)
+    if (base.hasEpoch(epochId)) return base
+    val cur = base.currentSchema
+    require(fieldId > 0, s"field id must be positive, got $fieldId")
+    require(!cur.exists(_.name == name), s"column $name already exists")
+    require(!cur.exists(_.id == fieldId), s"field id $fieldId is already in use")
+    require(!base.retiredIds(fieldId),
+      s"field id $fieldId was retired by dropColumn; re-adding takes a NEW id")
+    require(name.nonEmpty && !name.startsWith("__"), s"invalid column name: $name")
+    val cd = ColDef(fieldId, name, dataType, default)
+    // the default literal must cast cleanly to the declared type — a typo'd
+    // default silently becoming NULL (or throwing at merge time under ANSI)
+    // would defeat the whole contract; TRY-mode eval maps failure to null
+    default.foreach { d =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+      val v = try Cast(Literal.create(d, org.apache.spark.sql.types.StringType),
+        cd.sparkType, Some("UTC"), EvalMode.TRY).eval()
+      catch { case _: Exception => null }
+      require(v != null, s"default '$d' does not cast to $dataType")
+    }
+    commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
+      cur :+ cd, pinIds = Set(fieldId)))
+  }
+
   /** CREATE INDEX: add a per-bucket value-bloom index on a non-key data
     * column, BACKFILLED from the current resolved state in one narrow job
     * (bucket column + value hash, per-bucket bloom build). Every later
@@ -974,7 +1023,8 @@ object IceLite {
         df.select(cur.map { c =>
           oldById.get(c.id) match {
             case Some(oc) => col(oc.name).cast(c.sparkType).as(c.name)
-            case None => lit(null).cast(c.sparkType).as(c.name)
+            // files that predate the column read its write default (if any)
+            case None => c.absentLit.as(c.name)
           }
         }: _*)
       }.reduceOption(_.unionAll(_))

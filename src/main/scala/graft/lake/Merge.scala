@@ -27,6 +27,10 @@ import IceLite._
   */
 object Merge {
 
+  /** Envelope column carrying a PATCH event's changed-field-number mask
+    * (the Debezium/DMS changed-columns contract, Cdc.protoV5 field 10). */
+  val PatchMaskCol = "changed_fields"
+
   final case class MergeStats(
       epochId: String,
       applied: Boolean,
@@ -72,6 +76,117 @@ object Merge {
       case _ => false
     }
 
+  /** PARTIAL-UPDATE (PATCH) resolution — the Debezium-shaped update that
+    * carries ONLY the changed columns plus an explicit mask of their field
+    * numbers ([[PatchMaskCol]]). The lake's storage contract is whole-row
+    * LWW (one winner per key at read time, every downstream operator —
+    * lookups, feeds, time travel, compaction — relies on it), so patches
+    * are MATERIALIZED here, at apply time, against the table's current
+    * state: per patched key, read the resolved pre-image (bucket-pruned +
+    * key semi-join, O(patched keys) never O(table)) and fold the key's
+    * batch events in sequence order — UPSERT sets every column, DELETE
+    * clears them, PATCH sets exactly the masked columns. The key's fold
+    * result re-enters the batch as ONE full UPSERT/DELETE row at the key's
+    * max sequence; everything downstream is unchanged.
+    *
+    * The fold is one aggregate per key (no iteration): a column's final
+    * value is `max_by` over the events that SET it (struct-wrapped so a
+    * NULL value — a DELETE clearing the column — still wins its slot), the
+    * pre-image participating as an UPSERT at its stored __seq. Within one
+    * batch any event order converges. ACROSS batches the standard CDC
+    * delivery contract applies: patches must arrive per-key in sequence
+    * order (Kafka's key-partition guarantee) — a patch materialized in an
+    * earlier epoch re-writes its unmasked columns at its own seq, so a
+    * LATER-arriving patch with a LOWER seq targeting one of those columns
+    * is absorbed by it (full upserts and deletes stay order-free: read-time
+    * LWW resolves them whatever epoch they land in).
+    *
+    * Scale: the only reads are the patched keys' buckets (driver-derived
+    * bucket set, bounded by the layout) and the only new shuffles are the
+    * key semi-join + one groupBy over O(patched keys) rows. */
+  def resolvePatches(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      seqCol: String,
+      opCol: String): DataFrame = {
+    if (!updates.columns.contains(PatchMaskCol)) return updates
+
+    val snap = IceLite.load(dir)
+    val keyCols = snap.keyCols
+    // pin the batch: it feeds three subplans (patched keys, fold, pass-through)
+    val upd = updates.localCheckpoint()
+    val patchKeys = upd.filter(col(opCol) === "PATCH")
+      .select(keyCols.map(col): _*).distinct().localCheckpoint()
+    if (patchKeys.isEmpty) return upd.drop(PatchMaskCol)
+
+    // batch data columns with their proto field numbers (the mask's ids)
+    val dataFields = upd.schema.fields
+      .filterNot(f => Seq(seqCol, opCol, PatchMaskCol).contains(f.name))
+    val fidOf: Map[String, Long] = dataFields.iterator
+      .filter(_.metadata.contains("graft.fieldId"))
+      .map(f => f.name -> f.metadata.getLong("graft.fieldId")).toMap
+
+    // resolved LIVE pre-image of ONLY the patched keys (a tombstoned or
+    // absent key patches onto proto defaults), aligned to the BATCH's
+    // column names by field id (the post-rename rule mergeEpoch uses)
+    val touched = patchKeys
+      .select(IceLite.bucketExpr(keyCols, snap.buckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val tableById = snap.currentSchema.filterNot(_.hidden).map(c => c.id -> c.name).toMap
+    val preRaw = IceLite.read(spark, snap, f => touched(f.bucket), includeHidden = true)
+      .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+      .join(patchKeys, keyCols.toSeq, "left_semi")
+    val preCols = preRaw.columns.toSet
+    val pre = preRaw.select(
+      dataFields.toIndexedSeq.map { f =>
+        (fidOf.get(f.name).map(_.toInt).flatMap(tableById.get) match {
+          case Some(src) => col(src).cast(f.dataType)
+          case None if preCols(f.name) => col(f.name).cast(f.dataType)
+          case None => lit(null).cast(f.dataType)
+        }).as(f.name)
+      } :+ col(IceLite.SeqCol.name).cast("long").as(seqCol)
+        :+ lit("UPSERT").as(opCol)
+        :+ lit(null).cast("array<int>").as(PatchMaskCol): _*)
+
+    // per-key sequence-ordered fold of pre-image ∪ the key's batch events
+    val aggs: Seq[Column] =
+      Seq(max(col(seqCol)).as(seqCol),
+        max_by(col(opCol), col(seqCol)).as(opCol)) ++
+      dataFields.toIndexedSeq.filterNot(f => keyCols.contains(f.name)).map { f =>
+        // an event SETS the column when it is a full row (UPSERT/DELETE)
+        // or a patch whose mask names the column's field number
+        val sets = col(opCol) =!= "PATCH" ||
+          (fidOf.get(f.name) match {
+            case Some(fid) => array_contains(col(PatchMaskCol), fid.toInt)
+            case None => lit(false)
+          })
+        val eff = when(col(opCol) === "DELETE", lit(null).cast(f.dataType))
+          .otherwise(col(f.name))
+        // struct-wrap: a NULL effective value (DELETE clearing the slot)
+        // must still be the winner when its event is the last setter
+        max_by(struct(eff.as("v")), when(sets, col(seqCol)))
+          .getField("v").as(f.name)
+      }
+    val folded = upd.join(patchKeys, keyCols.toSeq, "left_semi")
+      .select(pre.columns.toIndexedSeq.map(col): _*)
+      .unionByName(pre)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    // re-attach field-id metadata (lost through the aggregate) and restore
+    // the batch's column order; fold ops collapse to the whole-row set
+    val metaOf: Map[String, org.apache.spark.sql.types.Metadata] =
+      dataFields.iterator.map(f => f.name -> f.metadata).toMap
+    val outCols = dataFields.toIndexedSeq.map(f =>
+      col(f.name).as(f.name, metaOf(f.name))) :+
+      col(seqCol) :+
+      when(col(opCol) === "DELETE", "DELETE").otherwise("UPSERT").as(opCol)
+    folded.select(outCols: _*)
+      .unionByName(upd.join(patchKeys, keyCols.toSeq, "left_anti")
+        .select(outCols: _*))
+  }
+
   /** Apply one batch of change rows to the table at `dir`.
     *
     * `updates` columns: the table's data columns (carrying graft.fieldId
@@ -112,9 +227,14 @@ object Merge {
     if (base.hasEpoch(epochId)) // exactly-once fence: replayed epoch is a no-op
       return MergeStats(epochId, applied = false, 0, 0, 0, 0, 0, 0)
 
+    // PATCH events (batches carrying the changed-fields mask column) are
+    // materialized against the pre-image here, so the rest of the merge —
+    // and every read path after it — stays whole-row LWW
+    val updates0 = resolvePatches(spark, dir, updates, seqCol, opCol)
+
     val keyCols = base.keyCols
     val dataColDefs = colDefsOf(org.apache.spark.sql.types.StructType(
-      updates.schema.fields.filterNot(f => f.name == seqCol || f.name == opCol)))
+      updates0.schema.fields.filterNot(f => f.name == seqCol || f.name == opCol)))
     val newSchema = evolve(base.currentSchema, dataColDefs, base.retiredIds, base.pinnedIds)
     val schemas = if (newSchema == base.currentSchema) base.schemas else base.schemas :+ newSchema
     val schemaVersion = schemas.length - 1
@@ -123,20 +243,22 @@ object Merge {
     // (__seq = event seq, __del = op == DELETE), null-filling columns the
     // evolved table has that this batch lacks (old-descriptor events)
     val visible = newSchema.filterNot(_.hidden)
-    val updCols = updates.columns.toSet
+    val updCols = updates0.columns.toSet
     // resolve batch columns by FIELD ID first (graft.fieldId metadata),
     // then by name: after a DDL rename the table's name differs from an
     // old writer descriptor's, but the values must still land
-    val incomingNameById: Map[Int, String] = updates.schema.fields.iterator
+    val incomingNameById: Map[Int, String] = updates0.schema.fields.iterator
       .filter(f => f.metadata.contains("graft.fieldId"))
       .map(f => f.metadata.getLong("graft.fieldId").toInt -> f.name).toMap
     def sourceCol(cd: ColDef): Option[String] =
       incomingNameById.get(cd.id).orElse(if (updCols(cd.name)) Some(cd.name) else None)
-    val batch = updates.select(
+    val batch = updates0.select(
       (visible.map(cd =>
         (sourceCol(cd) match {
           case Some(src) => col(src).cast(cd.sparkType)
-          case None => lit(null).cast(cd.sparkType)
+          // batch lacks the column (older writer): its WRITE DEFAULT, so
+          // the value is rewrite-stable (ColDef.default); null if none
+          case None => cd.absentLit
         }).as(cd.name)) :+
         col(seqCol).cast("long").as(IceLite.SeqCol.name) :+
         (col(opCol) === "DELETE").as(IceLite.DelCol.name)): _*)

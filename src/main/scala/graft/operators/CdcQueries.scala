@@ -2741,6 +2741,266 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q105")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q108_partial_update",
+      // PARTIAL-UPDATE (PATCH) EVENTS under the hard gate — the Debezium/
+      // DMS changed-columns contract, the update shape whole-row LWW can't
+      // express: a v5 PATCH event carries the key + seq + ONLY the changed
+      // data fields plus an explicit `changed_fields` mask of their field
+      // numbers (proto3 scalars can't distinguish absent from default, so
+      // the mask is the wire-faithful "which columns" signal).
+      // Merge.resolvePatches materializes each patched key at apply time:
+      // bucket-pruned resolved pre-image of only the patched keys, one
+      // per-key max_by fold (UPSERT sets all, DELETE clears all, PATCH
+      // sets the masked columns), result re-entering the batch as one full
+      // row — every read path stays whole-row LWW. The fixture chains
+      // patches across epochs (pre-image chaining), patches after deletes
+      // (patch-onto-defaults), deletes after patches, patches to
+      // never-inserted keys, and interleaves full v2 rows; the oracle is
+      // the TRUE per-column fold over the decoded dump — per column, the
+      // value at the last event that SET it.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q108")
+        val root = workDir("q108")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        require(graft.registry.Compat.check(Cdc.fsV2, Cdc.fsV5, Cdc.MessageType).isEmpty,
+          "v2 -> v5 (enum value + repeated-field additions) must be Compat-sanctioned")
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 25)
+        // deterministic per-event mask: lang | author | commit+content |
+        // content+author (field numbers 3/4/5/8)
+        def maskFor(id: Long): Seq[Int] =
+          Math.floorMod(LogGen.mix(id + 31), 4L).toInt match {
+            case 0 => Seq(4)
+            case 1 => Seq(8)
+            case 2 => Seq(3, 5)
+            case _ => Seq(5, 8)
+          }
+        def gen(lo: Long, hi: Long, patchy: Boolean) =
+          s.range(lo, hi, 1, 8).mapPartitions { it =>
+            val fs2 = Cdc.fsV2; val d2 = fs2.findMessage(Cdc.MessageType).get
+            val fs5 = Cdc.fsV5; val d5 = fs5.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              val c = LogGen.rawChange(id, p)
+              val patch = patchy && c.op == "UPSERT" &&
+                Math.floorMod(LogGen.mix(id + 17), 3L) != 0L
+              if (patch)
+                graft.decode.ChangeEvent(LogGen.encodePatch(c, maskFor(id), fs5, d5),
+                  Cdc.SchemaId, 5, Cdc.MessageType, pid, id)
+              else
+                graft.decode.ChangeEvent(
+                  LogGen.encodeChange(c, d2, fs2, includeAuthor = true),
+                  Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }
+        clock("gen") {
+          gen(0, 1000, patchy = false).toDF().withColumn("epoch", lit(0L))
+            .unionByName(gen(1000, 2000, patchy = true).toDF().withColumn("epoch", lit(1L)))
+            .unionByName(gen(2000, 3000, patchy = true).toDF().withColumn("epoch", lit(2L)))
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/log")
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registryV5)
+          val ev = s.read.parquet(s"$root/log")
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") {
+          Replay.replayLog(s, s"$root/log", tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV5))
+        }
+        val snap = IceLite.load(tableDir)
+        require(!snap.currentSchema.exists(_.name == graft.lake.Merge.PatchMaskCol),
+          "the patch mask is envelope, not a table column")
+        val nPatch = s.read.parquet(s"$root/decoded")
+          .filter(col("op") === "PATCH").count()
+        require(nPatch > 300, s"expected a patch-heavy log, got $nPatch patches")
+        putMetric("q108", "patch_events", nPatch.toDouble)
+        IceLite.read(s, snap)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q108")}/decoded/*.parquet')),
+        f AS (SELECT repo, path, arg_max(op, seq) AS fop,
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE "commit" END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 3) THEN seq END).v AS "commit",
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE lang END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 4) THEN seq END).v AS lang,
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE content END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 5) THEN seq END).v AS content,
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE author END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 8) THEN seq END).v AS author
+          FROM d GROUP BY repo, path)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM f WHERE fop <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q109_multi_source_ingest",
+      // MULTI-SOURCE SHARDED INGEST under the hard gate — the standard CDC
+      // topology where the upstream is sharded (one binlog per database
+      // shard) and ALL shards converge into one lake table. One seeded
+      // event stream is split by key hash into two source logs (each key
+      // lives in exactly one source — the upstream sharding contract, so
+      // per-key ordering is per-source), each with its own epoch numbering.
+      // The two logs replay under DISTINCT fence namespaces ("srcA-<e>" /
+      // "srcB-<e>"): without namespacing, source B's epoch 0 would fence
+      // against source A's and silently drop a shard. After the initial
+      // convergence a NEW epoch is appended to source A's log and the
+      // whole log is re-replayed — the ledger skips the consumed epochs
+      // and applies exactly the new one (the incremental tail-follow
+      // contract, per-source resumability). Oracle = the global seq-LWW
+      // fold over the union of both decoded logs.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q109")
+        val root = workDir("q109")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 5000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.4)
+        def shardOf(repo: String, path: String): Int =
+          Math.floorMod(graft.functions.XxHash64Host.hashString(repo + "|" + path, 42L), 2L).toInt
+        clock("gen_sharded") {
+          val tagged = LogGen.events(s, p).mapPartitions { it =>
+            it.map { ev =>
+              // shard by KEY (not offset): re-derive the key deterministically
+              val c = LogGen.rawChange(ev.offset, p)
+              (ev.payload, ev.schemaId, ev.schemaVersion, ev.messageType,
+                ev.partition, ev.offset, shardOf(c.repo, c.path))
+            }
+          }.toDF("payload", "schemaId", "schemaVersion", "messageType",
+            "partition", "offset", "shard").localCheckpoint()
+          // source A: first 4000 offsets in 2 epochs; its tail (4000+) is
+          // appended AFTER the first convergence. Source B: 3 epochs.
+          tagged.filter(col("shard") === 0 && col("offset") < 4000)
+            .withColumn("epoch", (col("offset") / 2000).cast("long")).drop("shard")
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logA")
+          tagged.filter(col("shard") === 1)
+            .withColumn("epoch", (col("offset") / 1700).cast("long")).drop("shard")
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logB")
+          // tail files carry NO epoch column — the partition dir supplies it
+          tagged.filter(col("shard") === 0 && col("offset") >= 4000)
+            .drop("shard")
+            .write.mode("overwrite").parquet(s"$root/tailA/epoch=2")
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(s"$root/logA").unionByName(s.read.parquet(s"$root/logB"))
+            .unionByName(s.read.parquet(s"$root/tailA"))
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay_initial") {
+          Replay.replayLog(s, s"$root/logA", tableDir, buckets = 8, namespace = "srcA")
+          Replay.replayLog(s, s"$root/logB", tableDir, buckets = 8, namespace = "srcB")
+        }
+        val applied2 = clock("tail_follow") {
+          // the new epoch arrives on source A; re-replaying the whole log
+          // must apply exactly it (per-source ledger resumability)
+          val dst = new java.io.File(s"$root/logA/epoch=2")
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File(s"$root/tailA/epoch=2"), dst)
+          Replay.replayLog(s, s"$root/logA", tableDir, buckets = 8, namespace = "srcA")
+            .stats.count(_.applied)
+        }
+        require(applied2 == 1, s"tail follow must apply exactly the new epoch, applied $applied2")
+        val led = IceLite.load(tableDir).ledger
+        require(led.watermarks.contains("srcA") || led.recent.contains("srcA"),
+          "source A's fence namespace must be in the ledger")
+        require(led.watermarks.contains("srcB") || led.recent.contains("srcB"),
+          "source B's fence namespace must be in the ledger")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q109")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q110_default_value_column",
+      // ADD COLUMN WITH DEFAULT under the hard gate — the evolution
+      // matrix's fourth DDL (add/rename/widen/drop) with Iceberg-v3-style
+      // defaults, made REWRITE-STABLE: IceLite.addColumn commits the
+      // column as metadata only; files that predate it read the default
+      // (initial-default), and merge batches that lack it — every later
+      // epoch here, since no writer descriptor carries the field — are
+      // FILLED with it at write time, so compaction can never flip the
+      // value. The fixture: replay epochs 0-1, add `tier` STRING DEFAULT
+      // 'bronze' (AS OF the pre-DDL version must NOT show it), promote
+      // scala rows to 'gold' via UPDATE WHERE (the DML rides the new
+      // column), then replay epoch 2 — its whole-row upserts lack `tier`
+      // and legitimately reset touched keys to the default. Oracle: the
+      // LWW fold with tier derived from the dumped DML cut sequence —
+      // gold iff the key's final event predates the cut and folds to
+      // lang='scala' (live at the cut), else bronze.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q110")
+        val root = workDir("q110")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 6000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.5)
+        clock("gen") {
+          LogGen.writeLog(s, p, s"$root/log", epochs = 3)
+          // stash the tail epoch: the DDL + DML land mid-history
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(s"$root/log/epoch=2"),
+            java.nio.file.Paths.get(s"$root/tail-epoch=2"))
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(s"$root/log")
+            .unionByName(s.read.parquet(s"$root/tail-epoch=2").withColumn("epoch", lit(2L)))
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay_head") { Replay.replayLog(s, s"$root/log", tableDir, buckets = 8) }
+        val preV = IceLite.load(tableDir).version
+        clock("ddl_dml") {
+          IceLite.addColumn(tableDir, "ddl-tier", "tier", "STRING", fieldId = 20,
+            default = Some("bronze"))
+          // AS OF the pre-DDL version the column must not exist
+          require(!IceLite.loadVersion(tableDir, preV).currentSchema.exists(_.name == "tier"),
+            "time travel must read the pre-DDL schema")
+          val cut = IceLite.load(tableDir).maxSeq + 1 // the DML's sequence
+          Seq(cut).toDF("s").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/cut")
+          graft.lake.Dml.updateWhere(s, tableDir, "lang = 'scala'",
+            Seq("tier" -> "'gold'"), "dml-gold")
+        }
+        clock("replay_tail") {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(s"$root/tail-epoch=2"),
+            java.nio.file.Paths.get(s"$root/log/epoch=2"))
+          val applied = Replay.replayLog(s, s"$root/log", tableDir, buckets = 8)
+            .stats.count(_.applied)
+          require(applied == 1, s"tail replay must apply exactly epoch 2, applied $applied")
+        }
+        val out = IceLite.read(s, IceLite.load(tableDir))
+        require(out.filter(col("tier").isNull).isEmpty,
+          "the write default must leave no NULL tier anywhere")
+        out.select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"), col("tier"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
+          CASE WHEN seq <= (SELECT s FROM parquet_scan('${workDir("q110")}/cut/*.parquet'))
+                    AND lang = 'scala' THEN 'gold' ELSE 'bronze' END AS tier
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q110")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q104_consumer_cursors",
       // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a
       // "slow" consumer drains the table in bounded single-version polls
