@@ -156,14 +156,29 @@ object Bench {
     }
 
     // ---------- phase B: replay at parallelism levels, same input, one
-    // child JVM per level; the scaling criterion rides t2/t8. Co-tenant
-    // noise swings single samples ±15%, so each leg is best-of-N with the
-    // sample count FIXED UP FRONT (local[2]: 4, local[8]: 6) — an adaptive
-    // "deepen while below the criterion" rule is optional stopping
-    // conditioned on passing and can only bias the reported number upward.
-    val (reps2, reps8) = (4, 6)
-    val s2 = spawnLevel(2, reps2)
-    val s8 = spawnLevel(8, reps8)
+    // child JVM per visit; the scaling criterion rides t2/t8. Two nuisance
+    // factors, two controls, both FIXED UP FRONT (an adaptive "deepen while
+    // below the criterion" rule is optional stopping conditioned on passing
+    // and can only bias the reported number upward):
+    //  - co-tenant noise swings single samples ±15% → each leg is
+    //    best-of-N (local[2]: 4, local[8]: 6);
+    //  - SLOW host drift (page-cache / memory-bandwidth shifts that show
+    //    0% steal) moves whole MINUTES-long windows by ~10% — measured
+    //    across r5 captures: local[2] mins ranged 117-146 s at ≤0.2%
+    //    steal. Running each level as one contiguous block lets a drift
+    //    window land on exactly one leg and skew the ratio either way, so
+    //    the legs are INTERLEAVED A-B-A-B (2,8,2,8) with the same total
+    //    sample counts; min-of-all-samples per level then sees both hosts
+    //    conditions for both levels.
+    val s2a = spawnLevel(2, 2)
+    val s8a = spawnLevel(8, 3)
+    val s2b = spawnLevel(2, 2)
+    val s8b = spawnLevel(8, 3)
+    def merged(a: LevelStats, b: LevelStats): LevelStats = LevelStats(
+      math.min(a.best, b.best), a.samples ++ b.samples,
+      a.stealPct ++ b.stealPct, a.idlePct ++ b.idlePct)
+    val s2 = merged(s2a, s2b)
+    val s8 = merged(s8a, s8b)
     val s32 = spawnLevel(32, 3)
     val (t2, t8, t32) = (s2.best, s8.best, s32.best)
     val eps2 = nEvents / t2; val eps8 = nEvents / t8; val eps32 = nEvents / t32
@@ -204,7 +219,8 @@ object Bench {
         "q92_out_of_order_replay", "q96_partition_evolution",
         "q100_bucketed_smb_join", "q102_pruned_decode", "q104_consumer_cursors",
         "q105_widening_evolution", "q106_delimited_replay", "q107_schema_file_load",
-        "q108_partial_update", "q109_multi_source_ingest", "q110_default_value_column")
+        "q108_partial_update", "q109_multi_source_ingest", "q110_default_value_column",
+        "q111_streaming_patches")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -353,12 +369,16 @@ object Bench {
          |
          |Protocol per BASELINE.md: identical job + input at two parallelism
          |levels (N and 4N cores; shuffle.partitions = cores; one untimed JIT
-         |warmup replay per JVM; each level in its own child JVM). Sample
+         |warmup replay per JVM; each visit in its own child JVM). Sample
          |counts are FIXED UP FRONT — best-of-4 at local[2], best-of-6 at
          |local[8], best-of-3 at local[32] — so the efficiency evidence is
          |never conditioned on crossing the 0.8 criterion (no adaptive
          |stopping). Min-of-N against noisy co-tenants (±15% single-sample
-         |swings observed).
+         |swings observed). The criterion legs are INTERLEAVED A-B-A-B
+         |(local[2]×2, local[8]×3, local[2]×2, local[8]×3): slow host drift
+         |(page-cache / bandwidth shifts at 0% steal moved whole legs ~10%
+         |between r5 captures) then lands on both levels instead of skewing
+         |the ratio one way.
          |
          |**Primary N → 4N pair: local[2] → local[8].** This sandbox is a
          |single VM whose memory subsystem stops scaling past ~8 threads

@@ -2801,6 +2801,19 @@ object CdcQueries {
             .unionByName(gen(2000, 3000, patchy = true).toDF().withColumn("epoch", lit(2L)))
             .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/log")
         }
+        // the patch contract assumes per-key IN-ORDER delivery ACROSS
+        // epochs (the Kafka key-partition guarantee; in-batch order is
+        // free) — assert the fixture honors it: epochs are disjoint
+        // ascending seq ranges
+        val spans = s.read.parquet(s"$root/log")
+          .groupBy(col("epoch").cast("long").as("e"))
+          .agg(min("offset").as("lo"), max("offset").as("hi"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+        spans.sliding(2).foreach {
+          case Array((_, _, hi0), (_, lo1, _)) =>
+            require(hi0 < lo1, "epochs must be disjoint ascending seq ranges")
+          case _ => ()
+        }
         clock("decode_dump") {
           val registry = s.sparkContext.broadcast(Cdc.registryV5)
           val ev = s.read.parquet(s"$root/log")
@@ -3000,6 +3013,111 @@ object CdcQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q110")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q111_streaming_patches",
+      // STREAMING PARTIAL UPDATES under the hard gate — the q108 patch
+      // contract composed with the north-star streaming surface: wave 1
+      // (full v2 rows) streams through the Tail, then wave 2 — patch-heavy
+      // v5 events whose DESCRIPTOR THE REGISTRY DOESN'T HAVE YET — resumes
+      // from the same checkpoint; the v5 schema is deployed as a .proto
+      // file and the Tail's between-batches get-or-load picks it up (the
+      // streaming mirror of q107), so the wave decodes with ZERO dead
+      // letters and Merge.resolvePatches materializes each microbatch's
+      // patches against the table state left by the previous ones. Oracle:
+      // the same TRUE per-column fold as q108 over the full decoded dump.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q111")
+        val root = workDir("q111")
+        val streamDir = s"$root/stream"
+        val tableDir = s"$root/table"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 25)
+        def maskFor(id: Long): Seq[Int] =
+          Math.floorMod(LogGen.mix(id + 31), 4L).toInt match {
+            case 0 => Seq(4)
+            case 1 => Seq(8)
+            case 2 => Seq(3, 5)
+            case _ => Seq(5, 8)
+          }
+        def gen(lo: Long, hi: Long, patchy: Boolean) =
+          s.range(lo, hi, 1, 4).mapPartitions { it =>
+            val fs2 = Cdc.fsV2; val d2 = fs2.findMessage(Cdc.MessageType).get
+            val fs5 = Cdc.fsV5; val d5 = fs5.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              val c = LogGen.rawChange(id, p)
+              val patch = patchy && c.op == "UPSERT" &&
+                Math.floorMod(LogGen.mix(id + 17), 3L) != 0L
+              if (patch)
+                graft.decode.ChangeEvent(LogGen.encodePatch(c, maskFor(id), fs5, d5),
+                  Cdc.SchemaId, 5, Cdc.MessageType, pid, id)
+              else
+                graft.decode.ChangeEvent(
+                  LogGen.encodeChange(c, d2, fs2, includeAuthor = true),
+                  Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }
+        clock("gen") {
+          // the v5 descriptor arrives as a RUNTIME schema file, not code
+          val sd = java.nio.file.Paths.get(s"$root/schemas")
+          java.nio.file.Files.createDirectories(sd)
+          java.nio.file.Files.writeString(
+            sd.resolve(s"${Cdc.SchemaId}-v5.proto"), Cdc.protoV5)
+          val registry = s.sparkContext.broadcast(Cdc.registryV5)
+          val all = gen(0, 1500, patchy = false).unionByName(gen(1500, 3000, patchy = true))
+          Replay.decodeForMerge(all, registry, None)
+            .updates.write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        // one microbatch per wave (maxFilesPerTrigger > files/wave): patch
+        // materialization assumes the standard CDC per-key IN-ORDER
+        // delivery contract (Kafka key partitions); the waves are
+        // seq-ranged, so batch order = sequence order, while resume,
+        // get-or-load, and cross-batch pre-image chaining stay exercised
+        clock("wave1") {
+          gen(0, 1500, patchy = false).toDF().repartition(3)
+            .write.mode("append").parquet(streamDir)
+          graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8,
+            maxFilesPerTrigger = 16, schemaDir = Some(s"$root/schemas"))
+            .awaitTermination()
+        }
+        clock("wave2_resume") {
+          gen(1500, 3000, patchy = true).toDF().repartition(3)
+            .write.mode("append").parquet(streamDir)
+          graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8,
+            maxFilesPerTrigger = 16, schemaDir = Some(s"$root/schemas"))
+            .awaitTermination()
+        }
+        // zero dead letters: the runtime-loaded v5 descriptor decoded
+        // every patch event
+        require(!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"$tableDir/_deadletter")) ||
+          s.read.parquet(s"$tableDir/_deadletter").isEmpty,
+          "v5 patches must decode with zero dead letters via get-or-load")
+        val nPatch = s.read.parquet(s"$root/decoded")
+          .filter(col("op") === "PATCH").count()
+        require(nPatch > 300, s"expected a patch-heavy wave 2, got $nPatch")
+        putMetric("q111", "patch_events", nPatch.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q111")}/decoded/*.parquet')),
+        f AS (SELECT repo, path, arg_max(op, seq) AS fop,
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE "commit" END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 3) THEN seq END).v AS "commit",
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE lang END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 4) THEN seq END).v AS lang,
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE content END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 5) THEN seq END).v AS content,
+          arg_max({'v': CASE WHEN op='DELETE' THEN NULL ELSE author END},
+                  CASE WHEN op <> 'PATCH' OR list_contains(changed_fields, 8) THEN seq END).v AS author
+          FROM d GROUP BY repo, path)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM f WHERE fop <> 'DELETE' ORDER BY repo, path""")),
 
     OpQuery("q104_consumer_cursors",
       // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a
