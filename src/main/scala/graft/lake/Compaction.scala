@@ -192,7 +192,9 @@ object Compaction {
             g.copy(sortCol = clusterBy,
               sortMin = bounds.get(clusterBy.get).map(_._1),
               sortMax = bounds.get(clusterBy.get).map(_._2))
-          else g.copy(colBounds = bounds)
+          // MERGE with the footer-recorded bounds (measured wins for the
+          // z-order dims) — other columns keep their stats-time bounds
+          else g.copy(colBounds = g.colBounds ++ bounds)
         case _ => g
       }
     }
@@ -308,7 +310,11 @@ object Compaction {
     * manifest files. */
   def expire(dir: String, keepLast: Int): Int = {
     val versions = IceLite.history(dir)
-    val drop = versions.dropRight(math.max(keepLast, 1))
+    // TAGGED versions are retention roots: a tag pins its snapshot (and,
+    // through vacuum's retained-JSON liveness rule, that snapshot's exact
+    // files) no matter how far past keepLast it falls
+    val tagged = IceLite.tags(dir).values.toSet
+    val drop = versions.dropRight(math.max(keepLast, 1)).filterNot(tagged)
     drop.foreach { v =>
       java.nio.file.Files.deleteIfExists(Paths.get(dir, "meta", f"v$v%05d.json"))
     }

@@ -95,14 +95,26 @@ object IceLite {
       sortCol: Option[String] = None,
       sortMin: Option[String] = None,
       sortMax: Option[String] = None,
-      /** Z-ORDERED base file: per-column [min, max] for EACH clustering
-        * dimension (a multi-column compaction interleaves the dimensions,
-        * so every dimension's bounds are tight-ish and [[IceLite
-        * .rangeFilesMulti]] can prune on any of them, alone or ANDed).
-        * Bounds are the file's REAL min/max recorded after the write, so
-        * pruning stays sound no matter how coarse the z-mapping was.
-        * Empty = not multi-clustered. */
-      colBounds: Map[String, (String, String)] = Map.empty) {
+      /** Per-column [min, max] bounds. Two writers: (a) z-order/cluster
+        * compactions record MEASURED bounds for their clustering dimensions
+        * (one narrow job post-write); (b) since the metadata-aggregate
+        * round, [[IceLite.scanEpochFiles]] records FOOTER bounds for every
+        * stats-friendly primitive column (untruncatable numerics + UTF-8
+        * strings whose footer encoding matches the prune comparator) on
+        * every file it stats. Both are real bounds over the file's non-null
+        * values, so [[rangeFilesMulti]] prunes on any of them and
+        * [[MetaAgg]] serves exact min/max for numeric columns without a
+        * scan. Absent column = unknown = never pruned, never meta-served. */
+      colBounds: Map[String, (String, String)] = Map.empty,
+      /** EXACT count of tombstone rows (__del = true) in this file; -1 =
+        * unknown (legacy manifests). Recorded at stats time: 0 straight
+        * from the footer when every row group's __del max is false, else a
+        * single-column count read of the just-written file. Lets
+        * [[MetaAgg.liveCount]] answer count(*) from the manifest alone on
+        * any delta-free snapshot — tombstones retained for change-feed
+        * consumers no longer force a scan. */
+      delRows: Long = -1L) {
+    def liveRows: Long = if (rows < 0 || delRows < 0) -1L else rows - delRows
     def mayContainKey(keyVals: Seq[String]): Boolean =
       keyMin.isEmpty || keyMax.isEmpty ||
         keyVals.indices.forall(i =>
@@ -275,6 +287,7 @@ object IceLite {
         val a = cb.putArray(c); a.add(mn); a.add(mx)
       }
     }
+    if (f.delRows >= 0) o.put("delRows", f.delRows)
   }
 
   private def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
@@ -294,7 +307,8 @@ object IceLite {
           val a = e.getValue
           e.getKey -> (a.get(0).asText(), a.get(1).asText())
         }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      delRows = Option(f.get("delRows")).map(_.asLong()).getOrElse(-1L))
 
   private def toJson(s: Snapshot): String = {
     val root = mapper.createObjectNode()
@@ -462,6 +476,65 @@ object IceLite {
     * snapshot JSON alone; `files` is empty, `manifests` carries counts. */
   def loadVersionMeta(dir: String, v: Int): Snapshot =
     fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
+
+  // ------------------------------------------------------------------ tags
+
+  /** TAGS: named immutable references to snapshot versions (audit cuts,
+    * "the snapshot we trained model X on", a pre-migration point). A tag is
+    * a retention ROOT: [[Compaction.expire]] keeps every tagged version no
+    * matter how far past `keepLast` it falls, and vacuum derives file
+    * liveness from retained snapshot JSONs — so a tag transitively pins the
+    * exact files of its version while everything untagged ages out. Stored
+    * as one tiny `meta/tag-<name>.json` each; created with the same
+    * hard-link create-if-absent as snapshot commits, so two racing
+    * `tag(...)` calls of the same name resolve to exactly one winner
+    * (re-pointing a tag = removeTag + tag, deliberately two steps). */
+  def tag(dir: String, name: String, version: Int): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name must be [A-Za-z0-9._-]+: '$name'")
+    require(Files.exists(snapPath(dir, version)),
+      s"tag '$name': version $version is not a retained snapshot of $dir")
+    val target = tagPath(dir, name)
+    val tmp = Files.createTempFile(metaDir(dir), s".tag-$name", ".tmp")
+    Files.write(tmp, s"""{"name":"$name","version":$version}""".getBytes("UTF-8"))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val existing = tagVersion(dir, name)
+        if (!existing.contains(version))
+          throw new IllegalStateException(
+            s"tag '$name' already points at version ${existing.orNull}; removeTag first")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def removeTag(dir: String, name: String): Boolean =
+    Files.deleteIfExists(tagPath(dir, name))
+
+  /** All tags of a table, name → version. */
+  def tags(dir: String): Map[String, Int] = {
+    val md = metaDir(dir)
+    if (!Files.isDirectory(md)) return Map.empty
+    Files.list(md).iterator().asScala
+      .filter(_.getFileName.toString.matches("tag-.*\\.json"))
+      .flatMap { p =>
+        val node = mapper.readTree(new String(Files.readAllBytes(p), "UTF-8"))
+        Option(node.get("name")).zip(Option(node.get("version")))
+          .map { case (n, v) => n.asText -> v.asInt }
+      }.toMap
+  }
+
+  def tagVersion(dir: String, name: String): Option[Int] = tags(dir).get(name)
+
+  /** Time travel by tag — the snapshot the tag pins, files materialized. */
+  def loadTag(dir: String, name: String): Snapshot = {
+    val v = tagVersion(dir, name).getOrElse(
+      throw new IllegalStateException(s"no tag '$name' on $dir"))
+    loadVersion(dir, v)
+  }
+
+  private def tagPath(dir: String, name: String): Path =
+    metaDir(dir).resolve(s"tag-$name.json")
 
   /** Atomic create-if-absent: write a tmp file, then hard-LINK it to the
     * snapshot name — link(2) fails atomically with EEXIST when the target
@@ -928,6 +1001,10 @@ object IceLite {
     val root = Paths.get(epochDir)
     if (!Files.isDirectory(root)) return Vector.empty
     val conf = new org.apache.hadoop.conf.Configuration()
+    // checksummed LocalFileSystem re-reads a .crc window per seek; footer
+    // stats are pure metadata reads, so skip the checksum layer (the same
+    // trap lookupLocal hit — ~2x on small-footer scans)
+    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     val targets = Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .flatMap { p =>
@@ -948,6 +1025,8 @@ object IceLite {
 
   private def statsOf(conf: org.apache.hadoop.conf.Configuration, p: Path, bucket: Int,
       schemaVersion: Int, keyCols: Seq[String]): DataFile = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import PrimitiveType.PrimitiveTypeName._
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toString), conf)
@@ -959,13 +1038,42 @@ object IceLite {
         val kmin = Array.fill[String](keyCols.size)(null)
         val kmax = Array.fill[String](keyCols.size)(null)
         var statsOk = blocks.nonEmpty
+        // general per-column footer bounds (stats-friendly primitives only:
+        // untruncatable numerics, plus UTF-8 strings whose footer encoding
+        // matches the rangeFilesMulti comparator — timestamps/decimals/
+        // nested paths are skipped so a stored bound always compares
+        // correctly against a probe value's String.valueOf). A block with
+        // MISSING stats poisons the column (unknown ≠ all-null: an all-null
+        // block contributes no values and is skipped soundly).
+        val bMin = scala.collection.mutable.Map.empty[String, String]
+        val bMax = scala.collection.mutable.Map.empty[String, String]
+        val bCmp = scala.collection.mutable.Map.empty[String, (String, String) => Int]
+        val poisoned = scala.collection.mutable.Set.empty[String]
+        // exact tombstone count: footer-only where boolean stats decide,
+        // single-column read fallback otherwise
+        var delRows = 0L
+        var delUnknown = false
         blocks.foreach { b =>
           rows += b.getRowCount
           b.getColumns.asScala.foreach { cc =>
             val name = cc.getPath.toDotString
             val st = cc.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            def allNull: Boolean = st != null && !st.isEmpty && !st.hasNonNullValue &&
+              st.isNumNullsSet && st.getNumNulls == cc.getValueCount
+            if (name == DelCol.name) {
+              if (allNull) () // null __del = live row (never written, but sound)
+              else if (st == null || st.isEmpty || !st.hasNonNullValue) delUnknown = true
+              else {
+                val mx = st.genericGetMax.asInstanceOf[java.lang.Boolean].booleanValue()
+                val mn = st.genericGetMin.asInstanceOf[java.lang.Boolean].booleanValue()
+                if (!mx) () // whole block live
+                else if (mn && st.isNumNullsSet && st.getNumNulls == 0L)
+                  delRows += b.getRowCount // whole block tombstones
+                else delUnknown = true // mixed block: footer can't count
+              }
+            } else if (st == null || st.isEmpty || !st.hasNonNullValue) {
               if (name == SeqCol.name || keyCols.contains(name)) statsOk = false
+              if (!allNull) { poisoned += name; bMin.remove(name); bMax.remove(name) }
             } else if (name == SeqCol.name) {
               minSeq = math.min(minSeq, st.genericGetMin.asInstanceOf[java.lang.Long])
               maxSeq = math.max(maxSeq, st.genericGetMax.asInstanceOf[java.lang.Long])
@@ -981,22 +1089,127 @@ object IceLite {
                   if (kmin(i) == null || utf8Compare(lo, kmin(i)) < 0) kmin(i) = lo
                   if (kmax(i) == null || utf8Compare(hi, kmax(i)) > 0) kmax(i) = hi
                 case _ => statsOk = false
+              } else if (!name.contains('.') && !poisoned(name)) {
+                val pt = cc.getPrimitiveType
+                val ann = pt.getLogicalTypeAnnotation
+                // (encode, compare, isString) by PHYSICAL type; None =
+                // ineligible
+                val kind: Option[(Any => String, (String, String) => Int, Boolean)] =
+                  pt.getPrimitiveTypeName match {
+                    case INT32 | INT64
+                        if ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                      Some((v => v.toString, (a, b) => java.lang.Long.compare(a.toLong, b.toLong), false))
+                    case DOUBLE | FLOAT if ann == null =>
+                      Some((v => v.toString, (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble), false))
+                    case BINARY if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                      Some((v => v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                        utf8Compare, true))
+                    case _ => None
+                  }
+                kind.foreach { case (enc, cmp, isStr) =>
+                  // STRING bounds are TRUNCATED before they enter the
+                  // manifest (Iceberg's metrics-truncation protocol): at
+                  // 10^6 files × long text columns, full footer min/max
+                  // would dominate snapshot size. A truncated min (prefix)
+                  // stays a sound lower bound; a truncated max is the
+                  // prefix with its last safely-incrementable char bumped
+                  // (sound upper bound) — or, when no char can be bumped,
+                  // the column is poisoned for this file (no bound beats a
+                  // wrong bound).
+                  val lo0 = enc(st.genericGetMin); val hi0 = enc(st.genericGetMax)
+                  val lo = if (isStr) truncateLower(lo0) else lo0
+                  val hiOpt = if (isStr) truncateUpper(hi0) else Some(hi0)
+                  hiOpt match {
+                    case Some(hi) =>
+                      bCmp(name) = cmp
+                      if (!bMin.contains(name) || cmp(lo, bMin(name)) < 0) bMin(name) = lo
+                      if (!bMax.contains(name) || cmp(hi, bMax(name)) > 0) bMax(name) = hi
+                    case None =>
+                      poisoned += name; bMin.remove(name); bMax.remove(name)
+                  }
+                }
               }
             }
           }
         }
+        val bounds: Map[String, (String, String)] =
+          bMin.keysIterator.filterNot(poisoned).map(c => c -> (bMin(c), bMax(c))).toMap
+        val del = if (delUnknown) countDelRows(conf, p) else delRows
         if (statsOk && kmin.forall(_ != null) && minSeq <= maxSeq)
           DataFile(p.toString, bucket, rows, schemaVersion,
             minSeq = minSeq, maxSeq = maxSeq,
-            keyMin = kmin.toVector, keyMax = kmax.toVector)
+            keyMin = kmin.toVector, keyMax = kmax.toVector,
+            colBounds = bounds, delRows = del)
         else if (minSeq <= maxSeq)
-          DataFile(p.toString, bucket, rows, schemaVersion, minSeq = minSeq, maxSeq = maxSeq)
-        else DataFile(p.toString, bucket, rows, schemaVersion)
+          DataFile(p.toString, bucket, rows, schemaVersion, minSeq = minSeq, maxSeq = maxSeq,
+            colBounds = bounds, delRows = del)
+        else DataFile(p.toString, bucket, rows, schemaVersion,
+          colBounds = bounds, delRows = del)
       } finally reader.close()
     } catch {
       // unreadable footer → keep the file with unknown stats (never pruned)
       case _: Exception => DataFile(p.toString, bucket, -1L, schemaVersion)
     }
+  }
+
+  /** Manifest-stored string bounds are truncated to this many UTF-16
+    * chars — long text columns must not bloat 10^6-file snapshots. */
+  private[lake] val BoundMaxChars = 32
+
+  /** Sound LOWER bound after truncation: a prefix sorts ≤ the value under
+    * UTF-8 byte order. A surrogate pair split at the cut would encode as a
+    * replacement char (not a byte-prefix), so a dangling high surrogate is
+    * dropped — a shorter prefix, still ≤. */
+  private[lake] def truncateLower(s: String): String =
+    if (s.length <= BoundMaxChars) s
+    else {
+      val cut = if (Character.isHighSurrogate(s.charAt(BoundMaxChars - 1)))
+        BoundMaxChars - 1 else BoundMaxChars
+      s.substring(0, cut)
+    }
+
+  /** Sound UPPER bound after truncation: take the prefix and bump its
+    * rightmost safely-incrementable char (below the surrogate range, so the
+    * result is valid UTF-16 and UTF-8 order = code-point order makes the
+    * bumped string > every string sharing the original prefix). None when
+    * no char in the prefix can be bumped — the caller records no bound. */
+  private[lake] def truncateUpper(s: String): Option[String] =
+    if (s.length <= BoundMaxChars) Some(s)
+    else {
+      var i = BoundMaxChars - 1
+      while (i >= 0 && s.charAt(i) >= 0xD700) i -= 1
+      if (i < 0) None
+      else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+    }
+
+  /** Exact tombstone count via a single-column read of `__del` — the
+    * fallback when a row group's boolean footer stats can't decide (mixed
+    * live/tombstone groups). Runs at stats time on the just-written file,
+    * so the cost is one bit-packed column over data still in page cache,
+    * recorded once into the manifest. -1 = unreadable (never meta-served). */
+  private def countDelRows(conf0: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.api.ReadSupport
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(conf0)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+        new org.apache.parquet.schema.MessageType("spark_schema",
+          org.apache.parquet.schema.Types.optional(
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BOOLEAN)
+            .named(DelCol.name)).toString)
+      val reader = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p.toString)).withConf(conf).build()
+      try {
+        var n = 0L
+        var g = reader.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(DelCol.name) > 0 && g.getBoolean(DelCol.name, 0)) n += 1
+          g = reader.read()
+        }
+        n
+      } finally reader.close()
+    } catch { case _: Exception => -1L }
   }
 
   // ------------------------------------------------------------------ reads

@@ -3119,6 +3119,120 @@ object CdcQueries {
         SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM f WHERE fop <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q112_meta_aggregates",
+      // SNAPSHOT TAGS + METADATA-ONLY AGGREGATES under the hard gate — the
+      // two manifest-layer reads a 100 TB table answers without a scan.
+      // Replay epochs 0-1 (v4 payloads with size_bytes, deletes mixed in),
+      // TAG the head ("model-cut" — the named audit cut), replay epoch 2,
+      // then run the full maintenance lifecycle: expire (the tag is a
+      // retention ROOT and must survive), compact (watermark past every
+      // tombstone → purged, footer bounds re-recorded), expire again,
+      // vacuum. The head snapshot must then answer count(*) and
+      // min/max(size_bytes) FROM THE MANIFEST ALONE (MetaAgg — zero Spark
+      // jobs), the tag must still time-travel through expire+vacuum, and
+      // the epoch snapshots (delta files present) must REFUSE a metadata
+      // answer rather than guess. Output = the tag's state rows + the
+      // head's meta-served aggregates as constant columns; the oracle
+      // re-derives both from the decoded dump (fold at epoch ≤ 1 for the
+      // tag, full fold for the aggregates).
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q112")
+        val root = workDir("q112")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val pDel = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 25)
+        val pClean = pDel.copy(deleteEvery = 0) // epoch 2 delete-free: the
+        // maintenance pass can purge EVERY tombstone (watermark = tag cut)
+        def gen(lo: Long, hi: Long, p: LogGen.Params, epoch: Long) =
+          s.range(lo, hi, 1, 8).mapPartitions { it =>
+            val fs = Cdc.fsV4; val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              val c = LogGen.rawChange(id, p)
+              val size = if (c.op == "DELETE") 0L else 4000000000L + c.content.length
+              graft.decode.ChangeEvent(
+                LogGen.encodeChange(c, d, fs, includeAuthor = true, sizeBytes = size),
+                Cdc.SchemaId, 4, Cdc.MessageType, pid, id)
+            }
+          }.toDF().withColumn("epoch", lit(epoch))
+        clock("gen") {
+          gen(0, 1500, pDel, 0).unionByName(gen(1500, 3000, pDel, 1))
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logpre")
+          gen(3000, 4500, pClean, 2)
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logtail")
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registryV4)
+          val log = s.read.parquet(s"$root/logpre")
+            .unionByName(s.read.parquet(s"$root/logtail"))
+          (0 to 2).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay_head") {
+          Replay.replayLog(s, s"$root/logpre", tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV4))
+        }
+        val tagV = IceLite.load(tableDir).version
+        IceLite.tag(tableDir, "model-cut", tagV)
+        IceLite.tag(tableDir, "model-cut", tagV) // same-version re-tag: no-op
+        require(IceLite.tagVersion(tableDir, "model-cut").contains(tagV),
+          "tag must resolve to the pinned version")
+        clock("replay_tail") {
+          Replay.replayLog(s, s"$root/logtail", tableDir, buckets = 8,
+            baseRegistry = Some(Cdc.registryV4))
+        }
+        // the epoch snapshot has delta files: metadata must refuse, not guess
+        require(graft.lake.MetaAgg.liveCount(IceLite.load(tableDir)).isEmpty,
+          "a snapshot with delta files must not answer count from metadata")
+        clock("maintain") {
+          graft.lake.Compaction.expire(tableDir, keepLast = 1)
+          require(IceLite.history(tableDir).head == tagV,
+            s"the tagged version is the retention root: ${IceLite.history(tableDir)}")
+          graft.lake.Compaction.compact(s, tableDir, "maint")
+          graft.lake.Compaction.expire(tableDir, keepLast = 1)
+          graft.lake.Compaction.vacuum(tableDir, olderThanMs = 0)
+        }
+        val head = IceLite.load(tableDir)
+        require(IceLite.history(tableDir) == Vector(tagV, head.version),
+          s"exactly {tag, head} retained: ${IceLite.history(tableDir)}")
+        require(head.files.forall(f => !f.delta && f.delRows == 0L),
+          "post-maintenance head is delta-free and tombstone-free")
+        // METADATA-ONLY answers (no Spark job runs in this block)
+        val liveCount = graft.lake.MetaAgg.liveCount(head).getOrElse(
+          sys.error("head must answer count(*) from the manifest"))
+        val (mn, mx) = graft.lake.MetaAgg.minMax(head, "size_bytes").getOrElse(
+          sys.error("head must answer min/max(size_bytes) from the manifest"))
+        val byBucket = graft.lake.MetaAgg.bucketLiveRows(head).get
+        require(byBucket.values.sum == liveCount && byBucket.size == head.buckets,
+          "per-bucket live rows partition the live count")
+        putMetric("q112", "live_count_meta", liveCount.toDouble)
+        // the tag still time-travels AFTER expire + vacuum — its files are
+        // pinned by the retained snapshot JSON
+        IceLite.read(s, IceLite.loadTag(tableDir, "model-cut"))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"),
+            col("size_bytes"),
+            lit(liveCount).as("live_count"),
+            lit(mn.asInstanceOf[Long]).as("min_size"),
+            lit(mx.asInstanceOf[Long]).as("max_size"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q112")}/decoded/*.parquet')),
+        h AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn FROM d),
+        m AS (SELECT count(*) AS live_count, min(size_bytes) AS min_size, max(size_bytes) AS max_size
+              FROM h WHERE rn = 1 AND op <> 'DELETE'),
+        t AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM d WHERE epoch <= 1)
+        SELECT t.repo, t.path, t."commit", t.lang, sha256(t.content) AS content_sha, t.author,
+               t.size_bytes, m.live_count, m.min_size, m.max_size
+        FROM t, m WHERE t.rn = 1 AND t.op <> 'DELETE' ORDER BY t.repo, t.path""")),
+
     OpQuery("q104_consumer_cursors",
       // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a
       // "slow" consumer drains the table in bounded single-version polls
