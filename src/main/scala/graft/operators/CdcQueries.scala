@@ -3233,6 +3233,232 @@ object CdcQueries {
                t.size_bytes, m.live_count, m.min_size, m.max_size
         FROM t, m WHERE t.rn = 1 AND t.op <> 'DELETE' ORDER BY t.repo, t.path""")),
 
+    OpQuery("q113_export_snapshot",
+      // READ-OPTIMIZED SNAPSHOT EXPORT under the hard gate — hand the
+      // table to engines that don't speak the format (the Delta
+      // symlink-manifest / Hive-external-table move): a compacted
+      // snapshot publishes as a directory of HARD LINKS (zero copy) plus
+      // a manifest.json carrying the visible columns and a PORTABLE
+      // tombstone row filter. The gate replays a deletes-included log,
+      // pins the refusal on the merge-on-read (delta) snapshot — a raw
+      // reader would double-count superseded rows — compacts WITHOUT
+      // expire (tombstones retained, so the manifest's row filter is
+      // load-bearing), exports, and then reads the export back RAW
+      // (spark.read.parquet + the manifest filter, no IceLite anywhere in
+      // the read path). Oracle = the independent LWW fold of the decoded
+      // dump: the engine-neutral bytes must reproduce the resolved state
+      // exactly.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q113")
+        val root = workDir("q113")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        // merge-on-read snapshots must REFUSE export (a raw reader cannot
+        // resolve deltas) — pin the refusal before the compaction
+        val refused =
+          try { graft.lake.Export.exportSnapshot(tableDir, "premature"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "a delta-bearing snapshot must refuse export")
+        clock("compact") { graft.lake.Compaction.compact(s, tableDir, "maint") }
+        val info = clock("export") {
+          graft.lake.Export.exportSnapshot(tableDir, "training-cut")
+        }
+        require(info.created && info.files == IceLite.load(tableDir).files.size,
+          "every head data file exported")
+        require(info.rows >= 0, "manifest carries the exact live count")
+        require(!graft.lake.Export.exportSnapshot(tableDir, "training-cut").created,
+          "same-version re-publish is idempotent")
+        putMetric("q113", "export_files", info.files.toDouble)
+        putMetric("q113", "export_rows", info.rows.toDouble)
+        // ENGINE-NEUTRAL read-back: raw parquet + the manifest's portable
+        // filter — IceLite is deliberately absent from this read path
+        s.read.parquet(s"${info.dir}/data")
+          .where(expr(info.rowFilter))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q113")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q114_idempotent_producer",
+      // IDEMPOTENT PRODUCER + ZOMBIE FENCING under the hard gate — the
+      // write side of the transport contract (Kafka's producer-epoch
+      // protocol on a file log). The fixture drives the full lifecycle:
+      // producer "ingest" registers and publishes wave 1 in two batches,
+      // RE-SENDS an already-acked batch (at-least-once retry — must be
+      // suppressed, not duplicated), fails over (re-register bumps the
+      // fencing epoch), the ZOMBIE instance tries to keep publishing and
+      // is fenced writing nothing, the new instance publishes wave 2, and
+      // an independent producer "backfill" interleaves its own segment
+      // into the same log epoch. Replay of the multi-producer log must
+      // equal the oracle fold of exactly the ACCEPTED events — the
+      // suppressed duplicate and the fenced zombie batch never reach the
+      // table.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q114")
+        val root = workDir("q114")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 4500, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 25)
+        def gen(lo: Long, hi: Long) =
+          s.range(lo, hi, 1, 4).mapPartitions { it =>
+            val fs = Cdc.fsV2; val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              val c = LogGen.rawChange(id, p)
+              graft.decode.ChangeEvent(
+                LogGen.encodeChange(c, d, fs, includeAuthor = true),
+                Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }
+        import graft.cdc.LogWriter
+        clock("produce") {
+          val ingest1 = LogWriter.register(logDir, "ingest")
+          require(LogWriter.append(ingest1, gen(0, 1000), 0, batchId = 0).appended)
+          require(LogWriter.append(ingest1, gen(1000, 2000), 0, batchId = 1).appended)
+          // at-least-once retry of an acked batch: suppressed
+          require(!LogWriter.append(ingest1, gen(1000, 2000), 0, batchId = 1).appended,
+            "duplicate batch delivery must be suppressed")
+          // failover; the old instance becomes a zombie
+          val ingest2 = LogWriter.register(logDir, "ingest")
+          require(ingest2.epoch > ingest1.epoch, "failover bumps the fencing epoch")
+          val fenced =
+            try { LogWriter.append(ingest1, gen(9000, 9500), 1, batchId = 2); false }
+            catch { case _: LogWriter.ProducerFencedException => true }
+          require(fenced, "the zombie instance must be fenced")
+          require(LogWriter.append(ingest2, gen(2000, 3500), 1, batchId = 2).appended)
+          val backfill = LogWriter.register(logDir, "backfill")
+          require(backfill.epoch == 1, "independent producer ids fence independently")
+          require(LogWriter.append(backfill, gen(3500, 4500), 1, batchId = 0).appended)
+        }
+        // exactly the accepted events are in the log — no duplicate, no
+        // zombie rows (ids 9000+ would betray the fence)
+        val logged = s.read.parquet(logDir)
+        require(logged.count() == 4500L, s"accepted events only: ${logged.count()}")
+        require(logged.select("offset").distinct().count() == 4500L,
+          "no duplicate deliveries on disk")
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = logged
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q114")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q115_log_truncation",
+      // COORDINATED LOG GC under the hard gate — when is a change-log
+      // epoch physically deletable? Exactly when every registered
+      // consumer's epoch LEDGER (the fencing state replay already
+      // maintains) shows it contiguously applied. The fixture: consumer A
+      // replays all 3 epochs, consumer B lags at epoch 1; the safe point
+      // is min(2, 1) = 1, truncation drops epochs 0-1 and keeps 2; B then
+      // RESUMES off the truncated log and converges to A; a brand-new
+      // consumer C can no longer rebuild from the log alone (its gapped
+      // ledger pins the safe point at -1 — the honest signal), so C
+      // onboards the production way: BOOTSTRAP from A's snapshot at
+      // original sequences + the retained tail, and must also converge.
+      // Output = B's state; oracle = the independent fold of the full
+      // decoded dump (taken before truncation); A ≡ B ≡ C hard-asserted.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q115")
+        val root = workDir("q115")
+        val logDir = s"$root/log"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4500, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        import graft.cdc.LogGc
+        import LogGc.Consumer
+        clock("replay_consumers") {
+          // B lags one epoch behind A
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(logDir, "epoch=2"),
+            java.nio.file.Paths.get(s"$root/stash-epoch=2"))
+          Replay.replayLog(s, logDir, s"$root/b", buckets = 8)
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(s"$root/stash-epoch=2"),
+            java.nio.file.Paths.get(logDir, "epoch=2"))
+          Replay.replayLog(s, logDir, s"$root/a", buckets = 8)
+        }
+        val consumers = Seq(Consumer(s"$root/a"), Consumer(s"$root/b"))
+        require(LogGc.safeTruncationPoint(Seq(Consumer(s"$root/a"))) == 2L)
+        val st = clock("truncate") { LogGc.truncate(logDir, consumers) }
+        require(st.safePoint == 1L && st.removedEpochs == Seq(0L, 1L),
+          s"min(A=2, B=1) = 1 must bound the truncation: $st")
+        require(LogGc.epochs(logDir) == Seq(2L), "only the unconsumed tail survives")
+        clock("resume_b") { Replay.replayLog(s, logDir, s"$root/b", buckets = 8) }
+        // NEW consumer: the truncated log is not enough (gapped ledger
+        // pins the point), bootstrap + tail is
+        clock("onboard_c") {
+          val aSnap = IceLite.load(s"$root/a")
+          val snapshot = IceLite.read(s, aSnap, includeHidden = true)
+            .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+            .select(col("repo"), col("path"), col("commit"), col("lang"),
+              col("content"), col("author"), col(IceLite.SeqCol.name).as("seq"))
+          Replay.bootstrap(s, snapshot, "seq", s"$root/c", buckets = 8)
+          Replay.replayLog(s, logDir, s"$root/c", buckets = 8)
+          require(LogGc.safeTruncationPoint(Seq(Consumer(s"$root/c"))) == -1L,
+            "a gapped ledger must never advance the safe point")
+        }
+        def state(dir: String) = IceLite.read(s, IceLite.load(dir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+        require(state(s"$root/b").except(state(s"$root/a")).isEmpty &&
+          state(s"$root/a").except(state(s"$root/b")).isEmpty,
+          "resumed B must converge to A")
+        require(state(s"$root/c").except(state(s"$root/a")).isEmpty &&
+          state(s"$root/a").except(state(s"$root/c")).isEmpty,
+          "bootstrapped C must converge to A")
+        putMetric("q115", "removed_files", st.removedFiles.toDouble)
+        state(s"$root/b").orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q115")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q104_consumer_cursors",
       // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a
       // "slow" consumer drains the table in bounded single-version polls

@@ -1,0 +1,99 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Read-optimized snapshot export: engine-neutral hard-linked manifests. */
+class ExportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+    .putLong("graft.fieldId", n).build()
+
+  private def batch(rows: Seq[(Long, Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "v", "seq", "op")
+      .select(col("id").as("id", fid(1)), col("v").as("v", fid(2)),
+        col("seq"), col("op"))
+  }
+
+  private def mkTable(dir: String): Unit =
+    IceLite.create(dir, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "id", "BIGINT"), IceLite.ColDef(2, "v", "BIGINT"))),
+      Vector("id"), buckets = 4)
+
+  test("export refuses what a raw reader would misread; serves the rest") {
+    val dir = Files.createTempDirectory("graft-export").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 120L).map(i => (i, i * 2, i, "UPSERT"))), "seq", "op", "e-0")
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 10L).map(i => (i, 0L, 200 + i, "DELETE"))), "seq", "op", "e-1")
+
+    // delta files present → refuse
+    val ex = intercept[IllegalArgumentException] { Export.exportSnapshot(dir, "cut") }
+    assert(ex.getMessage.contains("delta-free"))
+
+    Compaction.compact(spark, dir, "maint") // tombstones retained (no expire)
+    val info = Export.exportSnapshot(dir, "cut")
+    assert(info.created && info.files == IceLite.load(dir).files.size)
+    assert(info.rows == 110L, "manifest carries the exact live count")
+    assert(info.columns == Seq("id", "v"))
+
+    // hard links, not copies
+    val aPart = Files.list(Paths.get(info.dir, "data")).iterator().next()
+    assert(Files.getAttribute(aPart, "unix:nlink").asInstanceOf[Number].intValue() >= 2)
+
+    // an engine-neutral read (raw parquet + the manifest's portable filter)
+    // reproduces the resolved state exactly — tombstone filter load-bearing
+    val raw = spark.read.parquet(s"${info.dir}/data")
+      .where(expr(info.rowFilter))
+      .select(info.columns.map(col): _*)
+    val engine = IceLite.read(spark, IceLite.load(dir)).select("id", "v")
+    assert(raw.count() == 110L)
+    assert(raw.except(engine).isEmpty && engine.except(raw).isEmpty)
+
+    // idempotent re-publish; different-version republish refuses
+    assert(!Export.exportSnapshot(dir, "cut").created)
+    Merge.mergeEpoch(spark, dir, batch(Seq((121L, 1L, 300L, "UPSERT"))),
+      "seq", "op", "e-2")
+    Compaction.compact(spark, dir, "maint-2")
+    val ex2 = intercept[IllegalArgumentException] { Export.exportSnapshot(dir, "cut") }
+    assert(ex2.getMessage.contains("already published"))
+
+    // the export is a PHYSICAL pin: expire+vacuum reclaim the old snapshot's
+    // source paths, the hard links keep serving the exported bytes
+    Compaction.expire(dir, keepLast = 1)
+    Compaction.vacuum(dir, olderThanMs = 0)
+    assert(spark.read.parquet(s"${info.dir}/data")
+      .where(expr(info.rowFilter)).count() == 110L)
+
+    assert(Export.removeExport(dir, "cut"))
+    assert(!Export.removeExport(dir, "cut"))
+  }
+
+  test("export refuses mixed-schema-version files after a rename") {
+    val dir = Files.createTempDirectory("graft-export-ddl").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 50L).map(i => (i, i, i, "UPSERT"))), "seq", "op", "e-0")
+    Compaction.compact(spark, dir, "maint")
+    IceLite.renameColumn(dir, "ddl-rename", "v", "val")
+    // files still carry the pre-rename physical column name
+    val ex = intercept[IllegalArgumentException] { Export.exportSnapshot(dir, "cut") }
+    assert(ex.getMessage.contains("current schema version"))
+    Compaction.compact(spark, dir, "maint-2") // rewrite at the current version
+    val info = Export.exportSnapshot(dir, "cut")
+    assert(info.columns == Seq("id", "val"))
+    val raw = spark.read.parquet(s"${info.dir}/data").where(expr(info.rowFilter))
+    assert(raw.columns.contains("val") && raw.count() == 50L)
+  }
+}
