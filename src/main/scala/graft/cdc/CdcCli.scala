@@ -354,6 +354,42 @@ object CdcCli {
       val st = Txn.recover(spark, logDir, txnDir, Seq(tableA, tableB),
         rest.headOption.map(_.toInt).getOrElse(32))
       println(s"recovered ${st.length} pending epoch(s): ${st.map(_.epoch).mkString(",")}")
+    case "tag" :: tableDir :: name :: rest =>
+      val v = rest.headOption.map(_.toInt).getOrElse(IceLite.load(tableDir).version)
+      IceLite.tag(tableDir, name, v)
+      println(s"tagged $tableDir v$v as '$name'")
+    case "remove-tag" :: tableDir :: name :: Nil =>
+      println(if (IceLite.removeTag(tableDir, name)) s"removed tag '$name'"
+        else s"no tag '$name'")
+    case "tags" :: tableDir :: Nil =>
+      IceLite.tags(tableDir).toSeq.sortBy(_._1)
+        .foreach { case (n, v) => println(s"$n -> v$v") }
+    case "show-tag" :: tableDir :: name :: Nil =>
+      IceLite.read(spark, IceLite.loadTag(tableDir, name)).show(50, truncate = false)
+    case "show-asof" :: tableDir :: tsMs :: Nil =>
+      val snap = IceLite.loadAsOf(tableDir, tsMs.toLong)
+      println(s"resolved v${snap.version} (committed ${snap.committedAtMs})")
+      IceLite.read(spark, snap).show(50, truncate = false)
+    case "stats" :: tableDir :: rest =>
+      val snap = IceLite.load(tableDir)
+      println(s"live rows: ${graft.lake.MetaAgg.liveCount(snap)
+        .map(_.toString).getOrElse("unknown (delta files or legacy manifests — compact first)")}")
+      graft.lake.MetaAgg.bucketLiveRows(snap).foreach { m =>
+        val hot = m.toSeq.sortBy(-_._2).take(5)
+        println(s"hottest buckets: ${hot.map { case (b, n) => s"$b=$n" }.mkString(", ")}")
+      }
+      rest.foreach { c =>
+        println(s"min/max($c): ${graft.lake.MetaAgg.minMax(snap, c)
+          .map { case (lo, hi) => s"[$lo, $hi]" }.getOrElse("unknown")}")
+      }
+    case "export" :: tableDir :: name :: Nil =>
+      val info = graft.lake.Export.exportSnapshot(tableDir, name)
+      println(s"${if (info.created) "exported" else "already exported"} v${info.sourceVersion} " +
+        s"-> ${info.dir} (${info.files} files, ${info.rows} rows, filter: ${info.rowFilter})")
+    case "log-truncate" :: logDir :: consumers if consumers.nonEmpty =>
+      val st = LogGc.truncate(logDir, consumers.map(LogGc.Consumer(_)))
+      println(s"safe point ${st.safePoint}: removed epochs ${st.removedEpochs.mkString(",")} " +
+        s"(${st.removedFiles} files)")
     case "verify" :: logDir :: tableDir :: Nil =>
       val got = IceLite.read(spark, IceLite.load(tableDir))
         .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))

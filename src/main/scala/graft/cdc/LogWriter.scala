@@ -57,6 +57,7 @@ object LogWriter {
       s"producer id must be [A-Za-z0-9_-]+: '$id'")
     val meta = Paths.get(logDir, "_producers")
     Files.createDirectories(meta)
+    sweepOrphanStages(meta)
     var attempt = currentEpoch(logDir, id) + 1
     while (true) {
       val marker = meta.resolve(s"$id-epoch-$attempt.marker")
@@ -115,6 +116,22 @@ object LogWriter {
       }
       AppendResult(appended = true, target.toString, n)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+  }
+
+  /** Crashed appends leave `.stage-*` dirs behind (the success path deletes
+    * them after the atomic publish rename). Registration is a producer's
+    * recovery point, so it sweeps stages older than the orphan window —
+    * young ones may belong to a publisher mid-append and are left alone
+    * (same window rationale as [[graft.lake.Compaction.vacuum]]). */
+  private def sweepOrphanStages(meta: Path): Unit = {
+    val cutoff = System.currentTimeMillis() - graft.lake.Compaction.defaultVacuumRetentionMs
+    Files.list(meta).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".stage-"))
+      .filter { p =>
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: java.io.IOException => false }
+      }
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
   }
 
   private def fence(p: Producer): Unit = {

@@ -302,6 +302,22 @@ object Compaction {
       .filterNot(p => liveManifests.contains(p.toAbsolutePath.toString))
       .filter(oldEnough)
       .foreach { p => java.nio.file.Files.deleteIfExists(p); removed += 1 }
+    // crash leftovers from staged publishes: snapshot/tag writers stage
+    // dot-prefixed temp files in meta/, Export stages dot-prefixed dirs in
+    // export/ — all are atomically renamed/linked on success, so a
+    // dot-prefixed entry older than the retention window is an orphan of a
+    // crashed writer (the window keeps a LIVE writer's stage safe, same
+    // in-flight-commit argument as the data-file sweep above)
+    Seq(Paths.get(dir, "meta"), Paths.get(dir, "export"))
+      .filter(java.nio.file.Files.isDirectory(_))
+      .foreach { d =>
+        java.nio.file.Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("."))
+          .filter(oldEnough)
+          .foreach { p =>
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); removed += 1
+          }
+      }
     removed
   }
 

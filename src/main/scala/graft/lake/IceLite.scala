@@ -235,7 +235,14 @@ object IceLite {
       indexedCols: Set[String] = Set.empty,
       /** col → bucket → fixed-size bloom ([[KeyBloom.FixedBits]]). A
         * missing (col, bucket) entry means "may contain" (sound). */
-      valueIndex: Map[String, Map[Int, Array[Byte]]] = Map.empty) {
+      valueIndex: Map[String, Map[Int, Array[Byte]]] = Map.empty,
+      /** Wall-clock commit time (epoch millis), stamped by [[writeAtomic]]
+        * when the snapshot JSON is written — the AS-OF-TIMESTAMP time-travel
+        * axis (Iceberg's snapshot `timestamp-ms`). Stored IN the JSON, not
+        * taken from file mtime, because object stores don't preserve mtime;
+        * -1 = legacy snapshot predating the field ([[commitTimeOf]] falls
+        * back to mtime for those). */
+      committedAtMs: Long = -1L) {
     def currentSchemaVersion: Int = schemas.length - 1
     def currentSchema: Vector[ColDef] = schemas.last
     def currentStruct: StructType = structOf(currentSchema)
@@ -333,6 +340,7 @@ object IceLite {
     val keys = root.putArray("keyCols"); s.keyCols.foreach(keys.add)
     root.put("buckets", s.buckets)
     root.put("maxSeq", s.maxSeq)
+    if (s.committedAtMs >= 0) root.put("committedAtMs", s.committedAtMs)
     if (s.retiredIds.nonEmpty) {
       val rids = root.putArray("retiredIds"); s.retiredIds.toSeq.sorted.foreach(rids.add)
     }
@@ -389,6 +397,7 @@ object IceLite {
       keyCols = n.get("keyCols").elements().asScala.map(_.asText()).toVector,
       buckets = n.get("buckets").asInt(),
       maxSeq = Option(n.get("maxSeq")).map(_.asLong()).getOrElse(-1L),
+      committedAtMs = Option(n.get("committedAtMs")).map(_.asLong()).getOrElse(-1L),
       files = legacyFiles,
       manifests = Option(n.get("manifests")).map(_.elements().asScala.map(m =>
         ManifestRef(m.get("path").asText(), m.get("range").asInt(),
@@ -477,6 +486,29 @@ object IceLite {
   def loadVersionMeta(dir: String, v: Int): Snapshot =
     fromJson(new String(Files.readAllBytes(snapPath(dir, v)), "UTF-8"))
 
+  /** Commit wall-clock time of a retained version — the stored
+    * `committedAtMs`, falling back to the snapshot file's mtime for legacy
+    * snapshots that predate the field. */
+  def commitTimeOf(dir: String, v: Int): Long = {
+    val stored = loadVersionMeta(dir, v).committedAtMs
+    if (stored >= 0) stored
+    else Files.getLastModifiedTime(snapPath(dir, v)).toMillis
+  }
+
+  /** AS-OF-TIMESTAMP time travel: the newest retained snapshot committed
+    * at or before `tsMs`, files materialized. Commit times are monotone
+    * per table (one snapshot lineage; versions commit in order — even a
+    * rollback re-commits the old state under a NEW version and time), so
+    * the newest-at-or-below cut is well-defined. Throws when the timestamp
+    * predates every retained snapshot (time travel there ended with
+    * `expire`, or the table didn't exist yet). */
+  def loadAsOf(dir: String, tsMs: Long): Snapshot = {
+    val vs = history(dir).filter(v => commitTimeOf(dir, v) <= tsMs)
+    require(vs.nonEmpty,
+      s"no retained snapshot of $dir at or before $tsMs (expired, or pre-create)")
+    loadVersion(dir, vs.max)
+  }
+
   // ------------------------------------------------------------------ tags
 
   /** TAGS: named immutable references to snapshot versions (audit cuts,
@@ -545,7 +577,8 @@ object IceLite {
   private def writeAtomic(dir: String, snap: Snapshot): Boolean = {
     val tmp = Files.createTempFile(metaDir(dir), ".tmp-snap", ".json")
     try {
-      Files.write(tmp, toJson(snap).getBytes("UTF-8"))
+      Files.write(tmp, toJson(snap.copy(committedAtMs = System.currentTimeMillis()))
+        .getBytes("UTF-8"))
       Files.createLink(snapPath(dir, snap.version), tmp)
       true
     } catch {

@@ -3459,6 +3459,161 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q115")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q116_asof_timestamp",
+      // AS-OF-TIMESTAMP TIME TRAVEL under the hard gate — the wall-clock
+      // axis q46 (version) and q112 (tag) don't cover: every snapshot now
+      // stores its commit time IN the snapshot JSON (Iceberg's
+      // timestamp-ms; file mtime only as the legacy fallback, because
+      // object stores don't keep mtime), and `loadAsOf(ts)` resolves the
+      // newest snapshot at or before the cut. The fixture replays 3
+      // epochs with real wall-clock separation, cuts strictly between the
+      // epoch-1 and epoch-2 commits, and must read exactly the epoch-1
+      // state; boundary semantics (exactly-at-commit is inclusive; now =
+      // head; pre-create refuses) are hard-asserted. Oracle = the fold of
+      // the decoded dump at epoch ≤ 1.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q116")
+        val root = workDir("q116")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") {
+          // epoch 2 lands after a real wall-clock gap, so the timestamp
+          // cut between the commits is unambiguous
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(logDir, "epoch=2"),
+            java.nio.file.Paths.get(s"$root/stash-epoch=2"))
+          Replay.replayLog(s, logDir, tableDir, buckets = 8)
+          Thread.sleep(40)
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(s"$root/stash-epoch=2"),
+            java.nio.file.Paths.get(logDir, "epoch=2"))
+          Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        }
+        val head = IceLite.load(tableDir)
+        val vCut = head.version - 1 // the snapshot after epoch 1
+        val tCut = IceLite.commitTimeOf(tableDir, vCut)
+        val tHead = IceLite.commitTimeOf(tableDir, head.version)
+        require(tHead > tCut, s"monotone commit times: $tCut vs $tHead")
+        // strictly-between cut resolves to the earlier snapshot;
+        // exactly-at-commit is inclusive; "now" is the head; pre-create
+        // refuses
+        val asOf = IceLite.loadAsOf(tableDir, (tCut + tHead) / 2)
+        require(asOf.version == vCut, s"mid-gap cut must resolve to v$vCut, got ${asOf.version}")
+        require(IceLite.loadAsOf(tableDir, tCut).version == vCut, "at-commit is inclusive")
+        require(IceLite.loadAsOf(tableDir, System.currentTimeMillis() + 1000)
+          .version == head.version, "a future cut is the head")
+        val preCreate =
+          try { IceLite.loadAsOf(tableDir, IceLite.commitTimeOf(tableDir, 0) - 10); false }
+          catch { case _: IllegalArgumentException => true }
+        require(preCreate, "a pre-create cut must refuse")
+        putMetric("q116", "cut_gap_ms", (tHead - tCut).toDouble)
+        IceLite.read(s, asOf)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q116")}/decoded/*.parquet') WHERE epoch <= 1) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q117_producer_to_stream",
+      // PRODUCER → STREAM END-TO-END under the hard gate — the write side
+      // (q114's idempotent producer) composed with the read side (q47's
+      // streaming Tail) on ONE log: producer "ingest" publishes wave 1
+      // (with an at-least-once duplicate re-send, suppressed on disk),
+      // the Tail drains it into the table; then a failover fences the
+      // zombie instance mid-pipeline, the successor and an independent
+      // "backfill" producer publish wave 2, and the Tail RESUMES from its
+      // checkpoint ingesting exactly the new segments. The atomic
+      // no-replace segment rename is what makes the handoff safe: the
+      // streaming file source only ever lists complete files. Oracle =
+      // the fold of the accepted events; the fenced zombie batch and the
+      // duplicate must be invisible at every layer (disk, lineage, table).
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q117")
+        val root = workDir("q117")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 4000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 25)
+        def gen(lo: Long, hi: Long) =
+          s.range(lo, hi, 1, 4).mapPartitions { it =>
+            val fs = Cdc.fsV2; val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              val c = LogGen.rawChange(id, p)
+              graft.decode.ChangeEvent(
+                LogGen.encodeChange(c, d, fs, includeAuthor = true),
+                Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }
+        import graft.cdc.LogWriter
+        clock("wave1") {
+          val ingest1 = LogWriter.register(logDir, "ingest")
+          require(LogWriter.append(ingest1, gen(0, 1000), 0, batchId = 0).appended)
+          require(LogWriter.append(ingest1, gen(1000, 2000), 0, batchId = 1).appended)
+          require(!LogWriter.append(ingest1, gen(1000, 2000), 0, batchId = 1).appended,
+            "duplicate delivery suppressed before the stream ever sees it")
+          graft.cdc.Tail.start(s, logDir, tableDir, ckpt, buckets = 8,
+            maxFilesPerTrigger = 16).awaitTermination()
+        }
+        clock("wave2_resume") {
+          val ingest1Zombie = LogWriter.Producer(logDir, "ingest", 1)
+          val ingest2 = LogWriter.register(logDir, "ingest")
+          val fenced =
+            try { LogWriter.append(ingest1Zombie, gen(9000, 9500), 1, 2); false }
+            catch { case _: LogWriter.ProducerFencedException => true }
+          require(fenced, "the zombie is fenced mid-pipeline")
+          require(LogWriter.append(ingest2, gen(2000, 3000), 1, batchId = 2).appended)
+          val backfill = LogWriter.register(logDir, "backfill")
+          require(LogWriter.append(backfill, gen(3000, 4000), 1, batchId = 0).appended)
+          graft.cdc.Tail.start(s, logDir, tableDir, ckpt, buckets = 8,
+            maxFilesPerTrigger = 16).awaitTermination()
+        }
+        require(!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"$tableDir/_deadletter")) ||
+          s.read.parquet(s"$tableDir/_deadletter").isEmpty, "zero dead letters")
+        val logged = s.read.parquet(logDir)
+        require(logged.count() == 4000L && logged.select("offset").distinct().count() == 4000L,
+          "exactly the accepted events reached the log")
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = logged
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q117")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q104_consumer_cursors",
       // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a
       // "slow" consumer drains the table in bounded single-version polls

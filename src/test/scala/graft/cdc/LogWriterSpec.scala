@@ -64,6 +64,20 @@ class LogWriterSpec extends AnyFunSuite {
     assert(graft.lake.IceLite.read(spark, graft.lake.IceLite.load(table)).count() > 0)
   }
 
+  test("registration sweeps orphaned stage dirs past the retention window") {
+    val log = Files.createTempDirectory("graft-logwriter-sweep").toString + "/log"
+    val meta = java.nio.file.Paths.get(log, "_producers")
+    Files.createDirectories(meta)
+    val stale = meta.resolve(".stage-dead")
+    Files.createDirectories(stale)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000))
+    val fresh = meta.resolve(".stage-live")
+    Files.createDirectories(fresh)
+    LogWriter.register(log, "p")
+    assert(!Files.exists(stale) && Files.exists(fresh))
+  }
+
   test("racing registrations all get distinct epochs") {
     val log = Files.createTempDirectory("graft-logwriter-race").toString + "/log"
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[Int]()

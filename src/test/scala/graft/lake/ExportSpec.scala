@@ -78,6 +78,17 @@ class ExportSpec extends AnyFunSuite {
 
     assert(Export.removeExport(dir, "cut"))
     assert(!Export.removeExport(dir, "cut"))
+
+    // a crashed export's staging dir is an orphan vacuum sweeps — but only
+    // past the retention window (a live exporter's stage survives)
+    val stale = Paths.get(dir, "export", ".export-crashed")
+    Files.createDirectories(stale)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000))
+    val fresh = Paths.get(dir, "export", ".export-inflight")
+    Files.createDirectories(fresh)
+    Compaction.vacuum(dir) // default retention: only the stale one goes
+    assert(!Files.exists(stale) && Files.exists(fresh))
   }
 
   test("export refuses mixed-schema-version files after a rename") {

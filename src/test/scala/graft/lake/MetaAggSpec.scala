@@ -115,6 +115,33 @@ class MetaAggSpec extends AnyFunSuite {
     assert(vals.forall(v => gLo <= v && v <= gHi))
   }
 
+  test("as-of-timestamp time travel resolves the newest snapshot at the cut") {
+    val dir = Files.createTempDirectory("graft-asof-ts").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 50L).map(i => (i, i, s"s$i", i, "UPSERT"))), "seq", "op", "e-0")
+    val v1 = IceLite.load(dir).version
+    val t1 = IceLite.commitTimeOf(dir, v1)
+    assert(t1 > 0 && IceLite.loadVersionMeta(dir, v1).committedAtMs == t1,
+      "commit time is stored in the snapshot JSON, not inferred from mtime")
+    Thread.sleep(30)
+    Merge.mergeEpoch(spark, dir,
+      batch(Seq((1L, 99L, "new", 500L, "UPSERT"))), "seq", "op", "e-1")
+    val v2 = IceLite.load(dir).version
+    val t2 = IceLite.commitTimeOf(dir, v2)
+    assert(t2 > t1, "commit times are monotone along the lineage")
+    assert(IceLite.loadAsOf(dir, t1).version == v1)
+    assert(IceLite.loadAsOf(dir, (t1 + t2) / 2).version == v1)
+    assert(IceLite.loadAsOf(dir, t2).version == v2)
+    assert(IceLite.loadAsOf(dir, System.currentTimeMillis() + 1000).version == v2)
+    intercept[IllegalArgumentException] {
+      IceLite.loadAsOf(dir, IceLite.commitTimeOf(dir, 0) - 10)
+    }
+    // the resolved snapshot reads the state AT the cut
+    assert(IceLite.read(spark, IceLite.loadAsOf(dir, (t1 + t2) / 2))
+      .filter(col("id") === 1L).head().getAs[Long]("v") == 1L)
+  }
+
   test("tags pin snapshots through expire and vacuum") {
     val dir = Files.createTempDirectory("graft-tags").toString + "/t"
     mkTable(dir)
