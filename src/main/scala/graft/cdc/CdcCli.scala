@@ -286,6 +286,15 @@ object CdcCli {
       val df = IceLite.changes(spark, tableDir, fromV.toInt, toV.toInt)
       df.orderBy("__seq").show(50, truncate = 40)
       println(s"changes v$fromV -> v$toV: ${df.count()} rows (incl. tombstones)")
+    case "changes-between" :: tableDir :: fromTs :: toTs :: Nil =>
+      // the same feed on the wall-clock axis (cuts resolved like show-asof)
+      val df = IceLite.changesBetween(spark, tableDir, fromTs.toLong, toTs.toLong)
+      df.orderBy("__seq").show(50, truncate = 40)
+      println(s"changes $fromTs -> $toTs: ${df.count()} rows (incl. tombstones)")
+    case "expire-before" :: tableDir :: tsMs :: rest =>
+      val keep = rest.headOption.map(_.toInt).getOrElse(1)
+      val n = graft.lake.Compaction.expireOlderThan(tableDir, tsMs.toLong, keep)
+      println(s"expired $n snapshot(s) committed before $tsMs (kept last $keep + tags)")
     case "scd2-create" :: srcDir :: scdDir :: rest =>
       graft.lake.Scd2.create(srcDir, scdDir, rest.headOption.map(_.toInt).getOrElse(8))
       println(s"created SCD2 dimension at $scdDir over $srcDir")

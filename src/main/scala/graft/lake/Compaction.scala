@@ -336,4 +336,22 @@ object Compaction {
     }
     drop.size
   }
+
+  /** Time-based retention (Iceberg's `expire_snapshots(older_than)`): drop
+    * snapshot JSONs whose commit wall-clock time is before `tsMs`. Tagged
+    * versions and the newest `keepLast` versions always survive — same
+    * retention roots as [[expire]]; a following vacuum() reclaims the
+    * dropped versions' exclusive data and manifest files. Returns the
+    * number of versions dropped. */
+  def expireOlderThan(dir: String, tsMs: Long, keepLast: Int = 1): Int = {
+    val versions = IceLite.history(dir)
+    val tagged = IceLite.tags(dir).values.toSet
+    val keep = versions.takeRight(math.max(keepLast, 1)).toSet
+    val drop = versions.filterNot(v => keep(v) || tagged(v))
+      .filter(v => IceLite.commitTimeOf(dir, v) < tsMs)
+    drop.foreach { v =>
+      java.nio.file.Files.deleteIfExists(Paths.get(dir, "meta", f"v$v%05d.json"))
+    }
+    drop.size
+  }
 }

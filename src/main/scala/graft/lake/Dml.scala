@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Predicate row-level DML over a CDC table: DELETE WHERE / UPDATE WHERE,
@@ -73,5 +73,103 @@ object Dml {
     Merge.mergeEpoch(spark, dir,
       dmlBatch(spark, snap, predicate, sets, "UPSERT"),
       "__dml_seq", "__dml_op", epochId)
+  }
+
+  final case class MergeIntoStats(updated: Long, deleted: Long, inserted: Long,
+      merge: Merge.MergeStats)
+
+  /** MERGE INTO table t USING source s ON t.key = s.key (Iceberg/Delta
+    * MERGE semantics over an arbitrary source DataFrame):
+    *
+    *   WHEN MATCHED AND matchedDelete THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET matchedSet (empty = SET * — every data
+    *     column the source carries replaces the target's)
+    *   WHEN NOT MATCHED THEN INSERT (if insertNotMatched; data columns the
+    *     source doesn't carry insert as NULL)
+    *
+    * Set right-hand sides and the delete condition are Spark SQL
+    * expressions resolved against BOTH aliases: `s.col` = source, `t.col` =
+    * the target row's current value. The classic MERGE ambiguity rule is
+    * enforced: each target key matches at most one source row (duplicate
+    * source keys refuse, like Delta's multiple-matches error).
+    *
+    * Like the other DML verbs this is an ordinary epoch-fenced merge at
+    * seq = maxSeq + 1, so LWW ordering vs the CDC stream, exactly-once
+    * replay fencing, and change-feed visibility all apply unchanged.
+    *
+    * Scale: cost is O(source + matched buckets), never O(table) — the
+    * target pre-image read prunes to the buckets the source's keys hash
+    * into (driver-derived from the source keys, bounded by the bucket
+    * layout) and semi-joins down to matched keys before the wide join. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      matchedDelete: Option[String],
+      matchedSet: Seq[(String, String)],
+      insertNotMatched: Boolean,
+      epochId: String): MergeIntoStats = {
+    val snap = IceLite.load(dir)
+    val keyCols = snap.keyCols
+    require(keyCols.forall(source.columns.contains),
+      s"source must carry the key columns $keyCols")
+    val visible = snap.currentSchema.filterNot(_.hidden)
+    val dataCols = visible.filterNot(c => keyCols.contains(c.name))
+    val srcCols = source.columns.toSet
+    val sets: Seq[(String, String)] =
+      if (matchedSet.nonEmpty) matchedSet
+      else dataCols.map(_.name).filter(srcCols).map(n => n -> s"s.$n")
+    sets.foreach { case (n, _) =>
+      require(visible.exists(_.name == n), s"no such column: $n")
+      require(!keyCols.contains(n),
+        s"cannot update key column $n (delete + re-insert expresses a key change)")
+    }
+    // pin the source: it feeds bucket derivation, the match join, the
+    // anti-join, and the final batch
+    val src = source.localCheckpoint()
+    require(src.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "source has duplicate keys: each target row must match at most one source row")
+
+    // live pre-image of ONLY the buckets the source keys hash into,
+    // narrowed to the matched keys
+    val touched = src.select(IceLite.bucketExpr(keyCols, snap.buckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val target = IceLite.read(spark, snap, f => touched(f.bucket))
+      .join(src.select(keyCols.map(col): _*), keyCols.toSeq, "left_semi")
+      .localCheckpoint()
+
+    def typed(n: String, e: Column): Column =
+      e.cast(visible.find(_.name == n).get.sparkType)
+    val setOf = sets.toMap
+    val delCond = matchedDelete.map(expr).getOrElse(lit(false))
+    val matched = target.as("t")
+      .join(src.as("s"), keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _))
+      .select(keyCols.map(k => col(s"t.$k").as(k)) ++ dataCols.map { c =>
+        (setOf.get(c.name) match {
+          // a deleted row keeps its target values (only the tombstone matters)
+          case Some(e) => when(delCond, col(s"t.${c.name}"))
+            .otherwise(typed(c.name, expr(e)))
+          case None => col(s"t.${c.name}")
+        }).as(c.name)
+      } :+ when(delCond, lit("DELETE")).otherwise(lit("UPSERT")).as("__dml_op")
+        :+ lit("m").as("__dml_clause"): _*)
+    val inserts =
+      if (!insertNotMatched) None
+      else Some(src
+        .join(target.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
+        .select(keyCols.map(col) ++ dataCols.map { c =>
+          (if (srcCols(c.name)) typed(c.name, col(c.name))
+           else lit(null).cast(c.sparkType)).as(c.name)
+        } :+ lit("UPSERT").as("__dml_op") :+ lit("i").as("__dml_clause"): _*))
+    val batch0 = inserts.fold(matched)(matched.unionByName(_)).localCheckpoint()
+    val byClause = batch0.groupBy("__dml_clause", "__dml_op").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val st = Merge.mergeEpoch(spark, dir,
+      batch0.select(visible.map(c => col(c.name).as(c.name, fid(c.id))) :+
+        lit(snap.maxSeq + 1).as("__dml_seq") :+ col("__dml_op"): _*),
+      "__dml_seq", "__dml_op", epochId)
+    MergeIntoStats(
+      updated = byClause.getOrElse(("m", "UPSERT"), 0L),
+      deleted = byClause.getOrElse(("m", "DELETE"), 0L),
+      inserted = byClause.getOrElse(("i", "UPSERT"), 0L),
+      merge = st)
   }
 }

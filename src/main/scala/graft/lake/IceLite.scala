@@ -1339,6 +1339,19 @@ object IceLite {
     deltas.unionByName(carried)
   }
 
+  /** [[changes]] on the wall-clock axis: the change rows between the
+    * snapshot current at `fromTsMs` and the snapshot current at `toTsMs`
+    * (each cut resolved newest-at-or-before, like [[loadAsOf]]). Same
+    * net-change caveat as [[changes]] when a compaction ran inside the
+    * window. */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromTsMs: Long, toTsMs: Long): DataFrame = {
+    require(fromTsMs <= toTsMs, s"empty window: $fromTsMs > $toTsMs")
+    changes(spark, dir,
+      fromVersion = loadAsOf(dir, fromTsMs).version,
+      toVersion = loadAsOf(dir, toTsMs).version)
+  }
+
   /** The bucket expression — xxhash64 on the key columns mod B. Balanced
     * (not repo-only) so hot repos don't produce hot buckets; hot-KEY skew in
     * the merge join is handled by AQE + salting in Merge. */

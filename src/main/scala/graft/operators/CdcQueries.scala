@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, Lineage, LogGen, Replay}
-import graft.lake.IceLite
+import graft.lake.{Compaction, Dml, IceLite}
 
 /** The engine's own CDC operators surfaced through the driver gate.
   * q00 is the flagship: it generates a seeded protobuf change log, replays
@@ -3613,6 +3613,185 @@ object CdcQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q117")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q118_merge_into",
+      // GENERIC MERGE INTO under the hard gate — the Delta/Iceberg three-clause
+      // DML the predicate verbs (q69 DELETE WHERE, q70 UPDATE WHERE) don't
+      // cover: one source DataFrame drives WHEN MATCHED AND cond DELETE /
+      // WHEN MATCHED UPDATE SET (expressions over BOTH s.* and t.*) / WHEN
+      // NOT MATCHED INSERT, applied as ONE epoch-fenced merge batch at
+      // seq = maxSeq+1 (so LWW vs the CDC stream, fencing, and change-feed
+      // visibility are inherited, not re-implemented). The target pre-image
+      // read prunes to the buckets the source keys hash into. Oracle = the
+      // LWW fold of the decoded dump LEFT JOINed to the dumped source with
+      // the three clauses re-derived in SQL.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q118")
+        val root = workDir("q118")
+        val tableDir = s"$root/table"
+        clock("replay") { replayFinalState(s, nEvents = 5000, tag = "q118",
+          dumpDecodedLog = true) }
+        val sourceDf = clock("source") {
+          val live = IceLite.read(s, IceLite.load(tableDir))
+            .select("repo", "path", "commit", "lang", "content", "author")
+            .withColumn("__h", pmod(xxhash64(col("repo"), col("path")), lit(7)))
+          val updates = live.filter(col("__h") === 0)
+            .withColumn("content", concat(lit("merged:"), col("path")))
+            .withColumn("author", lit("merge-bot"))
+            .withColumn("del", lit(false))
+          val deletes = live.filter(col("__h") === 1).withColumn("del", lit(true))
+          val inserts = s.range(0, 300, 1, 4).select(
+            lit("merged-repo").as("repo"),
+            concat(lit("new/"), col("id")).as("path"),
+            lit("c-merge").as("commit"), lit("scala").as("lang"),
+            concat(lit("fresh:"), col("id")).as("content"),
+            lit("merge-bot").as("author"), lit(false).as("del"))
+          val src = updates.drop("__h").unionByName(deletes.drop("__h"))
+            .unionByName(inserts)
+          // oracle input: the exact source the merge consumed
+          src.write.mode("overwrite").parquet(s"$root/source")
+          s.read.parquet(s"$root/source")
+        }
+        val st = clock("merge") {
+          Dml.mergeInto(s, tableDir, sourceDf,
+            matchedDelete = Some("s.del"),
+            matchedSet = Seq("content" -> "s.content",
+              "author" -> "concat(s.author, ':', t.lang)"),
+            insertNotMatched = true, epochId = "merge-0")
+        }
+        require(st.inserted == 300, s"300 unmatched source rows insert, got ${st.inserted}")
+        require(st.updated > 0 && st.deleted > 0, s"fixture must exercise all three clauses: $st")
+        // replaying the same epoch fences as a no-op, like any CDC epoch
+        require(!Dml.mergeInto(s, tableDir, sourceDf, Some("s.del"),
+          Seq("content" -> "s.content"), insertNotMatched = true,
+          epochId = "merge-0").merge.applied, "replayed MERGE epoch must fence")
+        // duplicate source keys are the classic MERGE ambiguity — refuse
+        val dupRefused =
+          try { Dml.mergeInto(s, tableDir, sourceDf.unionByName(sourceDf.limit(1)),
+            None, Seq("content" -> "s.content"), insertNotMatched = false, "merge-1"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(dupRefused, "duplicate source keys must refuse")
+        putMetric("q118", "updated", st.updated.toDouble)
+        putMetric("q118", "deleted", st.deleted.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH t AS (
+          SELECT repo, path, "commit", lang, content, author
+          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM parquet_scan('${workDir("q118")}/decoded/*.parquet')) x
+          WHERE rn = 1 AND op <> 'DELETE'),
+        s AS (SELECT * FROM parquet_scan('${workDir("q118")}/source/*.parquet'))
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author FROM (
+          SELECT t.repo, t.path, t."commit", t.lang,
+                 CASE WHEN s.repo IS NOT NULL THEN s.content ELSE t.content END AS content,
+                 CASE WHEN s.repo IS NOT NULL THEN s.author || ':' || t.lang
+                      ELSE t.author END AS author
+          FROM t LEFT JOIN s ON t.repo = s.repo AND t.path = s.path
+          WHERE s.repo IS NULL OR NOT s.del
+          UNION ALL
+          SELECT s.repo, s.path, s."commit", s.lang, s.content, s.author
+          FROM s WHERE NOT EXISTS (
+            SELECT 1 FROM t WHERE t.repo = s.repo AND t.path = s.path)
+        ) ORDER BY repo, path""")),
+
+    OpQuery("q119_time_retention",
+      // TIME-BASED RETENTION + the wall-clock change feed under the hard
+      // gate: `changesBetween(fromTs, toTs)` resolves both cuts
+      // newest-at-or-before (q116's axis) and streams exactly the window's
+      // change rows; `expireOlderThan(ts)` ends time travel before the cut
+      // but tagged versions survive as retention roots (q112's rule, now on
+      // the time axis), and a following vacuum reclaims the dropped
+      // versions' exclusive files while the tagged read stays byte-exact.
+      // Oracle = the per-key LWW of the decoded dump restricted to the
+      // window's epoch.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q119")
+        val root = workDir("q119")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(logDir)
+          (0 until 3).map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        clock("replay") {
+          // epoch-at-a-time with real wall-clock gaps between commits
+          (2 to 1 by -1).foreach { e =>
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(logDir, s"epoch=$e"),
+              java.nio.file.Paths.get(s"$root/stash-epoch=$e"))
+          }
+          Replay.replayLog(s, logDir, tableDir, buckets = 8)
+          (1 to 2).foreach { e =>
+            Thread.sleep(40)
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(s"$root/stash-epoch=$e"),
+              java.nio.file.Paths.get(logDir, s"epoch=$e"))
+            Replay.replayLog(s, logDir, tableDir, buckets = 8)
+          }
+        }
+        val Seq(t1, t2, t3) = (1 to 3).map(IceLite.commitTimeOf(tableDir, _))
+        require(t1 < t2 && t2 + 1 < t3, s"separated commit times: $t1 $t2 $t3")
+        IceLite.tag(tableDir, "audit", 1) // epoch-0 state pinned forever
+        // the wall-clock change feed: the window (after-epoch-1, now]
+        // carries exactly epoch 2's change rows
+        val feed = IceLite.changesBetween(s, tableDir,
+            fromTsMs = (t2 + t3) / 2, toTsMs = System.currentTimeMillis())
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"),
+            col(IceLite.SeqCol.name).as("seq"),
+            col(IceLite.DelCol.name).as("is_delete"))
+          .orderBy("seq").localCheckpoint()
+        clock("expire_vacuum") {
+          val dropped = Compaction.expireOlderThan(tableDir, t3, keepLast = 1)
+          require(dropped == 2, s"v0 and v2 drop; tagged v1 survives: dropped $dropped")
+          require(IceLite.history(tableDir) == Vector(1, 3),
+            s"retained ${IceLite.history(tableDir)}")
+          // a cut inside the dropped range falls back to the newest RETAINED
+          // snapshot at or before it (the tag), and a cut before every
+          // retained snapshot refuses — time travel there ended with expire
+          require(IceLite.loadAsOf(tableDir, (t1 + t2) / 2).version == 1)
+          val preRetained =
+            try { IceLite.loadAsOf(tableDir, t1 - 1); false }
+            catch { case _: IllegalArgumentException => true }
+          require(preRetained, "pre-retention cut must refuse after expire")
+          require(Compaction.vacuum(tableDir, 0) > 0,
+            "the dropped versions had exclusive files for vacuum to reclaim")
+        }
+        // the tagged epoch-0 state survives expire+vacuum byte-exact
+        val tagRead = IceLite.read(s, IceLite.loadTag(tableDir, "audit"))
+          .select("repo", "path", "content")
+        val tagOracle = s.read.parquet(s"$root/decoded").filter(col("epoch") === 0)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("repo", "path").orderBy(col("seq").desc)))
+          .filter(col("rn") === 1 && col("op") =!= "DELETE")
+          .select("repo", "path", "content")
+        require(tagRead.exceptAll(tagOracle).isEmpty &&
+          tagOracle.exceptAll(tagRead).isEmpty,
+          "tagged snapshot must read the exact epoch-0 fold after expire+vacuum")
+        feed
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author,
+               seq, (op = 'DELETE') AS is_delete
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q119")}/decoded/*.parquet') WHERE epoch = 2) t
+        WHERE rn = 1 ORDER BY seq""")),
 
     OpQuery("q104_consumer_cursors",
       // CONSUMER-GROUP CURSORS over the change feed, driver-gated: a

@@ -94,6 +94,48 @@ class DmlSpec extends AnyFunSuite {
       Dml.updateWhere(spark, dir, "id = 1", Seq.empty, "dml-2"))
   }
 
+  test("mergeInto applies the three MERGE clauses as one fenced epoch") {
+    import spark.implicits._
+    val dir = fresh("minto")
+    // ids 1-5 update (v = s.v + t.v mixes both aliases), 6-10 delete,
+    // 101-105 insert; grp stays the target's for updates (not in the SET)
+    val source = ((1L to 5L).map(i => (i, "gSrc", 1000L + i, false)) ++
+      (6L to 10L).map(i => (i, "gSrc", 0L, true)) ++
+      (101L to 105L).map(i => (i, s"gNew${i % 2}", i, false)))
+      .toDF("id", "grp", "v", "del")
+    val st = Dml.mergeInto(spark, dir, source,
+      matchedDelete = Some("s.del"),
+      matchedSet = Seq("v" -> "s.v + t.v"),
+      insertNotMatched = true, epochId = "m-0")
+    assert(st.updated == 5 && st.deleted == 5 && st.inserted == 5)
+    val after = state(dir)
+    assert(after.size == 100) // 100 - 5 deleted + 5 inserted
+    (1L to 5L).foreach(i => assert(after(i) == (s"g${i % 4}", 1000L + i + i * 10),
+      s"update mixes s.v + t.v and keeps target grp: $i -> ${after(i)}"))
+    (6L to 10L).foreach(i => assert(!after.contains(i)))
+    (101L to 105L).foreach(i => assert(after(i) == (s"gNew${i % 2}", i)))
+    // same epochId fences as a no-op
+    assert(!Dml.mergeInto(spark, dir, source, Some("s.del"),
+      Seq("v" -> "s.v"), insertNotMatched = true, "m-0").merge.applied)
+    // SET * (empty matchedSet): every source-carried data column replaces
+    val st2 = Dml.mergeInto(spark, dir,
+      Seq((1L, "gStar", 7L, false)).toDF("id", "grp", "v", "del"),
+      matchedDelete = None, matchedSet = Seq.empty,
+      insertNotMatched = false, epochId = "m-1")
+    assert(st2.updated == 1 && st2.inserted == 0 && state(dir)(1L) == ("gStar", 7L))
+    // duplicate source keys: the classic MERGE ambiguity — refuse
+    intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, dir,
+        Seq((2L, "a", 1L, false), (2L, "b", 2L, false)).toDF("id", "grp", "v", "del"),
+        None, Seq.empty, insertNotMatched = false, "m-2")
+    }
+    // key columns can never be SET
+    intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, dir, Seq((2L, "a", 1L, false)).toDF("id", "grp", "v", "del"),
+        None, Seq("id" -> "s.id + 1"), insertNotMatched = false, "m-3")
+    }
+  }
+
   test("DML rides the change feed: tombstones and rewrites are visible changes") {
     val dir = fresh("feed")
     val v0 = IceLite.load(dir).version

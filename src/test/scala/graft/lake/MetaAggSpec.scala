@@ -142,6 +142,36 @@ class MetaAggSpec extends AnyFunSuite {
       .filter(col("id") === 1L).head().getAs[Long]("v") == 1L)
   }
 
+  test("time-based expire drops only pre-cut untagged versions; feed by timestamp") {
+    val dir = Files.createTempDirectory("graft-time-expire").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 40L).map(i => (i, i, s"a$i", i, "UPSERT"))), "seq", "op", "e-0")
+    Thread.sleep(20)
+    Merge.mergeEpoch(spark, dir,
+      batch(Seq((1L, 100L, "b", 100L, "UPSERT"))), "seq", "op", "e-1")
+    Thread.sleep(20)
+    Merge.mergeEpoch(spark, dir,
+      batch(Seq((2L, 200L, "c", 200L, "UPSERT"), (3L, 0L, "", 201L, "DELETE"))),
+      "seq", "op", "e-2")
+    val Seq(t1, t2, t3) = (1 to 3).map(IceLite.commitTimeOf(dir, _))
+    // wall-clock change feed: (after-v2, after-v3] = exactly e-2's rows
+    val feed = IceLite.changesBetween(spark, dir, (t2 + t3) / 2,
+      System.currentTimeMillis())
+    assert(feed.count() == 2 &&
+      feed.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    IceLite.tag(dir, "keep", 1)
+    // cut at t3: v0 and v2 are pre-cut and untagged — dropped; v1 tagged
+    // and v3 head survive
+    assert(Compaction.expireOlderThan(dir, t3, keepLast = 1) == 2)
+    assert(IceLite.history(dir) == Vector(1, 3))
+    assert(IceLite.loadAsOf(dir, (t1 + t2) / 2).version == 1,
+      "a cut inside the dropped range falls back to the newest retained snapshot")
+    intercept[IllegalArgumentException] { IceLite.loadAsOf(dir, t1 - 1) }
+    // idempotent: nothing left to drop at the same cut
+    assert(Compaction.expireOlderThan(dir, t3, keepLast = 1) == 0)
+  }
+
   test("tags pin snapshots through expire and vacuum") {
     val dir = Files.createTempDirectory("graft-tags").toString + "/t"
     mkTable(dir)
