@@ -76,6 +76,32 @@ object Explain {
           graft.lake.Merge.resolvePatches(spark, root,
             b((1L to 10L).map(i => (i, s"p$i", 100 + i, "PATCH", Seq(2)))),
             "seq", "op")
+        case "q118_merge_into" =>
+          // the gate's returned DF is the table read; the reviewable plan
+          // is the MERGE batch itself: bucket-pruned pre-image read →
+          // semi-join to source keys → matched join (three clauses as
+          // expressions) ∪ not-matched anti-join
+          import org.apache.spark.sql.functions._
+          import spark.implicits._
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft-explain-q118"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+          val root = s"$base/t"
+          def fidm(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.fieldId", n).build()
+          graft.lake.IceLite.create(root, graft.lake.IceLite.withCdcCols(Vector(
+            graft.lake.IceLite.ColDef(1, "id", "BIGINT"),
+            graft.lake.IceLite.ColDef(2, "a", "STRING"))), Vector("id"), 4)
+          graft.lake.Merge.mergeEpoch(spark, root,
+            (1L to 50L).map(i => (i, s"a$i", i, "UPSERT")).toDF("id", "a", "seq", "op")
+              .select(col("id").as("id", fidm(1)), col("a").as("a", fidm(2)),
+                col("seq"), col("op")),
+            "seq", "op", "e-0")
+          // parquet-backed source (a local relation would constant-fold)
+          (1L to 10L).map(i => (i, s"s$i", i % 3 == 0)).toDF("id", "a", "del")
+            .write.mode("overwrite").parquet(s"$base/src")
+          graft.lake.Dml.mergeIntoBatch(spark, graft.lake.IceLite.load(root),
+            spark.read.parquet(s"$base/src"), matchedDelete = Some("s.del"),
+            matchedSet = Seq("a" -> "s.a"), insertNotMatched = true, pin = false)
         case "q100_bucketed_smb_join" =>
           // the reviewable plan is the co-located join itself — the gate's
           // final orderBy adds one presentation-only range exchange

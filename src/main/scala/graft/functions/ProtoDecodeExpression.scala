@@ -97,7 +97,11 @@ object ProtoFunctions {
 }
 
 /** SparkSessionExtensions entry point:
-  * `spark.sql.extensions=graft.functions.GraftExtensions` */
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the one-line
+  * cluster deployment switch: every session built with it gets the
+  * `proto_decode` SQL function AND the [[PruneProtoDecode]] projection-
+  * pushdown rule, with no per-session `register`/`install` calls in user
+  * code (those remain for already-built sessions, e.g. notebooks). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -110,5 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Left(exprs(1).eval(InternalRow.empty).toString),
           exprs(2).eval(InternalRow.empty).toString)
       }))
+    // same rule object install() appends to experimental.extraOptimizations;
+    // injected here it runs inside the optimizer's operatorOptimization
+    // batches for every query of the session
+    e.injectOptimizerRule(_ => PruneProtoDecode)
   }
 }

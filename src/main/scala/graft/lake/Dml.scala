@@ -107,6 +107,33 @@ object Dml {
       insertNotMatched: Boolean,
       epochId: String): MergeIntoStats = {
     val snap = IceLite.load(dir)
+    val batch0 = mergeIntoBatch(spark, snap, source, matchedDelete, matchedSet,
+      insertNotMatched).localCheckpoint()
+    val visible = snap.currentSchema.filterNot(_.hidden)
+    val byClause = batch0.groupBy("__dml_clause", "__dml_op").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val st = Merge.mergeEpoch(spark, dir,
+      batch0.select(visible.map(c => col(c.name).as(c.name, fid(c.id))) :+
+        lit(snap.maxSeq + 1).as("__dml_seq") :+ col("__dml_op"): _*),
+      "__dml_seq", "__dml_op", epochId)
+    MergeIntoStats(
+      updated = byClause.getOrElse(("m", "UPSERT"), 0L),
+      deleted = byClause.getOrElse(("m", "DELETE"), 0L),
+      inserted = byClause.getOrElse(("i", "UPSERT"), 0L),
+      merge = st)
+  }
+
+  /** The MERGE batch construction (matched clauses + inserts, before the
+    * epoch merge) — split out so the plan is reviewable on its own
+    * (graft.Explain) and unit-testable without a commit. */
+  private[graft] def mergeIntoBatch(spark: SparkSession, snap: IceLite.Snapshot,
+      source: DataFrame,
+      matchedDelete: Option[String],
+      matchedSet: Seq[(String, String)],
+      insertNotMatched: Boolean,
+      /** pin the multiply-consumed source/pre-image subplans (the default);
+        * Explain passes false so the bucket-pruned read stays visible. */
+      pin: Boolean = true): DataFrame = {
     val keyCols = snap.keyCols
     require(keyCols.forall(source.columns.contains),
       s"source must carry the key columns $keyCols")
@@ -123,7 +150,7 @@ object Dml {
     }
     // pin the source: it feeds bucket derivation, the match join, the
     // anti-join, and the final batch
-    val src = source.localCheckpoint()
+    val src = if (pin) source.localCheckpoint() else source
     require(src.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).isEmpty,
       "source has duplicate keys: each target row must match at most one source row")
@@ -132,9 +159,9 @@ object Dml {
     // narrowed to the matched keys
     val touched = src.select(IceLite.bucketExpr(keyCols, snap.buckets).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val target = IceLite.read(spark, snap, f => touched(f.bucket))
+    val target0 = IceLite.read(spark, snap, f => touched(f.bucket))
       .join(src.select(keyCols.map(col): _*), keyCols.toSeq, "left_semi")
-      .localCheckpoint()
+    val target = if (pin) target0.localCheckpoint() else target0
 
     def typed(n: String, e: Column): Column =
       e.cast(visible.find(_.name == n).get.sparkType)
@@ -159,17 +186,6 @@ object Dml {
           (if (srcCols(c.name)) typed(c.name, col(c.name))
            else lit(null).cast(c.sparkType)).as(c.name)
         } :+ lit("UPSERT").as("__dml_op") :+ lit("i").as("__dml_clause"): _*))
-    val batch0 = inserts.fold(matched)(matched.unionByName(_)).localCheckpoint()
-    val byClause = batch0.groupBy("__dml_clause", "__dml_op").count()
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val st = Merge.mergeEpoch(spark, dir,
-      batch0.select(visible.map(c => col(c.name).as(c.name, fid(c.id))) :+
-        lit(snap.maxSeq + 1).as("__dml_seq") :+ col("__dml_op"): _*),
-      "__dml_seq", "__dml_op", epochId)
-    MergeIntoStats(
-      updated = byClause.getOrElse(("m", "UPSERT"), 0L),
-      deleted = byClause.getOrElse(("m", "DELETE"), 0L),
-      inserted = byClause.getOrElse(("i", "UPSERT"), 0L),
-      merge = st)
+    inserts.fold(matched)(matched.unionByName(_))
   }
 }

@@ -55,4 +55,44 @@ class ProtoDecodeExpressionSpec extends AnyFunSuite {
     assert(row.getString(schema.fieldIndex("repo")) == "rX")
     assert(row.getLong(schema.fieldIndex("seq")) == 1L)
   }
+
+  test("GraftExtensions on a fresh session wires function + pruning rule end-to-end") {
+    // a FRESH SparkSession built with the extensions must resolve
+    // proto_decode in SQL and run PruneProtoDecode without any
+    // register()/install() call. NB the `spark.sql.extensions=...` config
+    // string is read from the SPARKCONTEXT's conf (SparkSession.
+    // applyExtensions), which in this shared-context suite already exists
+    // without it — so the test applies the same object through the
+    // builder's withExtensions path; on a cluster the --conf flag reaches
+    // the context and takes the config path.
+    val SS = org.apache.spark.sql.SparkSession
+    val (prevDefault, prevActive) = (SS.getDefaultSession, SS.getActiveSession)
+    SS.clearDefaultSession(); SS.clearActiveSession()
+    try {
+      val fresh = SS.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(prevActive.isEmpty || !(fresh eq prevActive.get),
+        "must be a newly-built session, or the test proves nothing")
+      import fresh.implicits._
+      // parquet-backed input: a local Seq relation would be constant-folded
+      // (decode and all) before the optimizer rule could see it
+      val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString + "/log"
+      Seq(payload("rE", 9L)).toDF("payload").write.parquet(dir)
+      fresh.read.parquet(dir).createOrReplaceTempView("ext_log")
+      val lit = Cdc.protoV1.replace("'", "''")
+      val df = fresh.sql(
+        s"SELECT proto_decode(payload, '$lit', 'RepoChange').repo AS repo FROM ext_log")
+      assert(df.as[String].collect().toSeq == Seq("rE"))
+      // the injected optimizer rule narrowed the decode to the read ordinal
+      val pruned = df.queryExecution.optimizedPlan.flatMap(
+        _.expressions.flatMap(_.collect { case pd: ProtoDecode => pd }))
+      assert(pruned.nonEmpty && pruned.forall(_.allowed.exists(_.contains(1))),
+        s"injected rule must prune: ${pruned.map(_.allowed)}")
+    } finally {
+      SS.clearDefaultSession(); SS.clearActiveSession()
+      prevDefault.foreach(SS.setDefaultSession)
+      prevActive.foreach(SS.setActiveSession)
+    }
+  }
 }
