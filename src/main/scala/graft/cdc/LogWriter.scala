@@ -118,19 +118,27 @@ object LogWriter {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
   }
 
-  /** Crashed appends leave `.stage-*` dirs behind (the success path deletes
-    * them after the atomic publish rename). Registration is a producer's
-    * recovery point, so it sweeps stages older than the orphan window —
-    * young ones may belong to a publisher mid-append and are left alone
-    * (same window rationale as [[graft.lake.Compaction.vacuum]]). */
+  /** Crashed appends leave `.stage-*` dirs (the success path deletes them
+    * after the atomic publish rename) and a crashed register() leaves its
+    * dot-prefixed `.{id}*.tmp` marker temp. Registration is a producer's
+    * recovery point, so it sweeps both kinds once they are older than the
+    * orphan window. Age is the NEWEST mtime anywhere under the entry — the
+    * stage directory's own mtime is frozen at append start (parquet output
+    * lands in stage/d/ below it), so a slow live append keeps itself safe
+    * through the files it is still writing, not through the parent dir
+    * (same in-flight-writer rationale as [[graft.lake.Compaction.vacuum]]). */
   private def sweepOrphanStages(meta: Path): Unit = {
     val cutoff = System.currentTimeMillis() - graft.lake.Compaction.defaultVacuumRetentionMs
+    def newestMtime(p: Path): Long =
+      try Files.walk(p).iterator().asScala
+        .map(f => Files.getLastModifiedTime(f).toMillis).max
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue }
     Files.list(meta).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".stage-"))
       .filter { p =>
-        try Files.getLastModifiedTime(p).toMillis <= cutoff
-        catch { case _: java.io.IOException => false }
+        val n = p.getFileName.toString
+        n.startsWith(".stage-") || (n.startsWith(".") && n.endsWith(".tmp"))
       }
+      .filter(newestMtime(_) <= cutoff)
       .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
   }
 

@@ -347,8 +347,12 @@ object Compaction {
     val versions = IceLite.history(dir)
     val tagged = IceLite.tags(dir).values.toSet
     val keep = versions.takeRight(math.max(keepLast, 1)).toSet
-    val drop = versions.filterNot(v => keep(v) || tagged(v))
-      .filter(v => IceLite.commitTimeOf(dir, v) < tsMs)
+    // monotone commit times → oldest-to-newest, stop at the first version
+    // at or past the cut (tag/keep exclusions don't break the prefix: they
+    // only skip versions inside it)
+    val drop = versions
+      .takeWhile(v => IceLite.commitTimeOf(dir, v) < tsMs)
+      .filterNot(v => keep(v) || tagged(v))
     drop.foreach { v =>
       java.nio.file.Files.deleteIfExists(Paths.get(dir, "meta", f"v$v%05d.json"))
     }

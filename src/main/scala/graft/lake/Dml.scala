@@ -107,6 +107,11 @@ object Dml {
       insertNotMatched: Boolean,
       epochId: String): MergeIntoStats = {
     val snap = IceLite.load(dir)
+    // exactly-once fence FIRST: a replayed MERGE epoch is a metadata no-op
+    // (and reports zero clause counts) — never pays the batch construction
+    if (snap.hasEpoch(epochId))
+      return MergeIntoStats(0L, 0L, 0L, Merge.MergeStats(epochId,
+        applied = false, 0L, 0L, 0L, 0, 0, 0L))
     val batch0 = mergeIntoBatch(spark, snap, source, matchedDelete, matchedSet,
       insertNotMatched).localCheckpoint()
     val visible = snap.currentSchema.filterNot(_.hidden)
@@ -140,6 +145,15 @@ object Dml {
     val visible = snap.currentSchema.filterNot(_.hidden)
     val dataCols = visible.filterNot(c => keyCols.contains(c.name))
     val srcCols = source.columns.toSet
+    // normalize source KEY types to the table's declared key types up
+    // front: xxhash64 is type-dependent (hash of int 7 != hash of 7L), so
+    // an uncast narrower source key (CSV/JSON inference, literal ints)
+    // would derive WRONG bucket ids and silently exclude matched rows from
+    // the pre-image — the joins coerce and would mask it (data columns are
+    // cast at use via typed())
+    val sourceK = source.withColumns(
+      keyCols.map(k => k -> col(k).cast(
+        visible.find(_.name == k).get.sparkType)).toMap)
     val sets: Seq[(String, String)] =
       if (matchedSet.nonEmpty) matchedSet
       else dataCols.map(_.name).filter(srcCols).map(n => n -> s"s.$n")
@@ -150,10 +164,18 @@ object Dml {
     }
     // pin the source: it feeds bucket derivation, the match join, the
     // anti-join, and the final batch
-    val src = if (pin) source.localCheckpoint() else source
-    require(src.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).isEmpty,
-      "source has duplicate keys: each target row must match at most one source row")
+    val src = if (pin) sourceK.localCheckpoint() else sourceK
+    // one validation pass: NULL keys would never match (SQL null semantics)
+    // and an anti-join would INSERT them as null-key rows; duplicate keys
+    // are the classic MERGE ambiguity (Delta's multiple-matches error)
+    val keyIssues = src.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1 || keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).collect()
+    require(keyIssues.isEmpty,
+      if (keyIssues.headOption.exists(r => keyCols.indices.exists(r.isNullAt)))
+        "source has NULL key values: MERGE keys must be non-null"
+      else
+        "source has duplicate keys: each target row must match at most one source row")
 
     // live pre-image of ONLY the buckets the source keys hash into,
     // narrowed to the matched keys

@@ -503,10 +503,13 @@ object IceLite {
     * predates every retained snapshot (time travel there ended with
     * `expire`, or the table didn't exist yet). */
   def loadAsOf(dir: String, tsMs: Long): Snapshot = {
-    val vs = history(dir).filter(v => commitTimeOf(dir, v) <= tsMs)
-    require(vs.nonEmpty,
+    // monotone commit times → scan newest-to-oldest and stop at the first
+    // hit: 1+k small JSON parses instead of every retained version's
+    // (value-index blobs included) on each cut resolution
+    val hit = history(dir).reverseIterator.find(v => commitTimeOf(dir, v) <= tsMs)
+    require(hit.nonEmpty,
       s"no retained snapshot of $dir at or before $tsMs (expired, or pre-create)")
-    loadVersion(dir, vs.max)
+    loadVersion(dir, hit.get)
   }
 
   // ------------------------------------------------------------------ tags

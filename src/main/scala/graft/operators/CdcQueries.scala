@@ -77,6 +77,22 @@ object CdcQueries {
     * change rows (upserts AND tombstones), each epoch LWW'd per key. The
     * oracle re-derives that from the decoded log dumped by this same run:
     * row_number per (epoch, key) ordered by seq DESC, epochs ≥ 1. */
+  /** Oracle-input dump shared by the epoch-fixture gates: decode every
+    * epoch of `logDir` and write the change rows WITH their epoch to
+    * `<root>/decoded` (the dump-then-refold oracle pattern). */
+  def dumpDecodedByEpoch(spark: SparkSession, logDir: String, root: String,
+      epochs: Int): Unit = {
+    import spark.implicits._
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val log = spark.read.parquet(logDir)
+    (0 until epochs).map { e =>
+      val ev = log.filter(col("epoch") === e)
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[graft.decode.ChangeEvent]
+      Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+  }
+
   def changeFeed(spark: SparkSession, nEvents: Long, tag: String): DataFrame = {
     import spark.implicits._
     val clock = new PhaseClock(tag)
@@ -89,16 +105,7 @@ object CdcQueries {
         pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
     }
     // oracle input: decoded change rows WITH their epoch
-    clock("decode_dump") {
-      val registry = spark.sparkContext.broadcast(Cdc.registry)
-      val log = spark.read.parquet(logDir)
-      (0 until 3).map { e =>
-        val ev = log.filter(col("epoch") === e)
-          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-          .as[graft.decode.ChangeEvent]
-        Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-      }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
-    }
+    clock("decode_dump") { dumpDecodedByEpoch(spark, logDir, root, epochs = 3) }
     clock("replay") { Replay.replayLog(spark, logDir, tableDir, buckets = 8) }
     // table versions: v0 = create, v1..v3 = the three epochs
     IceLite.changes(spark, tableDir, fromVersion = 1, toVersion = 3)
@@ -427,14 +434,7 @@ object CdcQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
           pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
-        val registry = s.sparkContext.broadcast(Cdc.registry)
-        val log = s.read.parquet(logDir)
-        (0 until 3).map { e =>
-          val ev = log.filter(col("epoch") === e)
-            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-            .as[graft.decode.ChangeEvent]
-          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         val log01 = s"$root/log01"; val log2 = s"$root/log2"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
@@ -543,14 +543,7 @@ object CdcQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
           pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
-        val registry = s.sparkContext.broadcast(Cdc.registry)
-        val log = s.read.parquet(logDir)
-        (0 until 3).map { e =>
-          val ev = log.filter(col("epoch") === e)
-            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-            .as[graft.decode.ChangeEvent]
-          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         val log01 = s"$root/log01"; val log2 = s"$root/log2"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
@@ -653,14 +646,7 @@ object CdcQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
           pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
-        val registry = s.sparkContext.broadcast(Cdc.registry)
-        val log = s.read.parquet(logDir)
-        (0 until 3).map { e =>
-          val ev = log.filter(col("epoch") === e)
-            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-            .as[graft.decode.ChangeEvent]
-          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         Replay.replayLog(s, logDir, tableDir, buckets = 8) // v1..v3
         val headRows = IceLite.read(s, IceLite.load(tableDir)).count()
         val v2Rows = IceLite.read(s, IceLite.loadVersion(tableDir, 2)).count()
@@ -735,14 +721,7 @@ object CdcQueries {
             pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
         }
         clock("decode_dump") {
-          val registry = s.sparkContext.broadcast(Cdc.registry)
-          val log = s.read.parquet(logDir)
-          (0 until 3).map { e =>
-            val ev = log.filter(col("epoch") === e)
-              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-              .as[graft.decode.ChangeEvent]
-            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+          dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         }
         val epochDirs = (0 until 3).map { e =>
           val dd = s"$root/log$e"
@@ -812,14 +791,7 @@ object CdcQueries {
             pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
         }
         clock("decode_dump") {
-          val registry = s.sparkContext.broadcast(Cdc.registry)
-          val log = s.read.parquet(logDir)
-          (0 until 3).map { e =>
-            val ev = log.filter(col("epoch") === e)
-              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-              .as[graft.decode.ChangeEvent]
-            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+          dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         }
         clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
         val images = clock("images") {
@@ -1099,14 +1071,7 @@ object CdcQueries {
             pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
         }
         clock("decode_dump") {
-          val registry = s.sparkContext.broadcast(Cdc.registry)
-          val log = s.read.parquet(logDir)
-          (0 until 3).map { e =>
-            val ev = log.filter(col("epoch") === e)
-              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-              .as[graft.decode.ChangeEvent]
-            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+          dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         }
         // the consistent snapshot: LWW fold of epochs 0-1, live rows only,
         // each carrying its winner's ORIGINAL sequence
@@ -1219,14 +1184,7 @@ object CdcQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
           pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
-        val registry = s.sparkContext.broadcast(Cdc.registry)
-        val log = s.read.parquet(logDir)
-        (0 until 3).map { e =>
-          val ev = log.filter(col("epoch") === e)
-            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-            .as[graft.decode.ChangeEvent]
-          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         Replay.replayLog(s, logDir, tableDir, buckets = 8)
         IceLite.read(s, IceLite.loadVersion(tableDir, 2))
           .select(col("repo"), col("path"), col("commit"), col("lang"),
@@ -1258,14 +1216,7 @@ object CdcQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
           pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
-        val registry = s.sparkContext.broadcast(Cdc.registry)
-        val log = s.read.parquet(logDir)
-        (0 until 3).map { e =>
-          val ev = log.filter(col("epoch") === e)
-            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-            .as[graft.decode.ChangeEvent]
-          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         // split the log so the DDL lands mid-history: epochs 0-1, DDL, epoch 2
         val log01 = s"$root/log01"; val log2 = s"$root/log2"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
@@ -1328,14 +1279,7 @@ object CdcQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
           pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
-        val registry = s.sparkContext.broadcast(Cdc.registry)
-        val log = s.read.parquet(logDir)
-        (0 until 3).map { e =>
-          val ev = log.filter(col("epoch") === e)
-            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-            .as[graft.decode.ChangeEvent]
-          Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-        }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         val log01 = s"$root/log01"; val log2 = s"$root/log2"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
@@ -1623,14 +1567,7 @@ object CdcQueries {
             pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
         }
         clock("decode_dump") {
-          val registry = s.sparkContext.broadcast(Cdc.registry)
-          val log = s.read.parquet(logDir)
-          (0 until 3).map { e =>
-            val ev = log.filter(col("epoch") === e)
-              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-              .as[graft.decode.ChangeEvent]
-            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+          dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         }
         val log01 = s"$root/log01"; val log2 = s"$root/log2"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
@@ -3482,16 +3419,7 @@ object CdcQueries {
           LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
             pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
         }
-        clock("decode_dump") {
-          val registry = s.sparkContext.broadcast(Cdc.registry)
-          val log = s.read.parquet(logDir)
-          (0 until 3).map { e =>
-            val ev = log.filter(col("epoch") === e)
-              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-              .as[graft.decode.ChangeEvent]
-            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
-        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
         clock("replay") {
           // epoch 2 lands after a real wall-clock gap, so the timestamp
           // cut between the commits is unambiguous
@@ -3719,16 +3647,7 @@ object CdcQueries {
           LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
             pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
         }
-        clock("decode_dump") {
-          val registry = s.sparkContext.broadcast(Cdc.registry)
-          val log = s.read.parquet(logDir)
-          (0 until 3).map { e =>
-            val ev = log.filter(col("epoch") === e)
-              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-              .as[graft.decode.ChangeEvent]
-            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
-        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
         clock("replay") {
           // epoch-at-a-time with real wall-clock gaps between commits
           (2 to 1 by -1).foreach { e =>
@@ -3814,14 +3733,7 @@ object CdcQueries {
             pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
         }
         clock("decode_dump") {
-          val registry = s.sparkContext.broadcast(Cdc.registry)
-          val log = s.read.parquet(logDir)
-          (0 until 3).map { e =>
-            val ev = log.filter(col("epoch") === e)
-              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-              .as[graft.decode.ChangeEvent]
-            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
-          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+          dumpDecodedByEpoch(s, logDir, root, epochs = 3)
         }
         clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
         clock("consume") {

@@ -134,6 +134,14 @@ class DmlSpec extends AnyFunSuite {
       Dml.mergeInto(spark, dir, Seq((2L, "a", 1L, false)).toDF("id", "grp", "v", "del"),
         None, Seq("id" -> "s.id + 1"), insertNotMatched = false, "m-3")
     }
+    // NULL source keys would silently anti-join into null-key inserts — refuse
+    val exNull = intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, dir,
+        Seq((Some(2L), "a", 1L, false), (None, "b", 2L, false))
+          .toDF("id", "grp", "v", "del"),
+        None, Seq.empty, insertNotMatched = true, "m-4")
+    }
+    assert(exNull.getMessage.contains("NULL key"))
   }
 
   test("DML rides the change feed: tombstones and rewrites are visible changes") {
