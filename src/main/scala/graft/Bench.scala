@@ -222,7 +222,8 @@ object Bench {
         "q108_partial_update", "q109_multi_source_ingest", "q110_default_value_column",
         "q111_streaming_patches", "q112_meta_aggregates", "q113_export_snapshot",
         "q114_idempotent_producer", "q115_log_truncation", "q116_asof_timestamp",
-        "q117_producer_to_stream", "q118_merge_into", "q119_time_retention")
+        "q117_producer_to_stream", "q118_merge_into", "q119_time_retention",
+        "q120_merge_full_sync")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -76,7 +76,9 @@ object Dml {
   }
 
   final case class MergeIntoStats(updated: Long, deleted: Long, inserted: Long,
-      merge: Merge.MergeStats)
+      merge: Merge.MergeStats,
+      /** rows deleted by the WHEN NOT MATCHED BY SOURCE clause. */
+      deletedBySource: Long = 0L)
 
   /** MERGE INTO table t USING source s ON t.key = s.key (Iceberg/Delta
     * MERGE semantics over an arbitrary source DataFrame):
@@ -105,7 +107,16 @@ object Dml {
       matchedDelete: Option[String],
       matchedSet: Seq[(String, String)],
       insertNotMatched: Boolean,
-      epochId: String): MergeIntoStats = {
+      epochId: String,
+      /** WHEN NOT MATCHED BY SOURCE THEN DELETE, bounded to a target scope
+        * (Delta 2.3's fourth clause — the full-sync primitive): target
+        * rows matching this predicate that have NO source row are
+        * tombstoned, so inside the scope the table mirrors the source
+        * exactly. The predicate (over target columns) is also the scan
+        * bound: it rides normal pushdown/pruning, and WITHOUT a selective
+        * one this clause is O(scope) = O(table) by definition — same
+        * guidance as Delta's. */
+      notMatchedBySourceDelete: Option[String] = None): MergeIntoStats = {
     val snap = IceLite.load(dir)
     // exactly-once fence FIRST: a replayed MERGE epoch is a metadata no-op
     // (and reports zero clause counts) — never pays the batch construction
@@ -113,7 +124,7 @@ object Dml {
       return MergeIntoStats(0L, 0L, 0L, Merge.MergeStats(epochId,
         applied = false, 0L, 0L, 0L, 0, 0, 0L))
     val batch0 = mergeIntoBatch(spark, snap, source, matchedDelete, matchedSet,
-      insertNotMatched).localCheckpoint()
+      insertNotMatched, notMatchedBySourceDelete).localCheckpoint()
     val visible = snap.currentSchema.filterNot(_.hidden)
     val byClause = batch0.groupBy("__dml_clause", "__dml_op").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -125,7 +136,8 @@ object Dml {
       updated = byClause.getOrElse(("m", "UPSERT"), 0L),
       deleted = byClause.getOrElse(("m", "DELETE"), 0L),
       inserted = byClause.getOrElse(("i", "UPSERT"), 0L),
-      merge = st)
+      merge = st,
+      deletedBySource = byClause.getOrElse(("x", "DELETE"), 0L))
   }
 
   /** The MERGE batch construction (matched clauses + inserts, before the
@@ -136,6 +148,7 @@ object Dml {
       matchedDelete: Option[String],
       matchedSet: Seq[(String, String)],
       insertNotMatched: Boolean,
+      notMatchedBySourceDelete: Option[String] = None,
       /** pin the multiply-consumed source/pre-image subplans (the default);
         * Explain passes false so the bucket-pruned read stays visible. */
       pin: Boolean = true): DataFrame = {
@@ -208,6 +221,17 @@ object Dml {
           (if (srcCols(c.name)) typed(c.name, col(c.name))
            else lit(null).cast(c.sparkType)).as(c.name)
         } :+ lit("UPSERT").as("__dml_op") :+ lit("i").as("__dml_clause"): _*))
-    inserts.fold(matched)(matched.unionByName(_))
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE, inside the caller's scope:
+    // a separate scan from the matched pre-image (absence can live in ANY
+    // bucket of the scope — bucket pruning doesn't apply; the scope
+    // predicate is the bound and rides normal pushdown). A matched scope
+    // row is excluded by the anti-join, so the clauses stay a partition.
+    val bySource = notMatchedBySourceDelete.map { pred =>
+      IceLite.read(spark, snap).where(expr(pred))
+        .join(src.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
+        .select(keyCols.map(col) ++ dataCols.map(c => col(c.name)) :+
+          lit("DELETE").as("__dml_op") :+ lit("x").as("__dml_clause"): _*)
+    }
+    Seq(Some(matched), inserts, bySource).flatten.reduce(_.unionByName(_))
   }
 }

@@ -3626,6 +3626,79 @@ object CdcQueries {
             SELECT 1 FROM t WHERE t.repo = s.repo AND t.path = s.path)
         ) ORDER BY repo, path""")),
 
+    OpQuery("q120_merge_full_sync",
+      // MERGE's FOURTH CLAUSE under the hard gate — WHEN NOT MATCHED BY
+      // SOURCE THEN DELETE, bounded to a target scope (Delta 2.3's
+      // full-sync primitive): inside the scope the table must MIRROR the
+      // source exactly (updates applied, absent keys tombstoned, new keys
+      // inserted), outside the scope nothing moves. The scope predicate is
+      // also the scan bound, so the clause's cost is O(scope), and the
+      // whole four-clause merge is still ONE fenced epoch. Oracle = fold
+      // LEFT JOINed to the dumped source with the same scope partition.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q120")
+        val root = workDir("q120")
+        val tableDir = s"$root/table"
+        clock("replay") { replayFinalState(s, nEvents = 5000, tag = "q120",
+          dumpDecodedLog = true) }
+        val scope = "repo LIKE 'org01%'" // org010-org019 + the sync repo
+        val sourceDf = clock("source") {
+          val live = IceLite.read(s, IceLite.load(tableDir))
+            .select("repo", "path", "commit", "lang", "content", "author")
+          // the source mirror: scope rows minus every third key (those must
+          // be DELETED by absence), content refreshed; plus new scope keys
+          val kept = live.filter(expr(scope))
+            .filter(pmod(xxhash64(col("repo"), col("path")), lit(3)) =!= 0)
+            .withColumn("content", concat(lit("sync:"), col("path")))
+          val fresh = s.range(0, 120, 1, 4).select(
+            lit("org01-sync").as("repo"),
+            concat(lit("new/"), col("id")).as("path"),
+            lit("c-sync").as("commit"), lit("scala").as("lang"),
+            concat(lit("mirror:"), col("id")).as("content"),
+            lit("sync-bot").as("author"))
+          val src = kept.unionByName(fresh)
+          src.write.mode("overwrite").parquet(s"$root/source")
+          s.read.parquet(s"$root/source")
+        }
+        val st = clock("merge") {
+          Dml.mergeInto(s, tableDir, sourceDf,
+            matchedDelete = None,
+            matchedSet = Seq("content" -> "s.content"),
+            insertNotMatched = true, epochId = "sync-0",
+            notMatchedBySourceDelete = Some(scope))
+        }
+        require(st.inserted == 120 && st.updated > 0 && st.deletedBySource > 0,
+          s"fixture must exercise update + insert + by-source delete: $st")
+        require(st.deleted == 0, s"no matched-delete clause was given: $st")
+        // the clause partition is exact: in-scope live keys == source keys
+        val inScope = IceLite.read(s, IceLite.load(tableDir)).filter(expr(scope))
+        require(inScope.count() == sourceDf.count(),
+          "inside the scope the table mirrors the source exactly")
+        putMetric("q120", "deleted_by_source", st.deletedBySource.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH t AS (
+          SELECT repo, path, "commit", lang, content, author
+          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM parquet_scan('${workDir("q120")}/decoded/*.parquet')) x
+          WHERE rn = 1 AND op <> 'DELETE'),
+        s AS (SELECT * FROM parquet_scan('${workDir("q120")}/source/*.parquet'))
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author FROM (
+          SELECT t.repo, t.path, t."commit", t.lang,
+                 CASE WHEN s.repo IS NOT NULL THEN s.content ELSE t.content END AS content,
+                 t.author
+          FROM t LEFT JOIN s ON t.repo = s.repo AND t.path = s.path
+          WHERE s.repo IS NOT NULL OR NOT (t.repo LIKE 'org01%')
+          UNION ALL
+          SELECT s.repo, s.path, s."commit", s.lang, s.content, s.author
+          FROM s WHERE NOT EXISTS (
+            SELECT 1 FROM t WHERE t.repo = s.repo AND t.path = s.path)
+        ) ORDER BY repo, path""")),
+
     OpQuery("q119_time_retention",
       // TIME-BASED RETENTION + the wall-clock change feed under the hard
       // gate: `changesBetween(fromTs, toTs)` resolves both cuts

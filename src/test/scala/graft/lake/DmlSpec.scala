@@ -144,6 +144,28 @@ class DmlSpec extends AnyFunSuite {
     assert(exNull.getMessage.contains("NULL key"))
   }
 
+  test("mergeInto NOT MATCHED BY SOURCE deletes absent keys inside the scope only") {
+    import spark.implicits._
+    val dir = fresh("msync") // 100 rows, grp g0..g3
+    // mirror of scope g0 (ids ≡ 0 mod 4): source keeps only ids ≤ 48,
+    // so in-scope ids 52..100 must be DELETED BY ABSENCE; other grps and
+    // the fresh insert are untouched/added
+    val source = ((4L to 48L by 4).map(i => (i, "g0", i * 100)) :+
+      (101L, "g0", 42L)).toDF("id", "grp", "v")
+    val st = Dml.mergeInto(spark, dir, source,
+      matchedDelete = None, matchedSet = Seq("v" -> "s.v"),
+      insertNotMatched = true, epochId = "sync-0",
+      notMatchedBySourceDelete = Some("grp = 'g0'"))
+    assert(st.updated == 12 && st.inserted == 1 && st.deleted == 0 &&
+      st.deletedBySource == 13, s"got $st") // in-scope 25 - matched 12 = 13
+    val after = state(dir)
+    assert(after.size == 100 - 13 + 1)
+    assert(after.count(_._2._1 == "g0") == 13, "scope mirrors the source")
+    assert(after(8L) == ("g0", 800L) && after(101L) == ("g0", 42L))
+    assert(!after.contains(52L), "absent in-scope key deleted")
+    assert(after(53L) == ("g1", 530L), "out-of-scope rows untouched")
+  }
+
   test("DML rides the change feed: tombstones and rewrites are visible changes") {
     val dir = fresh("feed")
     val v0 = IceLite.load(dir).version
