@@ -101,7 +101,8 @@ object Explain {
             .write.mode("overwrite").parquet(s"$base/src")
           graft.lake.Dml.mergeIntoBatch(spark, graft.lake.IceLite.load(root),
             spark.read.parquet(s"$base/src"), matchedDelete = Some("s.del"),
-            matchedSet = Seq("a" -> "s.a"), insertNotMatched = true, pin = false)
+            matchedSet = Seq("a" -> "s.a"), insertNotMatched = true,
+            notMatchedBySourceDelete = Some("id <= 20"), pin = false)
         case "q100_bucketed_smb_join" =>
           // the reviewable plan is the co-located join itself — the gate's
           // final orderBy adds one presentation-only range exchange

@@ -295,6 +295,35 @@ object CdcCli {
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val n = graft.lake.Compaction.expireOlderThan(tableDir, tsMs.toLong, keep)
       println(s"expired $n snapshot(s) committed before $tsMs (kept last $keep + tags)")
+    case "merge-into" :: tableDir :: srcParquet :: epochId :: rest =>
+      // MERGE INTO <table> USING parquet_source — flags:
+      //   --matched-delete <pred>   WHEN MATCHED AND pred THEN DELETE
+      //   --set <col=expr>          WHEN MATCHED THEN UPDATE SET (repeatable;
+      //                             none = SET * from source-carried columns)
+      //   --by-source <pred>        WHEN NOT MATCHED BY SOURCE AND pred DELETE
+      //   --no-insert               drop the WHEN NOT MATCHED INSERT clause
+      var matchedDel: Option[String] = None
+      var bySource: Option[String] = None
+      var sets = Vector.empty[(String, String)]
+      var insert = true
+      var it = rest
+      while (it.nonEmpty) it = it match {
+        case "--matched-delete" :: p :: t => matchedDel = Some(p); t
+        case "--by-source" :: p :: t => bySource = Some(p); t
+        case "--set" :: kv :: t =>
+          val Array(c, e) = kv.split("=", 2)
+          sets :+= (c -> e); t
+        case "--no-insert" :: t => insert = false; t
+        case other :: _ => sys.error(s"unknown merge-into flag: $other")
+        case Nil => Nil
+      }
+      val st = graft.lake.Dml.mergeInto(spark, tableDir,
+        spark.read.parquet(srcParquet), matchedDel, sets, insert, epochId,
+        bySource)
+      println(if (st.merge.applied)
+        s"merged: updated=${st.updated} deleted=${st.deleted} " +
+          s"inserted=${st.inserted} deleted_by_source=${st.deletedBySource}"
+      else s"epoch $epochId already applied (fenced no-op)")
     case "scd2-create" :: srcDir :: scdDir :: rest =>
       graft.lake.Scd2.create(srcDir, scdDir, rest.headOption.map(_.toInt).getOrElse(8))
       println(s"created SCD2 dimension at $scdDir over $srcDir")
