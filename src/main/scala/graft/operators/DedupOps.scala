@@ -478,6 +478,80 @@ object DedupOps {
     labels
   }
 
+  /** one row of the 60-bit SimHash table (q121). */
+  final case class Sim60Row(doc_id: Long, sim60: Long)
+
+  /** 60-bit SimHash over the word multiset — the wide variant of q19's
+    * 16-bit fingerprint, sized so Hamming distance separates near-dups from
+    * background (measured on this corpus: true near-dup pairs at dist 0–5,
+    * random pairs at 9+ with 1st percentile = 9). Same single typed pass as
+    * q19: one tokenize + one hash60 per word, all 60 bit-votes accumulated
+    * in the loop; tie votes (sum 0) leave the bit clear, the rule the
+    * DuckDB oracle reproduces. */
+  def simhash60(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
+      val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+      it.flatMap { case (id, text) =>
+        val m = re.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val votes = new Array[Int](60)
+        var n = 0
+        while (m.find()) {
+          val h = graft.functions.Hash60.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(m.group()))
+          var b = 0
+          while (b < 60) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+          n += 1
+        }
+        if (n == 0) None
+        else {
+          var sim = 0L
+          var b = 0
+          while (b < 60) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+          Some(Sim60Row(id, sim))
+        }
+      }
+    }.toDF()
+  }
+
+  /** SimHash near-duplicate PAIRS at scale via pigeonhole blocking (the
+    * Manku/Jain/Sarma WWW'07 web-crawl dedup shape): split the 60-bit
+    * fingerprint into `60/blockBits` contiguous blocks — any pair within
+    * Hamming distance `maxHamming < blocks` must agree exactly on at least
+    * one block (pigeonhole), so an equi-join on (block-index, block-value)
+    * finds EVERY qualifying pair, and an exact bit_count verify drops the
+    * false candidates. Cost shape for 100 TB: one row per document ×
+    * `blocks` tiny (id, block) rows equi-joined on a 2^blockBits-value key
+    * per block index — never all-pairs; candidate-list skew is bounded by
+    * true duplicate clusters, not corpus size. The signature table is a
+    * narrow projection (16 bytes/doc), localCheckpoint'd because it feeds
+    * four plan references (both join sides + both verify lookups). */
+  def simhashHammingPairs(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      maxHamming: Int = 5, blockBits: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(60 % blockBits == 0, s"blockBits=$blockBits must divide 60")
+    val blocks = 60 / blockBits
+    require(maxHamming < blocks,
+      s"pigeonhole completeness needs maxHamming ($maxHamming) < blocks ($blocks)")
+    val mask = (1L << blockBits) - 1
+    val sigs = simhash60(s, docs).localCheckpoint()
+    val exploded = sigs.select(col("doc_id"), explode(array(
+        (0 until blocks).map(i => struct(lit(i).as("bi"),
+          expr(s"(sim60 >> ${i * blockBits}) & $mask").as("bv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    val cands = exploded.as("l").join(exploded.as("r"),
+        col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("a"), col("sim60").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sim60").as("sb")), Seq("b"))
+      .withColumn("dist", expr("bit_count(sa ^ sb)"))
+      .filter(col("dist") <= maxHamming)
+      .select("a", "b", "dist")
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q35_dedup_components",
@@ -617,6 +691,29 @@ object DedupOps {
           s"(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) * ${1 << b}").mkString(" + ")} AS BIGINT) AS simhash
         FROM (SELECT doc_id, list_transform(ws, w -> ${hDuck("w")}) AS hw
           FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t WHERE len(ws) > 0) h) q
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    OpQuery("q121_simhash_hamming_pairs",
+      // near-dup PAIR MINING on the 60-bit SimHash: pigeonhole-blocked
+      // equi-join (6 blocks × 10 bits guarantees completeness for Hamming
+      // ≤ 5) + exact bit_count verify. The oracle is the brute-force
+      // all-pairs filter over the same 60-bit fingerprints — tractable at
+      // oracle scale, which is exactly what the blocking avoids at real
+      // scale; equality proves the blocked join found every pair.
+      (s, d) => simhashHammingPairs(s, ld(s, d, "documents")).orderBy("a", "b"),
+      Some {
+        val sim60Terms = (0 until 60).map(b =>
+          s"(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) * ${1L << b}")
+          .mkString(" + ")
+        s"""WITH sim AS (
+          SELECT doc_id, CAST($sim60Terms AS BIGINT) AS sim60
+          FROM (SELECT doc_id, list_transform(ws, w -> ${hDuck("w")}) AS hw
+            FROM (SELECT doc_id, $wordsDuck AS ws FROM documents) t WHERE len(ws) > 0) h)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.sim60, b.sim60)) AS INTEGER) AS dist
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim60, b.sim60)) <= 5
+        ORDER BY a, b"""
+      })
   )
 }
