@@ -193,6 +193,90 @@ object Replay {
     ReplayResult(epochs.length, results.map(_._1).toSeq)
   }
 
+  /** MULTI-WRITER INGEST — replay several change logs into ONE table
+    * CONCURRENTLY (one writer thread per log) under optimistic concurrency
+    * at the snapshot layer. Benign races (two delta-append commits
+    * interleaving) rebase inside the commit CAS loop; a GENUINE validation
+    * conflict — another writer COW-compacted or rewrote a bucket this
+    * epoch touches, or purged delta files its LWW depends on — aborts the
+    * merge with ConcurrentModificationException, and the epoch is RE-RUN
+    * against the fresh snapshot (Iceberg's validation-then-retry
+    * protocol; the aborted attempt's staged files become vacuum-swept
+    * orphans). The final state is interleaving-independent: merges are
+    * seq-LWW order-independent across epochs (the q92 out-of-order
+    * contract), fences are per-namespace, and dead-letter flushes plus
+    * the single ledger append are serialized. Namespaces MUST be
+    * distinct per log or the writers would fence each other's epoch
+    * numbers. Returns per-log results plus the total conflict-retry
+    * count (usually 0 — the bound exists so a pathological livelock
+    * fails loudly instead of spinning). */
+  def replayLogsConcurrent(
+      spark: SparkSession,
+      logs: Seq[(String, String)],
+      tableDir: String,
+      buckets: Int = 32,
+      framing: Framing.Value = Framing.Raw,
+      deltaThreshold: Int = 8,
+      maxRetriesPerEpoch: Int = 20): (Seq[ReplayResult], Int) = {
+    import spark.implicits._
+    require(logs.map(_._2).distinct.size == logs.size,
+      s"fence namespaces must be distinct, got ${logs.map(_._2)}")
+    if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    // single-writer sections: concurrent append jobs to ONE parquet dir
+    // share the committer's _temporary/0 staging dir — the first commit's
+    // cleanup would delete the second job's pending task outputs
+    val flushLock = new Object
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(logs.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = logs.map { case (logDir, ns) =>
+        scala.concurrent.Future {
+          val log = spark.read.parquet(logDir)
+          val epochs = java.nio.file.Files.list(java.nio.file.Paths.get(logDir))
+            .iterator().asScala.map(_.getFileName.toString)
+            .collect { case p if p.startsWith("epoch=") => p.stripPrefix("epoch=").toLong }
+            .toVector.sorted
+          val perEpoch = epochs.map { e =>
+            val ev = log.filter(col("epoch") === e)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[ChangeEvent]
+            val batch = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"), framing)
+            val keys = Some(Decode.decodeKeys(ev, registry, SchemaKey(Cdc.SchemaId, -1),
+              Cdc.MessageType, Seq("repo", "path"), framing))
+            var attempt = 0
+            var done: Option[Merge.MergeStats] = None
+            while (done.isEmpty) {
+              try {
+                val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
+                  s"$ns-$e", keys, deltaThreshold = deltaThreshold)
+                if (st.applied) flushLock.synchronized { batch.flushDeadLetters() }
+                done = Some(st)
+              } catch {
+                case cme: java.util.ConcurrentModificationException =>
+                  attempt += 1
+                  retries.incrementAndGet()
+                  if (attempt > maxRetriesPerEpoch)
+                    throw new IllegalStateException(
+                      s"epoch $ns-$e: conflict retry limit ($maxRetriesPerEpoch) exceeded", cme)
+              }
+            }
+            (done.get, batch.routeStats)
+          }
+          (ReplayResult(epochs.length, perEpoch.map(_._1)), perEpoch)
+        }
+      }
+      val settled = futures.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      Lineage.appendAll(spark, tableDir, settled.flatMap(_._2).collect {
+        case (st, acc) if st.applied => Lineage.entry(st, acc)
+      })
+      (settled.map(_._1), retries.get())
+    } finally pool.shutdown()
+  }
+
   /** SNAPSHOT BOOTSTRAP — how a CDC consumer attaches to a table that
     * already exists: bulk-load a consistent snapshot dump (every live row
     * with the sequence it was valid at) as ONE fenced epoch, then point

@@ -3699,6 +3699,82 @@ object CdcQueries {
             SELECT 1 FROM t WHERE t.repo = s.repo AND t.path = s.path)
         ) ORDER BY repo, path""")),
 
+    OpQuery("q122_concurrent_writers",
+      // MULTI-WRITER OPTIMISTIC CONCURRENCY under the hard gate: two
+      // key-sharded source logs replay into ONE table from two CONCURRENT
+      // writer threads (distinct fence namespaces, 6 epochs each). Benign
+      // commit races rebase inside the snapshot CAS; GENUINE validation
+      // conflicts are made likely on purpose — deltaThreshold=2 forces
+      // frequent inline COW compactions, so one writer rewriting a bucket
+      // the other is appending to is a real conflict — and each conflicted
+      // epoch re-runs against the fresh snapshot (Iceberg's
+      // validation-then-retry). The thread schedule is nondeterministic;
+      // the RESULT is not: seq-LWW merges are order-independent, so any
+      // interleaving converges to the oracle's global fold over both
+      // logs. A post-race re-replay of writer A's log must fence every
+      // epoch (exactly-once survived the concurrency).
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q122")
+        val root = workDir("q122")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 4000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.4)
+        def shardOf(repo: String, path: String): Int =
+          Math.floorMod(graft.functions.XxHash64Host.hashString(repo + "|" + path, 43L), 2L).toInt
+        clock("gen_sharded") {
+          val tagged = LogGen.events(s, p).mapPartitions { it =>
+            it.map { ev =>
+              val c = LogGen.rawChange(ev.offset, p)
+              (ev.payload, ev.schemaId, ev.schemaVersion, ev.messageType,
+                ev.partition, ev.offset, shardOf(c.repo, c.path))
+            }
+          }.toDF("payload", "schemaId", "schemaVersion", "messageType",
+            "partition", "offset", "shard").localCheckpoint()
+          tagged.filter(col("shard") === 0)
+            .withColumn("epoch", (col("offset") / 1400).cast("long")).drop("shard")
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logA")
+          tagged.filter(col("shard") === 1)
+            .withColumn("epoch", (col("offset") / 1400).cast("long")).drop("shard")
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logB")
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(s"$root/logA").unionByName(s.read.parquet(s"$root/logB"))
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val (results, retries) = clock("concurrent_replay") {
+          Replay.replayLogsConcurrent(s,
+            Seq(s"$root/logA" -> "wa", s"$root/logB" -> "wb"),
+            tableDir, buckets = 8, deltaThreshold = 3)
+        }
+        require(results.forall(_.stats.forall(_.applied)),
+          "every epoch from both writers must apply exactly once")
+        val led = IceLite.load(tableDir).ledger
+        require(led.watermarks.contains("wa") || led.recent.contains("wa"),
+          "writer A's fence namespace must be in the ledger")
+        require(led.watermarks.contains("wb") || led.recent.contains("wb"),
+          "writer B's fence namespace must be in the ledger")
+        val again = clock("fence_recheck") {
+          Replay.replayLog(s, s"$root/logA", tableDir, buckets = 8, namespace = "wa")
+        }
+        require(again.stats.forall(st => !st.applied),
+          "re-replaying writer A's log after the race must fence every epoch")
+        putMetric("q122", "conflict_retries", retries.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q122")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q119_time_retention",
       // TIME-BASED RETENTION + the wall-clock change feed under the hard
       // gate: `changesBetween(fromTs, toTs)` resolves both cuts
