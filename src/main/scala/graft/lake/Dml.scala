@@ -58,8 +58,18 @@ object Dml {
     val snap = IceLite.load(dir)
     Merge.mergeEpoch(spark, dir,
       dmlBatch(spark, snap, predicate, Seq.empty, "DELETE"),
-      "__dml_seq", "__dml_op", epochId)
+      "__dml_seq", "__dml_op", epochId, matchedKeys(spark, snap, predicate))
   }
+
+  /** Keys-only pre-pass over the matching rows so the merge prunes to the
+    * buckets that actually contain matches — without it every DML would
+    * "touch" (and write a delta into) every bucket, turning a one-user
+    * delete into an O(buckets) write. Column-pruned scan: only the key and
+    * predicate columns are read. */
+  private def matchedKeys(spark: SparkSession, snap: IceLite.Snapshot,
+      predicate: String): Option[DataFrame] =
+    Some(IceLite.read(spark, snap).where(expr(predicate))
+      .select(snap.keyCols.map(col): _*))
 
   /** UPDATE table SET col = expr, ... WHERE predicate — rewritten versions
     * of every matching row (non-key columns only; a key change is a
@@ -72,7 +82,7 @@ object Dml {
     val snap = IceLite.load(dir)
     Merge.mergeEpoch(spark, dir,
       dmlBatch(spark, snap, predicate, sets, "UPSERT"),
-      "__dml_seq", "__dml_op", epochId)
+      "__dml_seq", "__dml_op", epochId, matchedKeys(spark, snap, predicate))
   }
 
   final case class MergeIntoStats(updated: Long, deleted: Long, inserted: Long,

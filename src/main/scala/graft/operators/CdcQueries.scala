@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, Lineage, LogGen, Replay}
-import graft.lake.{Compaction, Dml, IceLite}
+import graft.lake.{Compaction, Diff, Dml, IceLite}
 
 /** The engine's own CDC operators surfaced through the driver gate.
   * q00 is the flagship: it generates a seeded protobuf change log, replays
@@ -3774,6 +3774,65 @@ object CdcQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q122")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q123_snapshot_diff",
+      // SNAPSHOT DIFF under the hard gate: replay 4 epochs, then diff the
+      // RESOLVED states of version 2 (after epochs 0-1) and head — one row
+      // per key whose live value changed in the window, classified
+      // insert / update / delete with the to-side values (NULL for
+      // deletes). This is the state delta, not the change feed: a key
+      // touched by three epochs appears once, with only its final value.
+      // The oracle full-outer-joins the two LWW folds of the decoded log
+      // (epochs <= 1 vs all) and classifies identically, so a diff that
+      // misses a changed bucket (bad pruning), compares non-null-safely,
+      // or leaks an unchanged key breaks equality. Bucket pruning itself
+      // (path-identical buckets never read) is files-audited in DiffSpec.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q123")
+        val root = workDir("q123")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen_dump") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 4)
+          dumpDecodedByEpoch(s, logDir, root, epochs = 4)
+        }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        val head = IceLite.load(tableDir).version
+        val pruned = Diff.changedBuckets(
+          IceLite.loadVersion(tableDir, 2), IceLite.loadVersion(tableDir, head))
+        putMetric("q123", "changed_buckets", pruned.map(_.size.toDouble).getOrElse(-1.0))
+        clock("diff") {
+          Diff.betweenVersions(s, tableDir, 2, head)
+            .select(col("repo"), col("path"), col("change_type"),
+              col("commit"), col("lang"),
+              sha2(col("content"), 256).as("content_sha"), col("author"))
+            .orderBy("repo", "path")
+        }
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q123")}/decoded/*.parquet')),
+        sf AS (SELECT repo, path, "commit", lang, content, author FROM (
+          SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+          FROM d WHERE epoch <= 1) t WHERE rn = 1 AND op <> 'DELETE'),
+        st AS (SELECT repo, path, "commit", lang, content, author FROM (
+          SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+          FROM d) t WHERE rn = 1 AND op <> 'DELETE')
+        SELECT coalesce(st.repo, sf.repo) AS repo,
+               coalesce(st.path, sf.path) AS path,
+               CASE WHEN sf.repo IS NULL THEN 'insert'
+                    WHEN st.repo IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               st."commit" AS "commit", st.lang AS lang,
+               sha256(st.content) AS content_sha, st.author AS author
+        FROM sf FULL OUTER JOIN st ON sf.repo = st.repo AND sf.path = st.path
+        WHERE sf.repo IS NULL OR st.repo IS NULL
+           OR sf."commit" IS DISTINCT FROM st."commit"
+           OR sf.lang IS DISTINCT FROM st.lang
+           OR sf.content IS DISTINCT FROM st.content
+           OR sf.author IS DISTINCT FROM st.author
+        ORDER BY repo, path""")),
 
     OpQuery("q119_time_retention",
       // TIME-BASED RETENTION + the wall-clock change feed under the hard
