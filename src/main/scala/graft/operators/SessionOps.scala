@@ -125,5 +125,84 @@ object SessionOps {
           event_type, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+      ,
+
+    OpQuery("q124_late_backfill",
+      // LATE-DATA BACKFILL REPAIR under the hard gate: q39's tumbling
+      // aggregate runs as a watermarked STREAM over 5 arrival waves where
+      // every 97th event arrives two waves late — far beyond the 1-hour
+      // watermark, so Spark drops it from the emitted windows (the gate
+      // hard-asserts the stream really was wrong). The streamed windows
+      // load into an IceLite serving table; a batch reconciliation then
+      // finds the late-touched windows from the log's own (event time,
+      // arrival band) metadata, re-aggregates ONLY those windows, and
+      // MERGEs the rows that differ. The repaired table must equal the
+      // plain full aggregate — the oracle is exactly q39's SQL, reached
+      // through stream + drop + detect + repair instead of one batch scan.
+      (s, d) => {
+        import graft.streaming.LateRepair
+        import graft.lake.{Dml, IceLite}
+        val clock = new CdcQueries.PhaseClock("q124")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q124"
+        val tableDir = s"$root/table"
+        val ev = ld(s, d, "events")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value"))
+        val (streamed, stats) = clock("stream") {
+          val r = LateRepair.runStreamWithLateArrivals(
+            s, ev, root, chunks = 5, windowDur = "6 hours", delay = "1 hour",
+            latePeriod = 97)
+          (r._1.localCheckpoint(), r._2)
+        }
+        require(stats.lateArrivals > 0,
+          s"gate is vacuous: no late arrivals (latePeriod too large for this sf?)")
+        CdcQueries.putMetric("q124", "late_arrivals", stats.lateArrivals.toDouble)
+        CdcQueries.putMetric("q124", "dropped_by_watermark", stats.droppedByWatermark.toDouble)
+        def fid(id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.fieldId", id.toLong).build()
+        clock("load") {
+          IceLite.create(tableDir, IceLite.withCdcCols(Vector(
+            IceLite.ColDef(1, "window_start_us", "BIGINT"),
+            IceLite.ColDef(2, "event_type", "STRING"),
+            IceLite.ColDef(3, "n", "BIGINT"),
+            IceLite.ColDef(4, "sum_value", "DOUBLE"))),
+            Vector("window_start_us", "event_type"), buckets = 8)
+          graft.lake.Merge.mergeEpoch(s, tableDir, streamed.select(
+            col("window_start_us").as("window_start_us", fid(1)),
+            col("event_type").as("event_type", fid(2)),
+            col("n").as("n", fid(3)),
+            col("sum_value").as("sum_value", fid(4)),
+            lit(1L).as("__ld_seq"), lit("UPSERT").as("__ld_op")),
+            "__ld_seq", "__ld_op", "stream-load-1")
+        }
+        val (nCorr, nWin) = clock("repair") {
+          val feed = s.read.parquet(s"$root/feed")
+          val late = LateRepair.lateWindows(feed, "6 hours", chunks = 5)
+          val corr = LateRepair
+            .corrections(feed, streamed, "6 hours", late).localCheckpoint()
+          val n = corr.count()
+          // the stream MUST have been wrong somewhere, and right almost
+          // everywhere — otherwise this gate proves nothing about repair
+          require(n > 0, "no corrections: the watermark dropped nothing?")
+          val total = streamed.count()
+          require(n < total,
+            s"stream was wrong on $n of $total windows — late shift swamped it")
+          Dml.mergeInto(s, tableDir, corr,
+            matchedDelete = None,
+            matchedSet = Seq("n" -> "s.n", "sum_value" -> "s.sum_value"),
+            insertNotMatched = true,
+            epochId = "late-repair-1")
+          (n, total)
+        }
+        CdcQueries.putMetric("q124", "windows_corrected", nCorr.toDouble)
+        CdcQueries.putMetric("q124", "windows_total", nWin.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select("window_start_us", "event_type", "n", "sum_value")
+          .orderBy("window_start_us", "event_type")
+      },
+      Some("""SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
   )
 }
