@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("text-index-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-textindex-$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  /** brute-force AND search straight off the documents frame */
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): Seq[(Long, Long)] =
+    TextIndex.postings(docs)
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"), sum("tf").as("score"))
+      .filter(col("nt") === terms.distinct.size)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("incremental build == brute force; query reads only the terms' bucket dirs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = TextIndex.create(tmp("basic"), buckets = 16)
+    idx.append(docs.filter(col("doc_id") % 3 =!= 0), 1L)
+    idx.append(docs.filter(col("doc_id") % 3 === 0), 2L)
+
+    for (terms <- Seq(Seq("dup"), Seq("spark", "merge"), Seq("dup", "window", "join"))) {
+      val got = idx.searchAll(spark, terms)
+      val exp = bruteForce(docs, terms)
+      assert(exp.nonEmpty, s"test needs matches for $terms")
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
+
+      // files-read audit: every file the query scans sits under a pruned
+      // tbucket dir of one of the query terms, and pruning is structural
+      val pruned = idx.prunedPaths(terms)
+      assert(pruned.size < idx.allPaths.size,
+        s"no pruning for $terms: ${pruned.size} of ${idx.allPaths.size}")
+      val files = got.inputFiles
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val path = new java.net.URI(f).getPath
+        assert(pruned.exists(path.startsWith),
+          s"query read $f outside pruned dirs $pruned")
+      }
+    }
+  }
+
+  test("re-appending a batch id is idempotent; duplicate query terms collapse") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = TextIndex.create(tmp("idem"), buckets = 8)
+    val w1 = docs.filter(col("doc_id") % 2 === 0)
+    idx.append(w1, 1L)
+    idx.append(w1, 1L) // foreachBatch replay: overwrite, never double-count
+    idx.append(docs.filter(col("doc_id") % 2 =!= 0), 2L)
+    val exp = bruteForce(docs, Seq("dup", "merge"))
+    val got = idx.searchAll(spark, Seq("dup", "merge", "DUP", "merge"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
+  }
+
+  test("compaction crash windows keep serving the full index; recompact recovers") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = TextIndex.create(tmp("crash"), buckets = 8)
+    idx.append(docs.filter(col("doc_id") % 2 === 0), 1L)
+    idx.append(docs.filter(col("doc_id") % 2 =!= 0), 2L)
+    val terms = Seq("dup", "spark")
+    val exp = bruteForce(docs, terms)
+
+    // crash after staging, before any move: live batches untouched
+    intercept[RuntimeException] {
+      idx.compactBatches(spark, 100L,
+        crashPoint = p => if (p == "staged") throw new RuntimeException("boom"))
+    }
+    assert(idx.searchAll(spark, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
+
+    // recompact with a higher id: sweeps the stranded stage dir, collapses
+    assert(idx.compactBatches(spark, 101L) == 2)
+    assert(BatchStore.liveBatchDirs(idx.postingsDir).size == 1)
+    assert(idx.searchAll(spark, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
+
+    // post-compaction append stays live and visible
+    idx.append(docs.limit(0), 3L) // empty batch: no partition dirs, harmless
+    val idx2 = TextIndex.loadIndex(idx.dir)
+    assert(idx2.buckets == 8)
+    assert(idx2.searchAll(spark, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
+  }
+}
