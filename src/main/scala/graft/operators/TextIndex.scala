@@ -29,6 +29,7 @@ object TextIndex {
     * the bucket count (changing it would re-home every term). */
   final case class Index(dir: String, buckets: Int) {
     def postingsDir: String = s"$dir/postings"
+    def positionalDir: String = s"$dir/pos"
 
     private def bucketCol: Column =
       pmod(xxhash64(col("token")), lit(buckets)).cast("int")
@@ -76,6 +77,52 @@ object TextIndex {
         .select(col("doc_id"), col("score"))
     }
 
+    /** Append one document batch's POSITIONAL postings (doc_id, token,
+      * positions[]) — same bucket rule, separate subtree, so an index can
+      * carry either or both posting kinds. */
+    def appendPositional(docs: DataFrame, batchId: Long): Unit =
+      positionalPostings(docs).withColumn("tbucket", bucketCol)
+        .write.partitionBy("tbucket").mode("overwrite")
+        .parquet(s"$positionalDir/batch=$batchId")
+
+    /** The positional `tbucket=K` dirs a phrase's distinct terms read. */
+    def prunedPositionalPaths(terms: Seq[String]): Seq[String] =
+      BatchStore.prunedPaths(positionalDir, "tbucket", terms.map(bucketOf).toSet)
+
+    def allPositionalPaths: Seq[String] =
+      BatchStore.prunedPaths(positionalDir, "tbucket", (0 until buckets).toSet)
+
+    /** Exact phrase occurrences per document, served off the positional
+      * store. Reads ONLY the distinct phrase terms' bucket directories,
+      * then anchors each (token, pos) row at every phrase offset the token
+      * fills (`anchor = pos - offset`): a phrase occurrence at `a` is an
+      * anchor where all `phrase.length` offsets are present — repeated
+      * terms in the phrase work because each occurrence row fans out to
+      * every offset that term occupies. Returns (doc_id, n_occ).
+      *
+      * Plan shape: pruned scan → two narrow explodes → hash-agg keyed
+      * (doc_id, anchor) → hash-agg keyed doc_id: one shuffle family on
+      * doc_id, cost O(the terms' posting lists) regardless of corpus. */
+    def phraseSearch(spark: SparkSession, phrase: Seq[String]): DataFrame = {
+      val ph = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+      require(ph.nonEmpty, "phraseSearch needs a non-empty phrase")
+      val terms = ph.distinct
+      val offsets: Map[String, Seq[Int]] =
+        ph.zipWithIndex.groupBy(_._1).map { case (t, os) => t -> os.map(_._2) }
+      val paths = prunedPositionalPaths(terms)
+      if (paths.isEmpty)
+        return spark.range(0).select(col("id").as("doc_id"), col("id").as("n_occ"))
+      spark.read.option("basePath", positionalDir).parquet(paths: _*)
+        .filter(col("token").isin(terms: _*))
+        .select(col("doc_id"), col("token"), explode(col("positions")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          explode(element_at(typedLit(offsets), col("token"))).as("off"))
+        .groupBy(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+        .agg(countDistinct(col("off")).as("nf"))
+        .filter(col("nf") === ph.size)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    }
+
     /** Offline maintenance: consolidate live `batch=N` dirs into one
       * (same tbucket partitioning — pruning semantics unchanged) via the
       * shared crash-safe staged-swap. */
@@ -98,6 +145,13 @@ object TextIndex {
     docs.select(col("doc_id"), explode(expr(TextOps.wordsSpark)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
 
+  /** (doc_id, token, positions[]) — posexplode keeps the 0-based word
+    * offset so phrase adjacency survives the per-term grouping. */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(expr(TextOps.wordsSpark)).as(Seq("pos", "token")))
+      .groupBy("doc_id", "token")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
   def create(dir: String, buckets: Int = 32): Index = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val d = Paths.get(dir)
@@ -119,6 +173,15 @@ object TextIndex {
   }
 
   private val q125Terms = Seq("dup", "merge", "window")
+  // one phrase with a repeated term (offset fan-out) + one plain bigram
+  private val q126Phrases = Seq(Seq("batch", "batch"), Seq("stream", "spark"))
+
+  private def q126OracleArm(ph: Seq[String]): String = {
+    val k = ph.size
+    s"""SELECT '${ph.mkString(" ")}' AS phrase, doc_id FROM toks,
+        LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - ${k - 1}, 0))) AS i)
+        WHERE array_to_string(ws[i:i+${k - 1}], ' ') = '${ph.mkString(" ")}'"""
+  }
 
   val queries: Seq[OpQuery] = Seq(
     OpQuery("q125_inverted_index",
@@ -161,6 +224,39 @@ object TextIndex {
           WHERE token IN (${q125Terms.map(t => s"'$t'").mkString(", ")})
           GROUP BY 1, 2) tf
         GROUP BY doc_id HAVING count(DISTINCT token) = ${q125Terms.size}
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    OpQuery("q126_phrase_search",
+      // EXACT PHRASE SEARCH off the positional postings store: the index
+      // keeps (doc, token, positions[]) bucket-partitioned by token; a
+      // phrase query reads only its distinct terms' bucket dirs and counts
+      // anchors where every phrase offset is filled — including a phrase
+      // with a REPEATED term, which exercises the offset fan-out. The
+      // oracle recounts occurrences by brute-force n-gram equality over
+      // the raw documents, so any lost/shifted position breaks equality.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q126"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val docs = ld(s, d, "documents")
+        val idx = create(root, buckets = 32)
+        idx.appendPositional(docs.filter(col("doc_id") % 3 =!= 0), batchId = 1L)
+        idx.appendPositional(docs.filter(col("doc_id") % 3 === 0), batchId = 2L)
+        val all = idx.allPositionalPaths.size
+        val parts = q126Phrases.map { ph =>
+          val pruned = idx.prunedPositionalPaths(ph.distinct).size
+          require(pruned < all,
+            s"no structural pruning for $ph: read $pruned of $all bucket dirs")
+          idx.phraseSearch(s, ph).withColumn("phrase", lit(ph.mkString(" ")))
+        }
+        val out = parts.reduce(_ unionByName _)
+          .select("phrase", "doc_id", "n_occ")
+        require(out.limit(1).count() > 0, "gate is vacuous: no phrase hits")
+        out.orderBy("phrase", "doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, ${TextOps.wordsDuck} AS ws FROM documents)
+        SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occ FROM (
+          ${q126Phrases.map(q126OracleArm).mkString("\n          UNION ALL\n          ")}) u
+        GROUP BY 1, 2 ORDER BY phrase, doc_id"""))
   )
 }

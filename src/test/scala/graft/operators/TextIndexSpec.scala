@@ -59,6 +59,35 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search == independent sliding-window count; reads only term buckets") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = TextIndex.create(tmp("phrase"), buckets = 16)
+    idx.appendPositional(docs.filter(col("doc_id") % 3 =!= 0), 1L)
+    idx.appendPositional(docs.filter(col("doc_id") % 3 === 0), 2L)
+
+    // independent oracle: sliding-window count on the driver
+    val toks: Seq[(Long, Array[String])] = docs
+      .select(col("doc_id"), expr(TextOps.wordsSpark).as("ws"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray)).toSeq
+    def brute(ph: Seq[String]): Seq[(Long, Long)] = toks.flatMap { case (id, ws) =>
+      val n = ws.sliding(ph.size).count(_.sameElements(ph))
+      if (n > 0) Some((id, n.toLong)) else None
+    }.sortBy(_._1)
+
+    for (ph <- Seq(Seq("batch", "batch"), Seq("stream", "spark"), Seq("merge", "line"))) {
+      val exp = brute(ph)
+      assert(exp.nonEmpty, s"test needs occurrences of $ph")
+      val got = idx.phraseSearch(spark, ph)
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
+      val pruned = idx.prunedPositionalPaths(ph.distinct)
+      assert(pruned.size < idx.allPositionalPaths.size)
+      got.inputFiles.foreach { f =>
+        val path = new java.net.URI(f).getPath
+        assert(pruned.exists(path.startsWith), s"read $f outside $pruned")
+      }
+    }
+  }
+
   test("re-appending a batch id is idempotent; duplicate query terms collapse") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val idx = TextIndex.create(tmp("idem"), buckets = 8)
