@@ -105,6 +105,74 @@ object GraphOps {
         r3 AS (SELECT e.dst AS node, (15*b.base + 85*sum(r2.r // d.deg)) // 100 AS r
                FROM bidir e JOIN r2 ON e.src = r2.node
                JOIN deg d ON e.src = d.src, b GROUP BY e.dst, b.base)
-        SELECT node, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20"""))
+        SELECT node, CAST(r AS BIGINT) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20""")),
+
+    OpQuery("q127_triangle_count",
+      // PER-NODE TRIANGLE COUNTS with degree orientation — the classic
+      // skew-proof formulation: orient every undirected edge from the
+      // lower-(degree, id) endpoint to the higher, enumerate wedges only
+      // at each edge's ORIENTED tail (fan-out bounded by oriented
+      // out-degree ≈ O(√m) even when raw degrees are power-law), close
+      // them with one semi-join back to the oriented edge list. A naive
+      // wedge count at raw high-degree hubs is the quadratic blow-up this
+      // avoids at 100 TB. All-integer output; the oracle counts the same
+      // triangles by brute-force canonical a<b three-way join.
+      (s, d) => triangleCounts(coPartEdges(s, d)).orderBy("node"),
+      Some("""WITH el AS (
+          SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS a,
+                          greatest(l_partkey % 200, l_suppkey % 200) AS b
+          FROM lineitem WHERE l_partkey % 200 <> l_suppkey % 200),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM el e1 JOIN el e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN el e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) u
+        GROUP BY node ORDER BY node"""))
   )
+
+  /** Deterministic co-occurrence graph: residue classes of part and
+    * supplier keys that appear on the same lineitem, canonical a<b. */
+  private def coPartEdges(s: SparkSession, d: String): DataFrame = {
+    val pa = col("l_partkey") % 200
+    val pb = col("l_suppkey") % 200
+    ld(s, d, "lineitem").filter(pa =!= pb)
+      .select(least(pa, pb).cast("long").as("a"),
+        greatest(pa, pb).cast("long").as("b"))
+      .distinct()
+  }
+
+  /** (node, triangles) for an undirected canonical edge list (a<b, no
+    * self-loops, distinct). Wedge enumeration runs at oriented tails
+    * only; the closing edge check is a LEFT SEMI join so the planner
+    * never materializes the (wedge × edge) product. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // total order (degree, node): rank = deg·2^32 + node, collision-free
+    // for node ids < 2^32 and degrees < 2^31
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("n"), (col("deg") * 4294967296L + col("n")).as("rank"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("rank").as("ra")), "a")
+      .join(deg.select(col("n").as("b"), col("rank").as("rb")), "b")
+      .select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
+      .localCheckpoint()
+    // wedges (u → v, u → w) with rv < rw: each triangle yields exactly one
+    // wedge whose closing edge is oriented v → w under the same order
+    val o1 = oriented.select(col("u"), col("v"), col("rv"))
+    val o2 = oriented.select(col("u"), col("v").as("w"), col("rv").as("rw"))
+    val wedges = o1.join(o2, Seq("u")).filter(col("rv") < col("rw"))
+      .select(col("u"), col("v"), col("w"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"), "left_semi")
+    closed.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

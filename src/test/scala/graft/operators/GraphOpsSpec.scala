@@ -36,6 +36,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == r)
   }
 
+  test("triangleCounts: K4 and a seeded random graph vs brute force") {
+    import spark.implicits._
+    // K4: 4 triangles total, every node in exactly 3
+    val k4 = (for (a <- 0 to 3; b <- (a + 1) to 3) yield (a.toLong, b.toLong))
+    val gotK4 = GraphOps.triangleCounts(k4.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    // seeded random graph: brute-force count of each triangle on the driver
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 200).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val exp = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes; j <- nodes if i < j && es((i, j))
+      k <- nodes if j < k && es((j, k)) && es((i, k))
+    } { exp(i) += 1; exp(j) += 1; exp(k) += 1 }
+    val got = GraphOps.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp.toMap)
+    assert(exp.values.sum > 0, "random graph must actually contain triangles")
+  }
+
   test("baseFor caps the mass so 85x the worst-case inflow stays inside Long") {
     for (n <- Seq(1L, 10L, 90000L, 1000000L, 3000000000L)) {
       val b = GraphOps.baseFor(n)
