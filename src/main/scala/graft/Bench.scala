@@ -224,7 +224,8 @@ object Bench {
         "q114_idempotent_producer", "q115_log_truncation", "q116_asof_timestamp",
         "q117_producer_to_stream", "q118_merge_into", "q119_time_retention",
         "q120_merge_full_sync", "q122_concurrent_writers", "q123_snapshot_diff",
-        "q124_late_backfill", "q125_inverted_index", "q126_phrase_search")
+        "q124_late_backfill", "q125_inverted_index", "q126_phrase_search",
+        "q130_bm25_topk")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

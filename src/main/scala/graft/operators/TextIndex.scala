@@ -30,6 +30,8 @@ object TextIndex {
   final case class Index(dir: String, buckets: Int) {
     def postingsDir: String = s"$dir/postings"
     def positionalDir: String = s"$dir/pos"
+    def doclensDir: String = s"$dir/doclens"
+    def countsDir: String = s"$dir/counts"
 
     private def bucketCol: Column =
       pmod(xxhash64(col("token")), lit(buckets)).cast("int")
@@ -43,11 +45,42 @@ object TextIndex {
         buckets.toLong).toInt
 
     /** Append one document batch's postings (idempotent per batchId: the
-      * batch dir is an overwrite, never a double append). */
-    def append(docs: DataFrame, batchId: Long): Unit =
+      * batch dir is an overwrite, never a double append). Alongside the
+      * posting lists the index keeps the ranking sidecars: per-doc token
+      * lengths (`doclens/batch=N`) and per-batch corpus stats
+      * (`counts/batch-N.json`, host-side JSON) — the Lucene-segment-style
+      * metadata BM25 scoring needs without ever re-scanning the corpus.
+      * A replayed batch id overwrites all three with identical content. */
+    def append(docs: DataFrame, batchId: Long): Unit = {
       postings(docs).withColumn("tbucket", bucketCol)
         .write.partitionBy("tbucket").mode("overwrite")
         .parquet(s"$postingsDir/batch=$batchId")
+      val lens = docs.select(col("doc_id"),
+        size(expr(TextOps.wordsSpark)).cast("long").as("len"))
+      lens.write.mode("overwrite").parquet(s"$doclensDir/batch=$batchId")
+      val agg = lens.agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).head()
+      val (nd, nt) = (agg.getLong(0), agg.getLong(1))
+      Files.createDirectories(Paths.get(countsDir))
+      Files.write(Paths.get(countsDir, s"batch-$batchId.json"),
+        s"""{"nDocs":$nd,"nTokens":$nt}""".getBytes("UTF-8"))
+    }
+
+    /** (total docs, total tokens) ingested — summed host-side over the
+      * per-batch stat files (batch-id overwrite keeps replays idempotent;
+      * compaction never rewrites history, so the sums are stable). */
+    def corpusStats: (Long, Long) = {
+      val d = Paths.get(countsDir)
+      if (!Files.isDirectory(d)) return (0L, 0L)
+      val re = """"nDocs"\s*:\s*(\d+)\s*,\s*"nTokens"\s*:\s*(\d+)""".r
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("batch-")).toVector
+        .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+        .map(s => re.findFirstMatchIn(s)
+          .map(m => (m.group(1).toLong, m.group(2).toLong))
+          .getOrElse(throw new IllegalStateException(s"corrupt counts: $s")))
+        .foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    }
 
     /** The `tbucket=K` directories (across live batches) a term set reads —
       * exposed so tests can audit structural pruning. */
@@ -123,18 +156,96 @@ object TextIndex {
         .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
     }
 
-    /** Offline maintenance: consolidate live `batch=N` dirs into one
-      * (same tbucket partitioning — pruning semantics unchanged) via the
-      * shared crash-safe staged-swap. */
+    /** Top-k RANKED retrieval (BM25 with k1=1.2, b=0.75 and the RATIONAL
+      * idf `(N-df+0.5)/(df+0.5)` — no logarithm: a log idf would hostage
+      * the cross-engine gate to libm rounding, the q97 lesson). Clearing
+      * the fractions (avgdl = T/N) gives one integer numerator/denominator
+      * per (doc, term):
+      *
+      *   num = (2N - 2df + 1) · 44 · tf · T
+      *   den = (2df + 1) · (20·tf·T + 6·T + 18·len·N)
+      *
+      * score_t = num/den evaluated as ONE exactly-rounded IEEE division
+      * (long→double conversion is exactly rounded too), and the per-doc
+      * score sums the per-term doubles in FIXED query order — every step
+      * bit-reproducible in any IEEE engine. Overflow guard: the factors
+      * must fit a signed 64-bit product; `tfCap` bounds the worst case and
+      * is checked against the index's own corpus stats.
+      *
+      * Serving shape: postings read is bucket-pruned to the query terms;
+      * df comes from the same pruned read (it IS the posting-list length);
+      * doclens is a per-doc scalar sidecar joined on doc_id (bucketable by
+      * doc at real scale); N and T are host-side segment-stat sums. Top-k
+      * via one bounded sort, ties broken by doc_id. */
+    def rankedSearch(spark: SparkSession, terms: Seq[String], k: Int): DataFrame = {
+      val ts = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      require(ts.nonEmpty, "rankedSearch needs at least one term")
+      val (nDocs, nTokens) = corpusStats
+      require(nDocs > 0, "rankedSearch on an empty index")
+      val tfCap = 1L << 20
+      require(BigInt(2 * nDocs + 1) * 44 * tfCap * nTokens < BigInt(Long.MaxValue) &&
+        BigInt(2 * nDocs + 1) * (20 * tfCap * BigInt(nTokens) + 6 * nTokens +
+          18 * tfCap * nDocs) < BigInt(Long.MaxValue),
+        s"corpus too large for 64-bit exact BM25 (nDocs=$nDocs nTokens=$nTokens)")
+      val paths = prunedPaths(ts)
+      if (paths.isEmpty)
+        return spark.range(0).select(col("id").as("doc_id"),
+          col("id").cast("double").as("score"))
+      val posts = spark.read.option("basePath", postingsDir).parquet(paths: _*)
+        .filter(col("token").isin(ts: _*))
+        .select("doc_id", "token", "tf")
+      val dfreq = posts.groupBy("token").agg(count(lit(1)).as("df"))
+      val lens = spark.read.option("basePath", doclensDir)
+        .parquet(BatchStore.liveBatchDirs(doclensDir).map(_.toString): _*)
+        .select("doc_id", "len")
+      val num = (lit(2L * nDocs + 1) - lit(2L) * col("df")) *
+        lit(44L) * col("tf") * lit(nTokens)
+      val den = (lit(2L) * col("df") + lit(1L)) *
+        (lit(20L) * col("tf") * lit(nTokens) + lit(6L * nTokens) +
+          lit(18L * nDocs) * col("len"))
+      val perTerm = posts
+        .join(broadcast(dfreq), Seq("token"))
+        .join(lens, Seq("doc_id"))
+        .withColumn("s", num.cast("double") / den.cast("double"))
+      val pivoted = perTerm.groupBy("doc_id")
+        .agg(ts.zipWithIndex.map { case (t, i) =>
+          max(when(col("token") === t, col("s"))).as(s"s_$i")
+        }.head, ts.zipWithIndex.tail.map { case (t, i) =>
+          max(when(col("token") === t, col("s"))).as(s"s_$i")
+        }: _*)
+      val score = ts.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+        .reduceLeft(_ + _)
+      pivoted.select(col("doc_id"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+    }
+
+    /** Offline maintenance: consolidate every present side's live
+      * `batch=N` dirs into one (bucket partitioning preserved — pruning
+      * semantics unchanged) via the shared crash-safe staged-swap. The
+      * per-batch corpus stat files are content, not layout — they survive
+      * compaction untouched. Returns total batch dirs collapsed. */
     def compactBatches(spark: SparkSession, intoBatchId: Long,
         crashPoint: String => Unit = _ => ()): Int = {
-      val live = BatchStore.liveBatchDirs(postingsDir)
-      def all: DataFrame =
-        spark.read.option("basePath", postingsDir).parquet(live.map(_.toString): _*)
-          .select("doc_id", "token", "tf", "tbucket")
-      BatchStore.compact(dir, Seq(postingsDir -> { stage: String =>
-        all.write.partitionBy("tbucket").parquet(stage)
-      }), intoBatchId, crashPoint)
+      def bucketed(root: String, cols: Seq[String]): String => Unit = { stage =>
+        spark.read.option("basePath", root)
+          .parquet(BatchStore.liveBatchDirs(root).map(_.toString): _*)
+          .select(cols.map(col): _*)
+          .write.partitionBy("tbucket").parquet(stage)
+      }
+      def plain(root: String, cols: Seq[String]): String => Unit = { stage =>
+        spark.read.option("basePath", root)
+          .parquet(BatchStore.liveBatchDirs(root).map(_.toString): _*)
+          .select(cols.map(col): _*)
+          .write.parquet(stage)
+      }
+      val sides = Seq(
+        postingsDir -> bucketed(postingsDir, Seq("doc_id", "token", "tf", "tbucket")),
+        positionalDir -> bucketed(positionalDir, Seq("doc_id", "token", "positions", "tbucket")),
+        doclensDir -> plain(doclensDir, Seq("doc_id", "len"))
+      ).filter { case (root, _) => BatchStore.listBatchDirs(root).nonEmpty }
+      if (sides.isEmpty) 0
+      else BatchStore.compact(dir, sides, intoBatchId, crashPoint)
     }
   }
 
@@ -210,8 +321,9 @@ object TextIndex {
           s"no structural pruning: read $pruned of $all bucket dirs")
         CdcQueries.putMetric("q125", "dirs_read", pruned.toDouble)
         CdcQueries.putMetric("q125", "dirs_live", all.toDouble)
-        require(idx.compactBatches(s, intoBatchId = 1000L) == 2,
-          "compaction must collapse both live batches")
+        // 2 postings batches + 2 doclens batches collapse in one swap
+        require(idx.compactBatches(s, intoBatchId = 1000L) == 4,
+          "compaction must collapse both live batches on both sides")
         val after = idx.searchAll(s, q125Terms)
         require(after.collect().map(r => (r.getLong(0), r.getLong(1)))
           .sortBy(_._1).toSeq == before,
@@ -257,6 +369,52 @@ object TextIndex {
           SELECT doc_id, ${TextOps.wordsDuck} AS ws FROM documents)
         SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occ FROM (
           ${q126Phrases.map(q126OracleArm).mkString("\n          UNION ALL\n          ")}) u
-        GROUP BY 1, 2 ORDER BY phrase, doc_id"""))
+        GROUP BY 1, 2 ORDER BY phrase, doc_id""")),
+
+    OpQuery("q130_bm25_topk",
+      // RANKED RETRIEVAL off the index: BM25 (k1=1.2, b=0.75, RATIONAL
+      // idf — no log, the q97 float rule) scored entirely from index
+      // sidecars (pruned postings for tf+df, doclens for length norm,
+      // host-side segment stats for N and T). Every arithmetic step is
+      // either exact 64-bit integer or one exactly-rounded IEEE op, and
+      // the per-doc sum runs in fixed query order, so the oracle — which
+      // recomputes the identical formula from the raw corpus — must match
+      // the doubles bit for bit.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q130"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val docs = ld(s, d, "documents")
+        val idx = create(root, buckets = 32)
+        idx.append(docs.filter(col("doc_id") % 2 === 0), batchId = 1L)
+        idx.append(docs.filter(col("doc_id") % 2 =!= 0), batchId = 2L)
+        val pruned = idx.prunedPaths(q125Terms).size
+        require(pruned < idx.allPaths.size,
+          s"no structural pruning: read $pruned of ${idx.allPaths.size}")
+        val out = idx.rankedSearch(s, q125Terms, k = 20)
+        require(out.count() == 20, "gate needs a full top-20")
+        out
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(${TextOps.wordsDuck}) AS token FROM documents) t
+          WHERE token IN (${q125Terms.map(t => s"'$t'").mkString(", ")})
+          GROUP BY 1, 2),
+        lens AS (SELECT doc_id,
+            CAST(len(${TextOps.wordsDuck}) AS BIGINT) AS len FROM documents),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            (SELECT CAST(sum(len) AS BIGINT) FROM lens) AS tt FROM documents),
+        dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT tf.doc_id, tf.token,
+            CAST((2*st.n - 2*dfreq.df + 1) * 44 * tf.tf * st.tt AS DOUBLE) /
+            CAST((2*dfreq.df + 1) * (20*tf.tf*st.tt + 6*st.tt + 18*st.n*lens.len)
+                 AS DOUBLE) AS s
+          FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), st),
+        piv AS (SELECT doc_id,
+            ${q125Terms.zipWithIndex.map { case (t, i) =>
+              s"max(CASE WHEN token='$t' THEN s END) AS s_$i" }.mkString(",\n            ")}
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id,
+          ${q125Terms.indices.map(i => s"coalesce(s_$i, 0.0)").mkString(" + ")} AS score
+        FROM piv ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 }

@@ -117,7 +117,8 @@ class TextIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
 
     // recompact with a higher id: sweeps the stranded stage dir, collapses
-    assert(idx.compactBatches(spark, 101L) == 2)
+    // (2 postings + 2 doclens batch dirs)
+    assert(idx.compactBatches(spark, 101L) == 4)
     assert(BatchStore.liveBatchDirs(idx.postingsDir).size == 1)
     assert(idx.searchAll(spark, terms).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
