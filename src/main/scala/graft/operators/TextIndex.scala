@@ -286,6 +286,7 @@ object TextIndex {
   private val q125Terms = Seq("dup", "merge", "window")
   // one phrase with a repeated term (offset fan-out) + one plain bigram
   private val q126Phrases = Seq(Seq("batch", "batch"), Seq("stream", "spark"))
+  private val q131Terms = Seq("spark", "join")
 
   private def q126OracleArm(ph: Seq[String]): String = {
     val k = ph.size
@@ -415,6 +416,35 @@ object TextIndex {
           FROM scored GROUP BY doc_id)
         SELECT doc_id,
           ${q125Terms.indices.map(i => s"coalesce(s_$i, 0.0)").mkString(" + ")} AS score
-        FROM piv ORDER BY score DESC, doc_id LIMIT 20"""))
+        FROM piv ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    OpQuery("q131_streaming_index",
+      // STREAMING INDEX MAINTENANCE: the corpus arrives in 4 waves through
+      // a Structured Streaming query (foreachBatch appends, idempotent per
+      // microbatch id), with ONE mid-corpus stop during which an OFFLINE
+      // compaction consolidates the store, then a checkpoint resume —
+      // post-resume microbatches keep SMALLER ids than the consolidated
+      // dir and must stay live (the exact-id marker contract). The search
+      // result off the streamed+compacted+resumed index must equal the
+      // brute-force corpus oracle; segment stats must equal the corpus
+      // count (proves the ranking sidecars streamed too).
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q131"
+        val docs = ld(s, d, "documents")
+        val idx = graft.streaming.TextIndexStream
+          .indexCorpusInChunks(s, docs, root, chunks = 4)
+        require(idx.corpusStats._1 == docs.count(),
+          "streamed segment stats must equal the corpus count")
+        val out = idx.searchAll(s, q131Terms)
+        require(out.limit(1).count() > 0, "gate is vacuous: no hits")
+        out.orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM (
+          SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest(${TextOps.wordsDuck}) AS token FROM documents) t
+          WHERE token IN (${q131Terms.map(t => s"'$t'").mkString(", ")})
+          GROUP BY 1, 2) tf
+        GROUP BY doc_id HAVING count(DISTINCT token) = ${q131Terms.size}
+        ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.TextIndex
+
+/** Streaming maintenance of the inverted text index: documents arrive as a
+  * stream and each microbatch APPENDS its own postings + ranking sidecars
+  * as one `batch=<id>` unit — the same idempotent-per-batch-id discipline
+  * the SigStore/EmbStore streams use (a replayed microbatch overwrites its
+  * own subtree, never double-counts). Ingest cost per microbatch is one
+  * tokenize+fold pass over THAT batch; the accumulated corpus is never
+  * re-read. Offline `compactBatches` runs in maintenance windows (here:
+  * while the stream is stopped mid-corpus); microbatches appended AFTER a
+  * compaction keep ids below the consolidated id and stay live because the
+  * consolidation marker lists the EXACT ids it superseded — the BatchStore
+  * contract this gate exercises end to end. */
+object TextIndexStream {
+
+  def start(spark: SparkSession, docsDir: String,
+      schema: org.apache.spark.sql.types.StructType, indexDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 64): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextIndex.loadIndex(indexDir).append(batch, batchId)
+        ()
+      }
+      .start()
+
+  /** Index a FINITE corpus fed in `chunks` arrival waves to completion:
+    * one long-lived query drains each wave (`processAllAvailable`), with
+    * ONE mid-corpus stop during which an OFFLINE compaction consolidates
+    * the batches ingested so far, then a fresh query resumes off the same
+    * checkpoint — recovery + maintenance-window evidence in one harness
+    * (the q40 shape). Returns the live index. */
+  def indexCorpusInChunks(spark: SparkSession, docs: DataFrame,
+      workRoot: String, chunks: Int, buckets: Int = 32): TextIndex.Index = {
+    val clock = new graft.operators.CdcQueries.PhaseClock("q131")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
+    val docsDir = s"$workRoot/docs"
+    val indexDir = s"$workRoot/index"
+    val idx = TextIndex.create(indexDir, buckets)
+    val restartAt = chunks / 2
+    var q: StreamingQuery = null
+    def ensureStarted(): Unit = if (q == null)
+      q = clock("startup") { start(spark, docsDir, docs.schema, indexDir,
+        s"$workRoot/ckpt") }
+    try {
+      (0 until chunks).foreach { i =>
+        if (i == restartAt && q != null) {
+          clock("startup") { q.stop(); q = null }
+          // maintenance window: consolidate everything ingested so far;
+          // post-resume microbatch ids stay BELOW the consolidated id and
+          // must remain live (exact-id markers, not an id watermark)
+          clock("compact") { idx.compactBatches(spark, intoBatchId = 1000000L) }
+        }
+        clock("feed") {
+          docs.filter(pmod(col("doc_id"), lit(chunks.toLong)) === i)
+            .write.mode("append").parquet(docsDir)
+        }
+        ensureStarted()
+        clock("drain") { q.processAllAvailable() }
+      }
+    } finally if (q != null) clock("startup") { q.stop() }
+    idx
+  }
+}
