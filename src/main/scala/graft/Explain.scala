@@ -103,6 +103,31 @@ object Explain {
             spark.read.parquet(s"$base/src"), matchedDelete = Some("s.del"),
             matchedSet = Seq("a" -> "s.a"), insertNotMatched = true,
             notMatchedBySourceDelete = Some("id <= 20"), pin = false)
+        case "q127_triangle_count" =>
+          // localCheckpoint in the gate pins intermediates; the reviewable
+          // shape is the oriented wedge join + left-semi close
+          graft.operators.GraphOps.q127Plan(spark, sfDir)
+        case tq @ ("q125_inverted_index" | "q126_phrase_search" | "q130_bm25_topk") =>
+          // the gates build-and-query a store; the reviewable plans are the
+          // SERVING paths over a prebuilt index (bucket-pruned scans)
+          val root = s"${System.getProperty("java.io.tmpdir")}/graft-explain-tidx"
+          val docs = graft.operators.Tables.ld(spark, sfDir, "documents")
+          val idx =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, "index.json")))
+              graft.operators.TextIndex.loadIndex(root)
+            else {
+              org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+              val i = graft.operators.TextIndex.create(root, 32)
+              i.append(docs, 1L); i.appendPositional(docs, 1L); i
+            }
+          tq match {
+            case "q125_inverted_index" =>
+              idx.searchAll(spark, Seq("dup", "merge", "window"))
+            case "q126_phrase_search" =>
+              idx.phraseSearch(spark, Seq("batch", "batch"))
+            case _ =>
+              idx.rankedSearch(spark, Seq("dup", "merge", "window"), 20)
+          }
         case "q100_bucketed_smb_join" =>
           // the reviewable plan is the co-located join itself — the gate's
           // final orderBy adds one presentation-only range exchange

@@ -133,6 +133,11 @@ object GraphOps {
         GROUP BY node ORDER BY node"""))
   )
 
+  /** Un-pinned q127 plan for graft.Explain (localCheckpoint would explain
+    * as a bare RDD scan). */
+  private[graft] def q127Plan(s: SparkSession, d: String): DataFrame =
+    triangleCounts(coPartEdges(s, d), pin = false)
+
   /** Deterministic co-occurrence graph: residue classes of part and
     * supplier keys that appear on the same lineitem, canonical a<b. */
   private def coPartEdges(s: SparkSession, d: String): DataFrame = {
@@ -148,8 +153,9 @@ object GraphOps {
     * self-loops, distinct). Wedge enumeration runs at oriented tails
     * only; the closing edge check is a LEFT SEMI join so the planner
     * never materializes the (wedge × edge) product. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+  def triangleCounts(edges: DataFrame, pin: Boolean = true): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    val e = ckpt(edges.select(col("a"), col("b")))
     // total order (degree, node): rank = deg·2^32 + node, collision-free
     // for node ids < 2^32 and degrees < 2^31
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
@@ -162,15 +168,15 @@ object GraphOps {
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
         when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
-      .localCheckpoint()
+    val orientedPinned = ckpt(oriented)
     // wedges (u → v, u → w) with rv < rw: each triangle yields exactly one
     // wedge whose closing edge is oriented v → w under the same order
-    val o1 = oriented.select(col("u"), col("v"), col("rv"))
-    val o2 = oriented.select(col("u"), col("v").as("w"), col("rv").as("rw"))
+    val o1 = orientedPinned.select(col("u"), col("v"), col("rv"))
+    val o2 = orientedPinned.select(col("u"), col("v").as("w"), col("rv").as("rw"))
     val wedges = o1.join(o2, Seq("u")).filter(col("rv") < col("rw"))
       .select(col("u"), col("v"), col("w"))
     val closed = wedges.join(
-      oriented.select(col("u").as("v"), col("v").as("w")),
+      orientedPinned.select(col("u").as("v"), col("v").as("w")),
       Seq("v", "w"), "left_semi")
     closed.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
