@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.ld
+
+/** Product-analytics primitives: hierarchy rollups, ordered funnels and
+  * cohort retention — the classic warehouse workloads an analytics engine
+  * must express beside the curation/CDC layers. All three gates are
+  * INTEGER-EXACT end to end (counts, row_number sequences, floor-div week
+  * indices), so the DuckDB oracles hash-match with no float caveats.
+  */
+object AnalyticsOps {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q132_subtree_rollup",
+      // HIERARCHICAL SUBTREE ROLLUP without iteration: the part hierarchy
+      // is parent(n) = n div 10 (root 0). Instead of a recursive join,
+      // every node EXPLODES its own bounded ancestor path (k = 0..7 floor
+      // divisions — the tree depth bound, not the data size) and one
+      // hash aggregation keyed by ancestor folds the subtree sums: a
+      // fixed-fan-out generate + one shuffle, the shape that survives any
+      // corpus size where depth stays logarithmic. The oracle walks the
+      // SAME tree with a genuine WITH RECURSIVE CTE — two unrelated
+      // formulations of transitive descendance must agree exactly.
+      (s, d) => {
+        val base = ld(s, d, "part")
+          .select(col("p_partkey").as("node"), col("p_size").cast("long").as("v"))
+        base
+          .select(col("node"), col("v"), explode(sequence(lit(0), lit(7))).as("k"))
+          .select(col("node"), col("v"),
+            expr("node div cast(power(10, k) as bigint)").as("anc"))
+          .distinct() // short paths hit the root early; count it once
+          .groupBy(col("anc").as("node"))
+          .agg(sum(col("v")).as("subtree_size"), count(lit(1)).as("n_desc"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE walk AS (
+          SELECT p_partkey AS node, p_partkey AS anc, CAST(p_size AS BIGINT) AS v
+          FROM part
+          UNION ALL
+          SELECT node, anc // 10, v FROM walk WHERE anc > 0)
+        SELECT anc AS node, CAST(sum(v) AS BIGINT) AS subtree_size,
+               CAST(count(*) AS BIGINT) AS n_desc
+        FROM walk GROUP BY anc ORDER BY node""")),
+
+    OpQuery("q133_funnel",
+      // ORDERED FUNNEL signup → view → purchase per user: each step is the
+      // EARLIEST qualifying event strictly after the previous step, on the
+      // total (ts, event_id) order (row_number makes the order integer and
+      // tie-free). Steps resolve via left joins so drop-off stays visible
+      // as NULLs. One window pass + two aggregated left joins, all keyed
+      // by user_id — a single shuffle family at scale.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seqd = ld(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("seq", row_number().over(w).cast("long"))
+          .localCheckpoint() // consumed three times below
+        val s1 = seqd.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("seq").as("step1"))
+        val v = seqd.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("seq").as("vseq"))
+        val s2 = s1.join(v, col("vu") === col("user_id") &&
+            col("vseq") > col("step1"), "left")
+          .groupBy("user_id", "step1").agg(min("vseq").as("step2"))
+        val p = seqd.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("seq").as("pseq"))
+        s2.join(p, col("pu") === col("user_id") &&
+            col("pseq") > col("step2"), "left")
+          .groupBy("user_id", "step1", "step2").agg(min("pseq").as("step3"))
+          .orderBy("user_id")
+      },
+      Some("""WITH seqd AS (SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+          FROM events),
+        s1 AS (SELECT user_id, CAST(min(seq) AS BIGINT) AS step1
+               FROM seqd WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT s1.user_id, s1.step1, CAST(min(v.seq) AS BIGINT) AS step2
+               FROM s1 LEFT JOIN seqd v ON v.user_id = s1.user_id
+                 AND v.event_type = 'view' AND v.seq > s1.step1
+               GROUP BY 1, 2)
+        SELECT s2.user_id, s2.step1, s2.step2, CAST(min(p.seq) AS BIGINT) AS step3
+        FROM s2 LEFT JOIN seqd p ON p.user_id = s2.user_id
+          AND p.event_type = 'purchase' AND p.seq > s2.step2
+        GROUP BY 1, 2, 3 ORDER BY s2.user_id""")),
+
+    OpQuery("q134_cohort_retention",
+      // COHORT RETENTION: cohort = a user's first active week, retention
+      // cell = distinct users of cohort c active in week c+off. Week
+      // indices are pure integer floor-divisions of event-time micros (no
+      // calendar/timezone semantics to diverge on). The (user, week)
+      // distinct is the only wide state; the matrix itself is tiny.
+      (s, d) => {
+        val uw = ld(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7").as("wk"))
+          .distinct()
+        val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_week"))
+        uw.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users")) // uw is distinct per (user, wk)
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 // 7 AS wk FROM events),
+        cohort AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+        SELECT c.cohort_week, u.wk - c.cohort_week AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM uw u JOIN cohort c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
+  )
+}
