@@ -105,8 +105,97 @@ object CurationOps {
             COALESCE(sum(n_tok) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
           FROM (SELECT doc_id, len($wordsDuck) AS n_tok FROM documents) t) u
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    OpQuery("q135_canonical_by_quality",
+      // GROUP-REPRESENTATIVE SELECTION: within each transitive near-dup
+      // component (q35's connected components over the LSH-verified
+      // pairs), keep the LONGEST document (integer n_words; ties →
+      // smallest doc_id) — the "keep the richest copy" curation rule,
+      // rather than q32's keep-first. Pure integer ordering keys, one
+      // bounded window per component. Oracle recomputes components with
+      // the recursive-CTE closure and applies the same window rule.
+      (s, d) => {
+        val labeled = componentLabeled(s, d)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("component").orderBy(col("n_words").desc, col("doc_id"))
+        val canon = labeled.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("doc_id").as("canonical_id"))
+        labeled.join(canon, Seq("component"))
+          .select(col("doc_id"), col("component"), col("n_words"),
+            col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $componentDuckCtes,
+        canon AS (SELECT component, doc_id AS canonical_id FROM (
+            SELECT component, doc_id, row_number() OVER (PARTITION BY component
+              ORDER BY n_words DESC, doc_id) AS rn FROM labeled) r
+          WHERE rn = 1)
+        SELECT l.doc_id, l.component, l.n_words, c.canonical_id,
+               l.doc_id = c.canonical_id AS keep
+        FROM labeled l JOIN canon c USING (component)
+        ORDER BY l.doc_id""")),
+
+    OpQuery("q136_leakfree_split",
+      // LEAKAGE-FREE TRAIN/VAL/TEST SPLIT: the split is a deterministic
+      // function of the DUP COMPONENT, not the document — near-duplicate
+      // documents can never straddle the train/eval boundary (the
+      // contamination channel q53 detects after the fact, closed at
+      // assignment time). The mix is engine-portable integer arithmetic;
+      // the gate hard-asserts no component spans two splits.
+      (s, d) => {
+        val labeled = componentLabeled(s, d)
+        val out = labeled
+          .withColumn("split_id",
+            ((col("component") % 99991L) * 31L + 7L) % 10L)
+          .withColumn("split",
+            when(col("split_id") <= 7, "train")
+              .when(col("split_id") === 8, "val").otherwise("test"))
+          .select(col("doc_id"), col("component"), col("split"))
+        require(out.groupBy("component")
+          .agg(countDistinct(col("split")).as("ns"))
+          .filter(col("ns") > 1).limit(1).count() == 0,
+          "leakage: a dup component spans two splits")
+        out.orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $componentDuckCtes
+        SELECT doc_id, component,
+          CASE WHEN ((component % 99991) * 31 + 7) % 10 <= 7 THEN 'train'
+               WHEN ((component % 99991) * 31 + 7) % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split
+        FROM labeled ORDER BY doc_id"""))
   )
+
+  /** (doc_id, n_words, component): every document labeled with its
+    * transitive near-dup component (singletons label themselves) — the
+    * shared input of the q135/q136 curation rules. */
+  private def componentLabeled(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val comp = DedupOps.connectedComponents(
+      DedupOps.lshVerifiedPairs(s, d).select("a", "b"))
+    ld(s, d, "documents")
+      .select(col("doc_id"), size(expr(wordsSpark)).cast("long").as("n_words"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("label"), col("doc_id")).as("component"))
+  }
+
+  /** The DuckDB CTE chain ending in `labeled (doc_id, n_words, component)`
+    * — q35's recursive reachability closure plus the n_words projection. */
+  private lazy val componentDuckCtes: String =
+    s"""${DedupOps.pairsDuckCtes},
+       |edges AS (SELECT a AS src, b AS dst FROM vpairs
+       |          UNION SELECT b, a FROM vpairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+       |nw AS (SELECT doc_id, CAST(len($wordsDuck) AS BIGINT) AS n_words FROM documents),
+       |labeled AS (SELECT nw.doc_id, nw.n_words,
+       |  coalesce(c.component, nw.doc_id) AS component
+       |  FROM nw LEFT JOIN comp c USING (doc_id))""".stripMargin
 
   /** SEQUENCE PACKING for LLM training: lay the corpus out on one global
     * token axis (docs in deterministic doc_id order, concatenated) and cut
