@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import Tables.ld
 
 /** Product-analytics primitives: hierarchy rollups, ordered funnels and
@@ -109,6 +110,86 @@ object AnalyticsOps {
         SELECT c.cohort_week, u.wk - c.cohort_week AS week_offset,
                CAST(count(*) AS BIGINT) AS n_users
         FROM uw u JOIN cohort c USING (user_id)
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    OpQuery("q137_iqr_outliers",
+      // RANK-EXACT OUTLIER FLAGGING: per event_type, p25/p75 by rank
+      // selection (the q58 rule — the smallest value at sorted position
+      // ≥ ceil(p·n), never interpolated), then the 1.5·IQR fences in
+      // DECIMAL(18,6) arithmetic SCALED BY 2 so the 1.5 factor becomes the
+      // integer 3: flag iff 2v < 2·p25 − 3·iqr or 2v > 2·p75 + 3·iqr.
+      // Every comparison is exact decimal — no float fence can straddle an
+      // engine-rounding difference. Two shuffles (rank window + fence
+      // join), both keyed by event_type.
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val ev = ld(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            col("value").cast(DecimalType(18, 6)).as("v"), col("value"))
+        val ranked = ev
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        val fences = ranked.groupBy("event_type").agg(
+          min(when(col("rn") >= ceil(lit(0.25) * col("n")), col("v"))).as("p25"),
+          min(when(col("rn") >= ceil(lit(0.75) * col("n")), col("v"))).as("p75"))
+        ev.join(fences, Seq("event_type"))
+          .withColumn("iqr", col("p75") - col("p25"))
+          .withColumn("is_outlier",
+            (col("v") * 2 < col("p25") * 2 - col("iqr") * 3) ||
+              (col("v") * 2 > col("p75") * 2 + col("iqr") * 3))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("p25").cast("double").as("p25"), col("p75").cast("double").as("p75"),
+            col("is_outlier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+            CAST(value AS DECIMAL(18,6)) AS v, value
+          FROM events WHERE value IS NOT NULL),
+        ranked AS (SELECT *,
+            row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+        fences AS (SELECT event_type,
+            min(CASE WHEN rn >= ceil(0.25 * n) THEN v END) AS p25,
+            min(CASE WHEN rn >= ceil(0.75 * n) THEN v END) AS p75
+          FROM ranked GROUP BY 1)
+        SELECT ev.event_id, ev.event_type, ev.value,
+          CAST(f.p25 AS DOUBLE) AS p25, CAST(f.p75 AS DOUBLE) AS p75,
+          (ev.v * 2 < f.p25 * 2 - (f.p75 - f.p25) * 3) OR
+          (ev.v * 2 > f.p75 * 2 + (f.p75 - f.p25) * 3) AS is_outlier
+        FROM ev JOIN fences f USING (event_type)
+        ORDER BY ev.event_id""")),
+
+    OpQuery("q138_bigram_lm",
+      // BIGRAM LANGUAGE-MODEL ESTIMATION over the corpus: adjacent-token
+      // pair counts and the conditional probability p(w2|w1) — counts stay
+      // BIGINT, the probability is ONE exactly-rounded division (the q97
+      // float rule). Bigrams never cross documents. One tokenize pass,
+      // two partial-aggregated shuffles.
+      (s, d) => {
+        val grams = ld(s, d, "documents")
+          .select(col("doc_id"), posexplode(expr(TextOps.wordsSpark)).as(Seq("pos", "w")))
+          .withColumn("w2", lead("w", 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("w2").isNotNull)
+        val big = grams.groupBy(col("w").as("w1"), col("w2"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = big.groupBy("w1").agg(sum("cnt").as("w1_tot"))
+        big.join(tot, Seq("w1"))
+          .filter(col("cnt") >= 5)
+          .withColumn("p", col("cnt").cast("double") / col("w1_tot").cast("double"))
+          .select("w1", "w2", "cnt", "w1_tot", "p")
+          .orderBy("w1", "w2")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${TextOps.wordsDuck} AS ws FROM documents),
+        grams AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+          FROM toks, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(ws) - 1, 0))) AS i)),
+        big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY 1, 2),
+        tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS w1_tot FROM big GROUP BY 1)
+        SELECT big.w1, big.w2, cnt, w1_tot,
+          CAST(cnt AS DOUBLE) / CAST(w1_tot AS DOUBLE) AS p
+        FROM big JOIN tot USING (w1) WHERE cnt >= 5
+        ORDER BY big.w1, big.w2"""))
   )
 }
