@@ -25,13 +25,17 @@ import Tables.ld
   */
 object TextIndex {
 
+  /** Per-segment stat file inside each doclens batch dir (underscore:
+    * Spark-invisible). */
+  val StatsFile = "_STATS"
+
   /** Per-index metadata, persisted so readers and later appends agree on
     * the bucket count (changing it would re-home every term). */
   final case class Index(dir: String, buckets: Int) {
     def postingsDir: String = s"$dir/postings"
     def positionalDir: String = s"$dir/pos"
     def doclensDir: String = s"$dir/doclens"
-    def countsDir: String = s"$dir/counts"
+    def delsDir: String = s"$dir/dels"
 
     private def bucketCol: Column =
       pmod(xxhash64(col("token")), lit(buckets)).cast("int")
@@ -47,40 +51,67 @@ object TextIndex {
     /** Append one document batch's postings (idempotent per batchId: the
       * batch dir is an overwrite, never a double append). Alongside the
       * posting lists the index keeps the ranking sidecars: per-doc token
-      * lengths (`doclens/batch=N`) and per-batch corpus stats
-      * (`counts/batch-N.json`, host-side JSON) — the Lucene-segment-style
-      * metadata BM25 scoring needs without ever re-scanning the corpus.
-      * A replayed batch id overwrites all three with identical content. */
+      * lengths (`doclens/batch=N`) and, INSIDE each doclens batch dir, a
+      * `_STATS` file (docs + tokens of that segment) — stats ride the
+      * exact batch-dir liveness machinery (markers, sweep, crash-safe
+      * swap), so they can never disagree with the data they describe.
+      * A replayed batch id overwrites everything with identical content. */
     def append(docs: DataFrame, batchId: Long): Unit = {
       postings(docs).withColumn("tbucket", bucketCol)
         .write.partitionBy("tbucket").mode("overwrite")
         .parquet(s"$postingsDir/batch=$batchId")
       val lens = docs.select(col("doc_id"),
         size(expr(TextOps.wordsSpark)).cast("long").as("len"))
-      lens.write.mode("overwrite").parquet(s"$doclensDir/batch=$batchId")
-      val agg = lens.agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).head()
-      val (nd, nt) = (agg.getLong(0), agg.getLong(1))
-      Files.createDirectories(Paths.get(countsDir))
-      Files.write(Paths.get(countsDir, s"batch-$batchId.json"),
-        s"""{"nDocs":$nd,"nTokens":$nt}""".getBytes("UTF-8"))
+      writeDoclens(lens, s"$doclensDir/batch=$batchId")
     }
 
-    /** (total docs, total tokens) ingested — summed host-side over the
-      * per-batch stat files (batch-id overwrite keeps replays idempotent;
-      * compaction never rewrites history, so the sums are stable). */
+    /** Write one doclens segment + its `_STATS` (underscore-prefixed:
+      * invisible to Spark readers, visible to the host-side stat sum). */
+    private def writeDoclens(lens: DataFrame, dest: String): Unit = {
+      lens.write.mode("overwrite").parquet(dest)
+      val agg = lens.agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).head()
+      Files.write(Paths.get(dest, StatsFile),
+        s"""{"nDocs":${agg.getLong(0)},"nTokens":${agg.getLong(1)}}""".getBytes("UTF-8"))
+    }
+
+    /** (total docs, total tokens) across LIVE doclens segments. Until a
+      * compaction applies tombstones, deleted docs still count — the same
+      * contract as Lucene's docFreq over un-merged segments. */
     def corpusStats: (Long, Long) = {
-      val d = Paths.get(countsDir)
-      if (!Files.isDirectory(d)) return (0L, 0L)
       val re = """"nDocs"\s*:\s*(\d+)\s*,\s*"nTokens"\s*:\s*(\d+)""".r
-      import scala.jdk.CollectionConverters._
-      Files.list(d).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("batch-")).toVector
+      BatchStore.liveBatchDirs(doclensDir)
+        .map(_.resolve(StatsFile))
+        .filter(Files.exists(_))
         .map(p => new String(Files.readAllBytes(p), "UTF-8"))
         .map(s => re.findFirstMatchIn(s)
           .map(m => (m.group(1).toLong, m.group(2).toLong))
-          .getOrElse(throw new IllegalStateException(s"corrupt counts: $s")))
+          .getOrElse(throw new IllegalStateException(s"corrupt stats: $s")))
         .foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
     }
+
+    /** Tombstone a set of already-ingested documents (delete-by-id).
+      * Search excludes them IMMEDIATELY via an anti-join against the
+      * (bounded) tombstone set; the next compaction drops their rows
+      * PHYSICALLY from every side and clears the applied tombstones —
+      * Lucene's deletes-apply-at-merge lifecycle. */
+    def delete(docIds: DataFrame, batchId: Long): Unit =
+      docIds.select(col("doc_id").cast("long"))
+        .write.mode("overwrite").parquet(s"$delsDir/batch=$batchId")
+
+    /** The live tombstone set, None when the feature is unused (searches
+      * then skip the anti-join entirely). */
+    def deletedDocs(spark: SparkSession): Option[DataFrame] = {
+      val live = BatchStore.liveBatchDirs(delsDir)
+      if (live.isEmpty) None
+      else Some(spark.read.option("basePath", delsDir)
+        .parquet(live.map(_.toString): _*).select("doc_id").distinct())
+    }
+
+    private def minusDeleted(spark: SparkSession, df: DataFrame): DataFrame =
+      deletedDocs(spark) match {
+        case Some(dels) => df.join(dels, Seq("doc_id"), "left_anti")
+        case None => df
+      }
 
     /** The `tbucket=K` directories (across live batches) a term set reads —
       * exposed so tests can audit structural pruning. */
@@ -101,8 +132,8 @@ object TextIndex {
       val paths = prunedPaths(ts)
       if (paths.isEmpty)
         return spark.range(0).select(col("id").as("doc_id"), col("id").as("score"))
-      spark.read.option("basePath", postingsDir).parquet(paths: _*)
-        .filter(col("token").isin(ts: _*))
+      minusDeleted(spark, spark.read.option("basePath", postingsDir).parquet(paths: _*)
+        .filter(col("token").isin(ts: _*)))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("nt"), sum("tf").as("score"))
         // tf rows are unique per (doc_id, token), so nt == distinct terms
@@ -145,8 +176,8 @@ object TextIndex {
       val paths = prunedPositionalPaths(terms)
       if (paths.isEmpty)
         return spark.range(0).select(col("id").as("doc_id"), col("id").as("n_occ"))
-      spark.read.option("basePath", positionalDir).parquet(paths: _*)
-        .filter(col("token").isin(terms: _*))
+      minusDeleted(spark, spark.read.option("basePath", positionalDir).parquet(paths: _*)
+        .filter(col("token").isin(terms: _*)))
         .select(col("doc_id"), col("token"), explode(col("positions")).as("pos"))
         .select(col("doc_id"), col("pos"),
           explode(element_at(typedLit(offsets), col("token"))).as("off"))
@@ -191,8 +222,9 @@ object TextIndex {
       if (paths.isEmpty)
         return spark.range(0).select(col("id").as("doc_id"),
           col("id").cast("double").as("score"))
-      val posts = spark.read.option("basePath", postingsDir).parquet(paths: _*)
-        .filter(col("token").isin(ts: _*))
+      val posts = minusDeleted(spark,
+        spark.read.option("basePath", postingsDir).parquet(paths: _*)
+          .filter(col("token").isin(ts: _*)))
         .select("doc_id", "token", "tf")
       val dfreq = posts.groupBy("token").agg(count(lit(1)).as("df"))
       val lens = spark.read.option("basePath", doclensDir)
@@ -222,28 +254,35 @@ object TextIndex {
 
     /** Offline maintenance: consolidate every present side's live
       * `batch=N` dirs into one (bucket partitioning preserved — pruning
-      * semantics unchanged) via the shared crash-safe staged-swap. The
-      * per-batch corpus stat files are content, not layout — they survive
-      * compaction untouched. Returns total batch dirs collapsed. */
+      * semantics unchanged) via the shared crash-safe staged-swap, and
+      * APPLY tombstones physically: each data side drops deleted docs'
+      * rows during consolidation, segment stats are recomputed for the
+      * surviving rows (the `_STATS` file travels inside the staged dir),
+      * and the dels side consolidates to the empty set. A crash between
+      * side moves double-filters harmlessly — un-applied tombstones still
+      * anti-join at read. Returns total batch dirs collapsed. */
     def compactBatches(spark: SparkSession, intoBatchId: Long,
         crashPoint: String => Unit = _ => ()): Int = {
+      def live(root: String): DataFrame =
+        spark.read.option("basePath", root)
+          .parquet(BatchStore.liveBatchDirs(root).map(_.toString): _*)
+      def retained(root: String, cols: Seq[String]): DataFrame =
+        minusDeleted(spark, live(root)).select(cols.map(col): _*)
       def bucketed(root: String, cols: Seq[String]): String => Unit = { stage =>
-        spark.read.option("basePath", root)
-          .parquet(BatchStore.liveBatchDirs(root).map(_.toString): _*)
-          .select(cols.map(col): _*)
-          .write.partitionBy("tbucket").parquet(stage)
+        retained(root, cols).write.partitionBy("tbucket").parquet(stage)
       }
-      def plain(root: String, cols: Seq[String]): String => Unit = { stage =>
-        spark.read.option("basePath", root)
-          .parquet(BatchStore.liveBatchDirs(root).map(_.toString): _*)
-          .select(cols.map(col): _*)
-          .write.parquet(stage)
-      }
+      val hasDels = BatchStore.listBatchDirs(delsDir).nonEmpty
       val sides = Seq(
         postingsDir -> bucketed(postingsDir, Seq("doc_id", "token", "tf", "tbucket")),
         positionalDir -> bucketed(positionalDir, Seq("doc_id", "token", "positions", "tbucket")),
-        doclensDir -> plain(doclensDir, Seq("doc_id", "len"))
-      ).filter { case (root, _) => BatchStore.listBatchDirs(root).nonEmpty }
+        doclensDir -> { stage: String =>
+          writeDoclens(retained(doclensDir, Seq("doc_id", "len")), stage)
+        }
+      ).filter { case (root, _) => BatchStore.listBatchDirs(root).nonEmpty } ++
+        (if (hasDels) Seq(delsDir -> { stage: String =>
+          // all tombstones are applied above → consolidate to empty
+          live(delsDir).select("doc_id").limit(0).write.parquet(stage)
+        }) else Seq.empty)
       if (sides.isEmpty) 0
       else BatchStore.compact(dir, sides, intoBatchId, crashPoint)
     }
@@ -442,6 +481,49 @@ object TextIndex {
       Some(s"""SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM (
           SELECT doc_id, token, count(*) AS tf FROM (
             SELECT doc_id, unnest(${TextOps.wordsDuck}) AS token FROM documents) t
+          WHERE token IN (${q131Terms.map(t => s"'$t'").mkString(", ")})
+          GROUP BY 1, 2) tf
+        GROUP BY doc_id HAVING count(DISTINCT token) = ${q131Terms.size}
+        ORDER BY doc_id""")),
+
+    OpQuery("q140_index_delete",
+      // DOCUMENT DELETION LIFECYCLE: tombstone a doc set (delete-by-id),
+      // search must exclude it IMMEDIATELY (anti-join against the bounded
+      // tombstone set); compaction then drops the rows PHYSICALLY from
+      // every side, recomputes segment stats for the survivors, and clears
+      // the applied tombstones — Lucene's deletes-apply-at-merge, gated:
+      // pre- and post-compaction answers equal, the consolidated postings
+      // carry NO deleted row, and post-compaction stats equal the
+      // surviving doc count. Oracle: brute force over documents MINUS the
+      // deleted set.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q140"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val docs = ld(s, d, "documents")
+        val idx = create(root, buckets = 32)
+        idx.append(docs.filter(col("doc_id") % 2 === 0), batchId = 1L)
+        idx.append(docs.filter(col("doc_id") % 2 =!= 0), batchId = 2L)
+        idx.delete(docs.filter(col("doc_id") % 7 === 3).select("doc_id"), batchId = 10L)
+        def res() = idx.searchAll(s, q131Terms)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val before = res()
+        require(before.nonEmpty, "gate is vacuous")
+        require(idx.compactBatches(s, intoBatchId = 1000L) == 5,
+          "2 postings + 2 doclens + 1 dels batch dirs must collapse")
+        require(res() == before, "physical delete must equal tombstone view")
+        require(s.read.option("basePath", idx.postingsDir)
+          .parquet(BatchStore.liveBatchDirs(idx.postingsDir).map(_.toString): _*)
+          .filter(col("doc_id") % 7 === 3).limit(1).count() == 0,
+          "consolidated postings must carry no deleted row")
+        require(idx.corpusStats._1 ==
+          docs.filter(col("doc_id") % 7 =!= 3).count(),
+          "post-compaction stats must count only survivors")
+        idx.searchAll(s, q131Terms).orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM (
+          SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest(${TextOps.wordsDuck}) AS token
+            FROM documents WHERE doc_id % 7 <> 3) t
           WHERE token IN (${q131Terms.map(t => s"'$t'").mkString(", ")})
           GROUP BY 1, 2) tf
         GROUP BY doc_id HAVING count(DISTINCT token) = ${q131Terms.size}

@@ -100,6 +100,30 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == exp)
   }
 
+  test("delete: tombstone view == post-compaction physical view; ranked excludes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = TextIndex.create(tmp("del"), buckets = 8)
+    idx.append(docs.filter(col("doc_id") % 2 === 0), 1L)
+    idx.append(docs.filter(col("doc_id") % 2 =!= 0), 2L)
+    val survivors = docs.filter(col("doc_id") % 5 =!= 1)
+    idx.delete(docs.filter(col("doc_id") % 5 === 1).select("doc_id"), 10L)
+
+    val terms = Seq("dup", "merge")
+    def got() = idx.searchAll(spark, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val exp = bruteForce(survivors, terms)
+    assert(exp.nonEmpty)
+    assert(got() == exp, "tombstoned docs must vanish from search immediately")
+    assert(idx.rankedSearch(spark, terms, 1000).collect()
+      .forall(_.getLong(0) % 5 != 1), "ranked retrieval must exclude tombstones")
+
+    assert(idx.compactBatches(spark, 100L) == 5)
+    assert(got() == exp, "physical apply must preserve the answer")
+    assert(idx.deletedDocs(spark).forall(_.isEmpty),
+      "applied tombstones must be cleared")
+    assert(idx.corpusStats._1 == survivors.count())
+  }
+
   test("compaction crash windows keep serving the full index; recompact recovers") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val idx = TextIndex.create(tmp("crash"), buckets = 8)
