@@ -291,6 +291,31 @@ object Bench {
           "q20_band_hi_recall" -> bandedHi.intersect(exact20).size.toDouble / math.max(1, exact20.size),
           "q20_band_hi_cand_frac" -> fracHi)
       } catch { case _: Throwable => Map.empty[String, Double] }
+      // text-index SERVING latency (the number that matters at 100×:
+      // build is amortized-once, a query pays only its pruned reads):
+      // build once over the sf corpus, then warm best-of-2 per search
+      // kind → lifecycle_phases.text_search in the JSON
+      try {
+        import org.apache.spark.sql.functions.col
+        val tiRoot = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tidx"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tiRoot))
+        val docs = graft.operators.Tables.ld(spark, sfDir, "documents")
+        val tb = System.nanoTime()
+        val tidx = graft.operators.TextIndex.create(tiRoot, 32)
+        tidx.append(docs, 1L); tidx.appendPositional(docs, 1L)
+        graft.operators.CdcQueries.putMetric("text_search", "build_sec",
+          (System.nanoTime() - tb) / 1e9)
+        def bestMs(mk: => org.apache.spark.sql.DataFrame): Double =
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e6
+          }.min
+        graft.operators.CdcQueries.putMetric("text_search", "and_ms",
+          bestMs(tidx.searchAll(spark, Seq("dup", "merge", "window"))))
+        graft.operators.CdcQueries.putMetric("text_search", "phrase_ms",
+          bestMs(tidx.phraseSearch(spark, Seq("batch", "batch"))))
+        graft.operators.CdcQueries.putMetric("text_search", "bm25_ms",
+          bestMs(tidx.rankedSearch(spark, Seq("dup", "merge", "window"), 20)))
+      } catch { case _: Throwable => () }
       (times, recall)
     }
     val r26 = recalls.getOrElse("q26_bucket_probe", -1.0)
