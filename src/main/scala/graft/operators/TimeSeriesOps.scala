@@ -81,5 +81,51 @@ object TimeSeriesOps {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         ORDER BY event_id"""))
+  ,
+
+    OpQuery("q141_debounce",
+      // EVENT DEBOUNCE: collapse bursts — consecutive events of the same
+      // (user, type) less than 6 h apart chain into ONE burst (the q33
+      // session rule per type; 6 h suppresses ~10% on this corpus); only the burst's FIRST event survives,
+      // with the suppressed count kept for audit. The burst id is a
+      // running sum of new-burst flags on the tie-free (ts, event_id)
+      // order — one window pass per key, no self-joins. The raw-lag
+      // variant (compare to previous raw event) would RE-ARM mid-burst;
+      // chaining is what "debounce" means and what the oracle mirrors.
+      (s, d) => {
+        val key = Seq(col("user_id"), col("event_type"))
+        val ord = Window.partitionBy(key: _*).orderBy("ts", "event_id")
+        val ev = ld(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), unix_micros(col("ts").cast("timestamp")).as("us"))
+          .withColumn("new_burst",
+            when(col("us") - lag("us", 1).over(ord) <= 21600000000L, 0L).otherwise(1L))
+          .withColumn("burst", sum("new_burst").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy("user_id", "event_type", "burst")
+          .agg(min(struct(col("us"), col("event_id"))).as("first"),
+            count(lit(1)).as("n_events"))
+          .select(col("first.event_id").as("event_id"), col("user_id"),
+            col("event_type"), col("first.us").as("us"),
+            (col("n_events") - 1).as("n_suppressed"))
+          .orderBy("event_id")
+          .transform { out =>
+            require(out.filter(col("n_suppressed") > 0).limit(1).count() > 0,
+              "gate is vacuous: nothing debounced at this gap")
+            out
+          }
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+            CASE WHEN us - lag(us) OVER w <= 21600000000 THEN 0 ELSE 1 END AS new_burst
+          FROM events WINDOW w AS (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id)),
+        b AS (SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+            ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS burst FROM ev),
+        sel AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
+            ORDER BY us, event_id) AS rn,
+          count(*) OVER (PARTITION BY user_id, event_type, burst) AS n_events FROM b)
+        SELECT event_id, user_id, event_type, CAST(us AS BIGINT) AS us,
+          CAST(n_events - 1 AS BIGINT) AS n_suppressed
+        FROM sel WHERE rn = 1 ORDER BY event_id"""))
   )
 }
