@@ -3885,9 +3885,19 @@ object CdcQueries {
             col(IceLite.DelCol.name).as("is_delete"))
           .orderBy("seq").localCheckpoint()
         clock("expire_vacuum") {
-          val dropped = Compaction.expireOlderThan(tableDir, t3, keepLast = 1)
-          require(dropped == 2, s"v0 and v2 drop; tagged v1 survives: dropped $dropped")
-          require(IceLite.history(tableDir) == Vector(1, 3),
+          // a full maintenance compaction (v4) absorbs every delta file, so
+          // the replay epochs' deltas become exclusive to the pre-compaction
+          // versions AT ANY PARALLELISM — the earlier formulation relied on
+          // the inline per-bucket COW threshold tripping during epoch 2,
+          // which a low-shuffle-partition session (fewer delta files per
+          // bucket) never reaches, leaving vacuum nothing to reclaim
+          Thread.sleep(5) // t4 strictly after t3 on the ms commit-time axis
+          Compaction.compact(s, tableDir, "maint-q119")
+          val t4 = IceLite.commitTimeOf(tableDir, 4)
+          require(t3 < t4, s"separated compaction commit time: $t3 $t4")
+          val dropped = Compaction.expireOlderThan(tableDir, t4, keepLast = 1)
+          require(dropped == 3, s"v0, v2, v3 drop; tagged v1 survives: dropped $dropped")
+          require(IceLite.history(tableDir) == Vector(1, 4),
             s"retained ${IceLite.history(tableDir)}")
           // a cut inside the dropped range falls back to the newest RETAINED
           // snapshot at or before it (the tag), and a cut before every
