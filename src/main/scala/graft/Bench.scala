@@ -225,7 +225,8 @@ object Bench {
         "q117_producer_to_stream", "q118_merge_into", "q119_time_retention",
         "q120_merge_full_sync", "q122_concurrent_writers", "q123_snapshot_diff",
         "q124_late_backfill", "q125_inverted_index", "q126_phrase_search",
-        "q130_bm25_topk", "q131_streaming_index", "q140_index_delete")
+        "q130_bm25_topk", "q131_streaming_index", "q140_index_delete",
+        "q142_cdc_index_sync", "q143_incremental_stats")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -71,6 +71,117 @@ object Analyze {
     out
   }
 
+  // ── INCREMENTAL PER-BUCKET STATS ─────────────────────────────────────
+  // Stats maintained as one sketch row per (bucket, column): row/null
+  // counts sum across buckets, and the KMV sketch merges EXACTLY — every
+  // hash among the global k smallest is necessarily among its own bucket's
+  // k smallest, so re-taking the k smallest over the union of per-bucket
+  // sketches reproduces the full-scan sketch bit for bit. An epoch then
+  // refreshes only the buckets its commit touched (a metadata-only diff of
+  // the two snapshots' file lists): maintenance cost is O(touched buckets),
+  // never O(table), with ZERO accuracy loss vs a full re-analyze — the
+  // property [[mergedStats]] is gated on (q143).
+
+  private def statsRoot(dir: String) = s"$dir/meta/bucket_stats"
+  private def statsMeta(dir: String) =
+    java.nio.file.Paths.get(statsRoot(dir), "_META")
+
+  /** Per-bucket sketch rows for `buckets` at the CURRENT snapshot:
+    * (bucket, col_name, n_rows, n_nulls, kmins = the ≤k smallest distinct
+    * value hashes, ascending). */
+  def bucketStats(spark: SparkSession, dir: String, buckets: Set[Int],
+      k: Int): DataFrame = {
+    val snap = IceLite.load(dir)
+    val table = IceLite.read(spark, snap, f => buckets(f.bucket))
+      .withColumn("__b", IceLite.bucketExpr(snap.keyCols, snap.buckets))
+    val visible = snap.currentSchema.filterNot(_.hidden).map(_.name)
+    val m = visible.map { c =>
+      table.select(col("__b").as("bucket"), lit(c).as("col_name"),
+        xxhash64(col(c)).as("h"), col(c).isNull.as("isn"))
+    }.reduce(_.unionByName(_))
+    val counts = m.groupBy("bucket", "col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("isn"), 1L).otherwise(0L)).as("n_nulls"))
+    val w = Window.partitionBy("bucket", "col_name").orderBy("h")
+    val kmins = m.filter(!col("isn")).select("bucket", "col_name", "h").distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("bucket", "col_name")
+      .agg(sort_array(collect_list(col("h"))).as("kmins"))
+    counts.join(kmins, Seq("bucket", "col_name"), "left")
+      .select(col("bucket"), col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("kmins"), array().cast("array<bigint>")).as("kmins"))
+  }
+
+  /** Buckets whose data changed between two snapshot versions — purely
+    * from manifest metadata (the buckets of files present in `to` but not
+    * in `from`; replacement semantics make this the complete touched set). */
+  def touchedBuckets(dir: String, fromVersion: Int, toVersion: Int): Set[Int] = {
+    val old = IceLite.loadVersion(dir, fromVersion).files.map(_.path).toSet
+    IceLite.loadVersion(dir, toVersion).files
+      .filterNot(f => old(f.path)).map(_.bucket).toSet
+  }
+
+  /** Recompute and persist the sketch rows of `touched` buckets from the
+    * current snapshot (dynamic partition overwrite: untouched buckets'
+    * sketches are left in place). The sketch store is keyed to a fixed
+    * (k, bucket-count) recorded on first refresh — a rebucket re-homes
+    * every key, so it requires a full refresh under the new layout. */
+  def refreshBuckets(spark: SparkSession, dir: String, touched: Set[Int],
+      k: Int = 256): Unit = {
+    require(touched.nonEmpty, "refreshBuckets needs at least one bucket")
+    val snapBuckets = IceLite.load(dir).buckets
+    val meta = statsMeta(dir)
+    if (java.nio.file.Files.exists(meta)) {
+      val s = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
+      require(s == s"""{"k":$k,"buckets":$snapBuckets}""",
+        s"sketch store was built with different parameters ($s); " +
+          s"full-refresh after changing k or rebucketing")
+    }
+    val stats = bucketStats(spark, dir, touched, k)
+    stats.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(statsRoot(dir))
+    // dynamic overwrite never clears a partition that produced no rows —
+    // a touched bucket whose keys were all deleted must drop its sketch
+    val present = stats.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    (touched -- present).foreach { b =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(statsRoot(dir), s"bucket=$b").toFile)
+    }
+    if (!java.nio.file.Files.exists(meta))
+      java.nio.file.Files.write(meta,
+        s"""{"k":$k,"buckets":$snapBuckets}""".getBytes("UTF-8"))
+  }
+
+  /** Fold the per-bucket sketch store into the [[analyze]] output shape —
+    * bit-equal to a full analyze at the same k. */
+  def mergedStats(spark: SparkSession, dir: String): DataFrame = {
+    val meta = statsMeta(dir)
+    require(java.nio.file.Files.exists(meta), s"no sketch store at $dir")
+    val k = """"k":(\d+)""".r.findFirstMatchIn(
+      new String(java.nio.file.Files.readAllBytes(meta), "UTF-8"))
+      .map(_.group(1).toInt).getOrElse(sys.error("corrupt sketch meta"))
+    val st = spark.read.parquet(statsRoot(dir))
+    val counts = st.groupBy("col_name")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"))
+    val w = Window.partitionBy("col_name").orderBy("h")
+    val kmv = st.select(col("col_name"), explode(col("kmins")).as("h")).distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("nk"),
+        max(when(col("rn") === k, col("h"))).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("kth_hash").isNull, col("nk").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((col("kth_hash").cast("double") + lit(9.223372036854775808e18)) /
+              lit(1.8446744073709551616e19))))
+    counts.join(kmv, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"), col("kth_hash"))
+      .orderBy("col_name")
+  }
+
   /** Read back persisted ndv estimates — the planner-facing surface. */
   def ndv(dir: String): Map[String, Double] = {
     val p = java.nio.file.Paths.get(dir, "meta", "stats.json")

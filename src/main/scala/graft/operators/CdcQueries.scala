@@ -4006,6 +4006,101 @@ object CdcQueries {
                seq, (op = 'DELETE') AS is_delete
         FROM (SELECT *, row_number() OVER (PARTITION BY epoch, repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q29")}/decoded/*.parquet') WHERE epoch >= 1) t
-        WHERE rn = 1 ORDER BY seq"""))
+        WHERE rn = 1 ORDER BY seq""")),
+
+    OpQuery("q143_incremental_stats",
+      // INCREMENTAL ANALYZE under the hard gate: table stats maintained as
+      // one KMV sketch row per (bucket, column), so an epoch's commit
+      // refreshes ONLY the buckets it touched (a metadata-only diff of the
+      // two snapshots' file lists) — maintenance cost O(touched buckets),
+      // never O(table). The KMV merge is EXACT (every hash among the global
+      // k smallest is among its bucket's k smallest), so the folded readout
+      // must be BIT-EQUAL to a from-scratch full analyze — hard-asserted
+      // here double-for-double — and the oracle re-derives every number
+      // from the dumped head-state melt (the q89 protocol). The fixture
+      // makes the pruning real: epochs 0-1 touch the whole 30×20 keyspace,
+      // epoch 2 touches 4 keys, so the refresh reads a strict subset of
+      // the 8 buckets.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q143")
+        val root = workDir("q143")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val pBroad = LogGen.Params(nEvents = 3000, nRepos = 30, pathsPerRepo = 20)
+        // the narrow epoch pins THREE exact keys (rawChange's per-event
+        // lang varies the path extension, so a small Params keyspace still
+        // fans out to ~6× more keys than pathsPerRepo suggests)
+        def narrowChange(id: Long): LogGen.RawChange = {
+          val keys = Vector(
+            ("org000/repo000", "src/dir0/file0.scala", "scala"),
+            ("org001/repo001", "src/dir1/file1.java", "java"),
+            ("org002/repo002", "src/dir2/file2.py", "py"))
+          val (r, path, lang) = keys((id % 3).toInt)
+          LogGen.RawChange(r, path, f"${LogGen.mix(id)}%016x", lang,
+            LogGen.content(0, 0, id, 42L), id, "UPSERT", s"dev${id % 97}")
+        }
+        def gen(lo: Long, hi: Long, mk: Long => LogGen.RawChange, epoch: Long) =
+          s.range(lo, hi, 1, 8).mapPartitions { it =>
+            val fs = Cdc.fsV2; val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              graft.decode.ChangeEvent(
+                LogGen.encodeChange(mk(id), d, fs, includeAuthor = true),
+                Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }.toDF().withColumn("epoch", lit(epoch))
+        clock("gen") {
+          gen(0, 1500, LogGen.rawChange(_, pBroad), 0)
+            .unionByName(gen(1500, 3000, LogGen.rawChange(_, pBroad), 1))
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logpre")
+          gen(3000, 3200, narrowChange, 2)
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logtail")
+        }
+        clock("replay_pre") { Replay.replayLog(s, s"$root/logpre", tableDir, buckets = 8) }
+        // baseline sketch store: all 8 buckets at the post-epoch-1 snapshot
+        clock("baseline_stats") {
+          graft.lake.Analyze.refreshBuckets(s, tableDir, (0 until 8).toSet, k = 64)
+        }
+        val vPre = IceLite.load(tableDir).version
+        clock("replay_tail") { Replay.replayLog(s, s"$root/logtail", tableDir, buckets = 8) }
+        val touched = graft.lake.Analyze.touchedBuckets(
+          tableDir, vPre, IceLite.load(tableDir).version)
+        require(touched.nonEmpty && touched.size < 8,
+          s"narrow epoch must touch a strict bucket subset, got $touched")
+        putMetric("q143", "buckets_touched", touched.size.toDouble)
+        putMetric("q143", "buckets_total", 8.0)
+        clock("refresh") { graft.lake.Analyze.refreshBuckets(s, tableDir, touched, k = 64) }
+        val merged = clock("merge") { graft.lake.Analyze.mergedStats(s, tableDir) }
+        // bit-equality vs a from-scratch full analyze at the same k
+        val full = graft.lake.Analyze.analyze(s, tableDir, k = 64)
+        def keyed(df: DataFrame) = df.collect().map { r =>
+          (r.getString(0), r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))
+        }.toSeq
+        require(keyed(merged) == keyed(full),
+          "merged per-bucket sketches must equal the full analyze bit-for-bit")
+        // oracle input: the head-state melt (col_name, hash, is_null)
+        clock("melt_dump") {
+          graft.lake.Analyze.melt(s, tableDir)
+            .write.mode("overwrite").parquet(s"$root/melt")
+        }
+        merged
+      },
+      Some(s"""WITH m AS (SELECT * FROM parquet_scan('${workDir("q143")}/melt/*.parquet')),
+        agg AS (SELECT col_name, count(*) AS n_rows,
+                CAST(sum(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+                FROM m GROUP BY 1),
+        hh AS (SELECT DISTINCT col_name, h FROM m WHERE NOT isn),
+        r AS (SELECT col_name, h, row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn FROM hh),
+        kk AS (SELECT col_name, count(*) AS exact_d, max(CASE WHEN rn = 64 THEN h END) AS kth
+               FROM r GROUP BY 1)
+        SELECT a.col_name, a.n_rows, a.n_nulls,
+          COALESCE(CASE WHEN kk.kth IS NULL THEN CAST(kk.exact_d AS DOUBLE)
+            ELSE 63.0 / ((CAST(kk.kth AS DOUBLE) + 9.223372036854775808e18) / 1.8446744073709551616e19)
+          END, 0.0) AS est_distinct,
+          kk.kth AS kth_hash
+        FROM agg a LEFT JOIN kk ON a.col_name = kk.col_name ORDER BY a.col_name"""))
   )
 }

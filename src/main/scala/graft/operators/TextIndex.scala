@@ -93,23 +93,41 @@ object TextIndex {
       * Search excludes them IMMEDIATELY via an anti-join against the
       * (bounded) tombstone set; the next compaction drops their rows
       * PHYSICALLY from every side and clears the applied tombstones —
-      * Lucene's deletes-apply-at-merge lifecycle. */
+      * Lucene's deletes-apply-at-merge lifecycle.
+      *
+      * Tombstones are GENERATIONAL: a tombstone written at `batchId` masks
+      * only rows ingested in EARLIER batches (`batch < batchId`), so a
+      * document UPDATE is delete-at-M + re-append-at-M'>M (Lucene's
+      * delete-then-add), and the re-added version is immediately visible.
+      * Batch ids across appends and deletes share one monotone axis — the
+      * same contract BatchStore already imposes on compaction ids. */
     def delete(docIds: DataFrame, batchId: Long): Unit =
       docIds.select(col("doc_id").cast("long"))
         .write.mode("overwrite").parquet(s"$delsDir/batch=$batchId")
 
-    /** The live tombstone set, None when the feature is unused (searches
-      * then skip the anti-join entirely). */
+    /** The live tombstone set with its generation: (doc_id, del_max = the
+      * newest tombstone batch per doc — later tombstones subsume earlier
+      * ones). None when the feature is unused (searches then skip the
+      * anti-join entirely). */
     def deletedDocs(spark: SparkSession): Option[DataFrame] = {
       val live = BatchStore.liveBatchDirs(delsDir)
       if (live.isEmpty) None
       else Some(spark.read.option("basePath", delsDir)
-        .parquet(live.map(_.toString): _*).select("doc_id").distinct())
+        .parquet(live.map(_.toString): _*)
+        .groupBy("doc_id")
+        .agg(max(col("batch").cast("long")).as("del_max")))
     }
 
+    /** Mask tombstoned rows. `df` must come off a basePath read of a data
+      * side, so it carries the `batch` partition column the generation
+      * rule compares against. */
     private def minusDeleted(spark: SparkSession, df: DataFrame): DataFrame =
       deletedDocs(spark) match {
-        case Some(dels) => df.join(dels, Seq("doc_id"), "left_anti")
+        case Some(dels) =>
+          df.join(dels,
+            df("doc_id") === dels("doc_id") &&
+              df("batch").cast("long") < dels("del_max"),
+            "left_anti")
         case None => df
       }
 
@@ -259,8 +277,10 @@ object TextIndex {
       * rows during consolidation, segment stats are recomputed for the
       * surviving rows (the `_STATS` file travels inside the staged dir),
       * and the dels side consolidates to the empty set. A crash between
-      * side moves double-filters harmlessly — un-applied tombstones still
-      * anti-join at read. Returns total batch dirs collapsed. */
+      * side moves is harmless: already-moved sides carry a batch id above
+      * every tombstone's (so lingering tombstones mask nothing they'd
+      * already filtered), not-yet-moved sides still anti-join at read.
+      * Returns total batch dirs collapsed. */
     def compactBatches(spark: SparkSession, intoBatchId: Long,
         crashPoint: String => Unit = _ => ()): Int = {
       def live(root: String): DataFrame =
@@ -326,6 +346,7 @@ object TextIndex {
   // one phrase with a repeated term (offset fan-out) + one plain bigram
   private val q126Phrases = Seq(Seq("batch", "batch"), Seq("stream", "spark"))
   private val q131Terms = Seq("spark", "join")
+  private val q142Terms = Seq("struct", "impl", "rev")
 
   private def q126OracleArm(ph: Seq[String]): String = {
     val k = ph.size
@@ -527,6 +548,89 @@ object TextIndex {
           WHERE token IN (${q131Terms.map(t => s"'$t'").mkString(", ")})
           GROUP BY 1, 2) tf
         GROUP BY doc_id HAVING count(DISTINCT token) = ${q131Terms.size}
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    OpQuery("q142_cdc_index_sync",
+      // SEARCH INDEX KEPT IN SYNC BY THE CDC FEED: replay a 3-epoch change
+      // log into the lake table, build the inverted index from the snapshot
+      // after epoch 0, then drive the index from IceLite.changes for epochs
+      // 1..2 — each feed epoch tombstones its touched keys (generational:
+      // a tombstone masks only EARLIER batches) and re-appends the live
+      // versions, so an UPDATE is Lucene's delete-then-add and a DELETE is
+      // a bare tombstone. Search over the synced index must equal the
+      // oracle's brute-force search over the LWW fold of the decoded log
+      // (i.e. over the final table state the feed mirrors); compaction then
+      // applies tombstones physically and the answer must not move, and the
+      // consolidated postings must hold EXACTLY one 'rev' row per live key
+      // (every generated content version carries one trailing 'rev' token),
+      // proving no stale version survived and no live one was lost. The
+      // scale contract this gates: per-epoch index maintenance cost is
+      // O(the epoch's feed), never O(corpus) — the same incremental shape
+      // as the MERGE it mirrors.
+      (s, _) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q142"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        graft.cdc.LogGen.writeLog(s, graft.cdc.LogGen.Params(nEvents = 4000,
+          nRepos = 40, pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        CdcQueries.dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        graft.cdc.Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        def asDocs(df: DataFrame): DataFrame =
+          df.select(xxhash64(col("repo"), col("path")).as("doc_id"),
+            col("content").as("text"))
+        val idx = create(s"$root/idx", buckets = 32)
+        // initial build from the snapshot after epoch 0 (v0 is the create)
+        idx.append(asDocs(graft.lake.IceLite.read(s,
+          graft.lake.IceLite.loadVersion(tableDir, 1))), batchId = 1L)
+        (2 to 3).foreach { v =>
+          val feed = graft.lake.IceLite.changes(s, tableDir, v - 1, v)
+          idx.delete(feed.select(
+            xxhash64(col("repo"), col("path")).as("doc_id")), batchId = 100L * v)
+          idx.append(asDocs(
+            feed.filter(!col(graft.lake.IceLite.DelCol.name))), batchId = 100L * v + 1)
+        }
+        val pruned = idx.prunedPaths(q142Terms).size
+        require(pruned < idx.allPaths.size,
+          s"no structural pruning: read $pruned of ${idx.allPaths.size}")
+        CdcQueries.putMetric("q142", "dirs_read", pruned.toDouble)
+        CdcQueries.putMetric("q142", "dirs_live", idx.allPaths.size.toDouble)
+        def res() = idx.searchAll(s, q142Terms)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val before = res()
+        require(before.nonEmpty, "gate is vacuous: no hits")
+        require(idx.compactBatches(s, intoBatchId = 10000L) > 0,
+          "compaction must collapse the synced batches")
+        require(res() == before,
+          "post-compaction search must equal the tombstone view")
+        val finalState = graft.lake.IceLite.read(s, graft.lake.IceLite.load(tableDir))
+        val liveKeys = finalState.count()
+        val revRows = s.read.option("basePath", idx.postingsDir)
+          .parquet(BatchStore.liveBatchDirs(idx.postingsDir).map(_.toString): _*)
+          .filter(col("token") === "rev").count()
+        require(revRows == liveKeys,
+          s"stale or missing postings: $revRows 'rev' rows for $liveKeys live keys")
+        idx.searchAll(s, q142Terms)
+          .join(finalState.select(
+            xxhash64(col("repo"), col("path")).as("doc_id"),
+            col("repo"), col("path")), Seq("doc_id"))
+          .select("repo", "path", "score")
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH state AS (
+          SELECT repo, path, content FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+            FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/graft-q142/decoded/*.parquet')) t
+          WHERE rn = 1 AND op <> 'DELETE'),
+        tf AS (
+          SELECT repo, path, token, count(*) AS tf FROM (
+            SELECT repo, path,
+              unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS token
+            FROM state) u
+          WHERE token IN (${q142Terms.map(t => s"'$t'").mkString(", ")})
+          GROUP BY 1, 2, 3)
+        SELECT repo, path, CAST(sum(tf) AS BIGINT) AS score FROM tf
+        GROUP BY 1, 2 HAVING count(DISTINCT token) = ${q142Terms.size}
+        ORDER BY repo, path"""))
   )
 }

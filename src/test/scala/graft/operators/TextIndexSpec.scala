@@ -124,6 +124,39 @@ class TextIndexSpec extends AnyFunSuite {
     assert(idx.corpusStats._1 == survivors.count())
   }
 
+  test("generational tombstones: delete masks only earlier batches (update = delete+add)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = TextIndex.create(tmp("gen"), buckets = 8)
+    idx.append(docs, 1L)
+    val terms = Seq("dup", "merge")
+
+    // "update" a doc subset: tombstone at 10, re-append REVISED text at 11
+    val upd = docs.filter(col("doc_id") % 4 === 2)
+    idx.delete(upd.select("doc_id"), 10L)
+    idx.append(upd.withColumn("text", concat(col("text"), lit(" dup merge merge"))), 11L)
+
+    val expected = bruteForce(
+      docs.filter(col("doc_id") % 4 =!= 2).unionByName(
+        upd.withColumn("text", concat(col("text"), lit(" dup merge merge")))), terms)
+    def got() = idx.searchAll(spark, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got() == expected,
+      "re-added versions must be visible; pre-tombstone versions masked")
+
+    // a LATER tombstone masks the re-added version too
+    idx.delete(docs.filter(col("doc_id") % 8 === 2).select("doc_id"), 20L)
+    val expected2 = bruteForce(
+      docs.filter(col("doc_id") % 4 =!= 2)
+        .unionByName(upd.withColumn("text", concat(col("text"), lit(" dup merge merge"))))
+        .filter(col("doc_id") % 8 =!= 2), terms)
+    assert(got() == expected2, "a newer tombstone must mask the re-added version")
+
+    // compaction applies everything physically; the answer must not move
+    assert(idx.compactBatches(spark, 100L) > 0)
+    assert(got() == expected2)
+    assert(idx.deletedDocs(spark).forall(_.isEmpty), "applied tombstones cleared")
+  }
+
   test("compaction crash windows keep serving the full index; recompact recovers") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val idx = TextIndex.create(tmp("crash"), buckets = 8)
