@@ -226,7 +226,8 @@ object Bench {
         "q120_merge_full_sync", "q122_concurrent_writers", "q123_snapshot_diff",
         "q124_late_backfill", "q125_inverted_index", "q126_phrase_search",
         "q130_bm25_topk", "q131_streaming_index", "q140_index_delete",
-        "q142_cdc_index_sync", "q143_incremental_stats")
+        "q142_cdc_index_sync", "q143_incremental_stats",
+        "q144_chunked_bootstrap")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -20,6 +20,7 @@ import graft.lake.IceLite
   *   runMain graft.cdc.CdcCli scd2-asof   <scdDir> <seq> [n]           — point-in-time read
   *   runMain graft.cdc.CdcCli retry-deadletters <tableDir> [epochTag]  — re-decode kept originals
   *   runMain graft.cdc.CdcCli bootstrap <snapshotParquet> <tableDir> [buckets] — bulk attach
+  *   runMain graft.cdc.CdcCli bootstrap-chunk <srcTable> <replicaTable> <lo> <hi> <chunkId> [buckets] — DBLog-style chunked attach
   */
 object CdcCli {
   def main(args: Array[String]): Unit = {
@@ -364,6 +365,15 @@ object CdcCli {
         tableDir, rest.headOption.map(_.toInt).getOrElse(32))
       println(if (st.applied) s"bootstrapped ${st.batchRows} rows into $tableDir"
         else "bootstrap epoch already applied (fenced)")
+    case "bootstrap-chunk" :: srcDir :: replicaDir :: lo :: hi :: chunkId :: rest =>
+      // one DBLog-style chunk: copy the source's CURRENT rows in buckets
+      // [lo, hi] at original sequences; interleave with `replicate` calls
+      val (v, st) = Replay.bootstrapChunk(spark, srcDir, replicaDir,
+        (lo.toInt to hi.toInt).toSet, chunkId.toInt,
+        rest.headOption.map(_.toInt).getOrElse(32))
+      println(if (st.applied)
+        s"chunk ${chunkId.toInt} (buckets $lo-$hi) copied at source v$v: ${st.batchRows} rows"
+        else s"chunk ${chunkId.toInt} already applied (fenced)")
     case "compact-log" :: logDir :: outDir :: Nil =>
       val st = LogCompact.compactLog(spark, logDir, outDir)
       println(s"compacted $logDir -> $outDir: ${st.eventsIn} -> ${st.eventsOut} events " +

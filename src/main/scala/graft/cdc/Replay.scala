@@ -313,6 +313,36 @@ object Replay {
     Merge.mergeEpoch(spark, tableDir, batch, seqCol, "__op", epochId)
   }
 
+  /** One CHUNK of a DBLog-style incremental snapshot: copy the source's
+    * CURRENT live rows in `srcBuckets` — original sequences preserved,
+    * scan bucket-pruned to the chunk (O(chunk), never O(table)) — into
+    * the replica as one fenced epoch (`chunk-<id>`). Chunks are taken at
+    * DIFFERENT source versions while the source keeps committing; with
+    * the change feed shipped from the FIRST chunk's version
+    * ([[applyChanges]]) the replica still converges, because LWW on
+    * original sequences makes chunk/feed interleaving commutative — the
+    * DBLog chunk-watermark argument (Andradinata et al., "DBLog: A
+    * Watermark Based Change-Data-Capture Framework", 2020) expressed as
+    * merge algebra on a merge-capable sink instead of a low/high
+    * watermark bracket over a quiesced select. No source pause, no
+    * global lock, no exact offset bookkeeping. Returns the source
+    * version the chunk saw plus the merge stats. */
+  def bootstrapChunk(
+      spark: SparkSession,
+      srcDir: String,
+      replicaDir: String,
+      srcBuckets: Set[Int],
+      chunkId: Int,
+      buckets: Int = 32): (Int, Merge.MergeStats) = {
+    val snap = IceLite.load(srcDir)
+    val dataCols = snap.currentSchema.filterNot(_.hidden).map(_.name)
+    val rows = IceLite.read(spark, snap, f => srcBuckets(f.bucket), includeHidden = true)
+      .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+      .select(dataCols.map(col) :+ col(IceLite.SeqCol.name).as("__snap_seq"): _*)
+    (snap.version,
+      bootstrap(spark, rows, "__snap_seq", replicaDir, buckets, s"chunk-$chunkId"))
+  }
+
   /** CHANGE-FEED REPLICATION — apply another table's incremental change
     * feed ([[graft.lake.IceLite.changes]] rows: data cols + `__seq` +
     * `__del`) to THIS table as one fenced epoch. With [[bootstrap]] this

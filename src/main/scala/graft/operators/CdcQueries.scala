@@ -4101,6 +4101,117 @@ object CdcQueries {
             ELSE 63.0 / ((CAST(kk.kth AS DOUBLE) + 9.223372036854775808e18) / 1.8446744073709551616e19)
           END, 0.0) AS est_distinct,
           kk.kth AS kth_hash
-        FROM agg a LEFT JOIN kk ON a.col_name = kk.col_name ORDER BY a.col_name"""))
+        FROM agg a LEFT JOIN kk ON a.col_name = kk.col_name ORDER BY a.col_name""")),
+
+    OpQuery("q144_chunked_bootstrap",
+      // DBLog-STYLE CHUNKED BOOTSTRAP under the hard gate: a replica
+      // attaches to a LIVE source without pausing it — the key space is
+      // copied in four bucket-range chunks, each read from the source's
+      // CURRENT snapshot (the source commits a new epoch between chunks,
+      // hard-asserted by strictly increasing chunk versions), interleaved
+      // with change-feed shipments. Convergence needs no low/high watermark
+      // bracket over a quiesced select (DBLog's trick for dumb sinks):
+      // chunk rows carry their ORIGINAL sequences, so the LWW merge makes
+      // every chunk/feed interleaving commutative — re-shipping a feed
+      // window is a fenced no-op (asserted), overlap ties are benign. Each
+      // chunk scan is bucket-pruned (files-read audit) → O(chunk) per
+      // step, O(changes) per feed hop, never O(table): the shape that
+      // bootstraps a 10^10-row replica while ingest keeps running. The
+      // replica (on a DIFFERENT bucket layout) must equal the source head
+      // AND the oracle's independent fold of the decoded log.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q144")
+        val root = workDir("q144")
+        val srcDir = s"$root/src"
+        val replDir = s"$root/replica"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 4000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 25)
+        def gen(lo: Long, hi: Long, epoch: Long) =
+          s.range(lo, hi, 1, 8).mapPartitions { it =>
+            val fs = Cdc.fsV2; val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              graft.decode.ChangeEvent(
+                LogGen.encodeChange(LogGen.rawChange(id, p), d, fs, includeAuthor = true),
+                Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }.toDF().withColumn("epoch", lit(epoch))
+        clock("gen") {
+          (0 until 4).foreach { e =>
+            gen(e * 1000L, (e + 1) * 1000L, e)
+              .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/log$e")
+          }
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          (0 until 4).map { e =>
+            val ev = s.read.parquet(s"$root/log$e")
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates.withColumn("epoch", lit(e))
+          }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        def srcVersion = IceLite.load(srcDir).version
+        val chunkVersions = scala.collection.mutable.ArrayBuffer[Int]()
+        def copyChunk(id: Int, lo: Int, hi: Int): Unit = {
+          val (v, st) = Replay.bootstrapChunk(s, srcDir, replDir,
+            (lo to hi).toSet, chunkId = id, buckets = 4)
+          require(st.applied, s"chunk $id must apply")
+          chunkVersions += v
+        }
+        def ship(from: Int, to: Int): Unit = {
+          val st = Replay.applyChanges(s,
+            IceLite.changes(s, srcDir, from, to), replDir, s"repl-$to", buckets = 4)
+          require(st.applied, s"feed $from->$to must apply")
+        }
+        // interleave: chunk, commit, feed, chunk, commit, ... (no quiesce)
+        clock("interleaved_bootstrap") {
+          Replay.replayLog(s, s"$root/log0", srcDir, buckets = 8)
+          copyChunk(0, 0, 1)
+          Replay.replayLog(s, s"$root/log1", srcDir, buckets = 8)
+          ship(chunkVersions(0), srcVersion)
+          copyChunk(1, 2, 3)
+          Replay.replayLog(s, s"$root/log2", srcDir, buckets = 8)
+          copyChunk(2, 4, 5)
+          ship(2, srcVersion)
+          Replay.replayLog(s, s"$root/log3", srcDir, buckets = 8)
+          ship(3, srcVersion)
+          copyChunk(3, 6, 7)
+        }
+        require(chunkVersions.toSeq == chunkVersions.toSeq.sorted &&
+          chunkVersions.distinct.size == 4,
+          s"chunks must see a LIVE source (strictly newer versions): $chunkVersions")
+        // at-least-once delivery: re-shipping an already-fenced feed window
+        // must be a no-op
+        require(!Replay.applyChanges(s, IceLite.changes(s, srcDir, 2, 3),
+          replDir, "repl-3", buckets = 4).applied,
+          "re-shipped feed window must fence out")
+        // files-read audit on the last chunk: the scan touched only the
+        // chunk's bucket range
+        val headSnap = IceLite.load(srcDir)
+        val rangeFiles = headSnap.files.filter(f => f.bucket >= 6 && f.bucket <= 7)
+          .map(_.path).toSet
+        val scanned = IceLite.read(s, headSnap,
+          f => f.bucket >= 6 && f.bucket <= 7, includeHidden = true).inputFiles
+        require(scanned.nonEmpty && scanned.forall(f =>
+          rangeFiles(new java.net.URI(f).getPath)),
+          "chunk scan must read only its bucket range")
+        putMetric("q144", "chunk_files_read", scanned.size.toDouble)
+        putMetric("q144", "src_files_total", headSnap.files.size.toDouble)
+        // replica ≡ source head, then the oracle re-derives the same state
+        val sel = Seq(col("repo"), col("path"), col("commit"), col("lang"),
+          sha2(col("content"), 256).as("content_sha"), col("author"))
+        val srcState = IceLite.read(s, headSnap).select(sel: _*)
+        val replState = IceLite.read(s, IceLite.load(replDir)).select(sel: _*)
+        require(replState.except(srcState).isEmpty && srcState.except(replState).isEmpty,
+          "replica must converge to the source head")
+        replState.orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q144")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }
