@@ -304,6 +304,56 @@ object JoinOps {
                  CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_b
           FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1)
         SELECT user_id, cnt_a, sum_a, cnt_b, sum_b
-        FROM a JOIN b USING (user_id) ORDER BY user_id"""))
+        FROM a JOIN b USING (user_id) ORDER BY user_id""")),
+
+    // STREAM-STREAM LEFT-OUTER join under the hard gate — the outer
+    // variant is the one streaming operator whose OUTPUT is
+    // watermark-driven, not just its state: a view with no purchase in
+    // the next 30 minutes may only emit its null row once the watermark
+    // PROVES no match can still arrive. The harness appends 3 time-banded
+    // waves (fresh AvailableNow query per wave off one checkpoint — state
+    // survives 3 restarts) plus one future-timestamped sentinel wave that
+    // pushes both watermarks past the last real horizon (without it the
+    // final band's unmatched rows sit in state forever — the classic
+    // stream-outer-join pitfall). Hard-asserted: null rows appear in
+    // INTERMEDIATE waves (watermark-driven, not an end-of-stream flush),
+    // the sentinel flushes the rest, and the total equals the plain batch
+    // left join — a premature null row (emitted while its match was still
+    // admissible) or a lost/duplicated emission breaks oracle equality.
+    OpQuery("q145_stream_left_outer_join",
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q145"
+        val ev = ld(s, d, "events")
+        val left = ev.filter(col("event_type") === "view").select(
+          col("user_id"), col("event_id").as("l_event_id"),
+          col("ts").cast("timestamp").as("l_ts"))
+        val right = ev.filter(col("event_type") === "purchase").select(
+          col("user_id"), col("event_id").as("r_event_id"),
+          col("ts").cast("timestamp").as("r_ts"))
+        val (out, nullCounts) = graft.streaming.StreamJoin.leftOuterStreamToCompletion(
+          s, left, right, root, chunks = 3, key = "user_id",
+          lTime = "l_ts", rTime = "r_ts", tolSeconds = 1800L)
+        require(nullCounts.init.last > 0,
+          "null emissions must be watermark-driven (appear before the sentinel wave)")
+        require(nullCounts.last > nullCounts.init.last,
+          "the sentinel wave must flush the final horizon")
+        CdcQueries.putMetric("q145", "nulls_pre_sentinel", nullCounts.init.last.toDouble)
+        CdcQueries.putMetric("q145", "nulls_final", nullCounts.last.toDouble)
+        val res = out.select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          unix_micros(col("l_ts")).as("l_ts_us"),
+          unix_micros(col("r_ts")).as("r_ts_us"))
+        require(res.filter(col("r_event_id").isNull).limit(1).count() > 0 &&
+          res.filter(col("r_event_id").isNotNull).limit(1).count() > 0,
+          "gate is vacuous without both matched and unmatched views")
+        res.orderBy("l_event_id", "r_event_id")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id AS l_event_id, epoch_us(ts) AS l_ts_us
+                 FROM events WHERE event_type = 'view'),
+             r AS (SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_ts_us
+                 FROM events WHERE event_type = 'purchase')
+        SELECT l.user_id, l_event_id, r_event_id, l_ts_us, r_ts_us
+        FROM l LEFT JOIN r ON l.user_id = r.user_id
+          AND r_ts_us >= l_ts_us AND r_ts_us <= l_ts_us + 1800::BIGINT*1000000
+        ORDER BY l_event_id, r_event_id"""))
   )
 }
