@@ -66,6 +66,33 @@ object GraphOps {
     r
   }
 
+  /** FRONTIER BFS — shortest hop distance (≤ `k`) from a seed set over a
+    * directed edge list. Each sweep expands ONLY the newest frontier (the
+    * nodes first reached last sweep): in an unweighted graph the first
+    * arrival IS the shortest distance, so settled nodes never re-enter the
+    * join — per-iteration cost is O(edges out of the frontier), not
+    * O(edges × iterations), the property that keeps k-hop queries usable
+    * on a 100 TB link graph where hop-2 frontiers already dominate. One
+    * shuffle per sweep (the expansion join + anti-join against settled
+    * nodes, both keyed on node); plans stay shallow via localCheckpoint
+    * (the pageRank pattern). Output: (node, dist) for every node within
+    * `k` hops, dist exact. */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    var settled = seeds.select(col("node").cast("long"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = settled
+    for (i <- 1 to k) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .withColumn("dist", lit(i.toLong))
+      frontier = next.join(settled, Seq("node"), "left_anti").localCheckpoint()
+      settled = settled.unionByName(frontier).localCheckpoint()
+    }
+    settled
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q101_pagerank",
@@ -130,7 +157,54 @@ object GraphOps {
           SELECT x AS node FROM tri
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri) u
-        GROUP BY node ORDER BY node"""))
+        GROUP BY node ORDER BY node""")),
+
+    OpQuery("q147_khop_bfs",
+      // K-HOP REACHABILITY: exact shortest hop distance (≤ 3) from the 5
+      // lowest-id nodes of the symmetrized trade graph, via frontier BFS —
+      // settled nodes never re-enter the expansion join (first arrival =
+      // shortest in an unweighted graph), so sweep i costs O(frontier_i's
+      // out-edges), the only shape that survives hop-2 frontier explosion
+      // on a web-scale link graph. The oracle recomputes distances with a
+      // genuine WITH RECURSIVE BFS + min-fold; a premature settle, lost
+      // frontier node, or off-by-one hop breaks equality.
+      (s, d) => {
+        val edges = ld(s, d, "orders").select("o_orderkey", "o_custkey")
+          .join(ld(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val both = edges.union(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = both.select(col("src").as("node")).distinct()
+          .orderBy("node").limit(5)
+        val dist = kHopDistances(both, seeds, k = 3)
+        val byHop = dist.groupBy("dist").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(byHop.getOrElse(0L, 0L) == 5L, s"5 seeds at dist 0: $byHop")
+        require(byHop.getOrElse(1L, 0L) > 0, s"gate is vacuous: $byHop")
+        byHop.foreach { case (h, n) =>
+          CdcQueries.putMetric("q147", s"nodes_at_hop_$h", n.toDouble)
+        }
+        dist.orderBy("node")
+      },
+      Some("""WITH RECURSIVE bidir AS (
+          SELECT src, dst FROM (
+            SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey) e
+          UNION ALL
+          SELECT dst, src FROM (
+            SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey) e),
+        seeds AS (SELECT DISTINCT src AS node FROM bidir ORDER BY node LIMIT 5),
+        bfs(node, dist) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT e.dst, b.dist + 1 FROM bfs b JOIN bidir e ON e.src = b.node
+          WHERE b.dist < 3)
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY node ORDER BY node"""))
   )
 
   /** Un-pinned q127 plan for graft.Explain (localCheckpoint would explain

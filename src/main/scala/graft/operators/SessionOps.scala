@@ -203,6 +203,42 @@ object SessionOps {
       Some("""SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
           event_type, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""")),
+
+    // PEAK CONCURRENCY (sweep line): how many sessions are open at once —
+    // the capacity-planning / load-curve operator. Intervals are the q33
+    // sessions; endpoints become (+1 at start, -1 at end+1: inclusive
+    // ends, so back-to-back sessions never overlap), and the running sum
+    // is computed by TimeSeriesOps.sweepConcurrency — banded partial sums
+    // + an O(bands) driver prefix, ONE shuffle, no global sort (the q94
+    // prefix-sum shape; a plain `ORDER BY t` window would serialize the
+    // sweep through one task at scale). The gate hard-asserts the sweep
+    // closes at zero and the oracle recomputes the identical curve with a
+    // genuine global window in DuckDB.
+    OpQuery("q146_peak_concurrency",
+      (s, d) => {
+        val ev = ld(s, d, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+        val sess = graft.streaming.Sessionize.sessions(ev, s"$GapHours hours")
+        val pts = sess.select(col("session_start_us").as("t"), lit(1L).as("delta"))
+          .unionByName(sess.select((col("session_end_us") + 1).as("t"),
+            lit(-1L).as("delta")))
+        val conc = TimeSeriesOps.sweepConcurrency(pts, bands = 16)
+        val rows = conc.orderBy(col("t").desc, col("delta").desc).limit(1).head()
+        require(rows.getLong(2) == 0L, s"sweep must close at zero, got $rows")
+        val peak = conc.agg(max(col("conc"))).head().getLong(0)
+        require(peak > 1, s"gate is vacuous at peak $peak")
+        CdcQueries.putMetric("q146", "peak_concurrency", peak.toDouble)
+        conc.orderBy("t", "delta")
+      },
+      Some(s"""WITH $sidDuckCtes,
+        sess AS (SELECT user_id, min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+                 FROM s GROUP BY user_id, sid),
+        pts AS (SELECT st AS t, CAST(1 AS BIGINT) AS delta FROM sess
+                UNION ALL SELECT en + 1, CAST(-1 AS BIGINT) FROM sess),
+        g AS (SELECT t, delta, CAST(sum(delta) AS BIGINT) AS d FROM pts GROUP BY 1, 2)
+        SELECT t, delta, CAST(sum(d) OVER (ORDER BY t, delta
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        FROM g ORDER BY t, delta"""))
   )
 }

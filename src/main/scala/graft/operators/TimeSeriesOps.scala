@@ -26,6 +26,47 @@ import Tables.ld
   */
 object TimeSeriesOps {
 
+  /** DISTRIBUTED SWEEP LINE — running concurrency over (t, delta) interval
+    * endpoints WITHOUT a global sort: equal endpoints collapse first
+    * (groupBy (t, delta) — this also makes the running value at ties
+    * well-defined), points band by value range (driver-side min/max, the
+    * StreamJoin banding rule), each band's running sum runs under a
+    * band-partitioned window (ONE shuffle on band), and the O(bands)
+    * per-band totals prefix on the driver into additive band offsets —
+    * the q94 packSequences prefix-sum shape. At 100 TB the alternative
+    * (a single `ORDER BY t` window over every endpoint) serializes the
+    * whole sweep through one task; this stays parallel at any row count.
+    * Ties order (t asc, delta asc): a -1 endpoint applies before a +1 at
+    * the same instant, so back-to-back intervals never double-count.
+    * Input: (t: long, delta: long); output: (t, delta, conc) per distinct
+    * endpoint group, conc = concurrency after applying the group. */
+  def sweepConcurrency(points: org.apache.spark.sql.DataFrame,
+      bands: Int = 32): org.apache.spark.sql.DataFrame = {
+    val mm = points.agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+    require(!mm.isNullAt(0), "sweepConcurrency: no points")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val g = points.groupBy("t", "delta")
+      .agg(sum(col("delta")).as("d"))
+      .withColumn("band",
+        least(lit(bands - 1), ((col("t") - lit(lo)) * bands / span).cast("int")))
+    val w = Window.partitionBy("band").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = g.withColumn("run", sum(col("d")).over(w))
+    // O(bands) rows to the driver — never corpus-bound
+    val totals = run.groupBy("band").agg(sum(col("d")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until bands).map { b =>
+        val off = b -> acc; acc += totals.getOrElse(b, 0L); off
+      }.toMap
+    }
+    run.select(col("t"), col("delta"),
+      (col("run") + coalesce(element_at(typedLit(offsets), col("band")), lit(0L)))
+        .as("conc"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q128_gap_fill",

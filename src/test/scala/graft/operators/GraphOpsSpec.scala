@@ -71,4 +71,23 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(b * math.min(n, GraphOps.MassCap / b) <= GraphOps.MassCap)
     }
   }
+
+  test("kHopDistances == Floyd-style brute force on a seeded random digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 80).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = Seq(0L, 7L)
+    val k = 3
+    val got = GraphOps.kHopDistances(edges.toDF("src", "dst"), seeds.toDF("node"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+    // brute force: dist relaxation over all edges, k sweeps
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to k) {
+      val next = edges.flatMap { case (a, b) => dist.get(a).map(d => b -> (d + 1)) }
+      dist = (dist.toSeq ++ next).groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    assert(got == dist.toSeq.sortBy(_._1))
+  }
 }

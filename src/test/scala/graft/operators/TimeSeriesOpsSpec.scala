@@ -59,4 +59,27 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(out == Seq((1L, 1L, 1.0), (2L, 3L, 7.0), (3L, 3L, 7.0), (4L, 1L, 8.0)))
   }
+
+  test("sweepConcurrency == single-window reference at every band count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // random intervals incl. shared endpoints and back-to-back pairs
+    val pts = (0 until 200).flatMap { _ =>
+      val s = rnd.nextInt(50).toLong
+      val e = s + 1 + rnd.nextInt(20)
+      Seq((s, 1L), ((e + 1), -1L))
+    }
+    // reference: collapse equal (t, delta), one global ordered prefix sum
+    val ref = pts.groupBy(identity).map { case ((t, d), xs) => (t, d, d * xs.size) }
+      .toSeq.sortBy(p => (p._1, p._2))
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (t, d, s)) => (t, d, acc + s) }
+      .drop(1)
+      .map { case (t, d, acc) => (t, d, acc) }
+    for (bands <- Seq(1, 3, 16)) {
+      val got = TimeSeriesOps.sweepConcurrency(pts.toDF("t", "delta"), bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      assert(got == ref, s"bands=$bands")
+    }
+  }
 }
