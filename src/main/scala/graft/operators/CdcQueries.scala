@@ -4212,6 +4212,107 @@ object CdcQueries {
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q144")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q148_anti_entropy",
+      // MERKLE-STYLE ANTI-ENTROPY under the hard gate: a replica that
+      // SILENTLY MISSED one feed epoch (the failure no fencing can see —
+      // the hop was never attempted) is detected by comparing O(leaves)
+      // commutative digests (count + XOR hash fold per key-hash
+      // residue class, layout/order/compaction independent), then repaired
+      // by shipping ONLY the diverged leaves: source rows at original
+      // sequences + tombstones for the missed deletes. Leaves are a
+      // multiple of both sides' bucket counts, so both repair scans are
+      // structurally bucket-pruned — at 10^10 rows the repair reads
+      // O(diverged), never O(table). Hard-asserted: divergence is a strict
+      // leaf subset, digests match after repair, rows shipped ≪ table
+      // rows; the repaired replica must equal the oracle's independent
+      // fold of the FULL log (so the repair reconstructed exactly what the
+      // missed epoch would have delivered).
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q148")
+        val root = workDir("q148")
+        val primary = s"$root/primary"
+        val replica = s"$root/replica"
+        val logDir = s"$root/log"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val pBroad = LogGen.Params(nEvents = 4000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 20)
+        // the missed hop is a NARROW final epoch (3 fixed keys; one ends
+        // in a DELETE so the repair's tombstone path is exercised) — at
+        // 10^10 rows a lagging replica misses a sliver, not the keyspace
+        def narrowChange(id: Long): LogGen.RawChange = {
+          val keys = Vector(
+            ("org000/repo000", "src/dir0/file0.scala", "scala"),
+            ("org001/repo001", "src/dir1/file1.java", "java"),
+            ("org002/repo002", "src/dir2/file2.py", "py"))
+          val (r, path, lang) = keys((id % 3).toInt)
+          val del = id == 4197L // k0's final event: a missed DELETE
+          LogGen.RawChange(r, path, f"${LogGen.mix(id)}%016x", lang,
+            if (del) "" else LogGen.content(0, 0, id, 42L), id,
+            if (del) "DELETE" else "UPSERT", s"dev${id % 97}")
+        }
+        def gen(lo: Long, hi: Long, mk: Long => LogGen.RawChange, epoch: Long) =
+          s.range(lo, hi, 1, 8).mapPartitions { it =>
+            val fs = Cdc.fsV2; val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              graft.decode.ChangeEvent(
+                LogGen.encodeChange(mk(id), d, fs, includeAuthor = true),
+                Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }.toDF().withColumn("epoch", lit(epoch))
+        clock("gen") {
+          gen(0, 2000, LogGen.rawChange(_, pBroad), 0)
+            .unionByName(gen(2000, 4000, LogGen.rawChange(_, pBroad), 1))
+            .unionByName(gen(4000, 4200, narrowChange, 2))
+            .write.partitionBy("epoch").mode("overwrite").parquet(logDir)
+        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
+        clock("replay_primary") { Replay.replayLog(s, logDir, primary, buckets = 8) }
+        clock("replica_with_gap") {
+          // bootstrap at v1, apply v1->v2, SILENTLY miss the last hop v2->v3
+          val snapV1 = IceLite.loadVersion(primary, 1)
+          val dataCols = snapV1.currentSchema.filterNot(_.hidden).map(_.name)
+          val snap = IceLite.read(s, snapV1, includeHidden = true)
+            .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+            .select(dataCols.map(col) :+ col(IceLite.SeqCol.name).as("seq"): _*)
+          Replay.bootstrap(s, snap, "seq", replica, buckets = 4)
+          Replay.applyChanges(s, IceLite.changes(s, primary, 1, 2), replica,
+            "repl-2", buckets = 4)
+        }
+        import graft.lake.AntiEntropy
+        val leaves = 32
+        val (dp, dr) = clock("digest") {
+          (AntiEntropy.leafDigests(s, primary, leaves),
+            AntiEntropy.leafDigests(s, replica, leaves))
+        }
+        val diverged = AntiEntropy.divergedLeaves(dp, dr)
+        require(diverged.nonEmpty && diverged.size < leaves,
+          s"divergence must be a strict leaf subset: ${diverged.size}/$leaves")
+        val st = clock("repair") {
+          AntiEntropy.repairLeaves(s, primary, replica, diverged, leaves, "ae-1")
+        }
+        val after = AntiEntropy.leafDigests(s, replica, leaves)
+        require(AntiEntropy.divergedLeaves(dp, after).isEmpty,
+          "digests must match after repair")
+        val tableRows = dp.values.map(_._1).sum
+        require(st.upserts + st.deletes < tableRows,
+          s"repair must ship less than the table (${st.upserts}+${st.deletes} vs $tableRows)")
+        require(st.deletes > 0, "the missed-delete tombstone path must be exercised")
+        putMetric("q148", "leaves_diverged", diverged.size.toDouble)
+        putMetric("q148", "repair_deletes", st.deletes.toDouble)
+        putMetric("q148", "rows_shipped", (st.upserts + st.deletes).toDouble)
+        putMetric("q148", "table_rows", tableRows.toDouble)
+        IceLite.read(s, IceLite.load(replica))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q148")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }
