@@ -239,6 +239,48 @@ object SessionOps {
         g AS (SELECT t, delta, CAST(sum(delta) AS BIGINT) AS d FROM pts GROUP BY 1, 2)
         SELECT t, delta, CAST(sum(d) OVER (ORDER BY t, delta
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
-        FROM g ORDER BY t, delta"""))
+        FROM g ORDER BY t, delta""")),
+
+    // AT-LEAST-ONCE DELIVERY DEDUP (native dropDuplicatesWithinWatermark)
+    // under the hard gate: the events feed is re-delivered the way real
+    // transports misbehave — every 3rd event arrives AGAIN one wave later
+    // (same event time, later arrival: the cross-restart case — dropped
+    // only if dedup state survived the stop/restart between waves), every
+    // 9th arrives twice within its own wave (the same-microbatch case).
+    // The stream's output must equal the exact batch distinct — a dropped
+    // original, a surviving duplicate, or state lost at a restart all
+    // break oracle equality. State is evicted by the watermark at scale
+    // (O(delay horizon), not O(stream)); the harness delay covers the
+    // whole span so the equality is exact.
+    OpQuery("q149_stream_delivery_dedup",
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q149"
+        val chunks = 3
+        val ev = ld(s, d, "events").select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"))
+        val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+        val span = math.max(1L, tmax - tmin + 1)
+        val band = least(lit(chunks - 1),
+          ((unix_micros(col("ts")) - tmin) * chunks / span).cast("int"))
+        val originals = ev.withColumn("__band", band)
+        val lateDups = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("__band", least(lit(chunks - 1), band + 1))
+        val sameWaveDups = ev.filter(pmod(col("event_id"), lit(9)) === 0)
+          .withColumn("__band", band)
+        val feed = originals.unionByName(lateDups).unionByName(sameWaveDups)
+        val nDups = feed.count() - ev.count()
+        require(nDups > 0, "gate is vacuous without duplicates")
+        val out = graft.streaming.NativeDedup.dedupStreamToCompletion(
+          s, feed, root, chunks, idCol = "event_id", tsCol = "ts", delay = "365 days")
+        require(out.count() == ev.count(),
+          s"every duplicate dropped, every original kept (${out.count()} vs ${ev.count()})")
+        CdcQueries.putMetric("q149", "duplicates_fed", nDups.toDouble)
+        out.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        FROM events ORDER BY event_id"""))
   )
 }
