@@ -107,6 +107,21 @@ object Explain {
           // localCheckpoint in the gate pins intermediates; the reviewable
           // shape is the oriented wedge join + left-semi close
           graft.operators.GraphOps.q127Plan(spark, sfDir)
+        case "q145_stream_left_outer_join" =>
+          // per-microbatch plan ≡ the batch left-outer interval join
+          import org.apache.spark.sql.functions._
+          val ev = graft.operators.Tables.ld(spark, sfDir, "events")
+          val left = ev.filter(col("event_type") === "view").select(
+            col("user_id"), col("event_id").as("l_event_id"),
+            col("ts").cast("timestamp").as("l_ts"))
+          val right = ev.filter(col("event_type") === "purchase").select(
+            col("user_id").as("__r_user_id"), col("event_id").as("r_event_id"),
+            col("ts").cast("timestamp").as("r_ts"))
+          graft.streaming.StreamJoin.leftOuterIntervalJoin(
+            left, right, "user_id", "__r_user_id", "l_ts", "r_ts", 1800L)
+        case "q147_khop_bfs" =>
+          // un-pinned single BFS sweep: expansion join + anti-join vs settled
+          graft.operators.GraphOps.q147Plan(spark, sfDir)
         case tq @ ("q125_inverted_index" | "q126_phrase_search" | "q130_bm25_topk") =>
           // the gates build-and-query a store; the reviewable plans are the
           // SERVING paths over a prebuilt index (bucket-pruned scans)

@@ -77,20 +77,33 @@ object GraphOps {
     * nodes, both keyed on node); plans stay shallow via localCheckpoint
     * (the pageRank pattern). Output: (node, dist) for every node within
     * `k` hops, dist exact. */
-  def kHopDistances(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    var settled = seeds.select(col("node").cast("long"), lit(0L).as("dist"))
-      .distinct().localCheckpoint()
+  def kHopDistances(edges: DataFrame, seeds: DataFrame, k: Int,
+      pin: Boolean = true): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
+    val e = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long")))
+    var settled = ckpt(seeds.select(col("node").cast("long"), lit(0L).as("dist"))
+      .distinct())
     var frontier = settled
     for (i <- 1 to k) {
       val next = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .withColumn("dist", lit(i.toLong))
-      frontier = next.join(settled, Seq("node"), "left_anti").localCheckpoint()
-      settled = settled.unionByName(frontier).localCheckpoint()
+      frontier = ckpt(next.join(settled, Seq("node"), "left_anti"))
+      settled = ckpt(settled.unionByName(frontier))
     }
     settled
+  }
+
+  /** Un-pinned one-sweep BFS plan for graft.Explain (localCheckpoint would
+    * explain as a bare RDD scan): seeds → one frontier expansion. */
+  private[graft] def q147Plan(s: SparkSession, d: String): DataFrame = {
+    val edges = ld(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(ld(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = edges.select(col("src").as("node")).distinct().orderBy("node").limit(5)
+    kHopDistances(edges, seeds, k = 1, pin = false)
   }
 
   val queries: Seq[OpQuery] = Seq(
