@@ -83,6 +83,34 @@ object AntiEntropy {
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
+  /** INCREMENTAL digest maintenance: fold one [[Cdf.rowVersionLedger]]
+    * window into an existing leaf-digest map WITHOUT rescanning the table
+    * — O(changes), the property the module doc promises at 100 TB. Every
+    * ledger row is a (values, seq) row VERSION entering or leaving the
+    * live set; XOR is self-inverse, so leaving versions cancel exactly
+    * the contribution [[leafDigests]] once folded in. The result must be
+    * BIT-EQUAL to a recomputed digest of the new snapshot (gated, q151). */
+  def applyVersionLedger(spark: SparkSession, digests: Map[Int, (Long, Long)],
+      ledger: DataFrame, snap: IceLite.Snapshot, leaves: Int): Map[Int, (Long, Long)] = {
+    val visible = snap.currentSchema.filterNot(_.hidden).map(c => col(c.name))
+    val h = xxhash64(visible :+ col("seq"): _*)
+    val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltas = ledger
+      .withColumn("__leaf",
+        pmod(xxhash64(snap.keyCols.map(col): _*), lit(leaves.toLong)).cast("int"))
+      .withColumn("__h", h).withColumn("__sign", sign)
+      .groupBy("__leaf")
+      .agg(expr("bit_xor(__h)").as("hx"), sum(col("__sign")).as("dn"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(1))).toMap
+    (digests.keySet ++ deltas.keySet).flatMap { l =>
+      val (n0, h0) = digests.getOrElse(l, (0L, 0L))
+      val (dn, hx) = deltas.getOrElse(l, (0L, 0L))
+      val merged = (n0 + dn, h0 ^ hx)
+      if (merged._1 == 0L) None else Some(l -> merged)
+    }.toMap
+  }
+
   /** The leaves on which two replicas disagree (either side's missing
     * leaf counts as empty). */
   def divergedLeaves(a: Map[Int, (Long, Long)], b: Map[Int, (Long, Long)]): Set[Int] =

@@ -36,7 +36,23 @@ object Cdf {
     * visible columns, and `seq` (the change's commit sequence — pre/post
     * pairs share it). */
   def changesWithImages(spark: SparkSession, dir: String,
-      fromVersion: Int, toVersion: Int): DataFrame = {
+      fromVersion: Int, toVersion: Int): DataFrame =
+    images(spark, dir, fromVersion, toVersion, preSeqIsPredecessor = false)
+
+  /** [[changesWithImages]] with one twist for INCREMENTAL MAINTAINERS
+    * (digests, secondary indexes): pre-image rows carry the PREDECESSOR's
+    * sequence instead of the change's — every output row is then a
+    * (values, seq) row VERSION, `change_type` saying whether that exact
+    * version enters (`insert`/`update_postimage`) or leaves
+    * (`delete`/`update_preimage`) the live set, so a maintainer can
+    * subtract exactly the contribution it once added (AntiEntropy's XOR
+    * digests ride this, q151). */
+  def rowVersionLedger(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): DataFrame =
+    images(spark, dir, fromVersion, toVersion, preSeqIsPredecessor = true)
+
+  private def images(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int, preSeqIsPredecessor: Boolean): DataFrame = {
     import spark.implicits._
     val fromSnap = IceLite.loadVersion(dir, fromVersion)
     val toSnap = IceLite.loadVersion(dir, toVersion)
@@ -54,13 +70,13 @@ object Cdf {
     val touched = feed
       .select(IceLite.bucketExpr(keyCols, fromSnap.buckets).as("__b"))
       .distinct().as[Int].collect().toSet
-    val base = IceLite.read(spark, fromSnap, f => touched(f.bucket))
+    // base rows keep their REAL sequences (all ≤ the from-snapshot's
+    // watermark, so they still sort before every window change) — the
+    // row-version ledger needs the predecessor's true identity
+    val base = IceLite.read(spark, fromSnap, f => touched(f.bucket), includeHidden = true)
+      .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
       .join(changedKeys, keyCols.toSeq, "left_semi")
-      .select(valCols.map(col): _*)
-      // base rows only anchor the lag chain; their sequence just has to
-      // sort before every window change, and the window's own rows all
-      // carry seqs above the from-snapshot's watermark
-      .withColumn("__vseq", lit(fromSnap.maxSeq))
+      .select(valCols.map(col) :+ col(IceLite.SeqCol.name).as("__vseq"): _*)
       .withColumn("__del", lit(false))
       .withColumn("__base", lit(true))
 
@@ -70,13 +86,15 @@ object Cdf {
       .orderBy(col("__vseq"), col("__base").desc)
     val timeline = base.unionByName(feed)
       .withColumn("__prev", lag(struct(valCols.map(col): _*), 1).over(w))
+      .withColumn("__prev_seq", lag(col("__vseq"), 1).over(w))
       .withColumn("__prev_live", lag(col("__del"), 1).over(w) === false)
       .filter(!col("__base")) // base rows seed lag state, emit nothing
       .localCheckpoint()
 
+    val preSeq = if (preSeqIsPredecessor) col("__prev_seq") else col("__vseq")
     val pre = timeline.filter(col("__prev_live"))
       .select((when(col("__del"), "delete").otherwise("update_preimage").as("change_type") +:
-        valCols.map(c => col(s"__prev.$c").as(c))) :+ col("__vseq").as("seq"): _*)
+        valCols.map(c => col(s"__prev.$c").as(c))) :+ preSeq.as("seq"): _*)
     val post = timeline.filter(!col("__del"))
       .select((when(coalesce(col("__prev_live"), lit(false)), "update_postimage")
         .otherwise("insert").as("change_type") +:

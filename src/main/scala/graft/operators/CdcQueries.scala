@@ -4214,6 +4214,87 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q144")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q151_incremental_digests",
+      // INCREMENTAL DIGEST MAINTENANCE under the hard gate — the O(changes)
+      // upkeep that makes q148's anti-entropy digests affordable on a
+      // 10^10-row table where per-epoch full rescans are off the table.
+      // The CDF row-version ledger (pre-images carrying the PREDECESSOR's
+      // sequence — each row a version entering or leaving the live set)
+      // folds into the leaf digests by XOR self-inverse cancellation; the
+      // folded map must be BIT-EQUAL to a from-scratch recompute of the
+      // new snapshot — any lost pre-image, double-counted insert, or
+      // wrong-sequence cancellation breaks the equality, and a digest bug
+      // would silently break divergence detection downstream. Output =
+      // the final state vs the oracle's independent fold.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q151")
+        val root = workDir("q151")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 4000, nRepos = 40, pathsPerRepo = 30,
+          deleteEvery = 20)
+        def gen(lo: Long, hi: Long, epoch: Long) =
+          s.range(lo, hi, 1, 8).mapPartitions { it =>
+            val fs = Cdc.fsV2; val d = fs.findMessage(Cdc.MessageType).get
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.map { id =>
+              graft.decode.ChangeEvent(
+                LogGen.encodeChange(LogGen.rawChange(id, p), d, fs, includeAuthor = true),
+                Cdc.SchemaId, 2, Cdc.MessageType, pid, id)
+            }
+          }.toDF().withColumn("epoch", lit(epoch))
+        clock("gen") {
+          gen(0, 1500, 0).unionByName(gen(1500, 3000, 1))
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logpre")
+          gen(3000, 4000, 2)
+            .write.partitionBy("epoch").mode("overwrite").parquet(s"$root/logtail")
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val log = s.read.parquet(s"$root/logpre")
+            .unionByName(s.read.parquet(s"$root/logtail"))
+          val ev = log
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        import graft.lake.{AntiEntropy, Cdf}
+        val leaves = 32
+        clock("replay_pre") { Replay.replayLog(s, s"$root/logpre", tableDir, buckets = 8) }
+        val vPre = IceLite.load(tableDir).version
+        val baseline = clock("digest_baseline") {
+          AntiEntropy.leafDigests(s, tableDir, leaves)
+        }
+        clock("replay_tail") { Replay.replayLog(s, s"$root/logtail", tableDir, buckets = 8) }
+        val vHead = IceLite.load(tableDir).version
+        val ledger = clock("ledger") {
+          Cdf.rowVersionLedger(s, tableDir, vPre, vHead).localCheckpoint()
+        }
+        val folded = clock("fold") {
+          AntiEntropy.applyVersionLedger(s, baseline, ledger,
+            IceLite.load(tableDir), leaves)
+        }
+        val recomputed = AntiEntropy.leafDigests(s, tableDir, leaves)
+        require(folded == recomputed,
+          "incrementally folded digests must equal the full recompute bit-for-bit")
+        val ledgerRows = ledger.count()
+        val tableRows = recomputed.values.map(_._1).sum
+        require(ledgerRows < tableRows,
+          s"fold must be O(changes): $ledgerRows ledger rows vs $tableRows table rows")
+        putMetric("q151", "ledger_rows", ledgerRows.toDouble)
+        putMetric("q151", "table_rows", tableRows.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q151")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q148_anti_entropy",
       // MERKLE-STYLE ANTI-ENTROPY under the hard gate: a replica that
       // SILENTLY MISSED one feed epoch (the failure no fencing can see —
