@@ -281,6 +281,31 @@ object SessionOps {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // ARBITRARY STATEFUL PROCESSING (Spark 4 transformWithState + RocksDB
+    // state store) under the hard gate: per-user LIFETIME running totals —
+    // one tiny typed ValueState per key (O(keys), never O(events)) —
+    // emitted per event across 3 banded waves, each a fresh AvailableNow
+    // query off one checkpoint (2 full stop/restarts: totals spanning
+    // waves prove the RocksDB state survived recovery). The stream must
+    // equal the batch window fold exactly; DECIMAL sums keep the
+    // cross-engine compare bit-exact (q01 rule).
+    OpQuery("q152_stateful_totals",
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q152"
+        val out = graft.streaming.StatefulTotals.runningTotalsToCompletion(
+          s, ld(s, d, "events"), root, chunks = 3)
+        out.select(col("user_id"), col("event_id"), col("n"),
+          col("run_sum").cast("double").as("run_sum"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(count(*) OVER w AS BIGINT) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS run_sum
+        FROM events WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id"""))
   )
 }
