@@ -229,7 +229,8 @@ object Bench {
         "q142_cdc_index_sync", "q143_incremental_stats",
         "q144_chunked_bootstrap", "q145_stream_left_outer_join",
         "q148_anti_entropy", "q149_stream_delivery_dedup",
-        "q151_incremental_digests", "q152_stateful_totals")
+        "q151_incremental_digests", "q152_stateful_totals",
+        "q153_maintenance_advisor")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -232,6 +232,33 @@ object Compaction {
     * concurrent commit conflicts loudly (a rebucket touches every bucket).
     * Readers pick up the new layout transparently — bucket ids live only in
     * snapshot metadata. */
+  /** Per-bucket manifest health — computed purely from snapshot metadata
+    * (no Spark job, no file opens): file count, delta-file count, row
+    * totals, tombstone rows. The input a maintenance scheduler needs to
+    * pick WHICH buckets to compact on a 10^6-file table without scanning
+    * anything. */
+  final case class BucketHealth(bucket: Int, files: Int, deltas: Int,
+      rows: Long, delRows: Long) {
+    def deadFraction: Double =
+      if (rows <= 0 || delRows < 0) 0.0 else delRows.toDouble / rows
+  }
+
+  def health(snap: IceLite.Snapshot): Seq[BucketHealth] =
+    snap.files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
+      BucketHealth(b, fs.size, fs.count(_.delta),
+        fs.map(f => math.max(0L, f.rows)).sum,
+        fs.map(f => math.max(0L, f.delRows)).sum)
+    }
+
+  /** The buckets a maintenance pass should compact: too many files (read
+    * amplification — every lookup/merge opens them all) or too much dead
+    * weight (tombstones + superseded versions). Metadata-only. */
+  def advise(snap: IceLite.Snapshot, maxFiles: Int,
+      maxDeadFraction: Double = 0.3): Set[Int] =
+    health(snap).filter(h =>
+      h.files > maxFiles || h.deadFraction > maxDeadFraction)
+      .map(_.bucket).toSet
+
   def rebucket(spark: SparkSession, dir: String, newBuckets: Int, epochId: String): CompactionStats = {
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) return CompactionStats(0, 0, 0, 0)

@@ -4214,6 +4214,60 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q144")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    OpQuery("q153_maintenance_advisor",
+      // TARGETED MAINTENANCE under the hard gate: WHICH buckets need
+      // compacting is answered from manifest metadata alone (file counts,
+      // delta counts, tombstone fractions — no Spark job, no file opens:
+      // the only affordable planning mode on a 10^6-file table), then the
+      // pass compacts EXACTLY the advised buckets. Hard-asserted: the
+      // advice splits the buckets non-trivially (zipf skew makes file
+      // accumulation uneven), un-advised buckets' files are left
+      // byte-identical on disk (targeted = no collateral rewrites), the
+      // advisor reports clean afterwards, and the state still equals the
+      // oracle fold.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q153")
+        val root = workDir("q153")
+        val tableDir = s"$root/table"
+        val logDir = s"$root/log"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 4000, nRepos = 40,
+            pathsPerRepo = 30, deleteEvery = 20, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        val snap = IceLite.load(tableDir)
+        val counts = Compaction.health(snap).map(_.files)
+        require(counts.min < counts.max,
+          s"fixture needs uneven file accumulation, got $counts")
+        val threshold = (counts.min + counts.max) / 2
+        val advised = Compaction.advise(snap, maxFiles = threshold)
+        require(advised.nonEmpty && advised.size < snap.buckets,
+          s"advice must split the buckets: $advised of ${snap.buckets}")
+        putMetric("q153", "buckets_advised", advised.size.toDouble)
+        val untouchedBefore = snap.files.filterNot(f => advised(f.bucket))
+          .map(_.path).sorted
+        clock("compact_advised") {
+          Compaction.compact(s, tableDir, "q153-maint", Some(advised))
+        }
+        val after = IceLite.load(tableDir)
+        require(after.files.filterNot(f => advised(f.bucket)).map(_.path).sorted
+          == untouchedBefore,
+          "un-advised buckets must keep their exact files (targeted maintenance)")
+        require(Compaction.advise(after, maxFiles = threshold).isEmpty,
+          "the advisor must report clean after the targeted pass")
+        IceLite.read(s, after)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q153")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     OpQuery("q151_incremental_digests",
       // INCREMENTAL DIGEST MAINTENANCE under the hard gate — the O(changes)
       // upkeep that makes q148's anti-entropy digests affordable on a
