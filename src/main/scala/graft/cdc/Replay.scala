@@ -291,6 +291,23 @@ object Replay {
     * pinned from the registry's latest descriptor (same identity the
     * decode path writes), so later log epochs evolve the schema
     * consistently. */
+  /** Pin the registry's proto field numbers onto `dataCols` as Spark
+    * field-ID metadata (the identity the merge path evolves columns by);
+    * refuses columns the registry's message doesn't know. Shared by every
+    * path that feeds externally-shaped rows into a merge (bootstrap,
+    * replication, anti-entropy repair). */
+  private[graft] def pinnedDataCols(dataCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    val latest = Cdc.registry.resolveKey(SchemaKey(Cdc.SchemaId, -1))
+    val fieldIds = Cdc.registry.descriptor(latest, Cdc.MessageType).get._2
+      .fields.map(f => f.name -> f.number).toMap
+    dataCols.map { c =>
+      require(fieldIds.contains(c),
+        s"column '$c' is not a field of the registry's ${Cdc.MessageType}")
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
+    }
+  }
+
   def bootstrap(
       spark: SparkSession,
       snapshot: org.apache.spark.sql.DataFrame,
@@ -299,17 +316,9 @@ object Replay {
       buckets: Int = 32,
       epochId: String = "bootstrap-0"): Merge.MergeStats = {
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
-    val latest = Cdc.registry.resolveKey(SchemaKey(Cdc.SchemaId, -1))
-    val fieldIds = Cdc.registry.descriptor(latest, Cdc.MessageType).get._2
-      .fields.map(f => f.name -> f.number).toMap
-    val dataCols = snapshot.columns.filterNot(_ == seqCol)
-    dataCols.foreach(c => require(fieldIds.contains(c),
-      s"snapshot column '$c' is not a field of the registry's ${Cdc.MessageType}"))
+    val dataCols = snapshot.columns.filterNot(_ == seqCol).toIndexedSeq
     val batch = snapshot.select(
-      dataCols.toIndexedSeq.map(c => col(c).as(c,
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())) ++
-        Seq(col(seqCol), lit("UPSERT").as("__op")): _*)
+      pinnedDataCols(dataCols) ++ Seq(col(seqCol), lit("UPSERT").as("__op")): _*)
     Merge.mergeEpoch(spark, tableDir, batch, seqCol, "__op", epochId)
   }
 
@@ -360,17 +369,11 @@ object Replay {
       epochId: String,
       buckets: Int = 32): Merge.MergeStats = {
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
-    val latest = Cdc.registry.resolveKey(SchemaKey(Cdc.SchemaId, -1))
-    val fieldIds = Cdc.registry.descriptor(latest, Cdc.MessageType).get._2
-      .fields.map(f => f.name -> f.number).toMap
     val dataCols = feed.columns
       .filterNot(c => c == IceLite.SeqCol.name || c == IceLite.DelCol.name)
-    dataCols.foreach(c => require(fieldIds.contains(c),
-      s"feed column '$c' is not a field of the registry's ${Cdc.MessageType}"))
+      .toIndexedSeq
     val batch = feed.select(
-      dataCols.toIndexedSeq.map(c => col(c).as(c,
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())) ++
+      pinnedDataCols(dataCols) ++
         Seq(col(IceLite.SeqCol.name).as("__sq"),
           when(coalesce(col(IceLite.DelCol.name), lit(false)), "DELETE")
             .otherwise("UPSERT").as("__op")): _*)

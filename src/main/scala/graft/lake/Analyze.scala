@@ -121,23 +121,45 @@ object Analyze {
       .filterNot(f => old(f.path)).map(_.bucket).toSet
   }
 
+  private def writeMeta(dir: String, k: Int, buckets: Int, covered: Set[Int]): Unit =
+    java.nio.file.Files.write(statsMeta(dir),
+      (s"""{"k":$k,"buckets":$buckets,""" +
+        s""""covered":[${covered.toSeq.sorted.mkString(",")}]}""").getBytes("UTF-8"))
+
+  private def readMeta(dir: String): (Int, Int, Set[Int]) = {
+    val s = new String(java.nio.file.Files.readAllBytes(statsMeta(dir)), "UTF-8")
+    def num(key: String) = (s""""$key":(\\d+)""").r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(sys.error(s"corrupt sketch meta: $s"))
+    val covered = """"covered":\[([0-9,]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse(sys.error(s"corrupt sketch meta: $s"))
+    (num("k"), num("buckets"),
+      covered.split(',').filter(_.nonEmpty).map(_.toInt).toSet)
+  }
+
   /** Recompute and persist the sketch rows of `touched` buckets from the
     * current snapshot (dynamic partition overwrite: untouched buckets'
     * sketches are left in place). The sketch store is keyed to a fixed
     * (k, bucket-count) recorded on first refresh — a rebucket re-homes
-    * every key, so it requires a full refresh under the new layout. */
+    * every key, so it requires a full refresh under the new layout. The
+    * meta file also records which buckets have EVER been refreshed:
+    * [[mergedStats]] refuses to serve until every bucket is covered, so a
+    * store whose first refresh was incremental can never silently present
+    * a bucket subset as full-table statistics. */
   def refreshBuckets(spark: SparkSession, dir: String, touched: Set[Int],
       k: Int = 256): Unit = {
     require(touched.nonEmpty, "refreshBuckets needs at least one bucket")
     val snapBuckets = IceLite.load(dir).buckets
     val meta = statsMeta(dir)
-    if (java.nio.file.Files.exists(meta)) {
-      val s = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
-      require(s == s"""{"k":$k,"buckets":$snapBuckets}""",
-        s"sketch store was built with different parameters ($s); " +
-          s"full-refresh after changing k or rebucketing")
-    }
-    val stats = bucketStats(spark, dir, touched, k)
+    val covered: Set[Int] =
+      if (!java.nio.file.Files.exists(meta)) Set.empty
+      else {
+        val (k0, b0, c0) = readMeta(dir)
+        require(k0 == k && b0 == snapBuckets,
+          s"sketch store was built with different parameters (k=$k0, buckets=$b0); " +
+            s"full-refresh after changing k or rebucketing")
+        c0
+      }
+    val stats = bucketStats(spark, dir, touched, k).persist()
     stats.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(statsRoot(dir))
@@ -145,23 +167,25 @@ object Analyze {
     // a touched bucket whose keys were all deleted must drop its sketch
     val present = stats.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
+    stats.unpersist()
     (touched -- present).foreach { b =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(statsRoot(dir), s"bucket=$b").toFile)
     }
-    if (!java.nio.file.Files.exists(meta))
-      java.nio.file.Files.write(meta,
-        s"""{"k":$k,"buckets":$snapBuckets}""".getBytes("UTF-8"))
+    writeMeta(dir, k, snapBuckets, covered ++ touched)
   }
 
   /** Fold the per-bucket sketch store into the [[analyze]] output shape —
-    * bit-equal to a full analyze at the same k. */
+    * bit-equal to a full analyze at the same k. Refuses a store that has
+    * never covered every bucket (partial stats presented as full-table
+    * numbers would silently mislead the planner). */
   def mergedStats(spark: SparkSession, dir: String): DataFrame = {
     val meta = statsMeta(dir)
     require(java.nio.file.Files.exists(meta), s"no sketch store at $dir")
-    val k = """"k":(\d+)""".r.findFirstMatchIn(
-      new String(java.nio.file.Files.readAllBytes(meta), "UTF-8"))
-      .map(_.group(1).toInt).getOrElse(sys.error("corrupt sketch meta"))
+    val (k, buckets, covered) = readMeta(dir)
+    require((0 until buckets).forall(covered),
+      s"sketch store covers only buckets ${covered.toSeq.sorted} of $buckets; " +
+        "refresh the remaining buckets before reading merged stats")
     val st = spark.read.parquet(statsRoot(dir))
     val counts = st.groupBy("col_name")
       .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"))

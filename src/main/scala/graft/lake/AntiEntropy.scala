@@ -97,8 +97,7 @@ object AntiEntropy {
     val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltas = ledger
-      .withColumn("__leaf",
-        pmod(xxhash64(snap.keyCols.map(col): _*), lit(leaves.toLong)).cast("int"))
+      .withColumn("__leaf", leafCol(snap, leaves))
       .withColumn("__h", h).withColumn("__sign", sign)
       .groupBy("__leaf")
       .agg(expr("bit_xor(__h)").as("hx"), sum(col("__sign")).as("dn"))
@@ -117,12 +116,15 @@ object AntiEntropy {
     (a.keySet ++ b.keySet).filter(l =>
       a.getOrElse(l, (0L, 0L)) != b.getOrElse(l, (0L, 0L)))
 
-  final case class RepairStats(leaves: Int, upserts: Long, deletes: Long)
+  final case class RepairStats(leaves: Int, upserts: Long, deletes: Long,
+      applied: Boolean)
 
   /** Repair `dstDir` from `srcDir` on exactly `diverged` leaves: source
     * rows at original sequences + tombstones for destination-extra keys,
     * one fenced epoch. Both scans are bucket-pruned via the leaf→bucket
-    * alignment when `leaves` is a multiple of the side's bucket count. */
+    * alignment when `leaves` is a multiple of the side's bucket count.
+    * Counts come from the merge itself — a fenced-out re-run reports
+    * `applied = false` with zero rows shipped. */
   def repairLeaves(spark: SparkSession, srcDir: String, dstDir: String,
       diverged: Set[Int], leaves: Int, epochId: String): RepairStats = {
     require(diverged.nonEmpty, "nothing to repair")
@@ -142,17 +144,11 @@ object AntiEntropy {
       dataCols.map(c => (if (dst.keyCols.contains(c)) col(c)
         else lit(null).cast(src.currentSchema.find(_.name == c).get.sparkType))
         .as(c)) :+ lit(delSeq).as("__sq") :+ lit("DELETE").as("__op"): _*)
-    val batch = ups.unionByName(dels)
-    val latest = graft.cdc.Cdc.registry.resolveKey(graft.registry.SchemaKey(graft.cdc.Cdc.SchemaId, -1))
-    val fieldIds = graft.cdc.Cdc.registry.descriptor(latest, graft.cdc.Cdc.MessageType).get._2
-      .fields.map(f => f.name -> f.number).toMap
-    val pinned = batch.select(
-      dataCols.toIndexedSeq.map(c => col(c).as(c,
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong(graft.decode.SparkSchema.FieldIdKey, fieldIds(c).toLong).build())) ++
+    val pinned = ups.unionByName(dels).select(
+      graft.cdc.Replay.pinnedDataCols(dataCols) ++
         Seq(col("__sq"), col("__op")): _*)
-    val nUps = ups.count(); val nDel = dels.count()
-    Merge.mergeEpoch(spark, dstDir, pinned, "__sq", "__op", epochId)
-    RepairStats(diverged.size, nUps, nDel)
+    val st = Merge.mergeEpoch(spark, dstDir, pinned, "__sq", "__op", epochId)
+    if (st.applied) RepairStats(diverged.size, st.upserts, st.deletes, applied = true)
+    else RepairStats(diverged.size, 0L, 0L, applied = false)
   }
 }

@@ -223,15 +223,6 @@ object Compaction {
     CompactionStats(chosen.size, rowsBefore, rowsAfter, oldFiles.size)
   }
 
-  /** Change the table's bucket count — the scale operation for a table that
-    * outgrew its layout (e.g. 64 buckets ingesting 100× the design volume:
-    * per-bucket files get huge and merge tasks coarse). A full rewrite of
-    * the resolved state (tombstones included, so late events replayed later
-    * still lose to them) under the NEW bucket expression, committed as a
-    * fresh snapshot with the new bucket count. Fenced like any commit; any
-    * concurrent commit conflicts loudly (a rebucket touches every bucket).
-    * Readers pick up the new layout transparently — bucket ids live only in
-    * snapshot metadata. */
   /** Per-bucket manifest health — computed purely from snapshot metadata
     * (no Spark job, no file opens): file count, delta-file count, row
     * totals, tombstone rows. The input a maintenance scheduler needs to
@@ -259,6 +250,15 @@ object Compaction {
       h.files > maxFiles || h.deadFraction > maxDeadFraction)
       .map(_.bucket).toSet
 
+  /** Change the table's bucket count — the scale operation for a table that
+    * outgrew its layout (e.g. 64 buckets ingesting 100× the design volume:
+    * per-bucket files get huge and merge tasks coarse). A full rewrite of
+    * the resolved state (tombstones included, so late events replayed later
+    * still lose to them) under the NEW bucket expression, committed as a
+    * fresh snapshot with the new bucket count. Fenced like any commit; any
+    * concurrent commit conflicts loudly (a rebucket touches every bucket).
+    * Readers pick up the new layout transparently — bucket ids live only in
+    * snapshot metadata. */
   def rebucket(spark: SparkSession, dir: String, newBuckets: Int, epochId: String): CompactionStats = {
     val base = IceLite.load(dir)
     if (base.hasEpoch(epochId)) return CompactionStats(0, 0, 0, 0)

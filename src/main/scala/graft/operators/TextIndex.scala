@@ -587,8 +587,9 @@ object TextIndex {
           val feed = graft.lake.IceLite.changes(s, tableDir, v - 1, v)
           idx.delete(feed.select(
             xxhash64(col("repo"), col("path")).as("doc_id")), batchId = 100L * v)
-          idx.append(asDocs(
-            feed.filter(!col(graft.lake.IceLite.DelCol.name))), batchId = 100L * v + 1)
+          idx.append(asDocs(feed.filter(
+            !coalesce(col(graft.lake.IceLite.DelCol.name), lit(false)))),
+            batchId = 100L * v + 1)
         }
         val pruned = idx.prunedPaths(q142Terms).size
         require(pruned < idx.allPaths.size,
