@@ -4448,6 +4448,46 @@ object CdcQueries {
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q148")}/decoded/*.parquet')) t
-        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // HOT-KEY DETECTION on the ingest feed (Misra-Gries prefilter + exact
+    // recount) under the hard gate: the repos with frequency > N/(k+1) in
+    // a Zipf-keyed change log — the number a salting planner or cache
+    // admission policy consumes. The per-partition summaries bound driver
+    // state at k × partitions (never key cardinality: a 100 TB log with
+    // billions of repos collects the same ≤ k·P candidates), the recount
+    // is a filtered aggregate over the bounded candidate set, and the
+    // superset guarantee makes the result EXACTLY the plain GROUP BY …
+    // HAVING the oracle runs — integer counts, byte-deterministic. Hard
+    // asserts: heavy hitters exist (the Zipf head), and the candidate set
+    // genuinely pruned the key space.
+    OpQuery("q154_heavy_hitters",
+      (s, _) => {
+        val root = workDir("q154")
+        val logDir = s"$root/log"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 6000, nRepos = 400,
+          pathsPerRepo = 6, v1Fraction = 0.7), logDir, epochs = 2)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 2)
+        // fix the layout the per-partition pass sees (the guarantee holds
+        // for ANY layout; the assert below needs a repeatable one)
+        val decoded = s.read.parquet(s"$root/decoded").repartition(8)
+        val (hh, nCands) = graft.operators.SketchOps.heavyHitters(
+          decoded, "repo", k = 32)
+        val nDistinct = decoded.select("repo").distinct().count()
+        require(nCands < nDistinct,
+          s"candidate set must prune the key space ($nCands vs $nDistinct keys)")
+        val out = hh.orderBy(desc("cnt"), col("repo"))
+        require(out.limit(1).count() > 0, "gate is vacuous without heavy hitters")
+        putMetric("q154", "candidates", nCands.toDouble)
+        putMetric("q154", "distinct_keys", nDistinct.toDouble)
+        out
+      },
+      Some(s"""WITH src AS (SELECT repo
+          FROM parquet_scan('${workDir("q154")}/decoded/*.parquet')
+          WHERE repo IS NOT NULL),
+        n AS (SELECT count(*) AS nn FROM src)
+        SELECT repo, count(*) AS cnt FROM src, n GROUP BY repo, nn
+        HAVING count(*) * 33 > nn ORDER BY cnt DESC, repo"""))
   )
 }

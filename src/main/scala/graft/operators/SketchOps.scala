@@ -44,6 +44,137 @@ object SketchOps {
       .select(col(groupCol), col("est_distinct"), col("exact_distinct"), col("kth_hash"))
   }
 
+  /** MISRA-GRIES HEAVY HITTERS — exact frequent keys in two bounded passes
+    * (Misra & Gries, "Finding repeated elements", Sci. Comp. Prog. 1982).
+    *
+    * Pass 1 runs the k-counter summary per partition (`mapPartitions`, one
+    * bounded hash map, never a shuffle). Soundness is the classic pair of
+    * facts: a partition's summary retains every key with local frequency
+    * > n_p/(k+1), and a key with GLOBAL frequency > N/(k+1) must exceed
+    * that local bar in at least one partition (pigeonhole over the
+    * partition sums) — so the union of the per-partition summaries is a
+    * SUPERSET of the true heavy hitters regardless of how rows were
+    * partitioned or ordered. Pass 2 exactly recounts only that candidate
+    * set (a filtered aggregate) and keeps keys with `cnt · (k+1) > N` —
+    * integer arithmetic, so the result is byte-deterministic and equal to
+    * the plain `GROUP BY … HAVING` it replaces.
+    *
+    * Scale shape: driver state is ≤ k × partitions candidate strings —
+    * bounded by the LAYOUT, never by key cardinality (a 100 TB log with
+    * billions of distinct keys still collects ≤ k·P candidates); the
+    * recount aggregates only rows whose key is in the candidate set. NULL
+    * keys are excluded (a NULL is not a key identity).
+    *
+    * Returns (heavy hitters as (keyCol, cnt) — exact counts — and the
+    * candidate-set size, the prune-evidence number). */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): (DataFrame, Int) = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nonNull = df.filter(col(keyCol).isNotNull)
+    val keys = nonNull.select(col(keyCol).cast("string")).as[String]
+    val candidates = keys.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        counts.get(x) match {
+          case Some(c) => counts.update(x, c + 1)
+          case None if counts.size < k => counts.update(x, 1L)
+          case None =>
+            // decrement-all step: one unmatched arrival cancels one unit of
+            // every tracked key (the new key itself is NOT inserted)
+            val dead = List.newBuilder[String]
+            counts.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counts.update(key, c - 1)
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.distinct().collect()
+    val n = nonNull.count()
+    val hh = nonNull
+      .filter(col(keyCol).cast("string").isInCollection(candidates.toSeq))
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > n)
+    (hh, candidates.length)
+  }
+
+  /** KMV SET OPERATIONS (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", SIGMOD 2007): estimate the
+    * union size, intersection size and Jaccard of every PAIR of key sets
+    * from their k-minimum-value sketches alone — the "how much do two
+    * 100 TB tables overlap" question answered without ever joining them.
+    *
+    * Per side: the k smallest distinct xxhash64 values (the same mergeable
+    * sketch as [[kmvDistinct]]). Per pair (a, b): the union's KMV is the k
+    * smallest of the two sketches' union (exactly the sketch the union of
+    * the two data sets would have produced — that is the KMV merge
+    * property), `k_int` counts union-sketch members present in BOTH side
+    * sketches, and
+    *
+    *   jaccard_est = k_int / k_eff,   est_intersection = jaccard_est · est_union
+    *
+    * Everything upstream of the two final double operations is an integer
+    * order statistic over xxhash64, so a DuckDB oracle re-derives the whole
+    * estimate from the dumped per-side hash sets bit-for-bit (the q82
+    * determinism rule). When the union sketch is unsaturated (k_eff < k) it
+    * holds EVERY hash of both sides and the "estimates" are exact.
+    *
+    * Exact union/intersection columns ride along as the honesty surface
+    * (cheap here; at real scale they are the full joins this sketch
+    * avoids). Output, one row per unordered pair (side_a < side_b):
+    * (side_a, side_b, k_eff, k_int, kth_hash, est_union, est_intersection,
+    * jaccard_est, exact_union, exact_intersection). */
+  def kmvSetOps(df: DataFrame, keyCol: String, sideCol: String, k: Int): DataFrame = {
+    val dist = df.select(col(sideCol).cast("string").as("side"), col(keyCol))
+      .filter(col("side").isNotNull && col(keyCol).isNotNull)
+      .distinct()
+      .select(col("side"), xxhash64(col(keyCol)).as("h"))
+      .distinct() // hash collisions inside one side collapse identically everywhere
+    val wSide = Window.partitionBy("side").orderBy("h")
+    val sketch = dist.withColumn("__rn", row_number().over(wSide))
+      .filter(col("__rn") <= k).select("side", "h")
+    val sides = sketch.select("side").distinct()
+    val pairs = sides.as("a").crossJoin(sides.as("b"))
+      .filter(col("a.side") < col("b.side"))
+      .select(col("a.side").as("side_a"), col("b.side").as("side_b"))
+    // union-of-sketches per pair, flagged with which side(s) contributed
+    val contrib = pairs.join(sketch.as("s"),
+        col("s.side") === col("side_a") || col("s.side") === col("side_b"))
+      .groupBy("side_a", "side_b", "h")
+      .agg(max(when(col("s.side") === col("side_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("s.side") === col("side_b"), 1).otherwise(0)).as("in_b"))
+    val wPair = Window.partitionBy("side_a", "side_b").orderBy("h")
+    val unionSketch = contrib.withColumn("__rn", row_number().over(wPair))
+      .filter(col("__rn") <= k)
+    val est = unionSketch.groupBy("side_a", "side_b")
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("k_int"),
+        max(when(col("__rn") === k, col("h"))).as("kth_hash"))
+      .withColumn("est_union",
+        when(col("kth_hash").isNull, col("k_eff").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((col("kth_hash").cast("double") + lit(9.223372036854775808e18)) /
+              lit(1.8446744073709551616e19))))
+      .withColumn("jaccard_est",
+        col("k_int").cast("double") / col("k_eff").cast("double"))
+      .withColumn("est_intersection", col("jaccard_est") * col("est_union"))
+    // honesty columns: exact |A ∪ B| and |A ∩ B| over the full key sets
+    val flags = dist.groupBy("h").agg(collect_set("side").as("ss"))
+    val exact = pairs.join(flags,
+        array_contains(col("ss"), col("side_a")) ||
+          array_contains(col("ss"), col("side_b")))
+      .groupBy("side_a", "side_b")
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(array_contains(col("ss"), col("side_a")) &&
+          array_contains(col("ss"), col("side_b")), 1L).otherwise(0L))
+          .as("exact_intersection"))
+    est.join(exact, Seq("side_a", "side_b"))
+      .select(col("side_a"), col("side_b"), col("k_eff"), col("k_int"),
+        col("kth_hash"), col("est_union"), col("est_intersection"),
+        col("jaccard_est"), col("exact_union"), col("exact_intersection"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
     OpQuery("q82_kmv_distinct",
       // KMV CARDINALITY SKETCH under the hard gate: per-event-type distinct
@@ -79,6 +210,69 @@ object SketchOps {
                     ELSE 63.0 / ((CAST(kth_hash AS DOUBLE) + 9.223372036854775808e18)
                                  / 1.8446744073709551616e19) END AS est_distinct,
                exact_distinct, kth_hash
-        FROM agg ORDER BY event_type"""))
+        FROM agg ORDER BY event_type""")),
+
+    OpQuery("q157_kmv_set_ops",
+      // KMV SET OPERATIONS under the hard gate: union / intersection /
+      // Jaccard of the per-event-type distinct-user sets, estimated from
+      // the k=64 sketches alone (no join between the sides). The query
+      // dumps the distinct (side, xxhash64(user)) rows; the oracle
+      // re-derives the per-side sketches, the merged union sketch, the
+      // order statistics AND both estimate formulas in SQL — a wrong merge
+      // (union sketch not the k smallest of the union), a miscounted
+      // k_int, or a drifted formula all hash-diverge. Exact union /
+      // intersection columns ride along as the honesty surface.
+      (s, d) => {
+        val ev = ld(s, d, "events")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q157"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        ev.select(col("event_type").cast("string").as("side"), col("user_id"))
+          .filter(col("side").isNotNull && col("user_id").isNotNull)
+          .distinct()
+          .select(col("side"), xxhash64(col("user_id")).as("h"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$root/hashes")
+        kmvSetOps(ev, "user_id", "event_type", k = 64)
+          .orderBy("side_a", "side_b")
+      },
+      Some(s"""WITH d AS (SELECT DISTINCT side, h
+          FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/graft-q157/hashes/*.parquet')),
+        sk AS (SELECT side, h FROM (SELECT side, h,
+                 row_number() OVER (PARTITION BY side ORDER BY h) AS rn FROM d)
+               WHERE rn <= 64),
+        sides AS (SELECT DISTINCT side FROM sk),
+        pairs AS (SELECT a.side AS side_a, b.side AS side_b
+                  FROM sides a, sides b WHERE a.side < b.side),
+        contrib AS (SELECT p.side_a, p.side_b, s.h,
+            max(CASE WHEN s.side = p.side_a THEN 1 ELSE 0 END) AS in_a,
+            max(CASE WHEN s.side = p.side_b THEN 1 ELSE 0 END) AS in_b
+          FROM pairs p JOIN sk s ON s.side = p.side_a OR s.side = p.side_b
+          GROUP BY 1, 2, 3),
+        u AS (SELECT *, row_number() OVER (PARTITION BY side_a, side_b ORDER BY h) AS rn
+              FROM contrib),
+        est AS (SELECT side_a, side_b, CAST(count(*) AS BIGINT) AS k_eff,
+            CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k_int,
+            max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+          FROM u WHERE rn <= 64 GROUP BY 1, 2),
+        fl AS (SELECT p.side_a, p.side_b, d.h,
+            max(CASE WHEN d.side = p.side_a THEN 1 ELSE 0 END) AS ia,
+            max(CASE WHEN d.side = p.side_b THEN 1 ELSE 0 END) AS ib
+          FROM pairs p JOIN d ON d.side = p.side_a OR d.side = p.side_b
+          GROUP BY 1, 2, 3),
+        ex AS (SELECT side_a, side_b, CAST(count(*) AS BIGINT) AS exact_union,
+            CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+          FROM fl GROUP BY 1, 2)
+        SELECT e.side_a, e.side_b, k_eff, k_int, kth_hash,
+          CASE WHEN kth_hash IS NULL THEN CAST(k_eff AS DOUBLE)
+               ELSE 63.0 / ((CAST(kth_hash AS DOUBLE) + 9.223372036854775808e18)
+                            / 1.8446744073709551616e19) END AS est_union,
+          (CAST(k_int AS DOUBLE) / CAST(k_eff AS DOUBLE)) *
+            (CASE WHEN kth_hash IS NULL THEN CAST(k_eff AS DOUBLE)
+                  ELSE 63.0 / ((CAST(kth_hash AS DOUBLE) + 9.223372036854775808e18)
+                               / 1.8446744073709551616e19) END) AS est_intersection,
+          CAST(k_int AS DOUBLE) / CAST(k_eff AS DOUBLE) AS jaccard_est,
+          exact_union, exact_intersection
+        FROM est e JOIN ex USING (side_a, side_b)
+        ORDER BY side_a, side_b"""))
   )
 }
