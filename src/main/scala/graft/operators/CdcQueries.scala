@@ -4488,6 +4488,70 @@ object CdcQueries {
           WHERE repo IS NOT NULL),
         n AS (SELECT count(*) AS nn FROM src)
         SELECT repo, count(*) AS cnt FROM src, n GROUP BY repo, nn
-        HAVING count(*) * 33 > nn ORDER BY cnt DESC, repo"""))
+        HAVING count(*) * 33 > nn ORDER BY cnt DESC, repo""")),
+
+    // DISTRIBUTION DRIFT between committed versions under the hard gate:
+    // replay a 3-epoch log, then ask whether the content-length
+    // distribution of the LIVE rows moved between version 1 (after epoch
+    // 0) and version 3 (all epochs). The query reads both sides through
+    // time travel (IceLite.loadVersion); the oracle re-derives each side
+    // as an independent LWW fold of the decoded dump at the matching epoch
+    // cut, re-bins with the same integer floor-division, and recomputes
+    // the chi-square-style statistic with the same fixed-order double
+    // chain — so a wrong fold on either side, a binning mismatch, or any
+    // float looseness in the statistic hash-diverges. No tolerance: the
+    // statistic must match bit-for-bit.
+    OpQuery("q155_drift_detection",
+      (s, _) => {
+        val root = workDir("q155")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        val out = graft.lake.Drift.betweenVersions(
+          s, tableDir, vOld = 1, vNew = 3, "length(content)", bins = 16, width = 64)
+        val stat = out.select("drift_stat").head().getDouble(0)
+        require(stat > 0.0, "gate is vacuous without measurable drift")
+        putMetric("q155", "drift_stat", stat)
+        out.orderBy("bin")
+      },
+      Some {
+        val dec = s"${workDir("q155")}/decoded/*.parquet"
+        def fold(maxEpoch: Int) =
+          s"""SELECT length(content) AS v FROM (
+                SELECT content, op, row_number()
+                  OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM parquet_scan('$dec') WHERE epoch <= $maxEpoch) t
+              WHERE rn = 1 AND op <> 'DELETE' AND content IS NOT NULL"""
+        val terms = (0 until 16)
+          .map(b => s"max(CASE WHEN bin = $b THEN term END)").mkString(" + ")
+        s"""WITH f1 AS (${fold(0)}), f2 AS (${fold(2)}),
+          spine AS (SELECT CAST(range AS INT) AS bin FROM range(16)),
+          h1 AS (SELECT least(15, greatest(0, CAST((v // 64) AS INT))) AS bin,
+                 count(*) AS c FROM f1 GROUP BY 1),
+          h2 AS (SELECT least(15, greatest(0, CAST((v // 64) AS INT))) AS bin,
+                 count(*) AS c FROM f2 GROUP BY 1),
+          j AS (SELECT s.bin, CAST(coalesce(h1.c, 0) AS BIGINT) AS c_old,
+                       CAST(coalesce(h2.c, 0) AS BIGINT) AS c_new
+                FROM spine s LEFT JOIN h1 ON h1.bin = s.bin
+                             LEFT JOIN h2 ON h2.bin = s.bin),
+          n AS (SELECT (SELECT count(*) FROM f1) AS n1,
+                       (SELECT count(*) FROM f2) AS n2),
+          t AS (SELECT j.bin, j.c_old, j.c_new,
+                CASE WHEN j.c_old + j.c_new > 0 THEN
+                  ((CAST(j.c_old AS DOUBLE) / CAST(n.n1 AS DOUBLE))
+                    - (CAST(j.c_new AS DOUBLE) / CAST(n.n2 AS DOUBLE)))
+                  * ((CAST(j.c_old AS DOUBLE) / CAST(n.n1 AS DOUBLE))
+                    - (CAST(j.c_new AS DOUBLE) / CAST(n.n2 AS DOUBLE)))
+                  / ((CAST(j.c_old AS DOUBLE) + CAST(j.c_new AS DOUBLE))
+                    / (CAST(n.n1 AS DOUBLE) + CAST(n.n2 AS DOUBLE)))
+                ELSE 0.0 END AS term FROM j, n),
+          stat AS (SELECT $terms AS drift_stat FROM t)
+          SELECT t.bin, t.c_old, t.c_new, stat.drift_stat
+          FROM t, stat ORDER BY bin"""
+      })
   )
 }
