@@ -306,6 +306,35 @@ object SessionOps {
         FROM events WHERE value IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // EVENT-TIME RESEQUENCER under the hard gate: the feed arrives OUT OF
+    // ORDER (every 5th event slips one wave late; intra-wave order is
+    // whatever the shuffle produced) across 3 banded waves + 2 sentinel
+    // pushes, each a fresh AvailableNow query off one checkpoint — buffered
+    // rows, per-key emission counters, and armed event-time timers all
+    // survive full stop/restarts. The operator may only release a row once
+    // the watermark proves its position final; the stream's emitted
+    // (ts_us, event_id) sequence must equal the batch row_number over the
+    // full input — a row released early (misordered), held forever
+    // (timer loss), dropped, or double-emitted all break oracle equality.
+    OpQuery("q156_event_resequencer",
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q156"
+        val ev = ld(s, d, "events")
+        val out = graft.streaming.Resequence.resequenceToCompletion(
+          s, ev, root, chunks = 3)
+        require(out.filter(col("user_id") ===
+          graft.streaming.Resequence.SentinelKey).limit(1).count() == 0,
+          "sentinel rows must not leak into the output")
+        val (nOut, nIn) = (out.count(), ev.count())
+        require(nOut == nIn, s"every event exactly once ($nOut vs $nIn)")
+        out.select("user_id", "event_id", "ts_us", "emit_seq")
+          .orderBy("event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS BIGINT) AS emit_seq
+        FROM events ORDER BY event_id"""))
   )
 }
