@@ -45,16 +45,12 @@ object Drift {
     spine.join(binned, Seq("bin"), "left").na.fill(0L, Seq(cntName))
   }
 
-  /** The drift frame for two already-loaded sides: one row per bin
-    * (bin, c_old, c_new) plus the constant `drift_stat` column. */
-  def chiSquare(oldDf: DataFrame, newDf: DataFrame, valueSql: String,
-      bins: Int, width: Int): DataFrame = {
-    val h = histogram(oldDf, valueSql, bins, width, "c_old")
-      .join(histogram(newDf, valueSql, bins, width, "c_new"), Seq("bin"))
-    val n1 = oldDf.select(expr(valueSql).as("__v"))
-      .filter(col("__v").isNotNull).count()
-    val n2 = newDf.select(expr(valueSql).as("__v"))
-      .filter(col("__v").isNotNull).count()
+  /** The statistic over already-binned sides: `h` must hold one row per
+    * bin with integer counts (bin, c_old, c_new); n1/n2 are the sides'
+    * total (non-NULL) row counts. Exposed separately so a consumer that
+    * only kept histograms (e.g. the streaming monitor's persisted
+    * reference) can score against them without the raw rows. */
+  def chiSquareFromHists(h: DataFrame, n1: Long, n2: Long, bins: Int): DataFrame = {
     require(n1 > 0 && n2 > 0, s"drift needs non-empty sides ($n1, $n2 rows)")
     val r1 = col("c_old").cast("double") / lit(n1.toDouble)
     val r2 = col("c_new").cast("double") / lit(n2.toDouble)
@@ -71,6 +67,19 @@ object Drift {
       .select((0 until bins).map(b => col(s"t$b"))
         .reduceLeft(_ + _).as("drift_stat"))
     withTerm.drop("__term").crossJoin(statRow)
+  }
+
+  /** The drift frame for two already-loaded sides: one row per bin
+    * (bin, c_old, c_new) plus the constant `drift_stat` column. */
+  def chiSquare(oldDf: DataFrame, newDf: DataFrame, valueSql: String,
+      bins: Int, width: Int): DataFrame = {
+    val h = histogram(oldDf, valueSql, bins, width, "c_old")
+      .join(histogram(newDf, valueSql, bins, width, "c_new"), Seq("bin"))
+    val n1 = oldDf.select(expr(valueSql).as("__v"))
+      .filter(col("__v").isNotNull).count()
+    val n2 = newDf.select(expr(valueSql).as("__v"))
+      .filter(col("__v").isNotNull).count()
+    chiSquareFromHists(h, n1, n2, bins)
   }
 
   /** Drift of `valueSql` between two committed versions of an IceLite

@@ -335,6 +335,66 @@ object SessionOps {
       Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
           CAST(row_number() OVER (PARTITION BY user_id
             ORDER BY epoch_us(ts), event_id) AS BIGINT) AS emit_seq
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // STREAMING DRIFT MONITOR under the hard gate: wave 0 establishes the
+    // reference histogram (persisted side state), waves 1-2 are scored
+    // against it inside foreachBatch — each wave a fresh AvailableNow
+    // query off one checkpoint (full stop/restarts; the reference must
+    // survive them outside the checkpoint). The oracle re-derives the
+    // exact integer-div wave assignment, every per-wave histogram, and
+    // the fixed-order statistic chain in SQL — a batch scored against the
+    // wrong reference, a lost reference after restart, or any float
+    // looseness in the online statistic all hash-diverge.
+    OpQuery("q158_drift_monitor",
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q158"
+        val out = graft.streaming.DriftMonitor.monitorToCompletion(
+          s, ld(s, d, "events"), root, chunks = 3,
+          "cast(floor(value) as bigint)", bins = 16, width = 32)
+        require(out.select("wave").distinct().count() == 2,
+          "exactly waves 1 and 2 must be scored")
+        require(out.filter(col("drift_stat") > 0).limit(1).count() > 0,
+          "gate is vacuous with zero measured drift")
+        out.orderBy("wave", "bin")
+      },
+      Some {
+        val terms = (0 until 16)
+          .map(b => s"max(CASE WHEN bin = $b THEN term END)").mkString(" + ")
+        s"""WITH base AS (SELECT epoch_us(ts) AS tu,
+              CAST(floor(value) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL),
+          mm AS (SELECT min(tu) AS tmin, max(tu) - min(tu) + 1 AS span FROM base),
+          w AS (SELECT least(2, CAST(((tu - tmin) * 3) // span AS INT)) AS wave,
+                 least(15, greatest(0, CAST((v // 32) AS INT))) AS bin
+                FROM base, mm),
+          h AS (SELECT wave, bin, count(*) AS c FROM w GROUP BY 1, 2),
+          nw AS (SELECT wave, count(*) AS n FROM w GROUP BY 1),
+          spine AS (SELECT wv.wave, b.bin
+                    FROM (SELECT DISTINCT wave FROM w WHERE wave > 0) wv,
+                         (SELECT CAST(range AS INT) AS bin FROM range(16)) b),
+          j AS (SELECT s.wave, s.bin,
+                  CAST(coalesce(hr.c, 0) AS BIGINT) AS c_ref,
+                  CAST(coalesce(hn.c, 0) AS BIGINT) AS c_new
+                FROM spine s
+                LEFT JOIN h hr ON hr.wave = 0 AND hr.bin = s.bin
+                LEFT JOIN h hn ON hn.wave = s.wave AND hn.bin = s.bin),
+          t AS (SELECT j.wave, j.bin, j.c_ref, j.c_new,
+                 CASE WHEN j.c_ref + j.c_new > 0 THEN
+                   ((CAST(j.c_ref AS DOUBLE) / CAST(n0.n AS DOUBLE))
+                     - (CAST(j.c_new AS DOUBLE) / CAST(nx.n AS DOUBLE)))
+                   * ((CAST(j.c_ref AS DOUBLE) / CAST(n0.n AS DOUBLE))
+                     - (CAST(j.c_new AS DOUBLE) / CAST(nx.n AS DOUBLE)))
+                   / ((CAST(j.c_ref AS DOUBLE) + CAST(j.c_new AS DOUBLE))
+                     / (CAST(n0.n AS DOUBLE) + CAST(nx.n AS DOUBLE)))
+                 ELSE 0.0 END AS term
+                FROM j
+                JOIN nw nx ON nx.wave = j.wave
+                JOIN nw n0 ON n0.wave = 0),
+          stat AS (SELECT wave, $terms AS drift_stat FROM t GROUP BY wave)
+          SELECT CAST(t.wave AS BIGINT) AS wave, t.bin, t.c_ref, t.c_new,
+                 stat.drift_stat
+          FROM t JOIN stat USING (wave) ORDER BY wave, bin"""
+      })
   )
 }

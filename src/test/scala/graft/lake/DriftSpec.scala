@@ -41,6 +41,35 @@ class DriftSpec extends AnyFunSuite {
     assert(s1 == s2, "bit-stable across runs")
   }
 
+  test("streaming monitor == batch operator, wave by wave") {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-driftmon-spec"
+    // three 100-row waves 1 hour apart; wave 2's values shifted up
+    val rows = for (w <- 0 until 3; i <- 0 until 100) yield {
+      val tsUs = 1700000000000000L + w * 3600000000L + i * 1000000L
+      (w * 100L + i, new java.sql.Timestamp(tsUs / 1000), (i % 40 + w * 20).toDouble)
+    }
+    val ev = rows.toDF("event_id", "ts", "value")
+    val out = graft.streaming.DriftMonitor.monitorToCompletion(
+      spark, ev, root, chunks = 3, "cast(floor(value) as bigint)",
+      bins = 8, width = 10)
+    val gotStat = out.select("wave", "drift_stat").distinct()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotStat.keySet == Set(1L, 2L))
+    // the batch operator over the same band split must agree bit-for-bit
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    def band(w: Int) = ev.filter(
+      (unix_micros(col("ts").cast("timestamp")) -
+        1700000000000000L).divide(3600000000L).cast("int") === w)
+    for (w <- 1 to 2) {
+      val want = Drift.chiSquare(band(0), band(w),
+        "cast(floor(value) as bigint)", bins = 8, width = 10)
+        .select("drift_stat").head().getDouble(0)
+      assert(gotStat(w.toLong) == want, s"wave $w: ${gotStat(w.toLong)} vs $want")
+    }
+    assert(gotStat(2L) > gotStat(1L), "the shifted wave must score higher")
+  }
+
   test("empty side refuses loudly") {
     import spark.implicits._
     val a = Seq(1L, 2L).toDF("v")
