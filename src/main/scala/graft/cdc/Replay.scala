@@ -142,7 +142,13 @@ object Replay {
         * An INCOMPLETE registry routes the unresolvable events to the
         * dead-letter store instead of failing — pair with
         * [[retryDeadLetters]] once the missing schema lands. */
-      baseRegistry: Option[graft.registry.DescriptorRegistry] = None): ReplayResult = {
+      baseRegistry: Option[graft.registry.DescriptorRegistry] = None,
+      /** per-epoch rewrite of the raw event frame BEFORE decode — the hook
+        * transport-level concerns plug into (e.g.
+        * [[ClaimCheck.resolver]] re-inlining out-of-line payloads). Runs
+        * inside the epoch's plan, so whatever it joins/derives fuses with
+        * the decode scan instead of materializing a resolved copy. */
+      eventTransform: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None): ReplayResult = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
@@ -169,8 +175,8 @@ object Replay {
       .toVector.sorted
 
     val results = epochs.map { e =>
-      val ev = log
-        .filter(col("epoch") === e) // partition-dir prune
+      val raw = log.filter(col("epoch") === e) // partition-dir prune
+      val ev = eventTransform.map(_(raw)).getOrElse(raw)
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[ChangeEvent]
       val batch = decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"), framing)

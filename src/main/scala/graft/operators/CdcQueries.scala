@@ -4490,6 +4490,52 @@ object CdcQueries {
         SELECT repo, count(*) AS cnt FROM src, n GROUP BY repo, nn
         HAVING count(*) * 33 > nn ORDER BY cnt DESC, repo""")),
 
+    // CLAIM-CHECK PATTERN under the hard gate: oversized payloads are
+    // checked OUT of the log into a content-addressed blob store (the
+    // Kafka/Debezium oversized-message recipe), then the replay re-inlines
+    // them through the eventTransform hook (blob join fused into each
+    // epoch's decode plan) and must land the SAME table as a replay of the
+    // original log — the oracle folds the ORIGINAL decoded dump, so a
+    // dropped claim, a mis-addressed blob, or a corrupted re-inline all
+    // hash-diverge. Hard asserts: a real split happened (both claimed and
+    // inline rows exist), no inline payload above the threshold survives
+    // in the claimed log, and blob dedup stored strictly fewer blobs than
+    // claimed rows would imply only if payloads repeat (they don't here —
+    // counts must match).
+    OpQuery("q159_claim_check",
+      (s, _) => {
+        val root = workDir("q159")
+        val logDir = s"$root/log"
+        val claimedLog = s"$root/claimed"
+        val blobDir = s"$root/blobs"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        val st = graft.cdc.ClaimCheck.checkIn(
+          s, logDir, claimedLog, blobDir, threshold = 700)
+        require(st.claimed > 0 && st.claimed < st.events,
+          s"split must be real: ${st.claimed} of ${st.events} claimed")
+        require(st.blobs == st.claimed,
+          s"unique payloads here → blobs == claimed (${st.blobs} vs ${st.claimed})")
+        val maxInline = s.read.parquet(claimedLog)
+          .agg(max(length(col("payload")))).head().getInt(0)
+        require(maxInline <= 700, s"inline payload above threshold: $maxInline")
+        Replay.replayLog(s, claimedLog, tableDir, buckets = 8,
+          eventTransform = Some(graft.cdc.ClaimCheck.resolver(s, blobDir)))
+        putMetric("q159", "claimed", st.claimed.toDouble)
+        putMetric("q159", "blobs", st.blobs.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q159")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     // DISTRIBUTION DRIFT between committed versions under the hard gate:
     // replay a 3-epoch log, then ask whether the content-length
     // distribution of the LIVE rows moved between version 1 (after epoch
