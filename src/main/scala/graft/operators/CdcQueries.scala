@@ -4536,6 +4536,61 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q159")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    // SNAPSHOT-KEYED RESULT CACHE under the hard gate: a repeated grouped
+    // aggregate is served from its materialized result as long as the
+    // table version is unchanged (hit audited as reading ONLY cache files
+    // — the inputFiles assert), then a later epoch commits, the version
+    // bumps, and the same call MUST recompute (correct-by-construction
+    // invalidation: every engine write path commits a version). The final
+    // answer must equal the oracle's fold of ALL epochs — a stale hit
+    // served after the commit would freeze the pre-commit numbers and
+    // hash-diverge. Vacuum drops the superseded version's slot and the
+    // fresh version still hits.
+    OpQuery("q160_result_cache",
+      (s, _) => {
+        val root = workDir("q160")
+        val logDir = s"$root/log"
+        val logB = s"$root/log-late"
+        val tableDir = s"$root/table"
+        val cacheDir = s"$root/cache"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        // stage the last epoch as a separate, later-arriving log (q96 shape)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logB))
+        org.apache.commons.io.FileUtils.moveDirectory(
+          new java.io.File(s"$logDir/epoch=2"), new java.io.File(s"$logB/epoch=2"))
+        val q = (df: org.apache.spark.sql.DataFrame) => df.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("content"))).as("total_chars"))
+        import graft.lake.ResultCache
+        Replay.replayLog(s, logDir, tableDir, buckets = 8)
+        val r1 = ResultCache.run(s, tableDir, cacheDir, "by_lang", q)
+        require(!r1.hit, "first call must be a miss")
+        val r2 = ResultCache.run(s, tableDir, cacheDir, "by_lang", q)
+        require(r2.hit && r2.version == r1.version, "unchanged version must hit")
+        val hitInputs = r2.df.inputFiles.map(f => new java.net.URI(f).getPath)
+        require(hitInputs.nonEmpty && hitInputs.forall(_.startsWith(cacheDir)),
+          s"a hit must read only cache files: ${hitInputs.mkString(",")}")
+        Replay.replayLog(s, logB, tableDir, buckets = 8)
+        val r3 = ResultCache.run(s, tableDir, cacheDir, "by_lang", q)
+        require(!r3.hit && r3.version > r2.version,
+          s"commit must invalidate (v${r2.version} -> v${r3.version}, hit=${r3.hit})")
+        require(ResultCache.vacuum(cacheDir, "by_lang", keepLast = 1) == 1,
+          "exactly the superseded version's slot is dropped")
+        val r4 = ResultCache.run(s, tableDir, cacheDir, "by_lang", q)
+        require(r4.hit && r4.version == r3.version, "fresh version still hits after vacuum")
+        putMetric("q160", "versions_cached", 2.0)
+        r4.df.orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+          CAST(sum(length(content)) AS BIGINT) AS total_chars
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q160")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE'
+        GROUP BY lang ORDER BY lang""")),
+
     // DISTRIBUTION DRIFT between committed versions under the hard gate:
     // replay a 3-epoch log, then ask whether the content-length
     // distribution of the LIVE rows moved between version 1 (after epoch
