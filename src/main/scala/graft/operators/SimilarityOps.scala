@@ -652,6 +652,132 @@ object SimilarityOps {
         WHERE l.vec_id < r.vec_id) t
         WHERE cos >= 0.35 ORDER BY a, b"""
 
+  /** Per-dimension (min, max) envelope over the corpus — one typed pass
+    * with per-partition envelopes (2 × dims doubles each) reduced on the
+    * driver; collect size is O(partitions × dims), never O(rows). */
+  private def dimEnvelope(typed: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+      dims: Int): (Array[Double], Array[Double]) = {
+    import typed.sparkSession.implicits._
+    val parts = typed.mapPartitions { it =>
+      val mn = Array.fill(dims)(Double.PositiveInfinity)
+      val mx = Array.fill(dims)(Double.NegativeInfinity)
+      var any = false
+      it.foreach { case (_, emb) =>
+        any = true
+        var i = 0
+        while (i < dims) {
+          val v = emb(i).toDouble
+          if (v < mn(i)) mn(i) = v
+          if (v > mx(i)) mx(i) = v
+          i += 1
+        }
+      }
+      if (any) Iterator((mn, mx)) else Iterator.empty
+    }.collect()
+    require(parts.nonEmpty, "dimEnvelope: empty corpus")
+    val mn = Array.fill(dims)(Double.PositiveInfinity)
+    val mx = Array.fill(dims)(Double.NegativeInfinity)
+    parts.foreach { case (a, b) =>
+      var i = 0
+      while (i < dims) {
+        if (a(i) < mn(i)) mn(i) = a(i)
+        if (b(i) > mx(i)) mx(i) = b(i)
+        i += 1
+      }
+    }
+    (mn, mx)
+  }
+
+  /** SQ8 quantization: q_i = clamp(floor((v_i − mn_i) / scale_i), 0, 255)
+    * with scale_i = (mx_i − mn_i)/256 — double subtract/divide/floor, each
+    * exactly rounded, so the DuckDB oracle reproduces every code from the
+    * dumped (mn, mx) bit-for-bit. A constant dimension quantizes to 0. */
+  private def quantize(emb: Seq[Float], mn: Array[Double],
+      scale: Array[Double]): Array[Int] = {
+    val out = new Array[Int](mn.length)
+    var i = 0
+    while (i < mn.length) {
+      out(i) = if (scale(i) == 0.0) 0
+      else math.min(255, math.max(0,
+        math.floor((emb(i).toDouble - mn(i)) / scale(i)).toInt))
+      i += 1
+    }
+    out
+  }
+
+  /** q161 impl — SCALAR (INT8) QUANTIZATION prefilter + exact cosine
+    * re-rank: the ANN MEMORY path. 64 float dims (256 B) become 64 int8
+    * codes (64 B) — at 10^9 vectors that's the difference between a corpus
+    * that fits executor memory and one that doesn't — and the prefilter
+    * score is a pure INTEGER dot product over the codes (exact arithmetic,
+    * so the shortlist is byte-deterministic; no float-order caveats).
+    *
+    * Execution shape mirrors [[sigRerankTopK]] (the one that survives 10^9
+    * vectors): quantized queries BROADCAST, one typed pass over the corpus
+    * keeps a bounded per-(partition, query) heap of the best (score, cand)
+    * pairs — per-partition memory O(queries × M), no query×corpus
+    * explosion — then the exact cosine re-ranks the tiny shortlist. The
+    * per-dimension (mn, mx) envelope is dumped to `dumpDir` so the oracle
+    * re-derives every quantization code, the integer scores, and both
+    * rank stages in SQL. */
+  def sq8RerankTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      numQueries: Int, M: Int = 200, k: Int = 10,
+      dims: Int = 64): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val dumpDir = s"${System.getProperty("java.io.tmpdir")}/graft-q161"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dumpDir))
+    val e = ld(s, d, "embeddings")
+    val typed = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    val (mn, mx) = dimEnvelope(typed, dims)
+    val scale = Array.tabulate(dims)(i => (mx(i) - mn(i)) / 256.0)
+    // oracle input: the envelope (1-based dims, DuckDB list indexing)
+    (0 until dims).map(i => (i + 1, mn(i), mx(i))).toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dumpDir/dims")
+    val qcodes = typed.filter(_._1 < numQueries).collect()
+      .map { case (id, emb) => (id, quantize(emb, mn, scale)) }
+    require(qcodes.nonEmpty, "no query vectors")
+    val bq = s.sparkContext.broadcast(qcodes)
+    val bmn = s.sparkContext.broadcast(mn)
+    val bscale = s.sparkContext.broadcast(scale)
+    // heap key: (-score, cand) — same total order the oracle's
+    // ORDER BY score DESC, cand gives
+    val ord = Ordering.Tuple2[Long, Long]
+    val short = typed.mapPartitions { it =>
+      val qs = bq.value
+      val heaps = qs.map { case (qid, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(ord) }.toMap
+      it.foreach { case (cand, emb) =>
+        val code = quantize(emb, bmn.value, bscale.value)
+        qs.foreach { case (qid, qc) =>
+          if (cand != qid) {
+            var sc = 0L
+            var i = 0
+            while (i < qc.length) { sc += qc(i).toLong * code(i); i += 1 }
+            val key = (-sc, cand)
+            val h = heaps(qid)
+            if (h.size < M) h.enqueue(key)
+            else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (ns, cand) => (qid, cand, ns) } }
+    }.toDF("qid", "cand", "ns")
+    val wh = Window.partitionBy("qid").orderBy(col("ns").asc, col("cand").asc)
+    val shortlist = short.withColumn("hr", row_number().over(wh)).filter(col("hr") <= M)
+    val qv = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("va"))
+    val wc = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
+    e.select(col("vec_id").as("cand"), col("embedding").as("vb"))
+      .join(broadcast(shortlist.select("qid", "cand")), Seq("cand"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", expr(sparkCos))
+      .withColumn("rank", row_number().over(wc).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cand", "cos")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q20_embedding_neardup",
@@ -834,7 +960,52 @@ object SimilarityOps {
             .localCheckpoint()
         }
       },
-      Some(ivfOracleSql("graft-q55")))
+      Some(ivfOracleSql("graft-q55"))),
+
+    OpQuery("q161_ann_sq8_topk",
+      // SCALAR (INT8) QUANTIZATION ANN under the hard gate — the memory
+      // path: 64 float dims (256 B) become 64 int8 codes (64 B/vector; a
+      // 10^9-vector corpus drops from 256 GB to 64 GB of codes), the
+      // prefilter score is a pure INTEGER dot product over the codes
+      // (exact arithmetic — the shortlist is byte-deterministic, no float
+      // caveats), and the exact cosine re-ranks the top-200 shortlist.
+      // The oracle reads the dumped per-dimension (mn, mx) envelope and
+      // re-derives EVERY quantization code (floor/clamp double math,
+      // exactly-rounded ops), the integer scores, and both rank stages in
+      // SQL — a drifted scale, a wrong clamp, a heap bug in the bounded
+      // prefilter pass, or a re-rank tie-break slip all hash-diverge.
+      // Recall vs the exact q21 baseline is measured in Bench ann_recall.
+      (s, d) => sq8RerankTopK(s, d, numQueries = 5),
+      Some {
+        val tmp = System.getProperty("java.io.tmpdir")
+        s"""WITH dims AS (SELECT dim, mn, mx
+              FROM parquet_scan('$tmp/graft-q161/dims/*.parquet')),
+          ex AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+                 FROM embeddings, LATERAL generate_series(1, 64) t(i)),
+          qz AS (SELECT e.vec_id, e.dim,
+                  CASE WHEN d.mx = d.mn THEN 0
+                       ELSE least(255, greatest(0,
+                         CAST(floor((e.v - d.mn) / ((d.mx - d.mn) / 256.0)) AS INT)))
+                  END AS q
+                 FROM ex e JOIN dims d USING (dim)),
+          sc AS (SELECT a.vec_id AS qid, b.vec_id AS cand,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS score
+                 FROM qz a JOIN qz b USING (dim)
+                 WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+                 GROUP BY 1, 2),
+          short AS (SELECT qid, cand FROM (
+                 SELECT qid, cand, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, cand) AS rn FROM sc) WHERE rn <= 200)
+          SELECT qid, rank, cand, cos FROM (
+            SELECT qid, cand, cos, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cand) AS BIGINT) AS rank
+            FROM (SELECT s.qid, s.cand, $duckCos AS cos
+                  FROM (SELECT sh.qid, sh.cand, q.embedding AS va, c.embedding AS vb
+                        FROM short sh
+                        JOIN embeddings q ON q.vec_id = sh.qid
+                        JOIN embeddings c ON c.vec_id = sh.cand) s) t) r
+          WHERE rank <= 10 ORDER BY qid, rank"""
+      })
   )
 
   /** The IVF oracle (shared q36/q55): re-derive assignment, probes, and
