@@ -143,6 +143,19 @@ object Explain {
             case _ =>
               idx.rankedSearch(spark, Seq("dup", "merge", "window"), 20)
           }
+        case "q159_claim_check" =>
+          // the gate's returned DF is the table read; the reviewable plan
+          // is the RESOLVE step: claimed rows broadcast-join their payload
+          // back from the blob store (binaryFile scan), unclaimed rows
+          // pass through — the shape that fuses into each replay epoch
+          val root = s"${System.getProperty("java.io.tmpdir")}/graft-explain-q159"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+          graft.cdc.LogGen.writeLog(spark, graft.cdc.LogGen.Params(
+            nEvents = 500, nRepos = 10, pathsPerRepo = 8), s"$root/log", epochs = 1)
+          graft.cdc.ClaimCheck.checkIn(spark, s"$root/log", s"$root/claimed",
+            s"$root/blobs", 700)
+          graft.cdc.ClaimCheck.resolver(spark, s"$root/blobs")(
+            spark.read.parquet(s"$root/claimed"))
         case "q100_bucketed_smb_join" =>
           // the reviewable plan is the co-located join itself — the gate's
           // final orderBy adds one presentation-only range exchange
