@@ -232,7 +232,8 @@ object Bench {
         "q151_incremental_digests", "q152_stateful_totals",
         "q153_maintenance_advisor", "q154_heavy_hitters",
         "q155_drift_detection", "q156_event_resequencer",
-        "q158_drift_monitor", "q159_claim_check", "q160_result_cache")
+        "q158_drift_monitor", "q159_claim_check", "q160_result_cache",
+        "q162_incremental_join_view")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -4591,6 +4591,89 @@ object CdcQueries {
         WHERE rn = 1 AND op <> 'DELETE'
         GROUP BY lang ORDER BY lang""")),
 
+    // INCREMENTALLY-MAINTAINED JOIN VIEW under the hard gate — the
+    // denormalization half of view maintenance (q65 is the aggregate
+    // half): OUT = fact LEFT JOIN dim, kept current from BOTH change
+    // feeds. A fact epoch re-emits only its changed keys; a dim tier
+    // change re-emits only the fact rows referencing the touched dim
+    // keys (a dim DELETE degrades them to NULL dim columns — LEFT JOIN
+    // semantics, not row loss). The final view must equal the oracle's
+    // full fold-and-join of both dumped histories — a missed dim
+    // propagation, a double-applied fact delta, or a dropped
+    // NULL-degrade all hash-diverge. Hard asserts: the second refresh
+    // recomputed strictly less than the view (incremental evidence) and
+    // a replayed refresh fences as a no-op.
+    OpQuery("q162_incremental_join_view",
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q162")
+        val logDir = s"$root/log"
+        val lateDir = s"$root/log-late"
+        val fDir = s"$root/fact"
+        val dDir = s"$root/dim"
+        val outDir = s"$root/view"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3600, nRepos = 60,
+          pathsPerRepo = 40, v1Fraction = 0.7), logDir, epochs = 3)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lateDir))
+        org.apache.commons.io.FileUtils.moveDirectory(
+          new java.io.File(s"$logDir/epoch=2"), new java.io.File(s"$lateDir/epoch=2"))
+        Replay.replayLog(s, logDir, fDir, buckets = 8)
+        // dim: repo -> tier, maintained by hand-rolled fenced merges
+        IceLite.create(dDir, IceLite.withCdcCols(Vector(
+          IceLite.ColDef(1, "repo", "STRING"), IceLite.ColDef(2, "tier", "STRING"))),
+          Vector("repo"), 4)
+        def applyDim(rows: Seq[(String, String, Long, String)], tag: String): Unit = {
+          val df = rows.toDF("repo", "tier", "__sq", "__op")
+          val pinned = df.select(
+            Seq(("repo", 1L), ("tier", 2L)).map { case (c, id) =>
+              col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(graft.decode.SparkSchema.FieldIdKey, id).build()) } ++
+              Seq(col("__sq"), col("__op")): _*)
+          graft.lake.Merge.mergeEpoch(s, dDir, pinned, "__sq", "__op", tag)
+          df.select(col("repo"), col("tier"), col("__sq").as("dseq"),
+            (col("__op") === "DELETE").as("del"))
+            .write.mode("append").parquet(s"$root/dimdump")
+        }
+        applyDim((0 until 60).map(i => (LogGen.repoName(i),
+          if (i % 3 == 0) "gold" else "std", 1L, "UPSERT")), "dim-1")
+        import graft.lake.MatJoin
+        MatJoin.create(fDir, dDir, outDir, buckets = 8)
+        val r1 = MatJoin.refresh(s, fDir, dDir, outDir)
+        require(r1.applied && r1.recomputed > 0, s"initial load must apply: $r1")
+        // both sides move: a late fact epoch + a dim tier change + a dim delete
+        Replay.replayLog(s, lateDir, fDir, buckets = 8)
+        applyDim((0 until 60).collect {
+          case i if i % 5 == 0 => (LogGen.repoName(i), "plat", 2L, "UPSERT") } ++
+          Seq((LogGen.repoName(7), "", 2L, "DELETE")), "dim-2")
+        val before = MatJoin.read(s, outDir).count()
+        val r2 = MatJoin.refresh(s, fDir, dDir, outDir)
+        require(r2.applied && r2.recomputed > 0, s"second refresh must apply: $r2")
+        require(r2.recomputed < before,
+          s"incremental: recomputed ${r2.recomputed} of $before view rows")
+        val r3 = MatJoin.refresh(s, fDir, dDir, outDir)
+        require(!r3.applied, "replayed refresh must fence as a no-op")
+        putMetric("q162", "view_rows", before.toDouble)
+        putMetric("q162", "recomputed_2nd", r2.recomputed.toDouble)
+        MatJoin.read(s, outDir)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"), col("tier"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH f AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+            FROM parquet_scan('${workDir("q162")}/decoded/*.parquet')) t
+          WHERE rn = 1 AND op <> 'DELETE'),
+        d AS (SELECT repo, tier FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo ORDER BY dseq DESC) AS rn
+            FROM parquet_scan('${workDir("q162")}/dimdump/*.parquet')) t
+          WHERE rn = 1 AND NOT del)
+        SELECT f.repo, f.path, f."commit", f.lang, sha256(f.content) AS content_sha,
+               f.author, d.tier
+        FROM f LEFT JOIN d ON d.repo = f.repo
+        ORDER BY f.repo, f.path""")),
+
     // DISTRIBUTION DRIFT between committed versions under the hard gate:
     // replay a 3-epoch log, then ask whether the content-length
     // distribution of the LIVE rows moved between version 1 (after epoch
