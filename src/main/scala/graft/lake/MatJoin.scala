@@ -18,14 +18,18 @@ import java.nio.file.{Files, Paths}
   *              changed dim key (a dim delete degrades them to NULL dim
   *              columns — LEFT JOIN semantics, not row loss).
   *
-  * Refresh cost is O(Δ) on the fact feed plus, when the dim moved, ONE
-  * broadcast-semi-join scan of the fact table (the honest no-index cost;
-  * a join-column secondary index — the q64 machinery — would prune that
-  * scan structurally, noted, not silently assumed). The dim's own read is
-  * always bucket-pruned to the affected join keys. At 10^10 fact rows with
-  * a daily dim tier change this is the difference between re-joining
-  * 10^10 rows and re-emitting the few million that reference the touched
-  * dim keys.
+  * Refresh cost is O(Δ) on the fact feed plus, when the dim moved, one
+  * broadcast-semi-join pass over the fact table — and when the fact table
+  * carries a BLOOM INDEX on the join column ([[IceLite.addBloomIndex]],
+  * the q64 machinery) and the changed dim key set is small enough to
+  * probe from the driver (≤ [[IndexProbeCap]]), even that pass is
+  * bucket-pruned structurally: blooms have no false negatives, so probing
+  * each changed key's bucket set is exhaustive. Larger dim deltas fall
+  * back to the full scan (the honest bound — a probe set that big is a
+  * rebuild, not a propagation). The dim's own read is always
+  * bucket-pruned to the affected join keys. At 10^10 fact rows with a
+  * daily dim tier change this is the difference between re-joining 10^10
+  * rows and re-emitting the few million that reference the touched keys.
   *
   * Exactly-once: the single MERGE commit carries epoch
   * `fd-<vf·2^20 + vd>` — BOTH source versions ride one fenced number (the
@@ -38,7 +42,15 @@ object MatJoin {
   final case class Spec(joinCols: Vector[String], dimValueCols: Vector[String])
 
   final case class RefreshStats(fFrom: Int, fTo: Int, dFrom: Int, dTo: Int,
-      applied: Boolean, recomputed: Long, deleted: Long)
+      applied: Boolean, recomputed: Long, deleted: Long,
+      /** fact buckets the dim-propagation pass scanned (== the table's
+        * bucket count unless the join-column bloom index pruned it). */
+      factBucketsScanned: Int = 0)
+
+  /** Largest changed-dim key set the refresh will probe through the fact's
+    * join-column bloom index (driver-side, one bucket-set lookup per key);
+    * beyond this the propagation falls back to the full fact pass. */
+  val IndexProbeCap = 1024
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def specPath(outDir: String) = Paths.get(outDir, "mj.json")
@@ -126,7 +138,17 @@ object MatJoin {
       (if (vd1 > vd0) IceLite.changes(spark, dDir, vd0, vd1)
        else IceLite.read(spark, dSnap, _ => false, includeHidden = true))
         .select(j.map(col): _*).distinct().localCheckpoint()
-    val fFromDim = IceLite.read(spark, fSnap)
+    // the propagation scan: bloom-index-pruned when the fact table indexes
+    // the (single) join column and the changed key set is probe-sized
+    val factBuckets: Set[Int] =
+      if (vd1 <= vd0) Set.empty // fact-only refresh: nothing to propagate
+      else if (j.size == 1 && fSnap.indexedCols.contains(j.head)) {
+        val probe = changedDimKeys.limit(IndexProbeCap + 1).collect()
+        if (probe.length <= IndexProbeCap)
+          probe.flatMap(r => IceLite.bucketsForValue(fSnap, j.head, r.get(0))).toSet
+        else (0 until fSnap.buckets).toSet
+      } else (0 until fSnap.buckets).toSet
+    val fFromDim = IceLite.read(spark, fSnap, f => factBuckets(f.bucket))
       .join(broadcast(changedDimKeys), j, "left_semi")
       .join(dF.select(fKeys.map(col): _*), fKeys, "left_anti")
 
@@ -163,6 +185,6 @@ object MatJoin {
           .putLong(graft.decode.SparkSchema.FieldIdKey, cd.id.toLong).build())) ++
         Seq(col("__sq"), col("__op")): _*)
     val st = Merge.mergeEpoch(spark, outDir, pinned, "__sq", "__op", s"fd-$enc")
-    RefreshStats(vf0, vf1, vd0, vd1, st.applied, nUp, nDel)
+    RefreshStats(vf0, vf1, vd0, vd1, st.applied, nUp, nDel, factBuckets.size)
   }
 }

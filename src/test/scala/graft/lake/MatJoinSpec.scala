@@ -46,7 +46,7 @@ class MatJoinSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/late"))
     org.apache.commons.io.FileUtils.moveDirectory(
       new java.io.File(s"$root/log/epoch=1"), new java.io.File(s"$root/late/epoch=1"))
-    graft.cdc.Replay.replayLog(spark, s"$root/log", fDir, buckets = 4)
+    graft.cdc.Replay.replayLog(spark, s"$root/log", fDir, buckets = 16)
     IceLite.create(dDir, IceLite.withCdcCols(Vector(
       IceLite.ColDef(1, "repo", "STRING"), IceLite.ColDef(2, "tier", "STRING"))),
       Vector("repo"), 4)
@@ -74,7 +74,7 @@ class MatJoinSpec extends AnyFunSuite {
       "dim delete must NULL-degrade, not drop, its fact rows")
 
     // fact-only movement: the staged epoch (includes DELETE events)
-    graft.cdc.Replay.replayLog(spark, s"$root/late", fDir, buckets = 4)
+    graft.cdc.Replay.replayLog(spark, s"$root/late", fDir, buckets = 16)
     val r3 = MatJoin.refresh(spark, fDir, dDir, outDir)
     assert(r3.applied && r3.dFrom == r3.dTo, s"fact-only: $r3"); check("fact-only")
 
@@ -83,5 +83,18 @@ class MatJoinSpec extends AnyFunSuite {
     // fence encoding survives reload
     val (vf, vd) = MatJoin.lastApplied(IceLite.load(outDir))
     assert(vf == IceLite.load(fDir).version && vd == IceLite.load(dDir).version)
+
+    // a join-column bloom index prunes the dim-propagation scan: retier
+    // ONE repo and the refresh may only touch that key's fact buckets
+    IceLite.addBloomIndex(spark, fDir, "idx-repo", "repo")
+    applyDim(dDir, Seq((graft.cdc.LogGen.repoName(2), "cold", 3L, "UPSERT")), "d3")
+    val r4 = MatJoin.refresh(spark, fDir, dDir, outDir)
+    assert(r4.applied, s"indexed dim-only refresh must apply: $r4")
+    val fSnap = IceLite.load(fDir)
+    val expected = IceLite.bucketsForValue(fSnap, "repo", graft.cdc.LogGen.repoName(2))
+    assert(r4.factBucketsScanned == expected.size &&
+      r4.factBucketsScanned < fSnap.buckets,
+      s"index must prune the fact scan: ${r4.factBucketsScanned}/${fSnap.buckets}")
+    check("indexed dim-only")
   }
 }
