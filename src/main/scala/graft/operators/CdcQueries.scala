@@ -80,6 +80,29 @@ object CdcQueries {
   /** Oracle-input dump shared by the epoch-fixture gates: decode every
     * epoch of `logDir` and write the change rows WITH their epoch to
     * `<root>/decoded` (the dump-then-refold oracle pattern). */
+  /** A (repo → tier) dimension table the join-view gates maintain by
+    * hand-rolled fenced merges; every batch is also dumped (repo, tier,
+    * dseq, del) so the DuckDB oracle can fold the dim history itself. */
+  private def createTierDim(s: SparkSession, dDir: String): Unit =
+    IceLite.create(dDir, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "repo", "STRING"), IceLite.ColDef(2, "tier", "STRING"))),
+      Vector("repo"), 4)
+
+  private def applyTierDim(s: SparkSession, dDir: String, dumpDir: String,
+      rows: Seq[(String, String, Long, String)], tag: String): Unit = {
+    import s.implicits._
+    val df = rows.toDF("repo", "tier", "__sq", "__op")
+    val pinned = df.select(
+      Seq(("repo", 1L), ("tier", 2L)).map { case (c, id) =>
+        col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(graft.decode.SparkSchema.FieldIdKey, id).build()) } ++
+        Seq(col("__sq"), col("__op")): _*)
+    graft.lake.Merge.mergeEpoch(s, dDir, pinned, "__sq", "__op", tag)
+    df.select(col("repo"), col("tier"), col("__sq").as("dseq"),
+      (col("__op") === "DELETE").as("del"))
+      .write.mode("append").parquet(dumpDir)
+  }
+
   def dumpDecodedByEpoch(spark: SparkSession, logDir: String, root: String,
       epochs: Int): Unit = {
     import spark.implicits._
@@ -4621,21 +4644,9 @@ object CdcQueries {
           new java.io.File(s"$logDir/epoch=2"), new java.io.File(s"$lateDir/epoch=2"))
         Replay.replayLog(s, logDir, fDir, buckets = 8)
         // dim: repo -> tier, maintained by hand-rolled fenced merges
-        IceLite.create(dDir, IceLite.withCdcCols(Vector(
-          IceLite.ColDef(1, "repo", "STRING"), IceLite.ColDef(2, "tier", "STRING"))),
-          Vector("repo"), 4)
-        def applyDim(rows: Seq[(String, String, Long, String)], tag: String): Unit = {
-          val df = rows.toDF("repo", "tier", "__sq", "__op")
-          val pinned = df.select(
-            Seq(("repo", 1L), ("tier", 2L)).map { case (c, id) =>
-              col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
-                .putLong(graft.decode.SparkSchema.FieldIdKey, id).build()) } ++
-              Seq(col("__sq"), col("__op")): _*)
-          graft.lake.Merge.mergeEpoch(s, dDir, pinned, "__sq", "__op", tag)
-          df.select(col("repo"), col("tier"), col("__sq").as("dseq"),
-            (col("__op") === "DELETE").as("del"))
-            .write.mode("append").parquet(s"$root/dimdump")
-        }
+        createTierDim(s, dDir)
+        def applyDim(rows: Seq[(String, String, Long, String)], tag: String): Unit =
+          applyTierDim(s, dDir, s"$root/dimdump", rows, tag)
         applyDim((0 until 60).map(i => (LogGen.repoName(i),
           if (i % 3 == 0) "gold" else "std", 1L, "UPSERT")), "dim-1")
         import graft.lake.MatJoin
@@ -4668,6 +4679,78 @@ object CdcQueries {
         d AS (SELECT repo, tier FROM (
             SELECT *, row_number() OVER (PARTITION BY repo ORDER BY dseq DESC) AS rn
             FROM parquet_scan('${workDir("q162")}/dimdump/*.parquet')) t
+          WHERE rn = 1 AND NOT del)
+        SELECT f.repo, f.path, f."commit", f.lang, sha256(f.content) AS content_sha,
+               f.author, d.tier
+        FROM f LEFT JOIN d ON d.repo = f.repo
+        ORDER BY f.repo, f.path""")),
+
+    // STREAMING INGEST + JOIN VIEW + INDEX-PRUNED DIM PROPAGATION composed
+    // under the hard gate: a Tail stream keeps the fact table fresh across
+    // two waves (checkpoint resume between them), the dim retiers between
+    // the waves, and MatJoin.refresh advances the denormalized view after
+    // each — the second refresh's dim propagation runs through the fact's
+    // join-column BLOOM INDEX and is hard-asserted to scan a strict
+    // subset of the fact buckets. The final view must equal the oracle's
+    // fold-and-join of both full histories.
+    OpQuery("q163_streaming_join_view",
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q163")
+        val streamDir = s"$root/stream"
+        val fDir = s"$root/fact"
+        val dDir = s"$root/dim"
+        val outDir = s"$root/view"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        // NB pathsPerRepo fans out ~6× through the per-event lang extension,
+        // so one repo spans ~24 (repo, path) keys → ~20 of 64 fact buckets
+        val p = LogGen.Params(nEvents = 3000, nRepos = 80, pathsPerRepo = 4,
+          v1Fraction = 0.7)
+        val ev = LogGen.events(s, p)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        Replay.decodeForMerge(
+          ev.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent], registry, None)
+          .updates.write.mode("overwrite").parquet(s"$root/decoded")
+        import graft.lake.MatJoin
+        ev.filter(col("offset") < 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, fDir, ckpt, buckets = 64).awaitTermination()
+        createTierDim(s, dDir)
+        applyTierDim(s, dDir, s"$root/dimdump", (0 until 80).map(i =>
+          (LogGen.repoName(i), if (i % 3 == 0) "gold" else "std", 1L, "UPSERT")), "dim-1")
+        IceLite.addBloomIndex(s, fDir, "idx-repo", "repo")
+        MatJoin.create(fDir, dDir, outDir, buckets = 8)
+        val r1 = MatJoin.refresh(s, fDir, dDir, outDir)
+        require(r1.applied, s"wave-1 backfill must apply: $r1")
+        ev.filter(col("offset") >= 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, fDir, ckpt, buckets = 64).awaitTermination()
+        applyTierDim(s, dDir, s"$root/dimdump", Seq(
+          (LogGen.repoName(3), "plat", 2L, "UPSERT")), "dim-2")
+        val r2 = MatJoin.refresh(s, fDir, dDir, outDir)
+        require(r2.applied, s"wave-2 refresh must apply: $r2")
+        require(r2.factBucketsScanned > 0 && r2.factBucketsScanned * 2 <=
+          IceLite.load(fDir).buckets,
+          s"bloom index must prune the propagation scan: " +
+            s"${r2.factBucketsScanned}/${IceLite.load(fDir).buckets}")
+        require(!MatJoin.refresh(s, fDir, dDir, outDir).applied,
+          "a replayed refresh must fence as a no-op")
+        putMetric("q163", "propagation_buckets", r2.factBucketsScanned.toDouble)
+        putMetric("q163", "recomputed_2nd", r2.recomputed.toDouble)
+        MatJoin.read(s, outDir)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"), col("tier"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH f AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+            FROM parquet_scan('${workDir("q163")}/decoded/*.parquet')) t
+          WHERE rn = 1 AND op <> 'DELETE'),
+        d AS (SELECT repo, tier FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo ORDER BY dseq DESC) AS rn
+            FROM parquet_scan('${workDir("q163")}/dimdump/*.parquet')) t
           WHERE rn = 1 AND NOT del)
         SELECT f.repo, f.path, f."commit", f.lang, sha256(f.content) AS content_sha,
                f.author, d.tier
