@@ -4757,6 +4757,72 @@ object CdcQueries {
         FROM f LEFT JOIN d ON d.repo = f.repo
         ORDER BY f.repo, f.path""")),
 
+    // CDC RELAY under the hard gate — the encode service at pipeline
+    // volume: table A's change feed is re-encoded epoch by epoch to
+    // RepoChange v2 wire bytes (canonical field order, proto3 defaults
+    // omitted), packed into VARINT-DELIMITED segments (~100 messages per
+    // segment — the reference's delimited framing as an EXPORT format,
+    // not just an ingest one), and replayed into table B through the
+    // delimited decode path. B must hash-match the oracle's fold of the
+    // ORIGINAL log's decode — any encode defect, framing slip (a length
+    // prefix off by one corrupts every later message in its segment), or
+    // feed row lost in the re-pack diverges the replica. Segment grouping
+    // is arbitrary by design: the fold is seq-LWW, so the relay's
+    // correctness cannot depend on packing order.
+    OpQuery("q164_cdc_relay",
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q164")
+        val logDir = s"$root/log"
+        val aDir = s"$root/a"
+        val relayDir = s"$root/relay"
+        val bDir = s"$root/b"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        Replay.replayLog(s, logDir, aDir, buckets = 8)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        var nEvents = 0L
+        (0 until 3).foreach { e =>
+          val rows = IceLite.changes(s, aDir, e, e + 1).select(
+            col("repo"), col("path"), col("commit"), col("lang"),
+            col("content"), col("author"),
+            col(IceLite.SeqCol.name).as("seq"),
+            when(coalesce(col(IceLite.DelCol.name), lit(false)), "DELETE")
+              .otherwise("UPSERT").as("op"))
+          nEvents += rows.count()
+          graft.decode.Encode.encode(rows, registry, Cdc.KeyV2, Cdc.MessageType)
+            .mapPartitions { it =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              it.grouped(100).zipWithIndex.map { case (batch, i) =>
+                val w = new graft.proto.Wire.Writer
+                batch.foreach { b =>
+                  w.writeVarint64(b.length.toLong); w.writeRaw(b)
+                }
+                graft.decode.ChangeEvent(w.toBytes, Cdc.SchemaId, 2,
+                  Cdc.MessageType, pid, pid.toLong * 1000000L + i)
+              }
+            }.toDF().withColumn("epoch", lit(e.toLong))
+            .write.mode("append").partitionBy("epoch").parquet(relayDir)
+        }
+        val nSegments = s.read.parquet(relayDir).count()
+        require(nEvents > 0 && nSegments * 10 < nEvents,
+          s"segments must pack many messages each ($nSegments segs / $nEvents events)")
+        Replay.replayLog(s, relayDir, bDir, buckets = 8,
+          framing = graft.decode.Framing.VarintDelimited, namespace = "relay")
+        putMetric("q164", "relay_events", nEvents.toDouble)
+        putMetric("q164", "relay_segments", nSegments.toDouble)
+        IceLite.read(s, IceLite.load(bDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q164")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     // DISTRIBUTION DRIFT between committed versions under the hard gate:
     // replay a 3-epoch log, then ask whether the content-length
     // distribution of the LIVE rows moved between version 1 (after epoch
