@@ -4473,6 +4473,59 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q148")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    // POISON-BATCH CIRCUIT BREAKER under the hard gate: epoch 1 of the
+    // log is 50% corrupted (an upstream deploy gone wrong — truncated
+    // varint tags), far past the 10% tolerance, so the guarded replay
+    // must REFUSE it whole (no merge, no dead-letter flood, a quarantine
+    // marker) while epochs 0 and 2 apply normally around it. Mid-state is
+    // hard-asserted (fences present for 0/2 only, marker for 1). The
+    // release then applies epoch 1 through the normal routing path —
+    // good rows merge, corrupt rows dead-letter — and the final table
+    // must equal the oracle fold of every UNCORRUPTED event: a breaker
+    // that quarantined the wrong epoch, lost the healthy half of the
+    // poisoned one, or double-applied on release all hash-diverge.
+    OpQuery("q165_circuit_breaker",
+      (s, _) => {
+        val root = workDir("q165")
+        val logDir = s"$root/log"
+        val badLog = s"$root/badlog"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        // poison epoch 1: every even offset gets a truncated varint tag
+        s.read.parquet(logDir).withColumn("payload",
+            when(col("epoch") === 1 && pmod(col("offset"), lit(2)) === 0,
+              lit(Array[Byte](-1))).otherwise(col("payload")))
+          .write.partitionBy("epoch").mode("overwrite").parquet(badLog)
+        import graft.cdc.Breaker
+        val verdicts = Breaker.replayGuarded(s, badLog, tableDir,
+          maxBadFraction = 0.1, buckets = 8)
+        require(verdicts.filter(_.quarantined).map(_.epoch) == Seq(1L),
+          s"exactly epoch 1 must be quarantined: $verdicts")
+        val snap = IceLite.load(tableDir)
+        require(snap.hasEpoch("replay-0") && snap.hasEpoch("replay-2") &&
+          !snap.hasEpoch("replay-1"), "healthy epochs apply around the poison")
+        require(Breaker.quarantined(tableDir) == Seq(1L), "marker must exist")
+        val rel = Breaker.release(s, badLog, tableDir, 1L)
+        require(rel.applied && Breaker.quarantined(tableDir).isEmpty,
+          "release applies the healthy half and clears the marker")
+        val dl = s.read.parquet(s"$tableDir/_deadletter")
+        require(dl.count() > 0, "released corrupt rows must dead-letter")
+        putMetric("q165", "quarantined_bad", verdicts(1).bad.toDouble)
+        putMetric("q165", "dead_letters", dl.count().toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q165")}/decoded/*.parquet')
+              WHERE NOT (epoch = 1 AND seq % 2 = 0)) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     // HOT-KEY DETECTION on the ingest feed (Misra-Gries prefilter + exact
     // recount) under the hard gate: the repos with frequency > N/(k+1) in
     // a Zipf-keyed change log — the number a salting planner or cache
