@@ -199,6 +199,60 @@ object Replay {
     ReplayResult(epochs.length, results.map(_._1).toSeq)
   }
 
+  /** SELECTIVE REPLAY — rebuild one key slice (a tenant, a hot repo) from
+    * the log WITHOUT full-decoding everything else: a keys-only decode
+    * pass ([[Decode.decodeKeysWithId]] — every non-key field wire-skipped,
+    * payload bodies never materialized) finds the matching events per
+    * epoch, then only those events run the full decode → MERGE path. The
+    * match set is broadcast back against the raw log by (partition,
+    * offset) — selective by contract (a predicate matching most of the
+    * log should use [[replayLog]]; this is the path for the slice
+    * rebuild where full decode of a 100 TB log to recover one key range
+    * would be the dominant cost).
+    *
+    * The target table holds ONLY the slice — fence namespace per epoch as
+    * usual, so re-running is a no-op and the slice table supports every
+    * normal read path. */
+  def replaySelective(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      predicateSql: String,
+      keyFields: Seq[String] = Seq("repo", "path"),
+      buckets: Int = 32,
+      namespace: String = "selective",
+      framing: Framing.Value = Framing.Raw): ReplayResult = {
+    import spark.implicits._
+    if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
+    val log = spark.read.parquet(logDir)
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val epochs = java.nio.file.Files.list(java.nio.file.Paths.get(logDir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toLong }
+      .toVector.sorted
+    val results = epochs.map { e =>
+      val raw = log.filter(col("epoch") === e)
+      val ev = raw
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[ChangeEvent]
+      val ids = Decode.decodeKeysWithId(ev, registry,
+          SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, keyFields, framing)
+        .filter(expr(predicateSql))
+        .select("partition", "offset").distinct()
+      val evSel = raw.join(broadcast(ids), Seq("partition", "offset"))
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[ChangeEvent]
+      val batch = decodeForMerge(evSel, registry, None, framing)
+      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
+        s"$namespace-$e")
+      (st, batch.routeStats)
+    }
+    Lineage.appendAll(spark, tableDir, results.collect {
+      case (st, acc) if st.applied => Lineage.entry(st, acc)
+    })
+    ReplayResult(epochs.length, results.map(_._1).toSeq)
+  }
+
   /** MULTI-WRITER INGEST — replay several change logs into ONE table
     * CONCURRENTLY (one writer thread per log) under optimistic concurrency
     * at the snapshot layer. Benign races (two delta-append commits

@@ -252,6 +252,73 @@ object Decode {
     org.apache.spark.sql.graft.InternalDf.create(spark, rdd, schema)
   }
 
+  /** [[decodeKeys]] with the EVENT IDENTITY carried: one row per decoded
+    * message as (partition, offset, keyFields…). This is the row-level
+    * pushdown primitive — a consumer can decide per event whether the full
+    * payload is worth decoding (selective replay, tenant rebuilds) while
+    * every non-key field is wire-skipped. Delimited segments emit one row
+    * per inner message, all sharing the segment's (partition, offset) — a
+    * matching segment is later decoded whole. Errors yield no row. */
+  def decodeKeysWithId(
+      events: Dataset[ChangeEvent],
+      registry: Broadcast[DescriptorRegistry],
+      defaultKey: SchemaKey,
+      messageType: String,
+      keyFields: Seq[String],
+      framing: Framing.Value = Framing.Raw): DataFrame = {
+
+    import org.apache.spark.sql.types._
+    val (fsOut, descOut) = registry.value.descriptor(defaultKey, messageType).getOrElse(
+      throw new Descriptors.UnknownMessageTypeException(messageType))
+    val reduced = descOut.copy(fields = descOut.fields.filter(f => keyFields.contains(f.name)))
+    val keySchema = SparkSchema.structFor(fsOut, reduced)
+    val outSchema = StructType(
+      StructField("partition", IntegerType, nullable = false) +:
+        StructField("offset", LongType, nullable = false) +: keySchema.fields)
+    val keyTypes = keySchema.fields.map(_.dataType)
+
+    val spark = events.sparkSession
+    val in = events.toDF().select("payload", "partition", "offset")
+    val rdd = org.apache.spark.sql.graft.InternalDf.toRdd(in).mapPartitions { iter =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      val reg = registry.value
+      val fs = reg.fileSet(defaultKey).get
+      val dec = new CatalystRowDecoder(fs, reduced)
+      def withId(p: Int, o: Long, kr: InternalRow): InternalRow = {
+        val arr = new Array[Any](2 + keyTypes.length)
+        arr(0) = p; arr(1) = o
+        var i = 0
+        while (i < keyTypes.length) { arr(i + 2) = kr.get(i, keyTypes(i)); i += 1 }
+        new GenericInternalRow(arr)
+      }
+      iter.flatMap { ir =>
+        val payload = if (ir.isNullAt(0)) null else ir.getBinary(0)
+        val p = ir.getInt(1)
+        val o = ir.getLong(2)
+        try {
+          framing match {
+            case Framing.Raw =>
+              Iterator.single(withId(p, o, dec.decode(payload)))
+            case Framing.VarintDelimited =>
+              val r = new graft.proto.Wire.Reader(payload)
+              val out = Vector.newBuilder[InternalRow]
+              var ok = true
+              while (r.hasRemaining && ok) {
+                try {
+                  val (pos, len) = r.readSlice()
+                  out += withId(p, o,
+                    dec.decode(new graft.proto.Wire.Reader(r.buf, pos, pos + len)))
+                } catch { case _: Exception => ok = false }
+              }
+              out.result().iterator
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }
+    org.apache.spark.sql.graft.InternalDf.create(spark, rdd, outSchema)
+  }
+
   /** Route splits (filter on the computed column → 3 sinks). */
   def success(decoded: DataFrame): DataFrame =
     decoded.filter(decoded("route") === Route.Success).select("partition", "offset", "msg.*")

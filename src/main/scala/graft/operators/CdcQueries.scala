@@ -4526,6 +4526,45 @@ object CdcQueries {
               WHERE NOT (epoch = 1 AND seq % 2 = 0)) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
 
+    // SELECTIVE REPLAY (row-level decode pushdown) under the hard gate:
+    // rebuild ONE hot repo's slice from the log. A keys-only decode pass
+    // (non-key fields wire-skipped, payload bodies never materialized)
+    // finds the matching events; only those run the full decode -> MERGE.
+    // The slice table must equal the oracle fold RESTRICTED to the
+    // predicate - a key mis-decode (wrong slice), a lost match, or a
+    // stray non-matching event all hash-diverge. Hard asserts: the full
+    // decode touched a small fraction of the log (the pushdown evidence)
+    // and the table holds exactly one repo.
+    OpQuery("q166_selective_replay",
+      (s, _) => {
+        val root = workDir("q166")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        val target = LogGen.repoName(3) // Zipf rank 4: hot but not dominant
+        val res = Replay.replaySelective(s, logDir, tableDir,
+          s"repo = '$target'", buckets = 8)
+        val decodedFully = res.stats.map(_.batchRows).sum
+        require(decodedFully > 0 && decodedFully * 4 < 3000,
+          s"pushdown must keep full decode to a fraction ($decodedFully/3000)")
+        val out = IceLite.read(s, IceLite.load(tableDir))
+        require(out.select("repo").distinct().count() == 1,
+          "the slice table must hold exactly the predicate's repo")
+        putMetric("q166", "events_full_decoded", decodedFully.toDouble)
+        putMetric("q166", "log_events", 3000.0)
+        out.select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q166")}/decoded/*.parquet')
+              WHERE repo = '${LogGen.repoName(3)}') t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
     // HOT-KEY DETECTION on the ingest feed (Misra-Gries prefilter + exact
     // recount) under the hard gate: the repos with frequency > N/(k+1) in
     // a Zipf-keyed change log — the number a salting planner or cache
