@@ -94,10 +94,14 @@ private[graft] object BatchStore {
   def compact(dir: String,
       sides: Seq[(String, String => Unit)],
       intoBatchId: Long,
-      crashPoint: String => Unit = _ => ()): Int = {
+      crashPoint: String => Unit = _ => (),
+      /** run even when every side already has ≤ 1 live batch — for callers
+        * with cross-side pending work a batch count can't see (e.g. an
+        * index with unconsumed tombstones against a single data batch). */
+      force: Boolean = false): Int = {
     sweepSuperseded(dir, sides.map(_._1))
     val liveBySide = sides.map { case (root, _) => liveBatchDirs(root) }
-    if (liveBySide.forall(_.size <= 1)) return 0
+    if (!force && liveBySide.forall(_.size <= 1)) return 0
     require(liveBySide.flatten.forall(batchIdOf(_) < intoBatchId),
       s"intoBatchId=$intoBatchId must exceed every live batch id")
     val stage = s"$dir/.compact-$intoBatchId"

@@ -448,6 +448,41 @@ object SimilarityOps {
     import java.nio.file.{Files, Paths}
     def centsDir: String = s"$dir/cents"
     def dataDir: String = s"$dir/data"
+    def delsDir: String = s"$dir/dels"
+
+    /** DELETE vectors from the index (the q140 contract, vector side):
+      * tombstones land now as their own batch and mask immediately on
+      * every probe; the physical drop happens at [[compactBatches]].
+      * GENERATIONAL: a tombstone masks only rows from EARLIER batches, so
+      * re-ingesting a vector id after its delete (update = delete@M +
+      * re-append@M′>M) serves the new version. */
+    def delete(ids: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      ids.select(col("cand").cast("long"))
+        .write.mode("overwrite").parquet(s"$delsDir/batch=$batchId")
+
+    /** Live tombstones with their generation (cand, del_max); None when
+      * deletes are unused (probes then skip the anti-join entirely). */
+    def deletedVecs(s: org.apache.spark.sql.SparkSession): Option[org.apache.spark.sql.DataFrame] = {
+      val live = BatchStore.liveBatchDirs(delsDir)
+      if (live.isEmpty) None
+      else Some(s.read.option("basePath", delsDir)
+        .parquet(live.map(_.toString): _*)
+        .groupBy("cand")
+        .agg(max(col("batch").cast("long")).as("del_max")))
+    }
+
+    /** Mask tombstoned rows; `df` must come off a basePath read so it
+      * carries the `batch` partition column the generation rule uses. */
+    private def minusDeleted(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      deletedVecs(s) match {
+        case Some(dels) =>
+          df.join(dels,
+            df("cand") === dels("cand") &&
+              df("batch").cast("long") < dels("del_max"),
+            "left_anti")
+        case None => df
+      }
 
     def centroids(s: org.apache.spark.sql.SparkSession): Array[(Long, Array[Double], Double)] = {
       import s.implicits._
@@ -471,18 +506,20 @@ object SimilarityOps {
         .map(_.toString).toVector.sorted
     }
 
-    /** Candidates from ONLY the probed cells (live batches). */
+    /** Candidates from ONLY the probed cells (live batches), tombstones
+      * masked. */
     def candidates(s: org.apache.spark.sql.SparkSession,
         cells: Set[Long]): org.apache.spark.sql.DataFrame = {
       val paths = prunedPaths(cells)
-      s.read.option("basePath", dataDir).parquet(paths: _*)
+      minusDeleted(s, s.read.option("basePath", dataDir).parquet(paths: _*))
         .select(col("cand"), col("vb"), col("cell"))
     }
 
-    /** Every live (cand, vb, cell) row — maintenance/diagnostics input. */
+    /** Every live (cand, vb, cell) row (tombstones masked) —
+      * maintenance/diagnostics input. */
     def data(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-      s.read.option("basePath", dataDir)
-        .parquet(BatchStore.liveBatchDirs(dataDir).map(_.toString): _*)
+      minusDeleted(s, s.read.option("basePath", dataDir)
+        .parquet(BatchStore.liveBatchDirs(dataDir).map(_.toString): _*))
         .select(col("cand"), col("vb"), col("cell"))
 
     /** Append one ingest batch: assign its vectors to the index's FIXED
@@ -499,13 +536,22 @@ object SimilarityOps {
 
     /** OFFLINE maintenance: consolidate accumulated `batch=N` subtrees into
       * one (same cell partitioning — pruning semantics unchanged) under the
-      * shared crash-safe stage/mark/move/delete swap ([[BatchStore.compact]]). */
+      * shared crash-safe stage/mark/move/delete swap ([[BatchStore.compact]]).
+      * Tombstoned vectors drop PHYSICALLY here (data(s) is already masked)
+      * and the consumed tombstone batches consolidate to empty. */
     def compactBatches(s: org.apache.spark.sql.SparkSession, intoBatchId: Long,
-        crashPoint: String => Unit = _ => ()): Int =
-      BatchStore.compact(dir, Seq(
+        crashPoint: String => Unit = _ => ()): Int = {
+      val hasDels = BatchStore.listBatchDirs(delsDir).nonEmpty
+      val sides = Seq(
         dataDir -> ((stage: String) =>
-          data(s).write.partitionBy("cell").mode("overwrite").parquet(stage))),
-        intoBatchId, crashPoint)
+          data(s).write.partitionBy("cell").mode("overwrite").parquet(stage))) ++
+        (if (hasDels) Seq(delsDir -> ((stage: String) =>
+          s.read.option("basePath", delsDir)
+            .parquet(BatchStore.liveBatchDirs(delsDir).map(_.toString): _*)
+            .select(col("cand")).limit(0).write.parquet(stage))) else Seq.empty)
+      // pending tombstones are work even against a single data batch
+      BatchStore.compact(dir, sides, intoBatchId, crashPoint, force = hasDels)
+    }
   }
 
   /** One-off maintenance pass (the rebucket analogue): train the quantizer,
@@ -962,6 +1008,52 @@ object SimilarityOps {
       },
       Some(ivfOracleSql("graft-q55"))),
 
+    OpQuery("q167_ann_ivf_delete",
+      // VECTOR-INDEX DELETES under the hard gate (the q140 contract on the
+      // vector side — index lifecycle parity across modalities): every
+      // 11th vector is deleted from the built IVF index. Tombstones mask
+      // immediately on the probe path (hard-asserted: the pre-delete
+      // top-k contained deleted ids, the post-delete top-k contains
+      // none), the physical drop happens at compaction (tombstone store
+      // consolidates to empty), and the post-compaction probe must be
+      // IDENTICAL row for row. The oracle re-derives assignment / probes
+      // / top-k from the dumped centroids with the deletion predicate
+      // applied — a tombstone leak, a masked re-rank slip, or a
+      // compaction that dropped the wrong rows all hash-diverge.
+      (s, d) => {
+        val clock = new CdcQueries.PhaseClock("q167")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q167"
+        val e = ld(s, d, "embeddings")
+        val cents = clock("train") { trainCentroids(s, e, k = 128, iters = 5) }
+        val idx = clock("build") { buildIvfIndexWith(s, e, root, cents) }
+        val qs = e.filter(col("vec_id") < 5)
+        val pre = clock("probe_pre") {
+          ivfTopKIndexed(s, idx, qs, k = 10, nprobe = 32).localCheckpoint()
+        }
+        require(pre.filter(pmod(col("cand"), lit(11)) === 0).limit(1).count() > 0,
+          "gate is vacuous unless the undeleted top-k contained doomed ids")
+        clock("delete") {
+          idx.delete(e.filter(pmod(col("vec_id"), lit(11)) === 0)
+            .select(col("vec_id").as("cand")), batchId = 1L)
+        }
+        val masked = clock("probe_masked") {
+          ivfTopKIndexed(s, idx, qs, k = 10, nprobe = 32).localCheckpoint()
+        }
+        require(masked.filter(pmod(col("cand"), lit(11)) === 0).count() == 0,
+          "tombstones must mask immediately")
+        clock("compact") { idx.compactBatches(s, intoBatchId = 5L) }
+        require(idx.deletedVecs(s).forall(_.count() == 0),
+          "compaction must consume every tombstone")
+        val after = clock("probe_after_compact") {
+          ivfTopKIndexed(s, idx, qs, k = 10, nprobe = 32).localCheckpoint()
+        }
+        val a = masked.collect().map(_.toSeq).toSet
+        require(after.collect().map(_.toSeq).toSet == a,
+          "physical drop must not change the serving results")
+        masked.orderBy("qid", "rank")
+      },
+      Some(ivfOracleSql("graft-q167", candFilter = "vec_id % 11 <> 0"))),
+
     OpQuery("q161_ann_sq8_topk",
       // SCALAR (INT8) QUANTIZATION ANN under the hard gate — the memory
       // path: 64 float dims (256 B) become 64 int8 codes (64 B/vector; a
@@ -1012,7 +1104,7 @@ object SimilarityOps {
     * top-k in SQL from the centroids parquet the query fn dumped under
     * `<java.io.tmpdir>/<root>/cents` — training stays opaque to DuckDB
     * (the q00 dump-then-refold pattern). */
-  private def ivfOracleSql(root: String): String =
+  private def ivfOracleSql(root: String, candFilter: String = "TRUE"): String =
     s"""WITH cents AS (
           SELECT cid, cv FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/$root/cents/*.parquet')),
         asg AS (
@@ -1021,7 +1113,8 @@ object SimilarityOps {
           FROM (SELECT e.vec_id, e.embedding, c.cid, $duckCos AS ccos
             FROM (SELECT vec_id, embedding, embedding AS va FROM embeddings) e
             CROSS JOIN (SELECT cid, cv, cv AS vb FROM cents) c) t),
-        cells AS (SELECT vec_id AS cand, embedding AS vb, cid AS cell FROM asg WHERE rn = 1),
+        cells AS (SELECT vec_id AS cand, embedding AS vb, cid AS cell
+                  FROM asg WHERE rn = 1 AND ($candFilter)),
         probes AS (SELECT vec_id AS qid, embedding AS va, cid AS probe
           FROM asg WHERE vec_id < 5 AND rn <= 32)
         SELECT qid, rank, cand, cos FROM (

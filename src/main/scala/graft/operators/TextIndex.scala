@@ -304,7 +304,8 @@ object TextIndex {
           live(delsDir).select("doc_id").limit(0).write.parquet(stage)
         }) else Seq.empty)
       if (sides.isEmpty) 0
-      else BatchStore.compact(dir, sides, intoBatchId, crashPoint)
+      // pending tombstones are work even when every side has ≤ 1 batch
+      else BatchStore.compact(dir, sides, intoBatchId, crashPoint, force = hasDels)
     }
   }
 
