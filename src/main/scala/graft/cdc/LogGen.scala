@@ -25,7 +25,14 @@ object LogGen {
       seed: Long = 42L,
       /** fraction of the log (from the start) encoded with descriptor v1;
         * the rest uses v2 (adds `author`) — the evolution fixture. */
-      v1Fraction: Double = 1.0)
+      v1Fraction: Double = 1.0,
+      /** first event id (= seq). A SECOND log generated with
+        * `idOffset = <first log's nEvents>` continues the same stream:
+        * its events carry strictly higher sequence numbers, so its
+        * updates deterministically win the LWW fold over the first log's
+        * — the "tail keeps flowing" fixture for gates that do work
+        * between two replay waves. */
+      idOffset: Long = 0L)
 
   private val langs = Array("scala", "java", "py", "rs", "go", "md")
   private val codeWords = Array(
@@ -166,8 +173,8 @@ object LogGen {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    val v1Cut = (p.nEvents * p.v1Fraction).toLong
-    spark.range(0, p.nEvents, 1, parts).mapPartitions { it =>
+    val v1Cut = p.idOffset + (p.nEvents * p.v1Fraction).toLong
+    spark.range(p.idOffset, p.idOffset + p.nEvents, 1, parts).mapPartitions { it =>
       // resolve descriptors once per partition
       val fs1 = Cdc.fsV1; val d1 = fs1.findMessage(Cdc.MessageType).get
       val fs2 = Cdc.fsV2; val d2 = fs2.findMessage(Cdc.MessageType).get
@@ -191,15 +198,15 @@ object LogGen {
       partitions: Int = 0): Dataset[ChangeEvent] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val v1Cut = (p.nEvents * p.v1Fraction).toLong
+    val v1Cut = p.idOffset + (p.nEvents * p.v1Fraction).toLong
     val nSegments = (p.nEvents + msgsPerSegment - 1) / msgsPerSegment
     spark.range(0, nSegments, 1, parts).mapPartitions { it =>
       val fs1 = Cdc.fsV1; val d1 = fs1.findMessage(Cdc.MessageType).get
       val fs2 = Cdc.fsV2; val d2 = fs2.findMessage(Cdc.MessageType).get
       val pid = org.apache.spark.TaskContext.getPartitionId()
       it.map { seg =>
-        val first = seg * msgsPerSegment
-        val last = math.min(first + msgsPerSegment, p.nEvents)
+        val first = p.idOffset + seg * msgsPerSegment
+        val last = math.min(first + msgsPerSegment, p.idOffset + p.nEvents)
         val v1 = first < v1Cut
         val w = new graft.proto.Wire.Writer
         var id = first
@@ -222,7 +229,7 @@ object LogGen {
       msgsPerSegment: Int = 100): Unit = {
     val perEpoch = math.max(1L, (p.nEvents + epochs - 1) / epochs)
     segmentEvents(spark, p, msgsPerSegment)
-      .withColumn("epoch", (col("offset") / perEpoch).cast("long"))
+      .withColumn("epoch", ((col("offset") - p.idOffset) / perEpoch).cast("long"))
       .write.option("parquet.block.size", 16 * 1024 * 1024)
       .partitionBy("epoch").mode("overwrite").parquet(dir)
   }
@@ -232,7 +239,7 @@ object LogGen {
   def writeLog(spark: SparkSession, p: Params, dir: String, epochs: Int): Unit = {
     val perEpoch = math.max(1L, (p.nEvents + epochs - 1) / epochs)
     events(spark, p)
-      .withColumn("epoch", (col("offset") / perEpoch).cast("long"))
+      .withColumn("epoch", ((col("offset") - p.idOffset) / perEpoch).cast("long"))
       // small row groups: parquet splits align to row groups, so 128MB
       // groups would cap replay read-parallelism at ~size/128MB tasks
       .write.option("parquet.block.size", 16 * 1024 * 1024)

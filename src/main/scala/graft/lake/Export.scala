@@ -106,6 +106,172 @@ object Export {
       visible.map(_.name), snap.version, created = true)
   }
 
+  // ── INCREMENTAL EXPORT CHAINS ──────────────────────────────────────────
+  // Publishing a 100 TB table to external readers cannot re-link (let alone
+  // re-copy) every file nightly. An export CHAIN ships each data file ONCE:
+  // step vN links only the files that are new since the previous step and
+  // its manifest lists the FULL logical file set, pointing unchanged files
+  // back at the step that first shipped them ("v3/data/part-00012-b4.parquet",
+  // relative to the chain root — the same trick Iceberg manifests and Delta
+  // checkpoints use to avoid rewriting unchanged metadata). Because
+  // compaction rewrites only touched buckets, a steady-state step ships
+  // O(changed buckets), never O(table). Hard links make every step a
+  // physical pin: bytes survive vacuum for as long as any step references
+  // them, and dropping an old step frees exactly the files no newer step
+  // still points to.
+
+  final case class IncExportInfo(
+      /** absolute path of this step's directory (chain/v<version>). */
+      dir: String,
+      chain: String,
+      sourceVersion: Int,
+      /** full logical file count of the snapshot this step serves. */
+      filesTotal: Int,
+      /** files newly hard-linked by THIS step (the shipped delta). */
+      filesShipped: Int,
+      /** files served by reference to earlier steps. */
+      filesReused: Int,
+      rows: Long,
+      rowFilter: String,
+      columns: Seq[String],
+      /** chain-root-relative locations of the full file set, resolved:
+        * `chainRoot/loc` is a readable parquet file. */
+      locs: Seq[String],
+      created: Boolean)
+
+  /** Publish the CURRENT snapshot as the next step of export chain `chain`.
+    * First call ships everything (a full export); later calls ship only
+    * files absent from the previous step's manifest. Same refusals as
+    * [[exportSnapshot]] (delta-free + uniform schema version — raw readers
+    * can't resolve either), idempotent per source version, staged-then-
+    * atomic-rename publication, concurrent publishers converge on one
+    * winner per version. */
+  def exportIncremental(dir: String, chain: String): IncExportInfo = {
+    require(chain.nonEmpty && chain.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"chain name must be [A-Za-z0-9._-]+: '$chain'")
+    val snap = IceLite.load(dir)
+    require(snap.files.forall(!_.delta),
+      "incremental export requires a read-optimized (delta-free) snapshot: " +
+        "compact the touched buckets first")
+    require(snap.files.forall(_.schemaVersion == snap.currentSchemaVersion),
+      "incremental export requires every file at the current schema version")
+    val chainRoot = Paths.get(dir, "export", chain)
+    Files.createDirectories(chainRoot)
+    val steps = chainSteps(chainRoot)
+    steps.find(_ == snap.version).foreach { v =>
+      return readIncManifest(chainRoot, v).copy(created = false)
+    }
+    require(steps.forall(_ < snap.version),
+      s"chain '$chain' is already at version ${steps.max}, ahead of " +
+        s"snapshot version ${snap.version} — a step never rewinds")
+    // previous step's source-path → published-location map: the identity
+    // check that decides shipped vs reused (paths are stable per file —
+    // compaction/rebucket REPLACE files, never mutate them in place)
+    val prev: Map[String, String] = steps.sorted.lastOption
+      .map(v => readIncSources(chainRoot, v)).getOrElse(Map.empty)
+    val stepName = s"v${snap.version}"
+    val stage = Files.createTempDirectory(chainRoot, s".inc-$stepName-")
+    val dataDir = stage.resolve("data")
+    Files.createDirectories(dataDir)
+    var shipped = 0
+    val entries = snap.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
+      prev.get(f.path) match {
+        case Some(loc) => (f.path, loc)
+        case None =>
+          val ln = dataDir.resolve(f"part-$i%05d-b${f.bucket}.parquet")
+          Files.createLink(ln, Paths.get(f.path))
+          shipped += 1
+          (f.path, s"$stepName/data/${ln.getFileName}")
+      }
+    }
+    val visible = snap.currentSchema.filterNot(_.hidden)
+    val rows = MetaAgg.liveCount(snap).getOrElse(-1L)
+    val cols = visible.map(c =>
+      s"""{"name":${js(c.name)},"type":${js(c.dataType)},"id":${c.id}}""")
+    val fileArr = entries.map { case (src, loc) =>
+      s"""{"source":${js(src)},"loc":${js(loc)}}"""
+    }
+    val manifest =
+      s"""{"chain":${js(chain)},"sourceVersion":${snap.version},"rows":$rows,
+         |"rowFilter":${js(RowFilter)},
+         |"columns":[${cols.mkString(",")}],
+         |"files":[${fileArr.mkString(",")}]}""".stripMargin
+    Files.write(stage.resolve("manifest.json"), manifest.getBytes("UTF-8"))
+    val target = chainRoot.resolve(stepName)
+    try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // lost the publish race for this version: the winner's step IS the
+      // step — adopt it (same snapshot version ⇒ same logical content)
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+        return readIncManifest(chainRoot, snap.version).copy(created = false)
+    }
+    IncExportInfo(target.toString, chain, snap.version, entries.size, shipped,
+      entries.size - shipped, rows, RowFilter, visible.map(_.name),
+      entries.map(_._2), created = true)
+  }
+
+  /** Read a chain step's manifest back (latest step when `version` is
+    * None). `locs` come back resolvable as `<table>/export/<chain>/<loc>`. */
+  def readIncremental(dir: String, chain: String,
+      version: Option[Int] = None): IncExportInfo = {
+    val chainRoot = Paths.get(dir, "export", chain)
+    val steps = chainSteps(chainRoot)
+    require(steps.nonEmpty, s"no published steps in chain '$chain'")
+    val v = version.getOrElse(steps.max)
+    require(steps.contains(v), s"chain '$chain' has no step v$v (has ${steps.sorted})")
+    readIncManifest(chainRoot, v)
+  }
+
+  /** Absolute paths of a chain step's full file set — the raw-reader
+    * surface (feed straight to `spark.read.parquet` / `parquet_scan`). */
+  def incrementalFiles(dir: String, chain: String,
+      version: Option[Int] = None): Seq[String] = {
+    val chainRoot = Paths.get(dir, "export", chain)
+    readIncremental(dir, chain, version).locs
+      .map(l => chainRoot.resolve(l).toString)
+  }
+
+  private def chainSteps(chainRoot: Path): Seq[Int] = {
+    if (!Files.exists(chainRoot)) return Nil
+    Files.list(chainRoot).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .toSeq
+  }
+
+  private def readIncManifest(chainRoot: Path, version: Int): IncExportInfo = {
+    val target = chainRoot.resolve(s"v$version")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(
+        Files.readAllBytes(target.resolve("manifest.json")), "UTF-8"))
+    val stepPrefix = s"v$version/"
+    val locs = node.get("files").elements().asScala
+      .map(_.get("loc").asText()).toSeq
+    IncExportInfo(
+      target.toString,
+      node.get("chain").asText(),
+      version,
+      locs.size,
+      locs.count(_.startsWith(stepPrefix)),
+      locs.count(!_.startsWith(stepPrefix)),
+      node.get("rows").asLong(),
+      node.get("rowFilter").asText(),
+      node.get("columns").elements().asScala.map(_.get("name").asText()).toSeq,
+      locs,
+      created = true)
+  }
+
+  private def readIncSources(chainRoot: Path, version: Int): Map[String, String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Files.readAllBytes(
+        chainRoot.resolve(s"v$version").resolve("manifest.json")), "UTF-8"))
+    node.get("files").elements().asScala
+      .map(f => f.get("source").asText() -> f.get("loc").asText()).toMap
+  }
+
   /** Load a published export's manifest. */
   def readManifest(target: Path): ExportInfo = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()

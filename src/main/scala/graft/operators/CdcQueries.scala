@@ -4977,6 +4977,110 @@ object CdcQueries {
           stat AS (SELECT $terms AS drift_stat FROM t)
           SELECT t.bin, t.c_old, t.c_new, stat.drift_stat
           FROM t, stat ORDER BY bin"""
-      })
+      }),
+
+    // INCREMENTAL EXPORT CHAIN under the hard gate — publishing a 100 TB
+    // table to raw readers nightly cannot re-link (let alone re-copy) the
+    // whole table, so an export CHAIN ships each data file ONCE: step vN
+    // hard-links only the files new since the previous step and its
+    // manifest points unchanged files back at the step that first shipped
+    // them. The fixture drives the steady state end to end: replay wave 1
+    // → compact → step A (a full ship), then a TAIL wave with strictly
+    // higher seqs over a hot key slice (1 repo × ≤12 (path,lang) keys of
+    // the 16-bucket layout) → compact ONLY the delta-bearing buckets →
+    // step B, which must genuinely reuse the untouched buckets' files
+    // (shipped < total — the O(changed buckets) property the chain exists
+    // for). Then expire + vacuum(0) drop every superseded source path and
+    // BOTH steps must still serve — hard links are a physical pin, so an
+    // external reader's pinned cut survives table maintenance. Oracle =
+    // the LWW fold of both waves' decoded dump; a stale reused file, a
+    // mis-pointed manifest loc, or a lost tail update all hash-diverge.
+    OpQuery("q168_export_chain",
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q168")
+        val root = workDir("q168")
+        val logA = s"$root/log-a"
+        val logB = s"$root/log-b"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val pA = LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7)
+        // the tail: higher seqs (idOffset) win the LWW fold; tiny keyspace
+        // so most buckets stay untouched between the two steps
+        val pB = LogGen.Params(nEvents = 600, nRepos = 1, pathsPerRepo = 2,
+          v1Fraction = 0.0, idOffset = 3000)
+        clock("gen") {
+          LogGen.writeLog(s, pA, logA, epochs = 2)
+          LogGen.writeLog(s, pB, logB, epochs = 1)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          Seq(logA, logB).foreach { ld =>
+            val ev = s.read.parquet(ld)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates
+              .write.mode("append").parquet(s"$root/decoded")
+          }
+        }
+        clock("replay_wave1") { Replay.replayLog(s, logA, tableDir, buckets = 16) }
+        clock("compact1") { graft.lake.Compaction.compact(s, tableDir, "maint-1") }
+        val step1 = clock("export1") {
+          graft.lake.Export.exportIncremental(tableDir, "nightly")
+        }
+        require(step1.created && step1.filesReused == 0 &&
+            step1.filesShipped == step1.filesTotal,
+          s"first step is a full ship (${step1.filesShipped}/${step1.filesTotal})")
+        clock("replay_wave2") {
+          Replay.replayLog(s, logB, tableDir, buckets = 16, namespace = "tail")
+        }
+        // steady-state maintenance: rewrite ONLY the delta-bearing buckets
+        val touched = IceLite.load(tableDir).files
+          .filter(_.delta).map(_.bucket).toSet
+        require(touched.nonEmpty && touched.size < 16,
+          s"tail wave must touch a strict bucket subset (${touched.size}/16)")
+        clock("compact2") {
+          graft.lake.Compaction.compact(s, tableDir, "maint-2",
+            buckets = Some(touched))
+        }
+        val step2 = clock("export2") {
+          graft.lake.Export.exportIncremental(tableDir, "nightly")
+        }
+        require(step2.created && step2.filesReused > 0 &&
+            step2.filesShipped < step2.filesTotal,
+          s"steady-state step ships only the delta " +
+            s"(${step2.filesShipped} shipped, ${step2.filesReused} reused)")
+        require(!graft.lake.Export.exportIncremental(tableDir, "nightly").created,
+          "same-version re-publish is idempotent")
+        putMetric("q168", "step2_shipped", step2.filesShipped.toDouble)
+        putMetric("q168", "step2_reused", step2.filesReused.toDouble)
+        // physical-pin property: drop time travel and vacuum every
+        // superseded source path — the chain's hard links must keep BOTH
+        // steps readable (an external consumer's pinned cut survives
+        // table maintenance)
+        clock("vacuum") {
+          graft.lake.Compaction.expire(tableDir, keepLast = 1)
+          graft.lake.Compaction.vacuum(tableDir, olderThanMs = 0L)
+        }
+        val step1Files = graft.lake.Export.incrementalFiles(
+          tableDir, "nightly", Some(step1.sourceVersion))
+        val step1Rows = s.read.parquet(step1Files: _*)
+          .where(expr(step1.rowFilter)).count()
+        require(step1Rows == step1.rows,
+          s"pre-tail step serves its exact snapshot after vacuum " +
+            s"($step1Rows vs ${step1.rows})")
+        // ENGINE-NEUTRAL read-back of the latest step: raw parquet over the
+        // manifest's resolved file list + portable row filter, no IceLite
+        val latest = graft.lake.Export.incrementalFiles(tableDir, "nightly")
+        s.read.parquet(latest: _*).where(expr(step2.rowFilter))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q168")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }

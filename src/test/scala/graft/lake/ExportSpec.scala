@@ -91,6 +91,65 @@ class ExportSpec extends AnyFunSuite {
     assert(!Files.exists(stale) && Files.exists(fresh))
   }
 
+  test("incremental chain ships each file once; steps pin their bytes") {
+    val dir = Files.createTempDirectory("graft-export-inc").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 120L).map(i => (i, i * 2, i, "UPSERT"))), "seq", "op", "e-0")
+
+    // delta-bearing snapshots refuse, same contract as full export
+    val ex = intercept[IllegalArgumentException] {
+      Export.exportIncremental(dir, "nightly")
+    }
+    assert(ex.getMessage.contains("delta-free"))
+
+    Compaction.compact(spark, dir, "maint-1")
+    val s1 = Export.exportIncremental(dir, "nightly")
+    assert(s1.created && s1.filesReused == 0 && s1.filesShipped == s1.filesTotal)
+    assert(s1.rows == 120L)
+    // idempotent per source version
+    assert(!Export.exportIncremental(dir, "nightly").created)
+
+    // touch ONE key → one delta bucket; compact only that bucket
+    Merge.mergeEpoch(spark, dir, batch(Seq((7L, 777L, 500L, "UPSERT"))),
+      "seq", "op", "e-1")
+    val touched = IceLite.load(dir).files.filter(_.delta).map(_.bucket).toSet
+    assert(touched.size == 1)
+    Compaction.compact(spark, dir, "maint-2", buckets = Some(touched))
+    val s2 = Export.exportIncremental(dir, "nightly")
+    assert(s2.created && s2.filesReused > 0 && s2.filesShipped < s2.filesTotal,
+      s"steady-state step ships the delta only (${s2.filesShipped}/${s2.filesTotal})")
+    // reused locs point back into the FIRST step's directory
+    assert(s2.locs.exists(_.startsWith(s"v${s1.sourceVersion}/")))
+    assert(s2.locs.exists(_.startsWith(s"v${s2.sourceVersion}/")))
+
+    // resolved file list reads back to the engine's resolved state
+    val raw = spark.read.parquet(Export.incrementalFiles(dir, "nightly"): _*)
+      .where(expr(s2.rowFilter)).select("id", "v")
+    val engine = IceLite.read(spark, IceLite.load(dir)).select("id", "v")
+    assert(raw.count() == 120L)
+    assert(raw.except(engine).isEmpty && engine.except(raw).isEmpty)
+    assert(raw.where(col("id") === 7L).head().getLong(1) == 777L)
+
+    // readIncremental: latest by default, any step by version
+    assert(Export.readIncremental(dir, "nightly").sourceVersion == s2.sourceVersion)
+    val back1 = Export.readIncremental(dir, "nightly", Some(s1.sourceVersion))
+    assert(back1.filesReused == 0 && back1.filesTotal == s1.filesTotal)
+
+    // physical pin: expire + vacuum reclaim superseded source paths, both
+    // steps keep serving — including the OLD step's pre-update value
+    Compaction.expire(dir, keepLast = 1)
+    Compaction.vacuum(dir, olderThanMs = 0)
+    val old = spark.read.parquet(
+      Export.incrementalFiles(dir, "nightly", Some(s1.sourceVersion)): _*)
+      .where(expr(s1.rowFilter))
+    assert(old.count() == 120L)
+    assert(old.where(col("id") === 7L).select("v").head().getLong(0) == 14L,
+      "the pinned pre-tail cut still serves the pre-update value")
+    assert(spark.read.parquet(Export.incrementalFiles(dir, "nightly"): _*)
+      .where(expr(s2.rowFilter)).count() == 120L)
+  }
+
   test("export refuses mixed-schema-version files after a rename") {
     val dir = Files.createTempDirectory("graft-export-ddl").toString + "/t"
     mkTable(dir)
