@@ -86,6 +86,7 @@ object Export {
     val cols = visible.map(c => s"""{"name":${js(c.name)},"type":${js(c.dataType)},"id":${c.id}}""")
     val manifest =
       s"""{"name":${js(name)},"sourceVersion":${snap.version},"rows":$rows,
+         |"buckets":${snap.buckets},
          |"rowFilter":${js(RowFilter)},
          |"columns":[${cols.mkString(",")}],
          |"files":[${linked.map(js).mkString(",")}]}""".stripMargin
@@ -194,6 +195,7 @@ object Export {
     }
     val manifest =
       s"""{"chain":${js(chain)},"sourceVersion":${snap.version},"rows":$rows,
+         |"buckets":${snap.buckets},
          |"rowFilter":${js(RowFilter)},
          |"columns":[${cols.mkString(",")}],
          |"files":[${fileArr.mkString(",")}]}""".stripMargin

@@ -1,6 +1,7 @@
 package graft.lake
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import IceLite._
@@ -100,33 +101,8 @@ object Purge {
     var rewritten = 0
     var rowsPurged = 0L
     candByPath.values.foreach { f =>
-      val names = keyNamesAt(f.schemaVersion)
-      val df = spark.read.parquet(f.path)
-      // null-safe: a NULL key cell must KEEP its row (<=> is never null)
-      val isKey = names.zip(vals).map { case (n, v) => col(n) <=> lit(v) }.reduce(_ && _)
-      val hit = df.filter(isKey).count()
-      if (hit > 0) {
-        val stage = s"$dir/.purge-stage-${System.nanoTime()}"
-        df.filter(!isKey).coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(Paths.get(stage)).iterator()
-        val partFile = {
-          var found: java.nio.file.Path = null
-          while (part.hasNext) { val p = part.next()
-            if (p.getFileName.toString.endsWith(".parquet")) found = p }
-          require(found != null, s"purge stage wrote no parquet for ${f.path}")
-          found
-        }
-        val target = Paths.get(f.path)
-        Files.move(partFile, target,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        // the original write's checksum sidecar no longer matches the new
-        // bytes — drop it (LocalFileSystem skips verification when absent)
-        val crc = target.resolveSibling("." + target.getFileName.toString + ".crc")
-        Files.deleteIfExists(crc)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-        rewritten += 1
-        rowsPurged += hit
-      }
+      val hit = rewriteWithoutKey(spark, dir, f.path, keyNamesAt(f.schemaVersion), vals)
+      if (hit > 0) { rewritten += 1; rowsPurged += hit }
     }
 
     // audit marker: what was erased, when in version history, which files
@@ -141,5 +117,153 @@ object Purge {
     Files.write(marker, json.getBytes("UTF-8"))
 
     PurgeStats(versions.length, filesTotal, candByPath.size, rewritten, rowsPurged)
+  }
+
+  /** One candidate file, rewritten in place without the key's rows (stage →
+    * atomic rename onto the same path). Returns rows dropped (0 = the file
+    * did not hold the key and was left untouched). Null-safe: a NULL key
+    * cell KEEPS its row (`<=>` is never null). */
+  private def rewriteWithoutKey(spark: SparkSession, stageRoot: String,
+      path: String, names: Seq[String], vals: Seq[Any]): Long = {
+    val df = spark.read.parquet(path)
+    val isKey = names.zip(vals).map { case (n, v) => col(n) <=> lit(v) }.reduce(_ && _)
+    val hit = df.filter(isKey).count()
+    if (hit == 0) return 0L
+    val stage = s"$stageRoot/.purge-stage-${System.nanoTime()}"
+    df.filter(!isKey).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).iterator()
+    val partFile = {
+      var found: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p }
+      require(found != null, s"purge stage wrote no parquet for $path")
+      found
+    }
+    val target = Paths.get(path)
+    Files.move(partFile, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // the original write's checksum sidecar no longer matches the new
+    // bytes — drop it (LocalFileSystem skips verification when absent)
+    val crc = target.resolveSibling("." + target.getFileName.toString + ".crc")
+    Files.deleteIfExists(crc)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    hit
+  }
+
+  final case class ExportPurgeStats(
+      exports: Int,
+      filesTotal: Int,
+      filesCandidates: Int,
+      filesRewritten: Int,
+      rowsPurged: Long)
+
+  /** Erase `key` from every PUBLISHED export under `<dir>/export/` — full
+    * exports and incremental chains alike. Table purge alone is not enough:
+    * export data files are HARD LINKS, and [[purgeKey]]'s atomic rename
+    * replaces only the table's directory entry — the export's link keeps
+    * the original inode (and the key's rows) alive. That is exactly the
+    * pin property exports promise, so a compliance erasure has to rewrite
+    * the export paths themselves.
+    *
+    * Pruning: manifests record the layout's bucket count at publish time
+    * and every published file name carries its bucket (`part-NNNNN-bK`), so
+    * candidates are derived host-side per manifest — O(chains), never
+    * O(exported bytes). A chain step's REUSED locs resolve to the origin
+    * step's files and are pruned with the origin manifest's bucket count
+    * (a rebucket between steps changes the layout; each step prunes its own
+    * shipped files). Legacy manifests without `buckets` fall back to
+    * scanning that export's files — sound, just unpruned. Each path is
+    * rewritten at most once; manifests stay untouched (their `rows` counts
+    * drift high, same conservative contract as table purge). An audit
+    * marker (`export/purge-<n>.json`) records what was erased. */
+  def purgeExports(spark: SparkSession, dir: String, key: Map[String, Any]): ExportPurgeStats = {
+    val head = IceLite.load(dir)
+    require(head.keyCols.forall(key.contains),
+      s"purge key must bind every key column ${head.keyCols}, got ${key.keys}")
+    import org.apache.spark.sql.types._
+    val curByName = head.currentSchema.map(c => c.name -> c).toMap
+    val vals = head.keyCols.map { k =>
+      (curByName.get(k).map(_.sparkType), key(k)) match {
+        case (Some(LongType), n: Number) => n.longValue()
+        case (Some(IntegerType), n: Number) => n.intValue()
+        case (Some(ShortType), n: Number) => n.shortValue()
+        case (_, v) => v
+      }
+    }
+    val hostHashable = graft.functions.XxHash64Host.supports(vals)
+    val exportRoot = Paths.get(dir, "export")
+    if (!Files.isDirectory(exportRoot))
+      return ExportPurgeStats(0, 0, 0, 0, 0L)
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val keyIds = head.keyCols.map(k => curByName(k).id)
+    // (bucket count, physical key column names) as recorded at publish
+    // time — a rename AFTER a publish changes head's names but not the
+    // published files'; field ids in the manifest bridge the two
+    def manifestMeta(manifest: java.nio.file.Path): (Option[Int], Seq[String]) = {
+      val node = om.readTree(new String(Files.readAllBytes(manifest), "UTF-8"))
+      val cols = Option(node.get("columns")).map(_.elements().asScala.map(c =>
+        Option(c.get("id")).map(_.asLong()).getOrElse(-1L) -> c.get("name").asText()
+      ).toMap).getOrElse(Map.empty[Long, String])
+      val names = keyIds.map(id => cols.getOrElse(id.toLong, {
+        val i = keyIds.indexOf(id); head.keyCols(i)
+      }))
+      (Option(node.get("buckets")).map(_.asInt()), names)
+    }
+    val BucketName = raw".*-b(\d+)\.parquet".r
+    def fileBucket(p: java.nio.file.Path): Option[Int] = p.getFileName.toString match {
+      case BucketName(b) => Some(b.toInt)
+      case _ => None
+    }
+
+    // path → (bucket count, key names) of the manifest that shipped it
+    val byPath = scala.collection.mutable.LinkedHashMap
+      .empty[java.nio.file.Path, (Option[Int], Seq[String])]
+    def addDataDir(stepDir: java.nio.file.Path): Unit = {
+      val manifest = stepDir.resolve("manifest.json")
+      val dataDir = stepDir.resolve("data")
+      if (!Files.exists(manifest) || !Files.isDirectory(dataDir)) return
+      val meta = manifestMeta(manifest)
+      Files.list(dataDir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => byPath.getOrElseUpdate(p.toAbsolutePath, meta))
+    }
+    var exports = 0
+    Files.list(exportRoot).iterator().asScala
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .filter(Files.isDirectory(_))
+      .foreach { e =>
+        exports += 1
+        addDataDir(e) // a full export
+        Files.list(e).iterator().asScala // or a chain of steps
+          .filter(p => p.getFileName.toString.matches("v\\d+"))
+          .foreach(addDataDir)
+      }
+
+    var candidates = 0
+    var rewritten = 0
+    var rowsPurged = 0L
+    byPath.foreach { case (p, (nb, names)) =>
+      val pruned = (hostHashable, nb, fileBucket(p)) match {
+        case (true, Some(n), Some(b)) =>
+          b != graft.functions.XxHash64Host.bucketOf(vals, n)
+        case _ => false // no layout info → conservative candidate
+      }
+      if (!pruned) {
+        candidates += 1
+        val hit = rewriteWithoutKey(spark, dir, p.toString, names, vals)
+        if (hit > 0) { rewritten += 1; rowsPurged += hit }
+      }
+    }
+
+    val n = Files.list(exportRoot).iterator().asScala
+      .count(_.getFileName.toString.startsWith("purge-"))
+    val keyValsStr = vals.map(String.valueOf(_))
+    val json = s"""{"key":{${head.keyCols.zip(keyValsStr)
+      .map { case (k, v) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+      .mkString(",")}},"exports":$exports,"files_rewritten":$rewritten,"rows_purged":$rowsPurged}"""
+    Files.write(exportRoot.resolve(s"purge-$n.json"), json.getBytes("UTF-8"))
+
+    ExportPurgeStats(exports, byPath.size, candidates, rewritten, rowsPurged)
   }
 }

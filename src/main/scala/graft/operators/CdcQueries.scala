@@ -5081,6 +5081,129 @@ object CdcQueries {
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q168")}/decoded/*.parquet')) t
-        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // PURGE THROUGH EXPORTS under the hard gate — the compliance closure of
+    // the export story. Exports pin bytes BY DESIGN (hard links survive the
+    // table's atomic-rename rewrites), so a right-to-be-forgotten erasure
+    // that stops at Purge.purgeKey leaves every published export still
+    // serving the key — the gate PINS that hole (post-table-purge, the
+    // chain and the full export still read the victim) before
+    // Purge.purgeExports closes it: every export path that can hold the
+    // key (host-side bucket pruning from the manifest's recorded layout +
+    // the bucket carried in each published file name — O(chains), never
+    // O(exported bytes)) is rewritten in place. Afterward NO surface —
+    // head scan, time travel, full export raw, either chain step raw —
+    // serves the key. The victim is chosen at runtime (hottest live key on
+    // both surfaces) and dumped to parquet so the oracle excludes exactly
+    // the purged key from its two-wave LWW fold: an unpurged export file,
+    // an over-purged neighbor row, or a stale manifest loc all
+    // hash-diverge.
+    OpQuery("q169_purge_exports",
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q169")
+        val root = workDir("q169")
+        val logA = s"$root/log-a"
+        val logB = s"$root/log-b"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val pA = LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7)
+        val pB = LogGen.Params(nEvents = 600, nRepos = 1, pathsPerRepo = 2,
+          v1Fraction = 0.0, idOffset = 3000)
+        clock("gen") {
+          LogGen.writeLog(s, pA, logA, epochs = 2)
+          LogGen.writeLog(s, pB, logB, epochs = 1)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          Seq(logA, logB).foreach { ld =>
+            val ev = s.read.parquet(ld)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates
+              .write.mode("append").parquet(s"$root/decoded")
+          }
+        }
+        clock("replay_wave1") { Replay.replayLog(s, logA, tableDir, buckets = 16) }
+        clock("compact1") { graft.lake.Compaction.compact(s, tableDir, "maint-1") }
+        val (full, step1) = clock("publish1") {
+          (graft.lake.Export.exportSnapshot(tableDir, "cut"),
+            graft.lake.Export.exportIncremental(tableDir, "nightly"))
+        }
+        clock("replay_wave2") {
+          Replay.replayLog(s, logB, tableDir, buckets = 16, namespace = "tail")
+        }
+        val touched = IceLite.load(tableDir).files
+          .filter(_.delta).map(_.bucket).toSet
+        clock("compact2") {
+          graft.lake.Compaction.compact(s, tableDir, "maint-2",
+            buckets = Some(touched))
+        }
+        val step2 = clock("publish2") {
+          graft.lake.Export.exportIncremental(tableDir, "nightly")
+        }
+        // victim: first live key present on BOTH the head and the pre-tail
+        // published cut — dumped so the oracle excludes exactly this key
+        val victim = IceLite.read(s, IceLite.load(tableDir))
+          .select("repo", "path")
+          .intersect(s.read.parquet(s"${full.dir}/data")
+            .where(expr(full.rowFilter)).select("repo", "path"))
+          .orderBy("repo", "path").as[(String, String)].head()
+        Seq(victim).toDF("repo", "path").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/purged_key")
+        val key = Map[String, Any]("repo" -> victim._1, "path" -> victim._2)
+        def victimRaw(files: Seq[String]): Long =
+          s.read.parquet(files: _*)
+            .where(col("repo") === victim._1 && col("path") === victim._2)
+            .count()
+        val chainA = graft.lake.Export.incrementalFiles(
+          tableDir, "nightly", Some(step1.sourceVersion))
+        val chainB = graft.lake.Export.incrementalFiles(
+          tableDir, "nightly", Some(step2.sourceVersion))
+        val st = clock("purge_table") {
+          graft.lake.Purge.purgeKey(s, tableDir, key)
+        }
+        require(st.rowsPurged > 0 && st.filesCandidates < st.filesTotal,
+          s"table purge must erase a pruned candidate set: $st")
+        // THE HOLE, pinned: the table is clean but every export's hard
+        // link still serves the victim's bytes
+        require(victimRaw(Seq(s"${full.dir}/data")) > 0 &&
+            victimRaw(chainA) > 0 && victimRaw(chainB) > 0,
+          "exports must still pin the key after table purge — the hole this operator closes")
+        val est = clock("purge_exports") {
+          graft.lake.Purge.purgeExports(s, tableDir, key)
+        }
+        require(est.exports == 2 && est.rowsPurged > 0 &&
+            est.filesCandidates < est.filesTotal,
+          s"export purge must erase a bucket-pruned candidate set: $est")
+        // gone from EVERY surface
+        require(IceLite.read(s, IceLite.load(tableDir))
+            .where(col("repo") === victim._1 && col("path") === victim._2)
+            .count() == 0, "head scan must miss")
+        require(IceLite.read(s, IceLite.loadVersion(tableDir, step1.sourceVersion))
+            .where(col("repo") === victim._1 && col("path") === victim._2)
+            .count() == 0, "time travel must miss")
+        require(victimRaw(Seq(s"${full.dir}/data")) == 0 &&
+            victimRaw(chainA) == 0 && victimRaw(chainB) == 0,
+          "every export surface must miss after purgeExports")
+        putMetric("q169", "table_candidates", st.filesCandidates.toDouble)
+        putMetric("q169", "export_files", est.filesTotal.toDouble)
+        putMetric("q169", "export_candidates", est.filesCandidates.toDouble)
+        putMetric("q169", "export_rewritten", est.filesRewritten.toDouble)
+        s.read.parquet(chainB: _*).where(expr(step2.rowFilter))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q169")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE'
+          AND NOT EXISTS (SELECT 1
+              FROM parquet_scan('${workDir("q169")}/purged_key/*.parquet') k
+              WHERE k.repo = t.repo AND k.path = t.path)
+        ORDER BY repo, path"""))
   )
 }

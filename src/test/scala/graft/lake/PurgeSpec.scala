@@ -69,4 +69,67 @@ class PurgeSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(dir, "meta", "purge-0.json")))
     assert(Files.exists(java.nio.file.Paths.get(dir, "meta", "purge-1.json")))
   }
+
+  private def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+    .putLong("graft.fieldId", n).build()
+
+  private def batch(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "v", "seq", "op")
+      .select(col("id").as("id", fid(1)), col("v").as("v", fid(2)),
+        col("seq"), col("op"))
+  }
+
+  test("table purge leaves exports pinned; purgeExports erases them too") {
+    val dir = Files.createTempDirectory("graft-purge-exp").toString + "/t"
+    IceLite.create(dir, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "id", "BIGINT"), IceLite.ColDef(2, "v", "BIGINT"))),
+      Vector("id"), buckets = 4)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 120L).map(i => (i, i * 2, i, "UPSERT"))), "seq", "op", "e-0")
+    Compaction.compact(spark, dir, "maint-1")
+    val full = Export.exportSnapshot(dir, "cut")
+    val s1 = Export.exportIncremental(dir, "nightly")
+    Merge.mergeEpoch(spark, dir, batch(Seq((7L, 777L, 500L, "UPSERT"))),
+      "seq", "op", "e-1")
+    val touched = IceLite.load(dir).files.filter(_.delta).map(_.bucket).toSet
+    Compaction.compact(spark, dir, "maint-2", buckets = Some(touched))
+    val s2 = Export.exportIncremental(dir, "nightly")
+
+    val key = Map[String, Any]("id" -> 7L)
+    def victimRows(files: Seq[String]): Long =
+      spark.read.parquet(files: _*).where(col("id") === 7L).count()
+    def fullFiles = Seq(s"${full.dir}/data")
+    def chainFiles(v: Int) = Export.incrementalFiles(dir, "nightly", Some(v))
+
+    // the hole: table purge replaces the TABLE's directory entries only —
+    // every export's hard link keeps serving the key
+    val st = Purge.purgeKey(spark, dir, key)
+    assert(st.rowsPurged > 0)
+    assert(victimRows(fullFiles) > 0, "full export still pinned pre-exports-purge")
+    assert(victimRows(chainFiles(s1.sourceVersion)) > 0)
+    assert(victimRows(chainFiles(s2.sourceVersion)) > 0)
+
+    val preLatest = spark.read.parquet(chainFiles(s2.sourceVersion): _*)
+      .where(expr(s2.rowFilter)).select("id", "v")
+      .collect().map(_.toSeq).toSet
+
+    val est = Purge.purgeExports(spark, dir, key)
+    assert(est.exports == 2 && est.rowsPurged > 0 && est.filesRewritten >= 2)
+    assert(est.filesCandidates < est.filesTotal,
+      s"bucket pruning must rule out most export files: $est")
+    assert(victimRows(fullFiles) == 0)
+    assert(victimRows(chainFiles(s1.sourceVersion)) == 0)
+    assert(victimRows(chainFiles(s2.sourceVersion)) == 0)
+    // every non-victim row survives byte-identically
+    val postLatest = spark.read.parquet(chainFiles(s2.sourceVersion): _*)
+      .where(expr(s2.rowFilter)).select("id", "v")
+      .collect().map(_.toSeq).toSet
+    assert(postLatest == preLatest.filterNot(_.head == 7L))
+
+    // idempotent; audit marker recorded
+    val again = Purge.purgeExports(spark, dir, key)
+    assert(again.filesRewritten == 0 && again.rowsPurged == 0L)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "export", "purge-0.json")))
+  }
 }
