@@ -236,9 +236,59 @@ object Export {
       .map(l => chainRoot.resolve(l).toString)
   }
 
+  final case class ChainGcStats(
+      stepsDropped: Int,
+      /** files deleted — no retained step references them. */
+      filesFreed: Int,
+      /** dropped steps' files kept on disk because a retained step's
+        * manifest still points at them. */
+      filesRetained: Int)
+
+  /** Chain retention: drop every step but the newest `keepLast`, freeing
+    * EXACTLY the files no retained step still points to. A retained step's
+    * manifest may reference files physically shipped by a dropped step
+    * (that is the chain's whole reuse design) — those files stay in the
+    * dropped step's `data/` dir, headless but referenced; only genuinely
+    * unreferenced files are deleted. The dropped step's manifest goes
+    * FIRST (one unlink — the step atomically stops being readable before
+    * any of its bytes do), so a crash mid-GC leaves orphan data files
+    * (re-droppable, never a dangling manifest). Without this, a nightly
+    * chain grows O(days × changed buckets) forever. */
+  def expireSteps(dir: String, chain: String, keepLast: Int): ChainGcStats = {
+    require(keepLast >= 1, "keepLast must retain at least the newest step")
+    val chainRoot = Paths.get(dir, "export", chain)
+    val steps = chainSteps(chainRoot).sorted
+    val drop = steps.dropRight(keepLast)
+    if (drop.isEmpty) return ChainGcStats(0, 0, 0)
+    val referenced: Set[String] =
+      steps.takeRight(keepLast).flatMap(v => readIncManifest(chainRoot, v).locs).toSet
+    var freed = 0
+    var retained = 0
+    drop.foreach { v =>
+      val stepDir = chainRoot.resolve(s"v$v")
+      Files.deleteIfExists(stepDir.resolve("manifest.json"))
+      val dataDir = stepDir.resolve("data")
+      if (Files.isDirectory(dataDir)) {
+        Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+          if (referenced(s"v$v/data/${p.getFileName}")) retained += 1
+          else { Files.deleteIfExists(p); freed += 1 }
+        }
+        if (!Files.list(dataDir).iterator().hasNext) {
+          Files.deleteIfExists(dataDir)
+          Files.deleteIfExists(stepDir)
+        }
+      }
+    }
+    ChainGcStats(drop.size, freed, retained)
+  }
+
+  /** Published (readable) steps = v-dirs that still carry their manifest —
+    * a GC'd step's headless data dir is storage for newer steps' reused
+    * locs, not a step. */
   private def chainSteps(chainRoot: Path): Seq[Int] = {
     if (!Files.exists(chainRoot)) return Nil
     Files.list(chainRoot).iterator().asScala
+      .filter(p => Files.exists(p.resolve("manifest.json")))
       .map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
       .toSeq

@@ -222,8 +222,12 @@ object Purge {
     def addDataDir(stepDir: java.nio.file.Path): Unit = {
       val manifest = stepDir.resolve("manifest.json")
       val dataDir = stepDir.resolve("data")
-      if (!Files.exists(manifest) || !Files.isDirectory(dataDir)) return
-      val meta = manifestMeta(manifest)
+      if (!Files.isDirectory(dataDir)) return
+      // a chain step GC'd by expireSteps keeps a HEADLESS data dir whose
+      // files newer steps still reference — no manifest to prune with, so
+      // its files are conservative candidates under head key names
+      val meta = if (Files.exists(manifest)) manifestMeta(manifest)
+        else (None, head.keyCols)
       Files.list(dataDir).iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
         .foreach(p => byPath.getOrElseUpdate(p.toAbsolutePath, meta))

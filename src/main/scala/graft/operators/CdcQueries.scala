@@ -5204,6 +5204,102 @@ object CdcQueries {
           AND NOT EXISTS (SELECT 1
               FROM parquet_scan('${workDir("q169")}/purged_key/*.parquet') k
               WHERE k.repo = t.repo AND k.path = t.path)
-        ORDER BY repo, path"""))
+        ORDER BY repo, path""")),
+
+    // CHAIN RETENTION GC under the hard gate — a nightly chain grows
+    // O(days × changed buckets) forever without retention, but dropping a
+    // step naively would tear files newer steps still reference (reuse is
+    // the chain's whole design). Export.expireSteps frees EXACTLY the
+    // files no retained manifest points to: the dropped step's manifest
+    // unlinks first (the step atomically stops being readable), its
+    // still-referenced files stay as a headless data dir that newer steps'
+    // locs keep resolving into. Three tail waves build three steps; GC
+    // keeps 2; hard asserts pin freed ≥ 1 AND retained ≥ 1 (both halves of
+    // "exactly"), the dropped step's read refusal, the middle step still
+    // serving its exact snapshot THROUGH the headless dir, and the chain
+    // continuing to grow with reuse after the GC. Oracle = the three-wave
+    // LWW fold against the latest step's raw read — a GC that freed a
+    // referenced byte or a manifest that mis-pointed after the drop
+    // hash-diverges.
+    OpQuery("q170_chain_retention",
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q170")
+        val root = workDir("q170")
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val waves = Seq(
+          LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+            v1Fraction = 0.7),
+          LogGen.Params(nEvents = 600, nRepos = 1, pathsPerRepo = 2,
+            v1Fraction = 0.0, idOffset = 3000),
+          LogGen.Params(nEvents = 400, nRepos = 1, pathsPerRepo = 2,
+            v1Fraction = 0.0, idOffset = 3600))
+        clock("gen") {
+          waves.zipWithIndex.foreach { case (p, i) =>
+            LogGen.writeLog(s, p, s"$root/log-$i", epochs = if (i == 0) 2 else 1)
+          }
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          (0 until 3).foreach { i =>
+            val ev = s.read.parquet(s"$root/log-$i")
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates
+              .write.mode("append").parquet(s"$root/decoded")
+          }
+        }
+        val steps = (0 until 3).map { i =>
+          clock(s"replay$i") {
+            Replay.replayLog(s, s"$root/log-$i", tableDir, buckets = 16,
+              namespace = s"wave$i")
+          }
+          clock(s"compact$i") {
+            if (i == 0) graft.lake.Compaction.compact(s, tableDir, s"maint-$i")
+            else {
+              val touched = IceLite.load(tableDir).files
+                .filter(_.delta).map(_.bucket).toSet
+              graft.lake.Compaction.compact(s, tableDir, s"maint-$i",
+                buckets = Some(touched))
+            }
+          }
+          clock(s"publish$i") {
+            graft.lake.Export.exportIncremental(tableDir, "nightly")
+          }
+        }
+        require(steps(0).filesReused == 0 &&
+            steps(1).filesReused > 0 && steps(2).filesReused > 0,
+          "tail steps must reuse (full ship only on step 0)")
+        val gc = clock("gc") {
+          graft.lake.Export.expireSteps(tableDir, "nightly", keepLast = 2)
+        }
+        require(gc.stepsDropped == 1 && gc.filesFreed >= 1 && gc.filesRetained >= 1,
+          s"GC must free superseded files AND keep referenced ones: $gc")
+        val refused =
+          try { graft.lake.Export.readIncremental(tableDir, "nightly",
+            Some(steps(0).sourceVersion)); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "the dropped step must refuse reads")
+        // the middle step reads THROUGH the dropped step's headless dir
+        val midFiles = graft.lake.Export.incrementalFiles(
+          tableDir, "nightly", Some(steps(1).sourceVersion))
+        require(s.read.parquet(midFiles: _*)
+            .where(expr(steps(1).rowFilter)).count() == steps(1).rows,
+          "retained middle step must serve its exact snapshot after GC")
+        require(graft.lake.Export.expireSteps(tableDir, "nightly", keepLast = 2)
+            .stepsDropped == 0, "GC is idempotent")
+        putMetric("q170", "files_freed", gc.filesFreed.toDouble)
+        putMetric("q170", "files_retained", gc.filesRetained.toDouble)
+        val latest = graft.lake.Export.incrementalFiles(tableDir, "nightly")
+        s.read.parquet(latest: _*).where(expr(steps(2).rowFilter))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q170")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }

@@ -150,6 +150,56 @@ class ExportSpec extends AnyFunSuite {
       .where(expr(s2.rowFilter)).count() == 120L)
   }
 
+  test("chain retention frees exactly the files no retained step references") {
+    val dir = Files.createTempDirectory("graft-export-gc").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 120L).map(i => (i, i * 2, i, "UPSERT"))), "seq", "op", "e-0")
+    Compaction.compact(spark, dir, "maint-1")
+    val s1 = Export.exportIncremental(dir, "nightly")
+    def touch(id: Long, seq: Long, tag: String): Unit = {
+      Merge.mergeEpoch(spark, dir, batch(Seq((id, id * 100, seq, "UPSERT"))),
+        "seq", "op", tag)
+      val t = IceLite.load(dir).files.filter(_.delta).map(_.bucket).toSet
+      Compaction.compact(spark, dir, s"maint-$tag", buckets = Some(t))
+    }
+    touch(7L, 500L, "e-1")
+    val s2 = Export.exportIncremental(dir, "nightly")
+    touch(8L, 600L, "e-2")
+    val s3 = Export.exportIncremental(dir, "nightly")
+
+    val preStep2 = spark.read.parquet(
+      Export.incrementalFiles(dir, "nightly", Some(s2.sourceVersion)): _*)
+      .where(expr(s2.rowFilter)).select("id", "v").collect().map(_.toSeq).toSet
+
+    val gc = Export.expireSteps(dir, "nightly", keepLast = 2)
+    assert(gc.stepsDropped == 1 && gc.filesFreed >= 1 && gc.filesRetained >= 1,
+      s"GC must free the superseded files and keep the referenced ones: $gc")
+    // the dropped step is no longer a readable step
+    val ex = intercept[IllegalArgumentException] {
+      Export.readIncremental(dir, "nightly", Some(s1.sourceVersion))
+    }
+    assert(ex.getMessage.contains("no step"))
+    // retained steps serve bit-identically — including reused locs that
+    // resolve into the dropped step's now-headless data dir
+    val postStep2 = spark.read.parquet(
+      Export.incrementalFiles(dir, "nightly", Some(s2.sourceVersion)): _*)
+      .where(expr(s2.rowFilter)).select("id", "v").collect().map(_.toSeq).toSet
+    assert(postStep2 == preStep2)
+    assert(spark.read.parquet(
+      Export.incrementalFiles(dir, "nightly", Some(s3.sourceVersion)): _*)
+      .where(expr(s3.rowFilter)).count() == 120L)
+    // idempotent; the chain keeps growing after a GC (reuse intact)
+    assert(Export.expireSteps(dir, "nightly", keepLast = 2) ==
+      Export.ChainGcStats(0, 0, 0))
+    touch(9L, 700L, "e-3")
+    val s4 = Export.exportIncremental(dir, "nightly")
+    assert(s4.created && s4.filesReused > 0)
+    assert(spark.read.parquet(
+      Export.incrementalFiles(dir, "nightly"): _*)
+      .where(expr(s4.rowFilter)).count() == 120L)
+  }
+
   test("export refuses mixed-schema-version files after a rename") {
     val dir = Files.createTempDirectory("graft-export-ddl").toString + "/t"
     mkTable(dir)
