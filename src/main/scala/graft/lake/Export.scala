@@ -178,20 +178,31 @@ object Export {
     var shipped = 0
     val entries = snap.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
       prev.get(f.path) match {
-        case Some(loc) => (f.path, loc)
+        case Some(loc) => (f, loc)
         case None =>
           val ln = dataDir.resolve(f"part-$i%05d-b${f.bucket}.parquet")
           Files.createLink(ln, Paths.get(f.path))
           shipped += 1
-          (f.path, s"$stepName/data/${ln.getFileName}")
+          (f, s"$stepName/data/${ln.getFileName}")
       }
     }
     val visible = snap.currentSchema.filterNot(_.hidden)
     val rows = MetaAgg.liveCount(snap).getOrElse(-1L)
     val cols = visible.map(c =>
       s"""{"name":${js(c.name)},"type":${js(c.dataType)},"id":${c.id}}""")
-    val fileArr = entries.map { case (src, loc) =>
-      s"""{"source":${js(src)},"loc":${js(loc)}}"""
+    val fileArr = entries.map { case (f, loc) =>
+      // per-file column bounds ride the manifest (from the CURRENT
+      // snapshot's stats, so even a step-vOld reused file carries the
+      // freshest bounds) — a raw reader's data-skipping index, the same
+      // role Iceberg manifests' lower_bounds/upper_bounds play
+      // clusterBy compactions record their dimension as sortCol/sortMin/
+      // sortMax rather than colBounds — fold both into one bounds map
+      val eff = f.colBounds ++
+        f.sortCol.zip(f.sortMin.zip(f.sortMax)).toMap
+      val bounds = if (eff.isEmpty) "" else
+        s""","bounds":{${eff.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"${js(c)}:[${js(mn)},${js(mx)}]" }.mkString(",")}}"""
+      s"""{"source":${js(f.path)},"loc":${js(loc)}$bounds}"""
     }
     val manifest =
       s"""{"chain":${js(chain)},"sourceVersion":${snap.version},"rows":$rows,
@@ -234,6 +245,51 @@ object Export {
     val chainRoot = Paths.get(dir, "export", chain)
     readIncremental(dir, chain, version).locs
       .map(l => chainRoot.resolve(l).toString)
+  }
+
+  /** DATA-SKIPPING read surface for raw readers: the step's file set
+    * pruned host-side to files whose manifest-recorded bounds can overlap
+    * every ANDed range predicate `(column, lo, hi)` — no engine, no file
+    * opens, just the manifest (the consumer-side half of Iceberg's
+    * lower/upper-bounds pruning). Sound by construction: a file without
+    * recorded bounds for a column is always kept, and exports are
+    * delta-free so no merge-on-read resolution can leak a pruned row.
+    * Numeric columns compare numerically (via the manifest's declared
+    * type), strings as UTF-8. Feed the result to `spark.read.parquet` /
+    * `parquet_scan` and re-apply the exact predicate. */
+  def prunedIncrementalFiles(dir: String, chain: String,
+      preds: Seq[(String, Any, Any)],
+      version: Option[Int] = None): Seq[String] = {
+    val chainRoot = Paths.get(dir, "export", chain)
+    val steps = chainSteps(chainRoot)
+    require(steps.nonEmpty, s"no published steps in chain '$chain'")
+    val v = version.getOrElse(steps.max)
+    require(steps.contains(v), s"chain '$chain' has no step v$v (has ${steps.sorted})")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Files.readAllBytes(
+        chainRoot.resolve(s"v$v").resolve("manifest.json")), "UTF-8"))
+    val typeByName = node.get("columns").elements().asScala
+      .map(c => c.get("name").asText() -> c.get("type").asText()).toMap
+    def cmpFor(colName: String): (String, String) => Int =
+      typeByName.get(colName).map(_.toUpperCase) match {
+        case Some("BIGINT" | "INT" | "INTEGER" | "SMALLINT") =>
+          (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+        case Some("DOUBLE" | "FLOAT" | "REAL") =>
+          (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+        case _ => IceLite.utf8Compare
+      }
+    val compiled = preds.map { case (c, lo, hi) =>
+      (c, cmpFor(c), String.valueOf(lo), String.valueOf(hi))
+    }
+    node.get("files").elements().asScala.filter { fe =>
+      val bounds = Option(fe.get("bounds"))
+      !compiled.exists { case (c, cmp, loS, hiS) =>
+        bounds.flatMap(b => Option(b.get(c))).exists { arr =>
+          val mn = arr.get(0).asText(); val mx = arr.get(1).asText()
+          cmp(mx, loS) < 0 || cmp(mn, hiS) > 0
+        }
+      }
+    }.map(fe => chainRoot.resolve(fe.get("loc").asText()).toString).toSeq
   }
 
   final case class ChainGcStats(

@@ -5300,6 +5300,68 @@ object CdcQueries {
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q170")}/decoded/*.parquet')) t
-        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // EXPORT DATA-SKIPPING under the hard gate — the consumer-side half of
+    // Iceberg's lower/upper-bounds pruning, published INTO the chain
+    // manifest so a raw reader prunes files with zero engine and zero file
+    // opens. A clustering compaction makes each bucket's files
+    // repo-contiguous with measured bounds; the chain step inherits them;
+    // Export.prunedIncrementalFiles keeps only files whose bounds can
+    // overlap the predicate (host-side, manifest-only). Hard asserts: the
+    // pruned list is a fraction of the full set (≤ 1/2 — at 100 TB the
+    // difference between opening a table and opening a slice), and the
+    // pruned read equals the full-list read exactly (soundness — absent
+    // bounds always keep). Oracle = the LWW fold restricted to the same
+    // repo range: a pruned-away file that actually held an in-range row
+    // hash-diverges.
+    OpQuery("q171_export_skipping",
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q171")
+        val root = workDir("q171")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 2) }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 16) }
+        clock("compact_cluster") {
+          graft.lake.Compaction.compact(s, tableDir, "maint-1",
+            clusterBy = Some("repo"), filesPerBucket = 8)
+        }
+        val step = clock("publish") {
+          graft.lake.Export.exportIncremental(tableDir, "skipchain")
+        }
+        val lo = LogGen.repoName(6)
+        val hi = LogGen.repoName(9)
+        val full = graft.lake.Export.incrementalFiles(tableDir, "skipchain")
+        val pruned = clock("prune") {
+          graft.lake.Export.prunedIncrementalFiles(tableDir, "skipchain",
+            Seq(("repo", lo, hi)))
+        }
+        require(pruned.nonEmpty && pruned.size * 3 <= full.size,
+          s"manifest bounds must rule out most files (${pruned.size}/${full.size})")
+        val read = (files: Seq[String]) => s.read.parquet(files: _*)
+          .where(expr(step.rowFilter))
+          .where(col("repo").between(lo, hi))
+        require(read(pruned).count() == read(full).count(),
+          "pruning must be lossless against the full file list")
+        putMetric("q171", "files_total", full.size.toDouble)
+        putMetric("q171", "files_pruned_to", pruned.size.toDouble)
+        read(pruned)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q171")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE'
+          AND repo BETWEEN '${LogGen.repoName(6)}' AND '${LogGen.repoName(9)}'
+        ORDER BY repo, path"""))
   )
 }

@@ -200,6 +200,33 @@ class ExportSpec extends AnyFunSuite {
       .where(expr(s4.rowFilter)).count() == 120L)
   }
 
+  test("manifest bounds prune a raw reader's file list; absent bounds keep") {
+    val dir = Files.createTempDirectory("graft-export-skip").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 400L).map(i => (i, i, i, "UPSERT"))), "seq", "op", "e-0")
+    // clustering compaction: each bucket splits into v-contiguous files
+    // with recorded bounds — the manifest inherits them
+    Compaction.compact(spark, dir, "maint-1", clusterBy = Some("v"),
+      filesPerBucket = 4)
+    val s1 = Export.exportIncremental(dir, "skiptest")
+    val full = Export.incrementalFiles(dir, "skiptest")
+    val pruned = Export.prunedIncrementalFiles(dir, "skiptest",
+      Seq(("v", 10L, 40L)))
+    assert(pruned.nonEmpty && pruned.size * 2 <= full.size,
+      s"bounds must rule out most files: ${pruned.size}/${full.size}")
+    val exact = spark.read.parquet(full: _*).where(expr(s1.rowFilter))
+      .where(col("v").between(10L, 40L)).select("id", "v")
+      .collect().map(_.toSeq).toSet
+    val viaPruned = spark.read.parquet(pruned: _*).where(expr(s1.rowFilter))
+      .where(col("v").between(10L, 40L)).select("id", "v")
+      .collect().map(_.toSeq).toSet
+    assert(viaPruned == exact, "pruning must be lossless")
+    // a predicate on a column without recorded bounds prunes nothing
+    assert(Export.prunedIncrementalFiles(dir, "skiptest",
+      Seq(("no_such_col", 0, 1))).size == full.size)
+  }
+
   test("export refuses mixed-schema-version files after a rename") {
     val dir = Files.createTempDirectory("graft-export-ddl").toString + "/t"
     mkTable(dir)
