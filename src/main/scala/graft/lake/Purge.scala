@@ -51,27 +51,36 @@ object Purge {
 
   /** Erase `key` (all snapshot versions) from the table at `dir`.
     * `key` maps every key column to its value, like [[IceLite.lookup]]. */
-  def purgeKey(spark: SparkSession, dir: String, key: Map[String, Any]): PurgeStats = {
+  def purgeKey(spark: SparkSession, dir: String, key: Map[String, Any]): PurgeStats =
+    purgeKeys(spark, dir, Seq(key))
+
+  /** Batch erasure — erasure requests arrive in batches (a day's worth of
+    * right-to-be-forgotten tickets), and the dominant cost is file
+    * rewrites, so the batch shape matters: candidates are the UNION of
+    * each key's pruned file set (per-version bucket + per-file bloom, same
+    * stack as single-key), and every candidate file is rewritten ONCE
+    * dropping ALL of the batch's keys it holds — K keys cost
+    * O(distinct candidate files), never K × per-key rewrites. One audit
+    * marker records the whole batch. */
+  def purgeKeys(spark: SparkSession, dir: String,
+      keys: Seq[Map[String, Any]]): PurgeStats = {
+    require(keys.nonEmpty, "purgeKeys needs at least one key")
     val head = IceLite.load(dir)
-    require(head.keyCols.forall(key.contains),
-      s"purge key must bind every key column ${head.keyCols}, got ${key.keys}")
-    import org.apache.spark.sql.types._
+    keys.foreach(key => require(head.keyCols.forall(key.contains),
+      s"purge key must bind every key column ${head.keyCols}, got ${key.keys}"))
     val curByName = head.currentSchema.map(c => c.name -> c).toMap
-    val vals = head.keyCols.map { k =>
-      (curByName.get(k).map(_.sparkType), key(k)) match {
-        case (Some(LongType), n: Number) => n.longValue()
-        case (Some(IntegerType), n: Number) => n.intValue()
-        case (Some(ShortType), n: Number) => n.shortValue()
-        case (_, v) => v
-      }
+    val keyVals: Seq[Seq[Any]] = keys.map(normKey(head, curByName, _)).distinct
+    // per-key pruning state
+    val perKey = keyVals.map { vals =>
+      val strs = vals.map(String.valueOf(_))
+      val hh = graft.functions.XxHash64Host.supports(vals)
+      val hash = if (hh) Some(graft.functions.XxHash64Host.hashColumns(vals)) else None
+      (vals, strs, hh, hash)
     }
-    val keyValsStr = vals.map(String.valueOf(_))
-    val hostHashable = graft.functions.XxHash64Host.supports(vals)
-    val keyHash =
-      if (hostHashable) Some(graft.functions.XxHash64Host.hashColumns(vals)) else None
 
     // candidate files across EVERY retained version — bucket pruning is
-    // per-version (a rebucket changes the layout), bounds/bloom per-file
+    // per-version (a rebucket changes the layout), bounds/bloom per-file;
+    // a file is a candidate when ANY batch key can live in it
     val versions = IceLite.history(dir)
     val candByPath = scala.collection.mutable.LinkedHashMap.empty[String, DataFile]
     var filesTotal = 0
@@ -81,10 +90,12 @@ object Purge {
       snap.files.foreach { f =>
         if (seenPaths.add(f.path)) {
           filesTotal += 1
-          val bucketOk = !hostHashable ||
-            f.bucket == graft.functions.XxHash64Host.bucketOf(vals, snap.buckets)
-          if (bucketOk && f.mayContainKeyHash(keyValsStr, keyHash))
-            candByPath.getOrElseUpdate(f.path, f)
+          val anyKey = perKey.exists { case (vals, strs, hh, hash) =>
+            val bucketOk = !hh ||
+              f.bucket == graft.functions.XxHash64Host.bucketOf(vals, snap.buckets)
+            bucketOk && f.mayContainKeyHash(strs, hash)
+          }
+          if (anyKey) candByPath.getOrElseUpdate(f.path, f)
         }
       }
     }
@@ -101,7 +112,7 @@ object Purge {
     var rewritten = 0
     var rowsPurged = 0L
     candByPath.values.foreach { f =>
-      val hit = rewriteWithoutKey(spark, dir, f.path, keyNamesAt(f.schemaVersion), vals)
+      val hit = rewriteWithoutKeys(spark, dir, f.path, keyNamesAt(f.schemaVersion), keyVals)
       if (hit > 0) { rewritten += 1; rowsPurged += hit }
     }
 
@@ -111,22 +122,41 @@ object Purge {
     var purgeCount = 0
     while (n.hasNext) if (n.next().getFileName.toString.startsWith("purge-")) purgeCount += 1
     val marker = metaDir.resolve(s"purge-$purgeCount.json")
-    val json = s"""{"key":{${head.keyCols.zip(keyValsStr)
+    def jsKey(vals: Seq[Any]) = s"{${head.keyCols.zip(vals.map(String.valueOf(_)))
       .map { case (k, v) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
-      .mkString(",")}},"versions":${versions.length},"files_rewritten":$rewritten,"rows_purged":$rowsPurged}"""
+      .mkString(",")}}"
+    val json = s"""{"keys":[${keyVals.map(jsKey).mkString(",")}],
+      |"versions":${versions.length},"files_rewritten":$rewritten,"rows_purged":$rowsPurged}""".stripMargin
     Files.write(marker, json.getBytes("UTF-8"))
 
     PurgeStats(versions.length, filesTotal, candByPath.size, rewritten, rowsPurged)
   }
 
-  /** One candidate file, rewritten in place without the key's rows (stage →
-    * atomic rename onto the same path). Returns rows dropped (0 = the file
-    * did not hold the key and was left untouched). Null-safe: a NULL key
-    * cell KEEPS its row (`<=>` is never null). */
-  private def rewriteWithoutKey(spark: SparkSession, stageRoot: String,
-      path: String, names: Seq[String], vals: Seq[Any]): Long = {
+  /** Key-column values in declared-type form (lookup-style coercion). */
+  private def normKey(head: IceLite.Snapshot,
+      curByName: Map[String, IceLite.ColDef],
+      key: Map[String, Any]): Seq[Any] = {
+    import org.apache.spark.sql.types._
+    head.keyCols.map { k =>
+      (curByName.get(k).map(_.sparkType), key(k)) match {
+        case (Some(LongType), n: Number) => n.longValue()
+        case (Some(IntegerType), n: Number) => n.intValue()
+        case (Some(ShortType), n: Number) => n.shortValue()
+        case (_, v) => v
+      }
+    }
+  }
+
+  /** One candidate file, rewritten in place without ANY batch key's rows
+    * (stage → atomic rename onto the same path). Returns rows dropped (0 =
+    * the file held none of the keys and was left untouched). Null-safe: a
+    * NULL key cell KEEPS its row (`<=>` is never null). */
+  private def rewriteWithoutKeys(spark: SparkSession, stageRoot: String,
+      path: String, names: Seq[String], keyVals: Seq[Seq[Any]]): Long = {
     val df = spark.read.parquet(path)
-    val isKey = names.zip(vals).map { case (n, v) => col(n) <=> lit(v) }.reduce(_ && _)
+    val isKey = keyVals.map(vals =>
+      names.zip(vals).map { case (n, v) => col(n) <=> lit(v) }.reduce(_ && _)
+    ).reduce(_ || _)
     val hit = df.filter(isKey).count()
     if (hit == 0) return 0L
     val stage = s"$stageRoot/.purge-stage-${System.nanoTime()}"
@@ -176,21 +206,22 @@ object Purge {
     * rewritten at most once; manifests stay untouched (their `rows` counts
     * drift high, same conservative contract as table purge). An audit
     * marker (`export/purge-<n>.json`) records what was erased. */
-  def purgeExports(spark: SparkSession, dir: String, key: Map[String, Any]): ExportPurgeStats = {
+  def purgeExports(spark: SparkSession, dir: String, key: Map[String, Any]): ExportPurgeStats =
+    purgeExportsKeys(spark, dir, Seq(key))
+
+  /** Batch form of [[purgeExports]] — same candidate pruning per key, each
+    * export path rewritten ONCE dropping every batch key it holds (the
+    * [[purgeKeys]] batching argument, applied to the export side). */
+  def purgeExportsKeys(spark: SparkSession, dir: String,
+      keys: Seq[Map[String, Any]]): ExportPurgeStats = {
+    require(keys.nonEmpty, "purgeExportsKeys needs at least one key")
     val head = IceLite.load(dir)
-    require(head.keyCols.forall(key.contains),
-      s"purge key must bind every key column ${head.keyCols}, got ${key.keys}")
-    import org.apache.spark.sql.types._
+    keys.foreach(key => require(head.keyCols.forall(key.contains),
+      s"purge key must bind every key column ${head.keyCols}, got ${key.keys}"))
     val curByName = head.currentSchema.map(c => c.name -> c).toMap
-    val vals = head.keyCols.map { k =>
-      (curByName.get(k).map(_.sparkType), key(k)) match {
-        case (Some(LongType), n: Number) => n.longValue()
-        case (Some(IntegerType), n: Number) => n.intValue()
-        case (Some(ShortType), n: Number) => n.shortValue()
-        case (_, v) => v
-      }
-    }
-    val hostHashable = graft.functions.XxHash64Host.supports(vals)
+    val keyVals: Seq[Seq[Any]] = keys.map(normKey(head, curByName, _)).distinct
+    val perKey = keyVals.map(vals =>
+      (vals, graft.functions.XxHash64Host.supports(vals)))
     val exportRoot = Paths.get(dir, "export")
     if (!Files.isDirectory(exportRoot))
       return ExportPurgeStats(0, 0, 0, 0, 0L)
@@ -248,24 +279,27 @@ object Purge {
     var rewritten = 0
     var rowsPurged = 0L
     byPath.foreach { case (p, (nb, names)) =>
-      val pruned = (hostHashable, nb, fileBucket(p)) match {
-        case (true, Some(n), Some(b)) =>
-          b != graft.functions.XxHash64Host.bucketOf(vals, n)
-        case _ => false // no layout info → conservative candidate
+      val anyKey = perKey.exists { case (vals, hh) =>
+        (hh, nb, fileBucket(p)) match {
+          case (true, Some(n), Some(b)) =>
+            b == graft.functions.XxHash64Host.bucketOf(vals, n)
+          case _ => true // no layout info → conservative candidate
+        }
       }
-      if (!pruned) {
+      if (anyKey) {
         candidates += 1
-        val hit = rewriteWithoutKey(spark, dir, p.toString, names, vals)
+        val hit = rewriteWithoutKeys(spark, dir, p.toString, names, keyVals)
         if (hit > 0) { rewritten += 1; rowsPurged += hit }
       }
     }
 
     val n = Files.list(exportRoot).iterator().asScala
       .count(_.getFileName.toString.startsWith("purge-"))
-    val keyValsStr = vals.map(String.valueOf(_))
-    val json = s"""{"key":{${head.keyCols.zip(keyValsStr)
+    def jsKey(vals: Seq[Any]) = s"{${head.keyCols.zip(vals.map(String.valueOf(_)))
       .map { case (k, v) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
-      .mkString(",")}},"exports":$exports,"files_rewritten":$rewritten,"rows_purged":$rowsPurged}"""
+      .mkString(",")}}"
+    val json = s"""{"keys":[${keyVals.map(jsKey).mkString(",")}],
+      |"exports":$exports,"files_rewritten":$rewritten,"rows_purged":$rowsPurged}""".stripMargin
     Files.write(exportRoot.resolve(s"purge-$n.json"), json.getBytes("UTF-8"))
 
     ExportPurgeStats(exports, byPath.size, candidates, rewritten, rowsPurged)

@@ -5362,6 +5362,75 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q171")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE'
           AND repo BETWEEN '${LogGen.repoName(6)}' AND '${LogGen.repoName(9)}'
+        ORDER BY repo, path""")),
+
+    // BATCH KEY PURGE under the hard gate — erasure requests arrive in
+    // batches, and the dominant cost is file rewrites, so the batch shape
+    // is the operator: candidates are the UNION of each key's pruned file
+    // set (per-version bucket derivation + per-file bloom) and every
+    // candidate is rewritten ONCE dropping ALL the batch's keys it holds —
+    // K keys cost O(distinct candidate files), never K × per-key rewrites
+    // (PurgeSpec pins the exact once-per-file count; this gate pins the
+    // end state at pipeline scale). Six victims are chosen at runtime from
+    // the live head and dumped so the oracle excludes exactly them from
+    // the LWW fold; the engine's own head read is the output surface — an
+    // over-purged neighbor, a survivor victim row in ANY retained
+    // version's file, or a bloom false-negative all hash-diverge.
+    OpQuery("q172_batch_purge",
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q172")
+        val root = workDir("q172")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 16) }
+        // victims: six live head keys spread across the alphabet — dumped
+        // for the oracle's exclusion
+        val victims = IceLite.read(s, IceLite.load(tableDir))
+          .select("repo", "path").orderBy("repo", "path")
+          .as[(String, String)].collect()
+          .zipWithIndex.filter(_._2 % 97 == 0).map(_._1).take(6).toSeq
+        require(victims.size == 6, "fixture must yield six victims")
+        victims.toDF("repo", "path").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/purged_keys")
+        val st = clock("purge_batch") {
+          graft.lake.Purge.purgeKeys(s, tableDir,
+            victims.map { case (r, p) => Map[String, Any]("repo" -> r, "path" -> p) })
+        }
+        require(st.rowsPurged >= 6 && st.filesRewritten > 0,
+          s"every victim had at least one physical row: $st")
+        require(st.filesCandidates < st.filesTotal,
+          s"per-key bucket+bloom pruning must rule out most files: $st")
+        require(st.filesRewritten <= st.filesCandidates, s"rewrite ≤ candidates: $st")
+        putMetric("q172", "files_total", st.filesTotal.toDouble)
+        putMetric("q172", "files_candidates", st.filesCandidates.toDouble)
+        putMetric("q172", "files_rewritten", st.filesRewritten.toDouble)
+        putMetric("q172", "rows_purged", st.rowsPurged.toDouble)
+        // no surface serves any victim: head, every retained version, feed
+        val victimDf = victims.toDF("repo", "path")
+        IceLite.history(tableDir).foreach { v =>
+          val hits = IceLite.read(s, IceLite.loadVersion(tableDir, v))
+            .join(victimDf, Seq("repo", "path"), "left_semi").count()
+          require(hits == 0, s"version $v still serves a purged key")
+        }
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q172")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE'
+          AND NOT EXISTS (SELECT 1
+              FROM parquet_scan('${workDir("q172")}/purged_keys/*.parquet') k
+              WHERE k.repo = t.repo AND k.path = t.path)
         ORDER BY repo, path"""))
   )
 }

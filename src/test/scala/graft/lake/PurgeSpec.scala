@@ -132,4 +132,36 @@ class PurgeSpec extends AnyFunSuite {
     assert(again.filesRewritten == 0 && again.rowsPurged == 0L)
     assert(Files.exists(java.nio.file.Paths.get(dir, "export", "purge-0.json")))
   }
+
+  test("batch purge rewrites each candidate file once for the whole batch") {
+    val dir = Files.createTempDirectory("graft-purge-batch").toString + "/t"
+    IceLite.create(dir, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "id", "BIGINT"), IceLite.ColDef(2, "v", "BIGINT"))),
+      Vector("id"), buckets = 4)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 120L).map(i => (i, i * 2, i, "UPSERT"))), "seq", "op", "e-0")
+    Compaction.compact(spark, dir, "maint") // one file per bucket
+    Compaction.expire(dir, keepLast = 1) // single retained version → exact counts
+    // victims: 3 keys in one bucket, 2 in another — 5 keys, 2 files
+    val byBucket = (1L to 120L)
+      .groupBy(i => graft.functions.XxHash64Host.bucketOf(Seq(i), 4))
+    val victims = byBucket.values.toSeq.sortBy(-_.size) match {
+      case a +: b +: _ => a.take(3) ++ b.take(2)
+      case _ => fail("expected at least two buckets")
+    }
+    val st = Purge.purgeKeys(spark, dir,
+      victims.map(i => Map[String, Any]("id" -> i)))
+    assert(st.rowsPurged == 5L, s"every victim erased once: $st")
+    assert(st.filesRewritten == 2,
+      s"5 keys across 2 buckets must cost exactly 2 file rewrites: $st")
+    assert(st.filesCandidates == 2, s"bucket pruning per key: $st")
+    val left = IceLite.read(spark, IceLite.load(dir)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !left.contains(v)))
+    assert(left.size == 120 - 5, "non-victims all intact")
+    // batch marker carries every key
+    val marker = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta", "purge-0.json")), "UTF-8")
+    assert(victims.forall(v => marker.contains(s""""id":"$v"""")))
+  }
 }
