@@ -51,7 +51,15 @@ object Tail {
         * registry load from this directory on the DRIVER and the registry
         * re-broadcasts — the streaming mirror of replayLog's schemaDir
         * (reference: per-record schema paths, ProtobufService.java:85-87). */
-      schemaDir: Option[String] = None): StreamingQuery = {
+      schemaDir: Option[String] = None,
+      /** called after each APPLIED micro-batch's commit (merge + lineage),
+        * with the batch id — the hook streaming-publication policies plug
+        * into (e.g. [[graft.lake.Export.publishStep]] growing an export
+        * chain that tracks the stream). Replayed (fenced) batches skip it:
+        * their work is already committed, so a crash between commit and
+        * hook defers the hook's effect to the next batch — policies must
+        * be idempotent against the CURRENT snapshot, not the batch. */
+      onBatchCommitted: Option[(SparkSession, Long) => Unit] = None): StreamingQuery = {
     import spark.implicits._
 
     if (!IceLite.exists(tableDir)) Replay.createTable(tableDir, buckets)
@@ -93,6 +101,7 @@ object Tail {
         if (st.applied) {
           dec.flushDeadLetters()
           Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
+          onBatchCommitted.foreach(_(batch.sparkSession, batchId))
         }
         ()
       }

@@ -292,6 +292,25 @@ object Export {
     }.map(fe => chainRoot.resolve(fe.get("loc").asText()).toString).toSeq
   }
 
+  /** STREAMING PUBLICATION policy — one call per applied micro-batch (wire
+    * as `Tail.start(onBatchCommitted = ...)`): compact exactly the buckets
+    * that block a publish (delta-bearing ones, plus any at a stale schema
+    * version — non-empty only right after a mid-stream DDL/evolution, a
+    * one-time rewrite), then publish the next chain step. Steady-state
+    * cost per batch is O(buckets the batch touched); the chain TRACKS the
+    * stream. Idempotent per snapshot version (exportIncremental's
+    * contract); a crash between the compact and the publish just defers
+    * the step to the next batch — the chain may lag, never lie. */
+  def publishStep(spark: org.apache.spark.sql.SparkSession, dir: String,
+      chain: String, epochTag: String): IncExportInfo = {
+    val snap = IceLite.load(dir)
+    val blocking = snap.files.filter(f =>
+      f.delta || f.schemaVersion != snap.currentSchemaVersion).map(_.bucket).toSet
+    if (blocking.nonEmpty)
+      Compaction.compact(spark, dir, epochTag, buckets = Some(blocking))
+    exportIncremental(dir, chain)
+  }
+
   final case class ChainGcStats(
       stepsDropped: Int,
       /** files deleted — no retained step references them. */

@@ -5431,6 +5431,89 @@ object CdcQueries {
           AND NOT EXISTS (SELECT 1
               FROM parquet_scan('${workDir("q172")}/purged_keys/*.parquet') k
               WHERE k.repo = t.repo AND k.path = t.path)
-        ORDER BY repo, path"""))
+        ORDER BY repo, path""")),
+
+    // STREAMING CHAIN PUBLICATION under the hard gate — the export chain
+    // TRACKING the Tail ingest: Export.publishStep rides Tail's
+    // onBatchCommitted hook, so every applied micro-batch compacts exactly
+    // the buckets that block a publish (its own delta buckets, plus the
+    // one-time stale-schema rewrite right after the mid-stream v1→v2
+    // evolution) and publishes the next chain step. Two arrival waves, the
+    // second resuming from the first's checkpoint; steps must be one per
+    // applied batch, the first a full ship and every later one genuinely
+    // incremental (reuse > 0). Oracle = the full-log LWW fold against the
+    // LATEST STEP's raw read — not the table: a stream whose published
+    // surface lags, drops a step, or mis-links a reused file hash-diverges
+    // even if the table itself is right.
+    OpQuery("q173_streaming_chain",
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q173")
+        val root = workDir("q173")
+        val streamDir = s"$root/stream"
+        val tableDir = s"$root/table"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        // wave 1 over the full keyspace, then two HOT-SLICE tail waves
+        // (higher seqs, narrow keyspace — the steady-state shape where the
+        // chain's O(changed buckets) publication pays off)
+        val waves = Seq(
+          LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+            v1Fraction = 0.7),
+          LogGen.Params(nEvents = 600, nRepos = 1, pathsPerRepo = 2,
+            v1Fraction = 0.0, idOffset = 3000),
+          LogGen.Params(nEvents = 400, nRepos = 1, pathsPerRepo = 2,
+            v1Fraction = 0.0, idOffset = 3600))
+        val evs = clock("gen") { waves.map(LogGen.events(s, _).localCheckpoint()) }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          evs.foreach { ev =>
+            Replay.decodeForMerge(
+              ev.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+                .as[graft.decode.ChangeEvent], registry, None)
+              .updates.write.mode("append").parquet(s"$root/decoded")
+          }
+        }
+        val publisher = (ss: SparkSession, batchId: Long) => {
+          graft.lake.Export.publishStep(ss, tableDir, "stream", s"pub-$batchId")
+          ()
+        }
+        // each wave lands as ≤8 files → one micro-batch; waves 2 and 3
+        // resume the same checkpoint (two restarts)
+        evs.zipWithIndex.foreach { case (ev, i) =>
+          clock(s"wave$i") {
+            ev.repartition(8).write.mode("append").parquet(streamDir)
+            graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 16,
+              maxFilesPerTrigger = 8,
+              onBatchCommitted = Some(publisher)).awaitTermination()
+          }
+        }
+        val chainRoot = s"$tableDir/export/stream"
+        val stepDirs = new java.io.File(chainRoot).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+")
+            && new java.io.File(f, "manifest.json").exists())
+          .map(_.getName.drop(1).toInt).sorted.toSeq
+        require(stepDirs.size == 3, s"one step per applied batch: $stepDirs")
+        val steps = stepDirs.map(v =>
+          graft.lake.Export.readIncremental(tableDir, "stream", Some(v)))
+        require(steps.head.filesReused == 0, "first step is the full ship")
+        require(steps.tail.forall(st => st.filesReused > 0 &&
+            st.filesShipped < st.filesTotal),
+          s"every tail step is genuinely incremental: " +
+            steps.map(st => (st.filesShipped, st.filesReused)).mkString(","))
+        putMetric("q173", "steps", steps.size.toDouble)
+        putMetric("q173", "last_step_shipped", steps.last.filesShipped.toDouble)
+        putMetric("q173", "last_step_reused", steps.last.filesReused.toDouble)
+        // the PUBLISHED surface (not the table) is what the oracle certifies
+        val latest = graft.lake.Export.incrementalFiles(tableDir, "stream")
+        s.read.parquet(latest: _*).where(expr(steps.last.rowFilter))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q173")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }
