@@ -824,6 +824,153 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** q174 impl — PRODUCT QUANTIZATION (PQ-ADC) prefilter + exact cosine
+    * re-rank: the ANN EXTREME-memory path. Where SQ8 (q161) stores 64
+    * int8 codes (64 B/vector), PQ stores ONE centroid id per 8-dim
+    * subspace — 8 codes of 16 choices = 8 nibbles (4 B/vector at a packed
+    * layout; a 10^9-vector corpus drops from 256 GB of floats to 4 GB of
+    * codes). Everything downstream of training is INTEGER arithmetic over
+    * the q161 int8 grid: subspace assignment is an integer-L2 argmin
+    * against integer centroids, and the ADC score is a sum of 8
+    * precomputed integer LUT entries per candidate — byte-deterministic,
+    * so the oracle re-derives every code, every assignment, every ADC
+    * distance, and both rank stages in SQL from the dumped envelope +
+    * integer centroids (training stays opaque to DuckDB, the q36
+    * dump-then-refold pattern). Execution shape is the bounded-heap
+    * single pass of [[sigRerankTopK]]/[[sq8RerankTopK]]: queries' LUTs
+    * broadcast (m × ksub longs each), one typed pass over the corpus,
+    * per-(partition, query) heaps of M, exact cosine re-rank of the
+    * shortlist. */
+  def pqRerankTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      numQueries: Int, M: Int = 200, k: Int = 10,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    require(dims % m == 0, s"dims $dims must split into $m subspaces")
+    val sub = dims / m
+    val dumpDir = s"${System.getProperty("java.io.tmpdir")}/graft-q174"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dumpDir))
+    val e = ld(s, d, "embeddings")
+    val typed = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    val (mn, mx) = dimEnvelope(typed, dims)
+    val scale = Array.tabulate(dims)(i => (mx(i) - mn(i)) / 256.0)
+    (0 until dims).map(i => (i + 1, mn(i), mx(i))).toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dumpDir/dims")
+
+    // TRAIN per-subspace Lloyd on a bounded stride sample of quantized
+    // vectors (driver-side flops bounded by the sample, never the corpus).
+    // Centroids round to the int grid at the end: the DUMPED integers are
+    // the oracle's input, so training itself stays engine-opaque.
+    val sampleN = 1024
+    val total = typed.count()
+    val stride = math.max(1L, total / sampleN)
+    val sample = typed.filter(_._1 % stride == 0).collect()
+      .map { case (_, emb) => quantize(emb, mn, scale) }
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub $ksub")
+    val cents: Array[Array[Array[Int]]] = Array.tabulate(m) { j =>
+      // k-means++-lite seeding: spread initial centroids over the sample
+      var c = Array.tabulate(ksub)(i =>
+        sample((i.toLong * sample.length / ksub).toInt)
+          .slice(j * sub, (j + 1) * sub).map(_.toDouble))
+      var iter = 0
+      while (iter < 15) {
+        val sums = Array.fill(ksub, sub)(0.0)
+        val counts = Array.fill(ksub)(0L)
+        sample.foreach { q =>
+          var best = 0; var bd = Double.MaxValue
+          var ci = 0
+          while (ci < ksub) {
+            var dd = 0.0; var i = 0
+            while (i < sub) {
+              val df = q(j * sub + i) - c(ci)(i); dd += df * df; i += 1
+            }
+            if (dd < bd) { bd = dd; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += q(j * sub + i); i += 1 }
+        }
+        c = Array.tabulate(ksub)(ci =>
+          if (counts(ci) == 0) c(ci)
+          else Array.tabulate(sub)(i => sums(ci)(i) / counts(ci)))
+        iter += 1
+      }
+      c.map(_.map(v => math.min(255, math.max(0, math.round(v).toInt))))
+    }
+    // oracle input: integer centroids melted to (sub, cid, global dim, cval)
+    val centRows = for {
+      j <- 0 until m; ci <- 0 until ksub; i <- 0 until sub
+    } yield (j, ci, j * sub + i + 1, cents(j)(ci)(i))
+    centRows.toDF("sub", "cid", "dim", "cval")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dumpDir/cents")
+
+    // per-query integer LUT: lut(j)(cid) = L2²(query's sub-j codes, centroid)
+    val qrows = typed.filter(_._1 < numQueries).collect()
+      .map { case (id, emb) => (id, quantize(emb, mn, scale)) }
+    require(qrows.nonEmpty, "no query vectors")
+    val luts = qrows.map { case (qid, q) =>
+      (qid, Array.tabulate(m, ksub) { (j, ci) =>
+        var dd = 0L; var i = 0
+        while (i < sub) {
+          val df = (q(j * sub + i) - cents(j)(ci)(i)).toLong; dd += df * df; i += 1
+        }
+        dd
+      })
+    }
+    val bl = s.sparkContext.broadcast(luts)
+    val bc = s.sparkContext.broadcast(cents)
+    val bmn = s.sparkContext.broadcast(mn)
+    val bscale = s.sparkContext.broadcast(scale)
+    val ord = Ordering.Tuple2[Long, Long] // (adc, cand): evict the LARGEST
+    val short = typed.mapPartitions { it =>
+      val qs = bl.value
+      val cs = bc.value
+      val heaps = qs.map { case (qid, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(ord) }.toMap
+      def codesOf(q: Array[Int]): Array[Int] = Array.tabulate(m) { j =>
+        var best = 0; var bd = Long.MaxValue
+        var ci = 0
+        while (ci < ksub) {
+          var dd = 0L; var i = 0
+          while (i < sub) {
+            val df = (q(j * sub + i) - cs(j)(ci)(i)).toLong; dd += df * df; i += 1
+          }
+          if (dd < bd) { bd = dd; best = ci }
+          ci += 1
+        }
+        best
+      }
+      it.foreach { case (cand, emb) =>
+        val code = codesOf(quantize(emb, bmn.value, bscale.value))
+        qs.foreach { case (qid, lut) =>
+          if (cand != qid) {
+            var adc = 0L; var j = 0
+            while (j < m) { adc += lut(j)(code(j)); j += 1 }
+            val key = (adc, cand)
+            val h = heaps(qid)
+            if (h.size < M) h.enqueue(key)
+            else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (adc, cand) => (qid, cand, adc) } }
+    }.toDF("qid", "cand", "adc")
+    val wh = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)
+    val shortlist = short.withColumn("hr", row_number().over(wh)).filter(col("hr") <= M)
+    val qv = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("va"))
+    val wc = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
+    e.select(col("vec_id").as("cand"), col("embedding").as("vb"))
+      .join(broadcast(shortlist.select("qid", "cand")), Seq("cand"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", expr(sparkCos))
+      .withColumn("rank", row_number().over(wc).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cand", "cos")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q20_embedding_neardup",
@@ -1068,7 +1215,70 @@ object SimilarityOps {
       // prefilter pass, or a re-rank tie-break slip all hash-diverge.
       // Recall vs the exact q21 baseline is measured in Bench ann_recall.
       (s, d) => sq8RerankTopK(s, d, numQueries = 5),
+      Some(sq8OracleSql)),
+
+    OpQuery("q174_ann_pq_topk",
+      // PRODUCT QUANTIZATION (PQ-ADC) ANN under the hard gate — the
+      // extreme-memory tier of the vector family (q21 exact → q27 sig →
+      // q36 IVF → q161 SQ8 → this): 64 float dims collapse to 8 subspace
+      // centroid ids (16 choices each — 4 bits/subspace; a 10^9-vector
+      // corpus is 4 GB of codes). All serving-path arithmetic is INTEGER
+      // over the q161 int8 grid: assignment is an integer-L2 argmin
+      // (ties → lowest cid), the prefilter score sums 8 integer LUT
+      // entries, so the shortlist is byte-deterministic. The oracle reads
+      // the dumped envelope + INTEGER centroids and re-derives every
+      // quantization code, every subspace assignment, every ADC distance,
+      // and both rank stages in SQL — a drifted centroid, a tie-break
+      // slip, or a heap bug all hash-diverge. Training (per-subspace
+      // Lloyd on a bounded stride sample) stays opaque to the oracle: the
+      // dumped centroids ARE the contract, the q36 dump-then-refold
+      // pattern. Recall vs the exact q21 baseline rides Bench ann_recall.
+      (s, d) => pqRerankTopK(s, d, numQueries = 5),
       Some {
+        val tmp = System.getProperty("java.io.tmpdir")
+        s"""WITH dims AS (SELECT dim, mn, mx
+              FROM parquet_scan('$tmp/graft-q174/dims/*.parquet')),
+          cents AS (SELECT sub, cid, dim, cval
+              FROM parquet_scan('$tmp/graft-q174/cents/*.parquet')),
+          ex AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+                 FROM embeddings, LATERAL generate_series(1, 64) t(i)),
+          qz AS (SELECT e.vec_id, e.dim,
+                  CASE WHEN d.mx = d.mn THEN 0
+                       ELSE least(255, greatest(0,
+                         CAST(floor((e.v - d.mn) / ((d.mx - d.mn) / 256.0)) AS INT)))
+                  END AS q
+                 FROM ex e JOIN dims d USING (dim)),
+          -- integer L2² of every vector's subspace block vs every centroid
+          d2 AS (SELECT z.vec_id, c.sub, c.cid,
+                   CAST(sum(CAST(z.q - c.cval AS BIGINT) * (z.q - c.cval)) AS BIGINT) AS d2
+                 FROM qz z JOIN cents c USING (dim)
+                 GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid, row_number() OVER (
+                   PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                 FROM d2) WHERE rn = 1),
+          -- ADC: query q's LUT row for candidate x's code, summed over subs
+          adc AS (SELECT d.vec_id AS qid, x.vec_id AS cand,
+                   CAST(sum(d.d2) AS BIGINT) AS adc
+                 FROM codes x JOIN d2 d ON d.sub = x.sub AND d.cid = x.cid
+                 WHERE d.vec_id < 5 AND x.vec_id <> d.vec_id
+                 GROUP BY 1, 2),
+          short AS (SELECT qid, cand FROM (
+                 SELECT qid, cand, row_number() OVER (PARTITION BY qid
+                   ORDER BY adc, cand) AS rn FROM adc) WHERE rn <= 200)
+          SELECT qid, rank, cand, cos FROM (
+            SELECT qid, cand, cos, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cand) AS BIGINT) AS rank
+            FROM (SELECT s.qid, s.cand, $duckCos AS cos
+                  FROM (SELECT sh.qid, sh.cand, q.embedding AS va, c.embedding AS vb
+                        FROM short sh
+                        JOIN embeddings q ON q.vec_id = sh.qid
+                        JOIN embeddings c ON c.vec_id = sh.cand) s) t) r
+          WHERE rank <= 10 ORDER BY qid, rank"""
+      })
+  )
+
+  private def sq8OracleSql: String = {
         val tmp = System.getProperty("java.io.tmpdir")
         s"""WITH dims AS (SELECT dim, mn, mx
               FROM parquet_scan('$tmp/graft-q161/dims/*.parquet')),
@@ -1097,8 +1307,7 @@ object SimilarityOps {
                         JOIN embeddings q ON q.vec_id = sh.qid
                         JOIN embeddings c ON c.vec_id = sh.cand) s) t) r
           WHERE rank <= 10 ORDER BY qid, rank"""
-      })
-  )
+  }
 
   /** The IVF oracle (shared q36/q55): re-derive assignment, probes, and
     * top-k in SQL from the centroids parquet the query fn dumped under
