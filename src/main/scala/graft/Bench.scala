@@ -294,6 +294,7 @@ object Bench {
           "q26_bucket_probe" -> topk("q26_ann_lsh_probe_topk").intersect(exact).size.toDouble / exact.size,
           "q161_sq8_rerank" -> topk("q161_ann_sq8_topk").intersect(exact).size.toDouble / exact.size,
           "q174_pq_rerank" -> topk("q174_ann_pq_topk").intersect(exact).size.toDouble / exact.size,
+          "q175_ivfpq" -> topk("q175_ann_ivfpq_topk").intersect(exact).size.toDouble / exact.size,
           "q27_sig_rerank" -> topk("q27_ann_sig_rerank_topk").intersect(exact).size.toDouble / exact.size,
           "q27_sig_rerank_q100" -> got100.intersect(exact100).size.toDouble / exact100.size,
           "q27_q100_sec" -> q100sec,
@@ -345,6 +346,7 @@ object Bench {
     val f20h = recalls.getOrElse("q20_band_hi_cand_frac", -1.0)
     val r161 = recalls.getOrElse("q161_sq8_rerank", -1.0)
     val r174 = recalls.getOrElse("q174_pq_rerank", -1.0)
+    val r175 = recalls.getOrElse("q175_ivfpq", -1.0)
 
     val total = t2 + t8 + t32 + queryTimes.map(_._2).filter(_ > 0).sum
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
@@ -364,7 +366,7 @@ object Bench {
       s""""events_per_sec_local2":${f"$eps2%.0f"},"events_per_sec_local8":${f"$eps8%.0f"},"events_per_sec_local32":${f"$eps32%.0f"},""" +
       s""""scaling_efficiency_N_to_4N":${f"$eff28%.3f"},"scaling_efficiency_8_to_32":${f"$eff832%.3f"},""" +
       s""""levels":{"local2":${s2.toJson},"local8":${s8.toJson},"local32":${s32.toJson}}},""" +
-      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"},"q36_ivf":${f"$r36%.3f"},"q36_ivf_cand_frac":${f"$f36%.3f"},"q20_band_recall":${f"$r20b%.3f"},"q20_band_cand_frac":${f"$f20b%.4f"},"q20_band_sec":${f"$s20b%.2f"},"q20_band_hi_recall":${f"$r20h%.3f"},"q20_band_hi_cand_frac":${f"$f20h%.4f"},"q161_sq8_rerank":${f"$r161%.3f"},"q174_pq_rerank":${f"$r174%.3f"}},""" +
+      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"},"q36_ivf":${f"$r36%.3f"},"q36_ivf_cand_frac":${f"$f36%.3f"},"q20_band_recall":${f"$r20b%.3f"},"q20_band_cand_frac":${f"$f20b%.4f"},"q20_band_sec":${f"$s20b%.2f"},"q20_band_hi_recall":${f"$r20h%.3f"},"q20_band_hi_cand_frac":${f"$f20h%.4f"},"q161_sq8_rerank":${f"$r161%.3f"},"q174_pq_rerank":${f"$r174%.3f"},"q175_ivfpq":${f"$r175%.3f"}},""" +
       s""""queries":$qs,"lifecycle_phases":$phases,"sf":"$sfDir"}"""
     println(json)
 

@@ -824,6 +824,110 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** Per-subspace Lloyd over a quantized sample (driver-side, bounded by
+    * the sample). Centroids round to the int grid at the end — the DUMPED
+    * integers are the oracle's contract, training itself stays opaque. */
+  private def pqTrain(sample: Array[Array[Int]], m: Int, ksub: Int,
+      sub: Int): Array[Array[Array[Int]]] = Array.tabulate(m) { j =>
+    // k-means++-lite seeding: spread initial centroids over the sample
+    var c = Array.tabulate(ksub)(i =>
+      sample((i.toLong * sample.length / ksub).toInt)
+        .slice(j * sub, (j + 1) * sub).map(_.toDouble))
+    var iter = 0
+    while (iter < 15) {
+      val sums = Array.fill(ksub, sub)(0.0)
+      val counts = Array.fill(ksub)(0L)
+      sample.foreach { q =>
+        var best = 0; var bd = Double.MaxValue
+        var ci = 0
+        while (ci < ksub) {
+          var dd = 0.0; var i = 0
+          while (i < sub) {
+            val df = q(j * sub + i) - c(ci)(i); dd += df * df; i += 1
+          }
+          if (dd < bd) { bd = dd; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < sub) { sums(best)(i) += q(j * sub + i); i += 1 }
+      }
+      c = Array.tabulate(ksub)(ci =>
+        if (counts(ci) == 0) c(ci)
+        else Array.tabulate(sub)(i => sums(ci)(i) / counts(ci)))
+      iter += 1
+    }
+    c.map(_.map(v => math.min(255, math.max(0, math.round(v).toInt))))
+  }
+
+  /** Integer-L2 argmin per subspace; strict < → lowest cid wins ties
+    * (matches the oracle's ORDER BY d2, cid). */
+  private def pqAssign(q: Array[Int], cents: Array[Array[Array[Int]]],
+      m: Int, ksub: Int, sub: Int): Array[Int] = Array.tabulate(m) { j =>
+    var best = 0; var bd = Long.MaxValue
+    var ci = 0
+    while (ci < ksub) {
+      var dd = 0L; var i = 0
+      while (i < sub) {
+        val df = (q(j * sub + i) - cents(j)(ci)(i)).toLong; dd += df * df; i += 1
+      }
+      if (dd < bd) { bd = dd; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Per-query integer LUT: lut(j)(cid) = L2²(query's sub-j codes, centroid). */
+  private def pqLut(q: Array[Int], cents: Array[Array[Array[Int]]],
+      m: Int, ksub: Int, sub: Int): Array[Array[Long]] =
+    Array.tabulate(m, ksub) { (j, ci) =>
+      var dd = 0L; var i = 0
+      while (i < sub) {
+        val df = (q(j * sub + i) - cents(j)(ci)(i)).toLong; dd += df * df; i += 1
+      }
+      dd
+    }
+
+  /** Oracle input: integer centroids melted to (sub, cid, global dim, cval). */
+  private def dumpPqCents(s: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Array[Int]]], dir: String,
+      m: Int, ksub: Int, sub: Int): Unit = {
+    import s.implicits._
+    val rows = for {
+      j <- 0 until m; ci <- 0 until ksub; i <- 0 until sub
+    } yield (j, ci, j * sub + i + 1, cents(j)(ci)(i))
+    rows.toDF("sub", "cid", "dim", "cval")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The PQ code-derivation CTEs shared by the q174/q175 oracles: from the
+    * dumped envelope + integer centroids under `<tmpdir>/<root>/`, re-derive
+    * every int8 code (qz), every integer subspace distance (d2), and every
+    * assignment (codes) in SQL. */
+  private def pqCodesCtes(root: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    s"""dims AS (SELECT dim, mn, mx
+              FROM parquet_scan('$tmp/$root/dims/*.parquet')),
+          pqc AS (SELECT sub, cid, dim, cval
+              FROM parquet_scan('$tmp/$root/pqcents/*.parquet')),
+          ex AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+                 FROM embeddings, LATERAL generate_series(1, 64) t(i)),
+          qz AS (SELECT e.vec_id, e.dim,
+                  CASE WHEN d.mx = d.mn THEN 0
+                       ELSE least(255, greatest(0,
+                         CAST(floor((e.v - d.mn) / ((d.mx - d.mn) / 256.0)) AS INT)))
+                  END AS q
+                 FROM ex e JOIN dims d USING (dim)),
+          d2 AS (SELECT z.vec_id, c.sub, c.cid,
+                   CAST(sum(CAST(z.q - c.cval AS BIGINT) * (z.q - c.cval)) AS BIGINT) AS d2
+                 FROM qz z JOIN pqc c USING (dim)
+                 GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid, row_number() OVER (
+                   PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                 FROM d2) WHERE rn = 1)"""
+  }
+
   /** q174 impl — PRODUCT QUANTIZATION (PQ-ADC) prefilter + exact cosine
     * re-rank: the ANN EXTREME-memory path. Where SQ8 (q161) stores 64
     * int8 codes (64 B/vector), PQ stores ONE centroid id per 8-dim
@@ -866,57 +970,14 @@ object SimilarityOps {
     val sample = typed.filter(_._1 % stride == 0).collect()
       .map { case (_, emb) => quantize(emb, mn, scale) }
     require(sample.length >= ksub, s"sample ${sample.length} < ksub $ksub")
-    val cents: Array[Array[Array[Int]]] = Array.tabulate(m) { j =>
-      // k-means++-lite seeding: spread initial centroids over the sample
-      var c = Array.tabulate(ksub)(i =>
-        sample((i.toLong * sample.length / ksub).toInt)
-          .slice(j * sub, (j + 1) * sub).map(_.toDouble))
-      var iter = 0
-      while (iter < 15) {
-        val sums = Array.fill(ksub, sub)(0.0)
-        val counts = Array.fill(ksub)(0L)
-        sample.foreach { q =>
-          var best = 0; var bd = Double.MaxValue
-          var ci = 0
-          while (ci < ksub) {
-            var dd = 0.0; var i = 0
-            while (i < sub) {
-              val df = q(j * sub + i) - c(ci)(i); dd += df * df; i += 1
-            }
-            if (dd < bd) { bd = dd; best = ci }
-            ci += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < sub) { sums(best)(i) += q(j * sub + i); i += 1 }
-        }
-        c = Array.tabulate(ksub)(ci =>
-          if (counts(ci) == 0) c(ci)
-          else Array.tabulate(sub)(i => sums(ci)(i) / counts(ci)))
-        iter += 1
-      }
-      c.map(_.map(v => math.min(255, math.max(0, math.round(v).toInt))))
-    }
-    // oracle input: integer centroids melted to (sub, cid, global dim, cval)
-    val centRows = for {
-      j <- 0 until m; ci <- 0 until ksub; i <- 0 until sub
-    } yield (j, ci, j * sub + i + 1, cents(j)(ci)(i))
-    centRows.toDF("sub", "cid", "dim", "cval")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dumpDir/cents")
+    val cents = pqTrain(sample, m, ksub, sub)
+    dumpPqCents(s, cents, s"$dumpDir/pqcents", m, ksub, sub)
 
     // per-query integer LUT: lut(j)(cid) = L2²(query's sub-j codes, centroid)
     val qrows = typed.filter(_._1 < numQueries).collect()
       .map { case (id, emb) => (id, quantize(emb, mn, scale)) }
     require(qrows.nonEmpty, "no query vectors")
-    val luts = qrows.map { case (qid, q) =>
-      (qid, Array.tabulate(m, ksub) { (j, ci) =>
-        var dd = 0L; var i = 0
-        while (i < sub) {
-          val df = (q(j * sub + i) - cents(j)(ci)(i)).toLong; dd += df * df; i += 1
-        }
-        dd
-      })
-    }
+    val luts = qrows.map { case (qid, q) => (qid, pqLut(q, cents, m, ksub, sub)) }
     val bl = s.sparkContext.broadcast(luts)
     val bc = s.sparkContext.broadcast(cents)
     val bmn = s.sparkContext.broadcast(mn)
@@ -927,23 +988,100 @@ object SimilarityOps {
       val cs = bc.value
       val heaps = qs.map { case (qid, _) =>
         qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(ord) }.toMap
-      def codesOf(q: Array[Int]): Array[Int] = Array.tabulate(m) { j =>
-        var best = 0; var bd = Long.MaxValue
-        var ci = 0
-        while (ci < ksub) {
-          var dd = 0L; var i = 0
-          while (i < sub) {
-            val df = (q(j * sub + i) - cs(j)(ci)(i)).toLong; dd += df * df; i += 1
-          }
-          if (dd < bd) { bd = dd; best = ci }
-          ci += 1
-        }
-        best
-      }
       it.foreach { case (cand, emb) =>
-        val code = codesOf(quantize(emb, bmn.value, bscale.value))
+        val code = pqAssign(quantize(emb, bmn.value, bscale.value), cs, m, ksub, sub)
         qs.foreach { case (qid, lut) =>
           if (cand != qid) {
+            var adc = 0L; var j = 0
+            while (j < m) { adc += lut(j)(code(j)); j += 1 }
+            val key = (adc, cand)
+            val h = heaps(qid)
+            if (h.size < M) h.enqueue(key)
+            else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (adc, cand) => (qid, cand, adc) } }
+    }.toDF("qid", "cand", "adc")
+    val wh = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)
+    val shortlist = short.withColumn("hr", row_number().over(wh)).filter(col("hr") <= M)
+    val qv = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("va"))
+    val wc = Window.partitionBy("qid").orderBy(desc("cos"), col("cand"))
+    e.select(col("vec_id").as("cand"), col("embedding").as("vb"))
+      .join(broadcast(shortlist.select("qid", "cand")), Seq("cand"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", expr(sparkCos))
+      .withColumn("rank", row_number().over(wc).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cand", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** q175 impl — IVF-PQ: the two prunings composed (the classical
+    * billion-scale architecture). The IVF coarse quantizer bounds WHICH
+    * vectors each query scores (nprobe of `cells` trained cells, the q36
+    * cosine geometry so the oracle's assignment matches bit for bit); PQ
+    * bounds WHAT each scoring costs (8 integer LUT adds against
+    * 4 B/vector of codes, the q174 integer grid). One typed corpus pass:
+    * assign the vector's cell, and only for queries probing that cell
+    * compute its PQ code once and ADC-score it into the bounded heap —
+    * per-partition memory O(queries × M), candidate work
+    * O(probed fraction × m). */
+  def ivfPqTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      numQueries: Int, cells: Int = 64, nprobe: Int = 16,
+      M: Int = 200, k: Int = 10,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    require(dims % m == 0, s"dims $dims must split into $m subspaces")
+    val sub = dims / m
+    val dumpDir = s"${System.getProperty("java.io.tmpdir")}/graft-q175"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dumpDir))
+    val e = ld(s, d, "embeddings")
+    val typed = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    // coarse quantizer (q36 geometry), dumped for the oracle
+    val icents = trainCentroids(s, e, k = cells, iters = 5)
+    icents.toSeq.map { case (cid, cv, _) => (cid, cv.toSeq) }
+      .toDF("cid", "cv").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dumpDir/cents")
+    // PQ codebooks over the int8 grid, dumped for the oracle
+    val (mn, mx) = dimEnvelope(typed, dims)
+    val scale = Array.tabulate(dims)(i => (mx(i) - mn(i)) / 256.0)
+    (0 until dims).map(i => (i + 1, mn(i), mx(i))).toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dumpDir/dims")
+    val total = typed.count()
+    val stride = math.max(1L, total / 1024)
+    val pqSample = typed.filter(_._1 % stride == 0).collect()
+      .map { case (_, emb) => quantize(emb, mn, scale) }
+    require(pqSample.length >= ksub, s"sample ${pqSample.length} < ksub $ksub")
+    val pcents = pqTrain(pqSample, m, ksub, sub)
+    dumpPqCents(s, pcents, s"$dumpDir/pqcents", m, ksub, sub)
+    // per query: probe set (IVF) + integer LUT (PQ)
+    val qrows = typed.filter(_._1 < numQueries).collect()
+    require(qrows.nonEmpty, "no query vectors")
+    val qstate = qrows.map { case (qid, emb) =>
+      (qid, IvfCells.nearestCells(icents, emb, nprobe).toSet,
+        pqLut(quantize(emb, mn, scale), pcents, m, ksub, sub))
+    }
+    val bq = s.sparkContext.broadcast(qstate)
+    val bi = s.sparkContext.broadcast(icents)
+    val bp = s.sparkContext.broadcast(pcents)
+    val bmn = s.sparkContext.broadcast(mn)
+    val bscale = s.sparkContext.broadcast(scale)
+    val ord = Ordering.Tuple2[Long, Long]
+    val short = typed.mapPartitions { it =>
+      val qs = bq.value
+      val heaps = qs.map { case (qid, _, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(ord) }.toMap
+      it.foreach { case (cand, emb) =>
+        val cell = IvfCells.nearestCells(bi.value, emb, 1).head
+        var code: Array[Int] = null // computed once, only if some query probes the cell
+        qs.foreach { case (qid, probeSet, lut) =>
+          if (cand != qid && probeSet(cell)) {
+            if (code == null)
+              code = pqAssign(quantize(emb, bmn.value, bscale.value),
+                bp.value, m, ksub, sub)
             var adc = 0L; var j = 0
             while (j < m) { adc += lut(j)(code(j)); j += 1 }
             val key = (adc, cand)
@@ -1235,33 +1373,60 @@ object SimilarityOps {
       // pattern. Recall vs the exact q21 baseline rides Bench ann_recall.
       (s, d) => pqRerankTopK(s, d, numQueries = 5),
       Some {
-        val tmp = System.getProperty("java.io.tmpdir")
-        s"""WITH dims AS (SELECT dim, mn, mx
-              FROM parquet_scan('$tmp/graft-q174/dims/*.parquet')),
-          cents AS (SELECT sub, cid, dim, cval
-              FROM parquet_scan('$tmp/graft-q174/cents/*.parquet')),
-          ex AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
-                 FROM embeddings, LATERAL generate_series(1, 64) t(i)),
-          qz AS (SELECT e.vec_id, e.dim,
-                  CASE WHEN d.mx = d.mn THEN 0
-                       ELSE least(255, greatest(0,
-                         CAST(floor((e.v - d.mn) / ((d.mx - d.mn) / 256.0)) AS INT)))
-                  END AS q
-                 FROM ex e JOIN dims d USING (dim)),
-          -- integer L2² of every vector's subspace block vs every centroid
-          d2 AS (SELECT z.vec_id, c.sub, c.cid,
-                   CAST(sum(CAST(z.q - c.cval AS BIGINT) * (z.q - c.cval)) AS BIGINT) AS d2
-                 FROM qz z JOIN cents c USING (dim)
-                 GROUP BY 1, 2, 3),
-          codes AS (SELECT vec_id, sub, cid FROM (
-                 SELECT vec_id, sub, cid, row_number() OVER (
-                   PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-                 FROM d2) WHERE rn = 1),
+        s"""WITH ${pqCodesCtes("graft-q174")},
           -- ADC: query q's LUT row for candidate x's code, summed over subs
           adc AS (SELECT d.vec_id AS qid, x.vec_id AS cand,
                    CAST(sum(d.d2) AS BIGINT) AS adc
                  FROM codes x JOIN d2 d ON d.sub = x.sub AND d.cid = x.cid
                  WHERE d.vec_id < 5 AND x.vec_id <> d.vec_id
+                 GROUP BY 1, 2),
+          short AS (SELECT qid, cand FROM (
+                 SELECT qid, cand, row_number() OVER (PARTITION BY qid
+                   ORDER BY adc, cand) AS rn FROM adc) WHERE rn <= 200)
+          SELECT qid, rank, cand, cos FROM (
+            SELECT qid, cand, cos, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cand) AS BIGINT) AS rank
+            FROM (SELECT s.qid, s.cand, $duckCos AS cos
+                  FROM (SELECT sh.qid, sh.cand, q.embedding AS va, c.embedding AS vb
+                        FROM short sh
+                        JOIN embeddings q ON q.vec_id = sh.qid
+                        JOIN embeddings c ON c.vec_id = sh.cand) s) t) r
+          WHERE rank <= 10 ORDER BY qid, rank"""
+      }),
+
+    OpQuery("q175_ann_ivfpq_topk",
+      // IVF-PQ under the hard gate — the two prunings COMPOSED, the
+      // classical billion-scale serving architecture (an inverted-file
+      // coarse quantizer bounds WHICH vectors are scored, product
+      // quantization bounds WHAT each scoring costs): queries probe their
+      // nprobe=16 best of 64 trained cells, and only the probed cells'
+      // vectors are ADC-scored via the integer LUTs — per query the work
+      // is (candidate fraction) × (8 integer adds), against 4 B/vector of
+      // codes. Both quantizers' training stays opaque to the oracle; the
+      // dumped IVF centroids + PQ envelope/centroids are the contract, and
+      // the oracle re-derives cell assignment, probe sets, candidate
+      // membership, every PQ code, every ADC distance, and both rank
+      // stages in SQL. Recall rides Bench ann_recall (q175_ivfpq).
+      (s, d) => ivfPqTopK(s, d, numQueries = 5),
+      Some {
+        val tmp = System.getProperty("java.io.tmpdir")
+        s"""WITH icents AS (
+            SELECT cid, cv FROM parquet_scan('$tmp/graft-q175/cents/*.parquet')),
+          asg AS (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+            FROM (SELECT e.vec_id, c.cid, $duckCos AS ccos
+              FROM (SELECT vec_id, embedding AS va FROM embeddings) e
+              CROSS JOIN (SELECT cid, cv AS vb FROM icents) c) t),
+          cells AS (SELECT vec_id AS cand, cid AS cell FROM asg WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cid AS probe
+            FROM asg WHERE vec_id < 5 AND rn <= 16),
+          ${pqCodesCtes("graft-q175")},
+          cand AS (SELECT p.qid, cl.cand FROM probes p
+                   JOIN cells cl ON cl.cell = p.probe WHERE cl.cand <> p.qid),
+          adc AS (SELECT c.qid, c.cand, CAST(sum(d.d2) AS BIGINT) AS adc
+                 FROM cand c JOIN codes x ON x.vec_id = c.cand
+                 JOIN d2 d ON d.vec_id = c.qid AND d.sub = x.sub AND d.cid = x.cid
                  GROUP BY 1, 2),
           short AS (SELECT qid, cand FROM (
                  SELECT qid, cand, row_number() OVER (PARTITION BY qid
