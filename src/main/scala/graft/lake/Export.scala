@@ -226,6 +226,112 @@ object Export {
       entries.map(_._2), created = true)
   }
 
+  /** SANITIZED EXPORT CHAIN — a chain whose files are REWRITTEN through
+    * column overrides (pseudonymize an identity column, redact text)
+    * instead of hard-linked: consumers that must not see the raw values
+    * cannot be served links to the raw bytes. Same incremental contract as
+    * [[exportIncremental]] — step vN rewrites ONLY files new since the
+    * previous step, unchanged sources reuse the previous step's
+    * TRANSFORMED file, so steady-state transformation cost is O(changed
+    * buckets), never O(table). `transformId` names the transform in the
+    * manifest: a step only reuses a predecessor that applied the SAME
+    * transform (a changed transform forces a full re-ship — reuse can
+    * never serve a stale sanitization), and republishing the same version
+    * under a different transformId refuses loudly. Hidden engine columns
+    * (`__del`, `seq`, …) pass through untouched, so the manifest's
+    * rowFilter keeps working; all chain machinery — [[readIncremental]],
+    * [[incrementalFiles]], [[expireSteps]], purge — applies unchanged. */
+  def exportTransformedIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String, chain: String, transformId: String,
+      overrides: Map[String, org.apache.spark.sql.Column]): IncExportInfo = {
+    require(chain.nonEmpty && chain.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"chain name must be [A-Za-z0-9._-]+: '$chain'")
+    require(transformId.nonEmpty && transformId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"transformId must be [A-Za-z0-9._-]+: '$transformId'")
+    require(overrides.nonEmpty, "a transformed chain needs at least one override")
+    val snap = IceLite.load(dir)
+    require(snap.files.forall(!_.delta),
+      "transformed export requires a read-optimized (delta-free) snapshot")
+    require(snap.files.forall(_.schemaVersion == snap.currentSchemaVersion),
+      "transformed export requires every file at the current schema version")
+    val visible = snap.currentSchema.filterNot(_.hidden)
+    overrides.keys.foreach(k => require(visible.exists(_.name == k),
+      s"override target '$k' is not a visible column"))
+    val chainRoot = Paths.get(dir, "export", chain)
+    Files.createDirectories(chainRoot)
+    val steps = chainSteps(chainRoot)
+    steps.find(_ == snap.version).foreach { v =>
+      require(readTransformId(chainRoot, v).contains(transformId),
+        s"step v$v already published with a different transform")
+      return readIncManifest(chainRoot, v).copy(created = false)
+    }
+    require(steps.forall(_ < snap.version),
+      s"chain '$chain' is already ahead of snapshot version ${snap.version}")
+    // reuse ONLY a same-transform predecessor — otherwise full re-ship
+    val prev: Map[String, String] = steps.sorted.lastOption
+      .filter(v => readTransformId(chainRoot, v).contains(transformId))
+      .map(v => readIncSources(chainRoot, v)).getOrElse(Map.empty)
+    val stepName = s"v${snap.version}"
+    val stage = Files.createTempDirectory(chainRoot, s".san-$stepName-")
+    val dataDir = stage.resolve("data")
+    Files.createDirectories(dataDir)
+    var shipped = 0
+    val entries = snap.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
+      prev.get(f.path) match {
+        case Some(loc) => (f, loc)
+        case None =>
+          val target = dataDir.resolve(f"part-$i%05d-b${f.bucket}.parquet")
+          val df0 = spark.read.parquet(f.path)
+          val df = overrides.foldLeft(df0) { case (d, (k, c)) => d.withColumn(k, c) }
+          val tmp = Files.createTempDirectory(stage, ".xf-")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet for ${f.path}"))
+          Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+          shipped += 1
+          (f, s"$stepName/data/${target.getFileName}")
+      }
+    }
+    val rows = MetaAgg.liveCount(snap).getOrElse(-1L)
+    val cols = visible.map(c =>
+      s"""{"name":${js(c.name)},"type":${js(c.dataType)},"id":${c.id}}""")
+    val fileArr = entries.map { case (f, loc) =>
+      s"""{"source":${js(f.path)},"loc":${js(loc)}}"""
+    }
+    val manifest =
+      s"""{"chain":${js(chain)},"sourceVersion":${snap.version},"rows":$rows,
+         |"buckets":${snap.buckets},
+         |"transformId":${js(transformId)},
+         |"rowFilter":${js(RowFilter)},
+         |"columns":[${cols.mkString(",")}],
+         |"files":[${fileArr.mkString(",")}]}""".stripMargin
+    Files.write(stage.resolve("manifest.json"), manifest.getBytes("UTF-8"))
+    val target = chainRoot.resolve(stepName)
+    try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+        require(readTransformId(chainRoot, snap.version).contains(transformId),
+          s"step v${snap.version} published concurrently with a different transform")
+        return readIncManifest(chainRoot, snap.version).copy(created = false)
+    }
+    IncExportInfo(target.toString, chain, snap.version, entries.size, shipped,
+      entries.size - shipped, rows, RowFilter, visible.map(_.name),
+      entries.map(_._2), created = true)
+  }
+
+  private def readTransformId(chainRoot: Path, version: Int): Option[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Files.readAllBytes(
+        chainRoot.resolve(s"v$version").resolve("manifest.json")), "UTF-8"))
+    Option(node.get("transformId")).map(_.asText())
+  }
+
   /** Read a chain step's manifest back (latest step when `version` is
     * None). `locs` come back resolvable as `<table>/export/<chain>/<loc>`. */
   def readIncremental(dir: String, chain: String,

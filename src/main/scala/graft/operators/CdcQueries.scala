@@ -5514,6 +5514,99 @@ object CdcQueries {
       Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q173")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // SANITIZED EXPORT CHAIN under the hard gate — the privacy-boundary
+    // publication: a consumer team may join and aggregate by author but
+    // must never see WHO the author is, so the chain's files are REWRITTEN
+    // through a deterministic pseudonymization (author →
+    // substr(sha256('pepper:'||author),1,12)) instead of hard-linked — a
+    // link would hand out the raw bytes. Incremental contract preserved:
+    // the tail wave's step rewrites ONLY the touched buckets' files and
+    // reuses the previous step's TRANSFORMED files (transformId-checked,
+    // so reuse can never serve a stale sanitization). Hard asserts: no
+    // published author matches the raw dev\\d+ shape (the leak check, both
+    // steps), NULL authors (v1-origin rows) stay NULL, and the tail step
+    // genuinely reused. Oracle = the two-wave LWW fold with the SAME
+    // pseudonym expression recomputed in SQL — a missed file, a stale
+    // reused transform, or a pseudonym drift all hash-diverge.
+    OpQuery("q176_sanitized_chain",
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q176")
+        val root = workDir("q176")
+        val logA = s"$root/log-a"
+        val logB = s"$root/log-b"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val pA = LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7)
+        val pB = LogGen.Params(nEvents = 600, nRepos = 1, pathsPerRepo = 2,
+          v1Fraction = 0.0, idOffset = 3000)
+        clock("gen") {
+          LogGen.writeLog(s, pA, logA, epochs = 2)
+          LogGen.writeLog(s, pB, logB, epochs = 1)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          Seq(logA, logB).foreach { ld =>
+            val ev = s.read.parquet(ld)
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent]
+            Replay.decodeForMerge(ev, registry, None).updates
+              .write.mode("append").parquet(s"$root/decoded")
+          }
+        }
+        val pseudo = Map("author" -> substring(
+          sha2(concat(lit("pepper:"), col("author")), 256), 1, 12))
+        clock("replay_wave1") { Replay.replayLog(s, logA, tableDir, buckets = 16) }
+        clock("compact1") { graft.lake.Compaction.compact(s, tableDir, "maint-1") }
+        val step1 = clock("publish1") {
+          graft.lake.Export.exportTransformedIncremental(
+            s, tableDir, "sanitized", "pseudo-v1", pseudo)
+        }
+        require(step1.created && step1.filesReused == 0, "first step full ship")
+        clock("replay_wave2") {
+          Replay.replayLog(s, logB, tableDir, buckets = 16, namespace = "tail")
+        }
+        val touched = IceLite.load(tableDir).files
+          .filter(_.delta).map(_.bucket).toSet
+        clock("compact2") {
+          graft.lake.Compaction.compact(s, tableDir, "maint-2",
+            buckets = Some(touched))
+        }
+        val step2 = clock("publish2") {
+          graft.lake.Export.exportTransformedIncremental(
+            s, tableDir, "sanitized", "pseudo-v1", pseudo)
+        }
+        require(step2.created && step2.filesReused > 0 &&
+            step2.filesShipped < step2.filesTotal,
+          s"tail step transforms only the touched buckets " +
+            s"(${step2.filesShipped}/${step2.filesTotal})")
+        putMetric("q176", "step2_shipped", step2.filesShipped.toDouble)
+        putMetric("q176", "step2_reused", step2.filesReused.toDouble)
+        // the LEAK CHECK: no published author on EITHER step has the raw
+        // shape; NULLs (v1-origin rows) stay NULL
+        Seq(step1, step2).foreach { st =>
+          val files = graft.lake.Export.incrementalFiles(
+            tableDir, "sanitized", Some(st.sourceVersion))
+          val pub = s.read.parquet(files: _*)
+          require(pub.where(col("author").rlike("^dev[0-9]+$")).count() == 0,
+            s"raw author leaked into step v${st.sourceVersion}")
+          require(pub.where(col("author").isNotNull &&
+              length(col("author")) =!= 12).count() == 0,
+            "every non-null published author is a 12-hex pseudonym")
+        }
+        val latest = graft.lake.Export.incrementalFiles(tableDir, "sanitized")
+        s.read.parquet(latest: _*).where(expr(step2.rowFilter))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
+          substr(sha256('pepper:' || author), 1, 12) AS author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q176")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }

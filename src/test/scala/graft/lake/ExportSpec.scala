@@ -227,6 +227,56 @@ class ExportSpec extends AnyFunSuite {
       Seq(("no_such_col", 0, 1))).size == full.size)
   }
 
+  test("transformed chain rewrites new files only; transform change re-ships") {
+    val dir = Files.createTempDirectory("graft-export-san").toString + "/t"
+    mkTable(dir)
+    Merge.mergeEpoch(spark, dir,
+      batch((1L to 120L).map(i => (i, i * 2, i, "UPSERT"))), "seq", "op", "e-0")
+    Compaction.compact(spark, dir, "maint-1")
+    val ov = Map("v" -> (col("v") * 1000))
+    val s1 = Export.exportTransformedIncremental(spark, dir, "san", "x1000", ov)
+    assert(s1.created && s1.filesReused == 0 && s1.filesShipped == s1.filesTotal)
+    // the published surface carries TRANSFORMED values (and the row filter
+    // still works — hidden columns passed through)
+    val r1 = spark.read.parquet(Export.incrementalFiles(dir, "san"): _*)
+      .where(expr(s1.rowFilter))
+    assert(r1.count() == 120L)
+    assert(r1.where(col("id") === 7L).select("v").head().getLong(0) == 14000L)
+    // idempotent same transform; same version + different transform refuses
+    assert(!Export.exportTransformedIncremental(spark, dir, "san", "x1000", ov).created)
+    val ex = intercept[IllegalArgumentException] {
+      Export.exportTransformedIncremental(spark, dir, "san", "x2",
+        Map("v" -> (col("v") * 2)))
+    }
+    assert(ex.getMessage.contains("different transform"))
+
+    // steady state: one touched bucket → one rewritten file, rest reused
+    Merge.mergeEpoch(spark, dir, batch(Seq((7L, 777L, 500L, "UPSERT"))),
+      "seq", "op", "e-1")
+    val touched = IceLite.load(dir).files.filter(_.delta).map(_.bucket).toSet
+    Compaction.compact(spark, dir, "maint-2", buckets = Some(touched))
+    val s2 = Export.exportTransformedIncremental(spark, dir, "san", "x1000", ov)
+    assert(s2.created && s2.filesReused > 0 && s2.filesShipped < s2.filesTotal)
+    val r2 = spark.read.parquet(Export.incrementalFiles(dir, "san"): _*)
+      .where(expr(s2.rowFilter))
+    assert(r2.where(col("id") === 7L).select("v").head().getLong(0) == 777000L)
+    assert(r2.count() == 120L)
+
+    // a CHANGED transform never reuses a predecessor's files
+    Merge.mergeEpoch(spark, dir, batch(Seq((8L, 888L, 600L, "UPSERT"))),
+      "seq", "op", "e-2")
+    val t2 = IceLite.load(dir).files.filter(_.delta).map(_.bucket).toSet
+    Compaction.compact(spark, dir, "maint-3", buckets = Some(t2))
+    val s3 = Export.exportTransformedIncremental(spark, dir, "san", "x2",
+      Map("v" -> (col("v") * 2)))
+    assert(s3.created && s3.filesReused == 0,
+      s"transform change must force a full re-ship: $s3")
+    assert(spark.read.parquet(
+      Export.incrementalFiles(dir, "san", Some(s3.sourceVersion)): _*)
+      .where(expr(s3.rowFilter))
+      .where(col("id") === 7L).select("v").head().getLong(0) == 1554L)
+  }
+
   test("export refuses mixed-schema-version files after a rename") {
     val dir = Files.createTempDirectory("graft-export-ddl").toString + "/t"
     mkTable(dir)
