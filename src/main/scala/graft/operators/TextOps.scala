@@ -434,6 +434,99 @@ object TextOps {
         SELECT doc_id, rank, term, tf, df, score FROM (
           SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY score DESC, term) AS rank FROM scored) r
-        WHERE rank <= 3 ORDER BY doc_id, rank"""))
+        WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // DOCUMENT CHUNKING WITH OVERLAP — the training-window op: long
+    // documents split into fixed-size token windows (64) advanced by a
+    // stride (48 → 16-token overlap), the shape every context-window
+    // training/RAG pipeline feeds downstream. One narrow projection, no
+    // shuffle, all builtin HOFs (regexp tokenize → sequence → explode →
+    // slice); chunk identity = sha256 of the space-joined tokens so the
+    // oracle certifies every chunk's CONTENT, not just its count. Chunk
+    // count = 1 + ceil((n - w)/s) in INTEGER arithmetic on both engines
+    // (no float-ceil drift); the final short chunk is kept (slice clamps).
+    OpQuery("q177_doc_chunking",
+      (s, d) => {
+        val w = 64; val st = 48
+        ld(s, d, "documents")
+          .withColumn("ws", expr(wordsSpark))
+          .withColumn("n", size(col("ws")).cast("long"))
+          .withColumn("n_chunks",
+            when(col("n") <= w, lit(1L)).otherwise(
+              lit(1L) + floor((col("n") - w + st - 1) / st).cast("long")))
+          .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+          .withColumn("chunk",
+            expr(s"slice(ws, CAST(chunk_idx * $st + 1 AS INT), $w)"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("chunk_tokens"),
+            sha2(array_join(col("chunk"), " "), 256).as("chunk_sha"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsDuck AS ws FROM documents),
+        c AS (SELECT doc_id, ws, len(ws) AS n,
+                CASE WHEN len(ws) <= 64 THEN 1
+                     ELSE 1 + (len(ws) - 64 + 47) // 48 END AS n_chunks
+              FROM t),
+        e AS (SELECT doc_id, ws, n,
+                unnest(range(0, CAST(n_chunks AS BIGINT))) AS chunk_idx
+              FROM c),
+        ch AS (SELECT doc_id, chunk_idx,
+                 ws[(chunk_idx * 48 + 1):least(chunk_idx * 48 + 64, n)] AS chunk
+               FROM e)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+          sha256(array_to_string(chunk, ' ')) AS chunk_sha
+        FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    // CONTENT-DEFINED CHUNKING — the storage-dedup primitive (rsync/LBFS/
+    // backup dedup): chunk boundaries cut where a rolling fingerprint of
+    // the local content (hash60 of the 3-token shingle, mod 8) hits zero,
+    // so INSERTING text into a document shifts only the chunks around the
+    // edit — fixed-size chunking (q177) would re-cut everything
+    // downstream. Near-dup documents therefore share byte-identical
+    // chunks, detectable by a plain GROUP BY chunk_sha. One narrow
+    // projection, all builtin HOFs + the codegen'd hash60; the oracle
+    // re-derives every boundary and every chunk's content hash.
+    OpQuery("q178_cdc_chunking",
+      (s, d) => {
+        graft.functions.Hash60.register(s)
+        val out = ld(s, d, "documents")
+          .withColumn("ws", expr(wordsSpark))
+          .withColumn("n", size(col("ws")))
+          .withColumn("cuts", expr(
+            """CASE WHEN n >= 3 THEN
+                 filter(sequence(0, n - 3),
+                   i -> hash60(concat_ws(' ', ws[i], ws[i+1], ws[i+2])) % 8 = 0)
+               ELSE array() END"""))
+          .withColumn("bounds", expr(
+            "concat(array(0), filter(transform(cuts, i -> i + 3), b -> b < n), array(n))"))
+          .withColumn("chunk_idx", explode(expr("sequence(0, size(bounds) - 2)")))
+          .withColumn("chunk", expr(
+            "slice(ws, bounds[chunk_idx] + 1, bounds[chunk_idx + 1] - bounds[chunk_idx])"))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            size(col("chunk")).cast("long").as("chunk_tokens"),
+            sha2(array_join(col("chunk"), " "), 256).as("chunk_sha"))
+        out.orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsDuck AS ws FROM documents),
+        h AS (SELECT doc_id, ws, len(ws) AS n,
+                CASE WHEN len(ws) >= 3 THEN
+                  list_filter(range(len(ws) - 2),
+                    i -> CAST('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 15) AS BIGINT) % 8 = 0)
+                ELSE [] END AS cuts
+              FROM t),
+        b AS (SELECT doc_id, ws, n,
+                [0] || list_filter(list_transform(cuts, i -> i + 3), x -> x < n) || [n] AS bounds
+              FROM h),
+        e AS (SELECT doc_id, ws, bounds,
+                unnest(range(0, CAST(len(bounds) - 1 AS BIGINT))) AS chunk_idx
+              FROM b),
+        ch AS (SELECT doc_id, chunk_idx,
+                 ws[(bounds[CAST(chunk_idx + 1 AS INT)] + 1):bounds[CAST(chunk_idx + 2 AS INT)]] AS chunk
+               FROM e)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+          sha256(array_to_string(chunk, ' ')) AS chunk_sha
+        FROM ch ORDER BY doc_id, chunk_idx"""))
   )
 }
