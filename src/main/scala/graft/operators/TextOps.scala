@@ -117,6 +117,29 @@ object TextOps {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Content-defined chunking shared by q178/q179: boundaries where the
+    * rolling 3-token-shingle hash60 hits 0 mod 8 — edits shift only the
+    * chunks around them. Returns (doc_id, chunk_idx, chunk: array<string>). */
+  def cdcChunks(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.Hash60.register(s)
+    docs
+      .withColumn("ws", expr(wordsSpark))
+      .withColumn("n", size(col("ws")))
+      .withColumn("cuts", expr(
+        """CASE WHEN n >= 3 THEN
+             filter(sequence(0, n - 3),
+               i -> hash60(concat_ws(' ', ws[i], ws[i+1], ws[i+2])) % 8 = 0)
+           ELSE array() END"""))
+      .withColumn("bounds", expr(
+        "concat(array(0), filter(transform(cuts, i -> i + 3), b -> b < n), array(n))"))
+      .withColumn("chunk_idx", explode(expr("sequence(0, size(bounds) - 2)")))
+      .withColumn("chunk", expr(
+        "slice(ws, bounds[chunk_idx] + 1, bounds[chunk_idx + 1] - bounds[chunk_idx])"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q13_token_stats",
@@ -489,24 +512,11 @@ object TextOps {
     // re-derives every boundary and every chunk's content hash.
     OpQuery("q178_cdc_chunking",
       (s, d) => {
-        graft.functions.Hash60.register(s)
-        val out = ld(s, d, "documents")
-          .withColumn("ws", expr(wordsSpark))
-          .withColumn("n", size(col("ws")))
-          .withColumn("cuts", expr(
-            """CASE WHEN n >= 3 THEN
-                 filter(sequence(0, n - 3),
-                   i -> hash60(concat_ws(' ', ws[i], ws[i+1], ws[i+2])) % 8 = 0)
-               ELSE array() END"""))
-          .withColumn("bounds", expr(
-            "concat(array(0), filter(transform(cuts, i -> i + 3), b -> b < n), array(n))"))
-          .withColumn("chunk_idx", explode(expr("sequence(0, size(bounds) - 2)")))
-          .withColumn("chunk", expr(
-            "slice(ws, bounds[chunk_idx] + 1, bounds[chunk_idx + 1] - bounds[chunk_idx])"))
-          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        cdcChunks(s, ld(s, d, "documents"))
+          .select(col("doc_id"), col("chunk_idx"),
             size(col("chunk")).cast("long").as("chunk_tokens"),
             sha2(array_join(col("chunk"), " "), 256).as("chunk_sha"))
-        out.orderBy("doc_id", "chunk_idx")
+          .orderBy("doc_id", "chunk_idx")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsDuck AS ws FROM documents),
         h AS (SELECT doc_id, ws, len(ws) AS n,
@@ -527,6 +537,56 @@ object TextOps {
         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
           CAST(len(chunk) AS BIGINT) AS chunk_tokens,
           sha256(array_to_string(chunk, ' ')) AS chunk_sha
-        FROM ch ORDER BY doc_id, chunk_idx"""))
+        FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    // CONTENT-ADDRESSED CHUNK STORE ROUND-TRIP — the full storage-dedup
+    // pipeline over q178's chunks (what a backup system / artifact store /
+    // dataset-versioning layer actually does): unique chunks are stored
+    // ONCE keyed by their content hash, documents become ref lists
+    // (doc_id, chunk_idx, sha), and every document must RECONSTRUCT
+    // byte-identically by joining its refs back through the store. Hard
+    // asserts: the store is strictly smaller than the ref count (the
+    // near-dup plants share chunks — real dedup, not a copy), and the
+    // output's doc_sha comes from the STORE-joined reconstruction, never
+    // the original text — a lost chunk, a hash collision mishandled, or a
+    // misordered ref hash-diverges against the oracle's direct
+    // normalization of the source documents.
+    OpQuery("q179_chunk_store",
+      (s, d) => {
+        val chunks = cdcChunks(s, ld(s, d, "documents"))
+          .withColumn("chunk_text", array_join(col("chunk"), " "))
+          .withColumn("sha", sha2(col("chunk_text"), 256))
+        val refs = chunks.select("doc_id", "chunk_idx", "sha").localCheckpoint()
+        // the store: each distinct content stored once
+        val store = chunks.select("sha", "chunk_text").distinct().localCheckpoint()
+        val nRefs = refs.count()
+        val nStored = store.count()
+        require(nStored < nRefs,
+          s"store must dedup shared chunks ($nStored stored of $nRefs refs)")
+        CdcQueries.putMetric("q179", "refs", nRefs.toDouble)
+        CdcQueries.putMetric("q179", "stored", nStored.toDouble)
+        // reconstruction: refs → store join → ordered reassembly
+        refs.join(broadcast(store), Seq("sha"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_chunks"),
+            array_join(expr(
+              "transform(array_sort(collect_list(struct(chunk_idx, chunk_text))), x -> x.chunk_text)"),
+              " ").as("doc_text"))
+          .select(col("doc_id"), col("n_chunks"),
+            sha2(col("doc_text"), 256).as("doc_sha"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsDuck AS ws FROM documents),
+        h AS (SELECT doc_id, ws, len(ws) AS n,
+                CASE WHEN len(ws) >= 3 THEN
+                  list_filter(range(len(ws) - 2),
+                    i -> CAST('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 15) AS BIGINT) % 8 = 0)
+                ELSE [] END AS cuts
+              FROM t)
+        SELECT doc_id,
+          CAST(1 + len(list_filter(list_transform(cuts, i -> i + 3), x -> x < n)) AS BIGINT) AS n_chunks,
+          sha256(array_to_string(ws, ' ')) AS doc_sha
+        FROM h ORDER BY doc_id"""))
   )
 }
