@@ -16,6 +16,31 @@ import Tables.ld
   * tuned without re-reading anything but the id + lang columns. */
 object SamplingOps {
 
+  /** BOTTOM-K PER-GROUP SAMPLE — uniform sampling without replacement of
+    * exactly min(k, |group|) rows per group: the k rows whose
+    * deterministic hash60('bk:' + id) is smallest. Mergeable (the k
+    * smallest of a union are among each side's k smallest — the KMV
+    * argument applied to rows), so per-partition/per-day samples
+    * union-and-truncate into the global sample without re-reading data.
+    * The row_number filter compiles to Spark's WindowGroupLimit, which
+    * runs in PARTIAL mode before the shuffle — each map task forwards at
+    * most k rows per group, so the shuffle carries O(k·tasks·groups),
+    * never the table. Ties are impossible in practice (60-bit hash) but
+    * the order is (h, id) so even a collision is deterministic.
+    * Output: the group column, rn (1-based sample position), and `cols`. */
+  def bottomKSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, k: Int, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.Hash60.register(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("h", idCol)
+    df.filter(col(groupCol).isNotNull)
+      .withColumn("h", expr(s"hash60(concat('bk:', CAST($idCol AS STRING)))"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select((Seq(groupCol, "rn") ++ cols).map(col): _*)
+  }
+
   // per-mille keep-rates by language: en is dominant in the corpus (~45%),
   // so it is downsampled hardest
   private val rates = Seq("en" -> 100, "zh" -> 400, "es" -> 400, "de" -> 400)
@@ -114,7 +139,32 @@ object SamplingOps {
           FROM (SELECT doc_id,
             CAST('0x' || substr(md5('shuffle-epoch7:' || doc_id), 1, 15) AS BIGINT) AS h
             FROM documents) t) s
-        ORDER BY shard, pos"""))
+        ORDER BY shard, pos""")),
+
+    // BOTTOM-K PER-GROUP SAMPLE (q182): a uniform random sample WITHOUT
+    // replacement of exactly k rows per group — the k rows whose
+    // deterministic hash is smallest. Bottom-k by a uniform hash IS
+    // uniform SWOR, and it is MERGEABLE: the k smallest of a union are
+    // among the sides' k smallest, so per-day/per-partition samples
+    // union-and-truncate into the global sample without revisiting data
+    // (the KMV argument, applied to rows). The rank filter compiles to
+    // Spark's WindowGroupLimit: each map task forwards at most k rows per
+    // group BEFORE the shuffle (asserted in PLANS.md), so at 10^10 rows
+    // the shuffle carries O(k · tasks · groups), never the table. The
+    // oracle re-derives membership from the same md5-based hash60 — a
+    // drifted hash, an off-by-one rank, or a broken tie-break all
+    // hash-diverge.
+    OpQuery("q182_bottomk_sample",
+      (s, d) => bottomKSample(ld(s, d, "events"), groupCol = "event_type",
+        idCol = "event_id", k = 25, cols = Seq("event_id", "user_id", "value"))
+        .orderBy("event_type", "rn"),
+      Some("""SELECT event_type, rn, event_id, user_id, value FROM (
+          SELECT event_type, event_id, user_id, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+          FROM (SELECT *,
+            CAST('0x' || substr(md5('bk:' || event_id), 1, 15) AS BIGINT) AS h
+            FROM events WHERE event_type IS NOT NULL) t) s
+        WHERE rn <= 25 ORDER BY event_type, rn"""))
   )
 
 }

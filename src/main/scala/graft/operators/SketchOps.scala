@@ -175,6 +175,44 @@ object SketchOps {
         col("jaccard_est"), col("exact_union"), col("exact_intersection"))
   }
 
+  /** SAMPLED QUANTILES — a mergeable quantile summary via deterministic
+    * bottom-fraction hash sampling: a row joins the sample iff
+    * hash(id) ≡ 0 (mod 1/p), so the sample of a UNION is the union of the
+    * samples (partial aggregation / cross-day merging carries the p·n
+    * sampled rows, nothing else), a re-run reproduces the identical
+    * summary, and the estimate is pure rank selection on the sample — the
+    * q58/q137 rule (smallest value at sorted position ≥ ceil(q·n)), never
+    * interpolation, so the reported value is an ACTUAL data value and the
+    * DuckDB oracle reproduces it bit-for-bit. Error is the classic
+    * Bernoulli-sample order-statistic bound, O(1/√(p·n)) quantile rank
+    * error — at 10^10 rows and p = 1/8 that is ~3·10^-5, while the state
+    * any one merge carries shrinks 8×. Spark's production alternative is
+    * `percentile_approx` (GK sketch); this operator exists for when the
+    * summary must be stored, merged across partitions/days, and audited
+    * against the exact answer — which rides along per group. */
+  def sampledQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, mod: Int): DataFrame = {
+    require(mod >= 2, s"mod must be >= 2, got $mod")
+    val spark = df.sparkSession
+    graft.functions.Hash60.register(spark)
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("v"),
+        expr(s"pmod(hash60(concat('sq:', CAST($idCol AS STRING))), $mod)").as("h"))
+    def rankSel(in: DataFrame, tag: String): DataFrame = {
+      val w = Window.partitionBy(groupCol).orderBy("v")
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+        .groupBy(groupCol)
+        .agg(max("n").as(s"n_$tag"),
+          min(when(col("rn") >= ceil(lit(0.5) * col("n")), col("v"))).as(s"p50_$tag"),
+          min(when(col("rn") >= ceil(lit(0.9) * col("n")), col("v"))).as(s"p90_$tag"))
+    }
+    rankSel(base, "exact")
+      .join(rankSel(base.filter(col("h") === 0), "est"), Seq(groupCol), "left")
+      .select(col(groupCol), col("n_exact"), col("n_est").as("sample_n"),
+        col("p50_exact"), col("p90_exact"), col("p50_est"), col("p90_est"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
     OpQuery("q82_kmv_distinct",
       // KMV CARDINALITY SKETCH under the hard gate: per-event-type distinct
@@ -273,6 +311,38 @@ object SketchOps {
           CAST(k_int AS DOUBLE) / CAST(k_eff AS DOUBLE) AS jaccard_est,
           exact_union, exact_intersection
         FROM est e JOIN ex USING (side_a, side_b)
-        ORDER BY side_a, side_b"""))
+        ORDER BY side_a, side_b""")),
+
+    // SAMPLED QUANTILES (q180): mergeable quantile summary from a
+    // deterministic 1/8 bottom-hash sample, rank-selected per the q58
+    // rule; the exact quantiles ride along as the honesty columns. The
+    // oracle re-derives sample membership (same md5-based hash60), both
+    // rank selections, and the counts — a drifted hash, a wrong ceil
+    // boundary, or interpolation sneaking in all hash-diverge.
+    OpQuery("q180_sampled_quantiles",
+      (s, d) => sampledQuantiles(ld(s, d, "events"),
+        valueCol = "value", groupCol = "event_type", idCol = "event_id", mod = 8)
+        .orderBy("event_type"),
+      Some("""WITH e AS (SELECT event_type, value AS v,
+            CAST('0x' || substr(md5('sq:' || event_id), 1, 15) AS BIGINT) % 8 AS h
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        rx AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        ex AS (SELECT event_type, max(n) AS n_exact,
+                 min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50_exact,
+                 min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90_exact
+               FROM rx GROUP BY event_type),
+        rs AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM e WHERE h = 0),
+        es AS (SELECT event_type, max(n) AS sample_n,
+                 min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50_est,
+                 min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90_est
+               FROM rs GROUP BY event_type)
+        SELECT ex.event_type, n_exact, sample_n, p50_exact, p90_exact, p50_est, p90_est
+        FROM ex LEFT JOIN es ON ex.event_type = es.event_type
+        ORDER BY ex.event_type"""))
   )
 }

@@ -117,6 +117,62 @@ object TextOps {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** EXACT SUBSTRING (SPAN) DEDUP — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022) intra-corpus
+    * rule: any word n-gram occurring more than once in the corpus keeps
+    * its FIRST occurrence (smallest (doc_id, pos)) and every later
+    * occurrence's n-token span is REMOVED from its document. Unlike the
+    * doc-level dedup family (q12/q18/q32) this edits inside documents —
+    * the boilerplate/license-header/quoted-reply channel that whole-doc
+    * near-dup misses. Single pass (spans are not re-mined after removal),
+    * matching the paper's construction.
+    *
+    * Shape: tokens = split(text, ' ') with 1-based positions; grams slide
+    * via transform(sequence(...)) (codegen'd HOFs, one projection — the
+    * token array is never duplicated per gram); one shuffle groups
+    * occurrences per gram (row_number over (doc_id, pos)); removed spans
+    * explode to ≤ n positions each and anti-join the token table; the
+    * surviving tokens re-join order-deterministically via
+    * array_sort(collect_list(struct(pos, tok))). At 100 TB the gram
+    * column would be a 128-bit hash instead of the string (noted, not
+    * done here — the gate wants exactness) and the occurrence shuffle is
+    * the one unavoidable global stage; everything else is narrow.
+    *
+    * Returns (doc_id, n_tokens, kept_tokens, removed_tokens, new_text)
+    * for EVERY document (fully-deduped docs keep an empty new_text). */
+  def dedupSpans(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+    val toks = base.select(col("doc_id"),
+      posexplode(col("l")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val grams = base
+      .where(size(col("l")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(l) - ${n - 1}), i -> struct(i AS pos, array_join(slice(l, i, $n), ' ') AS gram))"))
+          .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy("gram").orderBy("doc_id", "pos")
+    val removedPos = grams.withColumn("rk", row_number().over(wOcc))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+          .as("new_text"))
+    base.select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
   /** Content-defined chunking shared by q178/q179: boundaries where the
     * rolling 3-token-shingle hash60 hits 0 mod 8 — edits shift only the
     * chunks around them. Returns (doc_id, chunk_idx, chunk: array<string>). */
@@ -587,6 +643,40 @@ object TextOps {
         SELECT doc_id,
           CAST(1 + len(list_filter(list_transform(cuts, i -> i + 3), x -> x < n)) AS BIGINT) AS n_chunks,
           sha256(array_to_string(ws, ' ')) AS doc_sha
-        FROM h ORDER BY doc_id"""))
+        FROM h ORDER BY doc_id""")),
+
+    // EXACT SUBSTRING DEDUP (q181): the Lee et al. intra-corpus span rule
+    // over 13-word grams — every duplicated gram keeps its first
+    // occurrence, later occurrences' spans are cut from their docs. The
+    // oracle re-derives the whole chain (tokenize → slide grams → global
+    // first-occurrence rank → span union → surviving-token reassembly) in
+    // DuckDB list SQL, so a drifted tokenization, a wrong rank tie-break,
+    // an off-by-one span bound, or a misordered reassembly all
+    // hash-diverge. new_text rides the compare verbatim.
+    OpQuery("q181_span_dedup",
+      (s, d) => dedupSpans(ld(s, d, "documents"), n = 13).orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM d),
+        g AS (SELECT doc_id, pos, array_to_string(l[pos:pos+12], ' ') AS gram
+              FROM (SELECT doc_id, l, generate_subscripts(l, 1) AS pos, len(l) AS nn FROM d) t
+              WHERE pos + 12 <= nn),
+        occ AS (SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g),
+        rem AS (SELECT DISTINCT doc_id, pos + gs.o AS p
+                FROM (SELECT doc_id, pos FROM occ WHERE rk > 1) sp,
+                LATERAL (SELECT unnest(generate_series(0, 12)) AS o) gs),
+        kept AS (SELECT t.doc_id, t.pos, t.tok
+                 FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.p
+                 WHERE r.doc_id IS NULL),
+        agg AS (SELECT doc_id, count(*) AS kept_tokens,
+                  string_agg(tok, ' ' ORDER BY pos) AS new_text
+                FROM kept GROUP BY doc_id),
+        nt AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM d)
+        SELECT nt.doc_id, nt.n_tokens,
+          coalesce(agg.kept_tokens, 0) AS kept_tokens,
+          nt.n_tokens - coalesce(agg.kept_tokens, 0) AS removed_tokens,
+          coalesce(agg.new_text, '') AS new_text
+        FROM nt LEFT JOIN agg ON nt.doc_id = agg.doc_id
+        ORDER BY nt.doc_id"""))
   )
 }
