@@ -190,6 +190,84 @@ object AnalyticsOps {
         SELECT big.w1, big.w2, cnt, w1_tot,
           CAST(cnt AS DOUBLE) / CAST(w1_tot AS DOUBLE) AS p
         FROM big JOIN tot USING (w1) WHERE cnt >= 5
-        ORDER BY big.w1, big.w2"""))
+        ORDER BY big.w1, big.w2""")),
+
+    // EXACT CORRELATION MATRIX (q183): pairwise Pearson correlation +
+    // sample covariance over (l_quantity, l_extendedprice, l_discount)
+    // per return flag, from MERGEABLE EXACT MOMENTS — the sufficient-
+    // statistics pattern: every input is cast per row to DECIMAL(18,2)
+    // (deterministic rounding, the q01 pattern), so the sums, squares and
+    // cross-products are EXACT decimals whose value is independent of
+    // partitioning and reduction order — one partial-agg (map-side
+    // combine) shuffle computes all 3 pairs' 10 moments in a single pass,
+    // the shape that holds at 10^10 rows. Spark's builtin corr() streams
+    // doubles (order-dependent, engine-specific); this operator exists
+    // for when moments must be stored, merged across days, and the
+    // derived statistics must be bit-reproducible: the final corr/cov are
+    // one fixed-order chain of IEEE double ops from the exact moments,
+    // written as the SAME expression text in Spark and the oracle, so
+    // the doubles hash-match. NULL rows are excluded up front (one
+    // listwise filter keeps all three columns on the same n).
+    OpQuery("q183_exact_corr",
+      (s, d) => {
+        val l = ld(s, d, "lineitem")
+          .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull &&
+            col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("x1"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("x2"),
+            col("l_discount").cast(DecimalType(18, 2)).as("x3"))
+        l.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+            sum(col("x1") * col("x1")).as("s11"),
+            sum(col("x2") * col("x2")).as("s22"),
+            sum(col("x3") * col("x3")).as("s33"),
+            sum(col("x1") * col("x2")).as("s12"),
+            sum(col("x1") * col("x3")).as("s13"),
+            sum(col("x2") * col("x3")).as("s23"))
+          .select(col("l_returnflag"), col("n"), expr(
+            """stack(3,
+              'qty_price', CAST(s1 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(s12 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s22 AS DOUBLE),
+              'qty_disc',  CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s13 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s33 AS DOUBLE),
+              'price_disc',CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s23 AS DOUBLE), CAST(s22 AS DOUBLE), CAST(s33 AS DOUBLE))
+              AS (pair, sx, sy, sxy, sxx, syy)"""))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("cov_sample",
+            expr("(nd * sxy - sx * sy) / (nd * (nd - 1.0))"))
+          .withColumn("corr", expr(
+            "(nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))"))
+          .select("l_returnflag", "pair", "n", "cov_sample", "corr")
+          .orderBy("l_returnflag", "pair")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+            CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+            CAST(l_extendedprice AS DECIMAL(18,2)) AS x2,
+            CAST(l_discount AS DECIMAL(18,2)) AS x3
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        m AS (SELECT l_returnflag, count(*) AS n,
+            sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+            sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x3*x3) AS s33,
+            sum(x1*x2) AS s12, sum(x1*x3) AS s13, sum(x2*x3) AS s23
+          FROM b GROUP BY l_returnflag),
+        p AS (
+          SELECT l_returnflag, n, 'qty_price' AS pair,
+            CAST(s1 AS DOUBLE) AS sx, CAST(s2 AS DOUBLE) AS sy, CAST(s12 AS DOUBLE) AS sxy,
+            CAST(s11 AS DOUBLE) AS sxx, CAST(s22 AS DOUBLE) AS syy FROM m
+          UNION ALL
+          SELECT l_returnflag, n, 'qty_disc',
+            CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s13 AS DOUBLE),
+            CAST(s11 AS DOUBLE), CAST(s33 AS DOUBLE) FROM m
+          UNION ALL
+          SELECT l_returnflag, n, 'price_disc',
+            CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s23 AS DOUBLE),
+            CAST(s22 AS DOUBLE), CAST(s33 AS DOUBLE) FROM m)
+        SELECT l_returnflag, pair, n,
+          (nd * sxy - sx * sy) / (nd * (nd - 1.0)) AS cov_sample,
+          (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr
+        FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM p) t
+        ORDER BY l_returnflag, pair"""))
   )
 }
