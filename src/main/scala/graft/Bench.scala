@@ -237,7 +237,9 @@ object Bench {
         "q164_cdc_relay", "q165_circuit_breaker", "q166_selective_replay",
         "q167_ann_ivf_delete", "q168_export_chain", "q169_purge_exports",
         "q170_chain_retention", "q171_export_skipping", "q172_batch_purge",
-        "q173_streaming_chain", "q176_sanitized_chain")
+        "q173_streaming_chain", "q176_sanitized_chain",
+        "q184_ingest_expectations", "q185_expectation_retry",
+        "q186_tail_expectations")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -1,0 +1,199 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.decode.{ChangeEvent, Decode}
+import graft.lake.{IceLite, Merge}
+import graft.registry.SchemaKey
+import scala.jdk.CollectionConverters._
+
+/** INGEST-TIME ROW EXPECTATIONS — declarative CHECK constraints evaluated
+  * on every decoded change event BEFORE it reaches the table, the
+  * DLT-expectations / Delta-constraints shape. This closes the routing
+  * taxonomy the reference opened (ProtobufProcessor.java:93-106): decode
+  * failures route `error`, unresolvable schemas route `invalid_schema`
+  * (both q49), and now SEMANTICALLY invalid rows — ones that decode fine
+  * but violate a table contract — route `expectation`, keeping the
+  * ORIGINAL payload + schema refs in the same self-contained dead-letter
+  * store (so a retry after a rule fix follows [[Replay.retryDeadLetters]]'s
+  * path). Distinct from [[graft.lake.Audit]] (q71), which gates a
+  * WAP branch AFTER the write: expectations stop bad rows from ever
+  * committing, per event, with per-rule attribution.
+  *
+  * Semantics: a rule is a SQL predicate over the decoded row; NULL or
+  * false = violation (the Audit convention). Rules guard UPSERT rows
+  * only — DELETE carries no payload to validate (and vetoing a delete
+  * would resurrect data). A violating event is excluded from the merge,
+  * so LWW falls back to the key's last CONFORMING version — the oracle
+  * folds exactly that. Violations of several rules report every failed
+  * rule name (comma-joined in declaration order).
+  *
+  * Exactly-once: the merge fences per epoch as usual; expectation dead
+  * letters flush only when the epoch actually applied, so a replayed
+  * epoch neither re-merges nor duplicates its dead letters.
+  *
+  * Scale shape: the rule pass is one decode + a narrow filter whose
+  * violating (partition, offset, failed_rules) projection is
+  * localCheckpointed — O(violations), and the conforming side anti-joins
+  * the raw events against it (broadcast-size in any healthy pipeline:
+  * violations ≫ events means the contract, not the engine, is the
+  * problem). The conforming events then run the normal
+  * [[Replay.decodeForMerge]] → [[Merge.mergeEpoch]] path unchanged. Like
+  * the dead-letter flush itself (decodeForMerge re-decodes the failed
+  * subset), the gate pays a second decode for composing the public
+  * operators unmodified; the fused form — rules evaluated as a fourth
+  * route inside the decode pass — is the single-decode production shape
+  * and changes nothing observable. */
+object Expectations {
+
+  /** name → SQL predicate over the decoded row (NULL/false = violation). */
+  final case class Rule(name: String, predicate: String)
+
+  final case class ExpectationStats(epochs: Int, violations: Long)
+
+  /** Result of [[retryExpectations]]: `attempted` expectation dead letters
+    * re-evaluated, `merged` rows (now conforming) applied to the table,
+    * `remaining` still violating (kept with refreshed attribution). */
+  final case class RetryStats(attempted: Long, applied: Boolean,
+      merged: Long, remaining: Long)
+
+  val Route = "expectation"
+
+  /** (partition, offset, failed_rules) for every decoded UPSERT violating
+    * ≥1 rule — comma-joined names in declaration order; NULL predicates
+    * count as violations. */
+  private[cdc] def violationsOf(decoded: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val failCols = rules.map(r =>
+      when(col("op") === "UPSERT" && !coalesce(expr(r.predicate), lit(false)),
+        lit(r.name)))
+    decoded
+      .withColumn("failed_rules", concat_ws(",", array(failCols: _*)))
+      .filter(col("failed_rules") =!= "")
+      .select(col("partition"), col("offset"), col("failed_rules"))
+  }
+
+  /** Replay `logDir` into `tableDir` with `rules` enforced per event. */
+  def replayWithExpectations(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      rules: Seq[Rule],
+      buckets: Int = 8,
+      namespace: String = "expect"): ExpectationStats = {
+    require(rules.nonEmpty, "no rules — use Replay.replayLog")
+    import spark.implicits._
+    if (!IceLite.exists(tableDir)) Replay.createTable(tableDir, buckets)
+    val log = spark.read.parquet(logDir)
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val key = SchemaKey(Cdc.SchemaId, -1)
+    val epochs = java.nio.file.Files.list(java.nio.file.Paths.get(logDir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toLong }
+      .toVector.sorted
+    var nViol = 0L
+    epochs.foreach { e =>
+      val raw = log.filter(col("epoch") === e)
+      val ev = raw
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[ChangeEvent]
+      // rule pass: failed_rules per decoded UPSERT row, violations only
+      val viol = violationsOf(
+        Decode.success(Decode.decode(ev, registry, key, Cdc.MessageType)), rules)
+        .localCheckpoint()
+      val conformEv = ev.toDF()
+        .join(viol.select("partition", "offset"), Seq("partition", "offset"), "left_anti")
+        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+        .as[ChangeEvent]
+      val batch = Replay.decodeForMerge(conformEv, registry, Some(s"$tableDir/_deadletter"))
+      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
+        s"$namespace-$e", None)
+      if (st.applied) {
+        batch.flushDeadLetters()
+        val n = viol.count()
+        if (n > 0) {
+          // self-contained dead letters: ORIGINAL payload + schema refs
+          viol.join(
+            raw.select("partition", "offset", "payload",
+              "schemaId", "schemaVersion", "messageType"),
+            Seq("partition", "offset"))
+            .select(lit(Route).as("route"), col("failed_rules").as("error"),
+              col("partition"), col("offset"), col("payload"),
+              col("schemaId"), col("schemaVersion"), col("messageType"))
+            .write.mode("append").parquet(s"$tableDir/_deadletter")
+        }
+        nViol += n
+      }
+    }
+    ExpectationStats(epochs.length, nViol)
+  }
+
+  /** Retry expectation dead letters after the rules changed (relaxed, or
+    * the contract was re-cut): re-evaluate `rules` against the KEPT
+    * original payloads; now-conforming rows merge at their TRUE sequence
+    * (so LWW ordering vs rows that arrived meanwhile is correct — the
+    * [[Replay.retryDeadLetters]] late-retry property); still-violating
+    * rows stay in the store with REFRESHED attribution (the failed-rule
+    * set under the new rules, not the old ones). Decode-type dead letters
+    * (route error/invalid_schema) are untouched — they need a registry
+    * fix and [[Replay.retryDeadLetters]], not a rule change; that
+    * operator symmetrically leaves `expectation` rows alone, so the two
+    * retries compose in either order. Store rewrite is the same
+    * stage-then-atomic-rename swap retryDeadLetters uses. */
+  def retryExpectations(
+      spark: SparkSession,
+      tableDir: String,
+      rules: Seq[Rule],
+      epochTag: String): RetryStats = {
+    require(rules.nonEmpty, "no rules — use Replay.retryDeadLetters for decode failures")
+    import spark.implicits._
+    val dld = s"$tableDir/_deadletter"
+    val dldPath = java.nio.file.Paths.get(dld)
+    if (!java.nio.file.Files.isDirectory(dldPath))
+      return RetryStats(0, applied = false, 0, 0)
+    // pin the store's contents before the directory is swapped out under it
+    val dl = spark.read.parquet(dld).localCheckpoint()
+    val exp = dl.filter(col("route") === Route)
+    val attempted = exp.count()
+    if (attempted == 0) return RetryStats(0, applied = false, 0, 0)
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val key = SchemaKey(Cdc.SchemaId, -1)
+    val ev = exp
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[ChangeEvent]
+    val still = violationsOf(
+      Decode.success(Decode.decode(ev, registry, key, Cdc.MessageType)), rules)
+      .localCheckpoint()
+    val remaining = still.count()
+    val conformEv = ev.toDF()
+      .join(still.select("partition", "offset"), Seq("partition", "offset"), "left_anti")
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[ChangeEvent]
+    val batch = Replay.decodeForMerge(conformEv, registry, None)
+    val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag)
+    // rebuild: decode-type rows untouched + still-violating expectation
+    // rows with attribution refreshed to the CURRENT rule set
+    val keep = dl.filter(col("route") =!= Route).unionByName(
+      still.join(
+        exp.select("partition", "offset", "payload",
+          "schemaId", "schemaVersion", "messageType"),
+        Seq("partition", "offset"))
+        .select(lit(Route).as("route"), col("failed_rules").as("error"),
+          col("partition"), col("offset"), col("payload"),
+          col("schemaId"), col("schemaVersion"), col("messageType")))
+      .localCheckpoint()
+    val keepN = keep.count()
+    val stage = java.nio.file.Paths.get(s"$tableDir/.deadletter-expret-$epochTag")
+    val old = java.nio.file.Paths.get(s"$tableDir/.deadletter-expold-$epochTag")
+    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+    if (keepN > 0) {
+      keep.write.mode("overwrite").parquet(stage.toString)
+      java.nio.file.Files.move(dldPath, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(stage, dldPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // everything consumed — an absent store is the normal empty state
+      java.nio.file.Files.move(dldPath, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+    RetryStats(attempted, st.applied, st.batchRows, remaining)
+  }
+}

@@ -482,7 +482,14 @@ object Replay {
     * store with their fresh route/error; consumed rows leave. The rewrite
     * swaps move-before-delete (the superseded store survives a crash as
     * `.deadletter-old-<tag>` — duplicates are recoverable, an empty store
-    * is not), and the MERGE fence makes a replayed retry idempotent. */
+    * is not), and the MERGE fence makes a replayed retry idempotent.
+    *
+    * `expectation`-route rows ([[Expectations]], q184) are NOT retried
+    * here and pass through the store rewrite untouched: they decode FINE —
+    * a decode retry would re-merge contract-violating rows and silently
+    * bypass the table's rules. They are retried by rule re-evaluation
+    * ([[Expectations.retryExpectations]]), which symmetrically leaves
+    * decode-type rows alone; the two retries compose in either order. */
   def retryDeadLetters(
       spark: SparkSession,
       tableDir: String,
@@ -495,7 +502,11 @@ object Replay {
     if (!java.nio.file.Files.isDirectory(dldPath))
       return RetryStats(0, applied = false, 0, 0)
     // pin the store's contents before the directory is swapped out under it
-    val dl = spark.read.parquet(dld).localCheckpoint()
+    val all = spark.read.parquet(dld).localCheckpoint()
+    // expectation rows decode fine — retrying them here would bypass the
+    // table's rules; they ride through the rewrite untouched
+    val dl = all.filter(col("route") =!= Expectations.Route)
+    val expKept = all.filter(col("route") === Expectations.Route)
     val attempted = dl.count()
     if (attempted == 0) return RetryStats(0, applied = false, 0, 0)
     val ev = dl
@@ -510,11 +521,13 @@ object Replay {
         Seq("partition", "offset"))
       .localCheckpoint()
     val remaining = still.count()
+    val keep = still.unionByName(expKept.select(still.columns.map(col): _*))
+    val keepN = remaining + expKept.count()
     val stage = java.nio.file.Paths.get(s"$tableDir/.deadletter-retry-$epochTag")
     val old = java.nio.file.Paths.get(s"$tableDir/.deadletter-old-$epochTag")
     org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
-    if (remaining > 0) {
-      still.write.mode("overwrite").parquet(stage.toString)
+    if (keepN > 0) {
+      keep.write.mode("overwrite").parquet(stage.toString)
       java.nio.file.Files.move(dldPath, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       java.nio.file.Files.move(stage, dldPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } else {

@@ -59,8 +59,17 @@ object Tail {
         * their work is already committed, so a crash between commit and
         * hook defers the hook's effect to the next batch — policies must
         * be idempotent against the CURRENT snapshot, not the batch. */
-      onBatchCommitted: Option[(SparkSession, Long) => Unit] = None): StreamingQuery = {
+      onBatchCommitted: Option[(SparkSession, Long) => Unit] = None,
+      /** ingest expectations ([[Expectations]], q184) enforced per
+        * micro-batch: violating UPSERTs dead-letter with
+        * route='expectation' + per-rule attribution + the ORIGINAL
+        * payload, and only conforming events reach the MERGE — the same
+        * contract the batch replay enforces, under the stream's
+        * exactly-once fencing (a replayed batch neither re-merges nor
+        * duplicates its dead letters). */
+      rules: Seq[Expectations.Rule] = Nil): StreamingQuery = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
 
     if (!IceLite.exists(tableDir)) Replay.createTable(tableDir, buckets)
     var reg = Cdc.registry
@@ -90,9 +99,25 @@ object Tail {
             superseded.unpersist(blocking = false) // don't leak the old registry
           }
         }
-        val dec = Replay.decodeForMerge(batch, registry, Some(s"$tableDir/_deadletter"))
-        val keys = Some(graft.decode.Decode.decodeKeys(batch, registry,
-          graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
+        // ingest expectations: split the batch into conforming events and
+        // rule violations BEFORE the merge (the q184 batch-path contract)
+        val defaultKey = graft.registry.SchemaKey(Cdc.SchemaId, -1)
+        val (ev, viol) =
+          if (rules.isEmpty) (batch, None)
+          else {
+            val v = Expectations.violationsOf(
+              graft.decode.Decode.success(graft.decode.Decode.decode(
+                batch, registry, defaultKey, Cdc.MessageType)), rules)
+              .localCheckpoint()
+            val conform = batch.toDF()
+              .join(v.select("partition", "offset"), Seq("partition", "offset"), "left_anti")
+              .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[ChangeEvent]
+            (conform, Some(v))
+          }
+        val dec = Replay.decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
+        val keys = Some(graft.decode.Decode.decodeKeys(ev, registry,
+          defaultKey, Cdc.MessageType, Seq("repo", "path")))
         val st = Merge.mergeEpoch(batch.sparkSession, tableDir, dec.updates, "seq", "op",
           s"$src-$batchId", keys, deltaThreshold = deltaThreshold)
         // a fenced (replayed) batch did no work: its epoch's real entry is
@@ -100,6 +125,17 @@ object Tail {
         // counts — appending would write a misleading row
         if (st.applied) {
           dec.flushDeadLetters()
+          viol.foreach { v =>
+            // self-contained dead letters: ORIGINAL payload + schema refs
+            v.join(batch.toDF().select("partition", "offset", "payload",
+                "schemaId", "schemaVersion", "messageType"),
+                Seq("partition", "offset"))
+              .select(lit(Expectations.Route).as("route"),
+                col("failed_rules").as("error"),
+                col("partition"), col("offset"), col("payload"),
+                col("schemaId"), col("schemaVersion"), col("messageType"))
+              .write.mode("append").parquet(s"$tableDir/_deadletter")
+          }
           Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
           onBatchCommitted.foreach(_(batch.sparkSession, batchId))
         }

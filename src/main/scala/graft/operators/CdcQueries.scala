@@ -5607,6 +5607,214 @@ object CdcQueries {
           substr(sha256('pepper:' || author), 1, 12) AS author
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q176")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // INGEST EXPECTATIONS (q184): declarative row-level CHECK rules routed
+    // like the reference's taxonomy — decodable-but-contract-violating
+    // events dead-letter with route='expectation', per-rule attribution,
+    // and the ORIGINAL payload (the retryable contract, like q49/q80).
+    // Two rules: lang must be allowlisted (md files violate) and content
+    // must be ≤ 800 chars (long generated docs violate) — both with
+    // natural violations in the seeded corpus. The final state must equal
+    // the LWW fold over CONFORMING events only: a key whose newest version
+    // violates must fall back to its last conforming version — the
+    // property a post-hoc filter on the table cannot express. The fn
+    // hard-asserts the dead-letter count ≡ an independent recount, every
+    // dead letter's payload/attribution, and that a re-run fences (no
+    // duplicate dead letters, no re-merge).
+    OpQuery("q184_ingest_expectations",
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q184")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        val log = s.read.parquet(logDir)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val ev = log
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        graft.decode.Decode.success(graft.decode.Decode.decode(
+          ev, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        val rules = Seq(
+          graft.cdc.Expectations.Rule("lang_allowed", "lang IN ('scala','java','py','rs','go')"),
+          graft.cdc.Expectations.Rule("content_max_len", "length(content) <= 800"))
+        val st = graft.cdc.Expectations.replayWithExpectations(s, logDir, tableDir, rules, buckets = 8)
+        // independent recount from the clean dump with the same predicate
+        val dump = s.read.parquet(s"$root/decoded")
+        val expViol = dump.filter(col("op") === "UPSERT" &&
+          !(col("lang").isin("scala", "java", "py", "rs", "go") &&
+            length(col("content")) <= 800)).count()
+        require(expViol > 0, "fixture must contain natural violations")
+        require(st.violations == expViol,
+          s"expected $expViol expectation dead letters, got ${st.violations}")
+        val dl = s.read.parquet(s"$tableDir/_deadletter")
+          .filter(col("route") === graft.cdc.Expectations.Route)
+        require(dl.count() == expViol, "dead-letter store count mismatch")
+        require(dl.filter(length(col("payload")) > 1).count() == expViol,
+          "expectation dead letters must keep the ORIGINAL payload")
+        require(dl.filter(col("error") === "").count() == 0,
+          "every expectation dead letter names its failed rule(s)")
+        // re-run: epochs fence, dead letters must not duplicate
+        val st2 = graft.cdc.Expectations.replayWithExpectations(s, logDir, tableDir, rules, buckets = 8)
+        require(st2.violations == 0, "replay must fence expectation flushes")
+        require(s.read.parquet(s"$tableDir/_deadletter")
+          .filter(col("route") === graft.cdc.Expectations.Route).count() == expViol,
+          "re-run duplicated dead letters")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q184")}/decoded/*.parquet')
+              WHERE NOT (op = 'UPSERT' AND NOT (lang IN ('scala','java','py','rs','go')
+                                                AND length(content) <= 800))) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // EXPECTATION RETRY AFTER RULE RELAXATION (q185): q184's dead letters
+    // are not a dead end — the store keeps each violating event's ORIGINAL
+    // payload, so when the contract is re-cut (here: 'md' joins the lang
+    // allowlist) the kept originals re-evaluate under the NEW rules:
+    // now-conforming events merge at their TRUE sequence (a retried newer
+    // version beats the conforming fallback that held the key meanwhile —
+    // the LWW late-retry property q184's post-hoc-filter strawman cannot
+    // express), still-violating events stay with attribution REFRESHED to
+    // the rules they fail NOW. The fn hard-asserts retry counts against
+    // independent recounts from the clean dump, the remaining store
+    // content, and that a re-retry under the same rules merges nothing.
+    // Final state ≡ the fold over events conforming to the RELAXED rules.
+    OpQuery("q185_expectation_retry",
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q185")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+          pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 2)
+        val log = s.read.parquet(logDir)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val ev = log
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        graft.decode.Decode.success(graft.decode.Decode.decode(
+          ev, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        val strict = Seq(
+          graft.cdc.Expectations.Rule("lang_allowed", "lang IN ('scala','java','py','rs','go')"),
+          graft.cdc.Expectations.Rule("content_max_len", "length(content) <= 800"))
+        val relaxed = Seq(
+          graft.cdc.Expectations.Rule("lang_allowed", "lang IN ('scala','java','py','rs','go','md')"),
+          graft.cdc.Expectations.Rule("content_max_len", "length(content) <= 800"))
+        val st = graft.cdc.Expectations.replayWithExpectations(s, logDir, tableDir, strict, buckets = 8)
+        // independent recounts from the clean dump
+        val dump = s.read.parquet(s"$root/decoded")
+        val strictViol = dump.filter(col("op") === "UPSERT" &&
+          !(col("lang").isin("scala", "java", "py", "rs", "go") &&
+            length(col("content")) <= 800)).count()
+        val relaxedViol = dump.filter(col("op") === "UPSERT" &&
+          !length(col("content")).leq(800)).count()
+        require(st.violations == strictViol, "strict replay violation miscount")
+        require(relaxedViol > 0 && strictViol > relaxedViol,
+          "fixture must have both lang-only and length violations")
+        val er = graft.cdc.Expectations.retryExpectations(s, tableDir, relaxed, "relax-1")
+        require(er.attempted == strictViol && er.applied,
+          s"retry must re-evaluate every expectation dead letter: $er")
+        require(er.remaining == relaxedViol, s"still-violating miscount: $er")
+        require(er.merged == strictViol - relaxedViol,
+          s"now-conforming rows must merge at true seq: $er")
+        val dl = s.read.parquet(s"$tableDir/_deadletter")
+        require(dl.count() == relaxedViol &&
+          dl.filter(col("route") === graft.cdc.Expectations.Route &&
+            col("error") === "content_max_len").count() == relaxedViol,
+          "store must hold ONLY still-violating rows, attribution refreshed")
+        // a re-retry under the same rules merges nothing and keeps the store
+        val er2 = graft.cdc.Expectations.retryExpectations(s, tableDir, relaxed, "relax-2")
+        require(er2.attempted == relaxedViol && er2.merged == 0 &&
+          er2.remaining == relaxedViol, s"re-retry must be a no-op: $er2")
+        require(s.read.parquet(s"$tableDir/_deadletter").count() == relaxedViol,
+          "re-retry changed the store")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q185")}/decoded/*.parquet')
+              WHERE NOT (op = 'UPSERT' AND NOT (lang IN ('scala','java','py','rs','go','md')
+                                                AND length(content) <= 800))) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // STREAMING EXPECTATIONS (q186): the q184 ingest contract enforced on
+    // the Structured-Streaming Tail path — per micro-batch, violating
+    // UPSERTs dead-letter with route='expectation' (original payload,
+    // per-rule attribution) and only conforming events reach the MERGE,
+    // under the stream's exactly-once fencing. The corpus arrives in two
+    // waves; the second Tail resumes from the first's checkpoint. The fn
+    // hard-asserts the dead-letter count against an independent recount
+    // from the clean dump, uniqueness across the resume (no event
+    // dead-letters twice), and payload/attribution presence. Final state
+    // ≡ the LWW fold over CONFORMING events only — batch (q184) and
+    // stream enforce the identical contract, hash-checked against the
+    // same oracle shape.
+    OpQuery("q186_tail_expectations",
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q186")
+        val streamDir = s"$root/stream"
+        val tableDir = s"$root/table"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.7)
+        val ev = LogGen.events(s, p)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        graft.decode.Decode.success(graft.decode.Decode.decode(
+          ev.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent],
+          registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        val rules = Seq(
+          graft.cdc.Expectations.Rule("lang_allowed", "lang IN ('scala','java','py','rs','go')"),
+          graft.cdc.Expectations.Rule("content_max_len", "length(content) <= 800"))
+        // wave 1, then wave 2 resuming from the same checkpoint
+        ev.filter(col("offset") < 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8,
+          rules = rules).awaitTermination()
+        ev.filter(col("offset") >= 1500).repartition(3)
+          .write.mode("append").parquet(streamDir)
+        graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8,
+          rules = rules).awaitTermination()
+        val dump = s.read.parquet(s"$root/decoded")
+        val expViol = dump.filter(col("op") === "UPSERT" &&
+          !(col("lang").isin("scala", "java", "py", "rs", "go") &&
+            length(col("content")) <= 800)).count()
+        require(expViol > 0, "fixture must contain natural violations")
+        val dl = s.read.parquet(s"$tableDir/_deadletter")
+          .filter(col("route") === graft.cdc.Expectations.Route)
+        require(dl.count() == expViol,
+          s"expected $expViol streaming expectation dead letters, got ${dl.count()}")
+        require(dl.select("partition", "offset").distinct().count() == expViol,
+          "an event dead-lettered twice across the checkpoint resume")
+        require(dl.filter(length(col("payload")) > 1 && col("error") =!= "").count() == expViol,
+          "dead letters must keep the ORIGINAL payload and name their rules")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q186")}/decoded/*.parquet')
+              WHERE NOT (op = 'UPSERT' AND NOT (lang IN ('scala','java','py','rs','go')
+                                                AND length(content) <= 800))) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }
