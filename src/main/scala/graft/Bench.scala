@@ -239,7 +239,7 @@ object Bench {
         "q170_chain_retention", "q171_export_skipping", "q172_batch_purge",
         "q173_streaming_chain", "q176_sanitized_chain",
         "q184_ingest_expectations", "q185_expectation_retry",
-        "q186_tail_expectations")
+        "q186_tail_expectations", "q187_expectation_guard")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

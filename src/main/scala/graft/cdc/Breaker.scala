@@ -32,8 +32,8 @@ object Breaker {
   final case class EpochVerdict(epoch: Long, total: Long, bad: Long,
       quarantined: Boolean)
 
-  private def qDir(tableDir: String) = Paths.get(tableDir, "_quarantine")
-  private def marker(tableDir: String, e: Long) =
+  private[cdc] def qDir(tableDir: String) = Paths.get(tableDir, "_quarantine")
+  private[cdc] def marker(tableDir: String, e: Long) =
     qDir(tableDir).resolve(s"epoch-$e.json")
 
   /** Epochs currently held in quarantine for this table. */

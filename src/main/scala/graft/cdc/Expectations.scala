@@ -72,14 +72,29 @@ object Expectations {
       .select(col("partition"), col("offset"), col("failed_rules"))
   }
 
-  /** Replay `logDir` into `tableDir` with `rules` enforced per event. */
+  /** Replay `logDir` into `tableDir` with `rules` enforced per event.
+    *
+    * `maxViolationFraction` is the epoch-level guard ([[Breaker]]'s
+    * poison-batch logic applied to SEMANTIC badness): row-level
+    * dead-lettering is right for a steady trickle of bad events and wrong
+    * for a bad upstream deploy that floods an epoch — quietly
+    * dead-lettering 90% of a batch "succeeds" while shipping a hollow
+    * epoch and burying the incident in the DL store. When an epoch's
+    * violating fraction of UPSERTs strictly exceeds the guard, the WHOLE
+    * epoch is refused: no merge, no dead letters, a quarantine marker
+    * under `_quarantine/` (shared with [[Breaker]] — `reason:
+    * "expectation"` distinguishes it) for an operator to inspect and
+    * [[releaseQuarantined]] under corrected rules. Healthy epochs before
+    * and after apply normally (sequence-LWW makes epoch order
+    * immaterial). */
   def replayWithExpectations(
       spark: SparkSession,
       logDir: String,
       tableDir: String,
       rules: Seq[Rule],
       buckets: Int = 8,
-      namespace: String = "expect"): ExpectationStats = {
+      namespace: String = "expect",
+      maxViolationFraction: Option[Double] = None): ExpectationStats = {
     require(rules.nonEmpty, "no rules — use Replay.replayLog")
     import spark.implicits._
     if (!IceLite.exists(tableDir)) Replay.createTable(tableDir, buckets)
@@ -97,34 +112,100 @@ object Expectations {
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[ChangeEvent]
       // rule pass: failed_rules per decoded UPSERT row, violations only
-      val viol = violationsOf(
-        Decode.success(Decode.decode(ev, registry, key, Cdc.MessageType)), rules)
-        .localCheckpoint()
-      val conformEv = ev.toDF()
-        .join(viol.select("partition", "offset"), Seq("partition", "offset"), "left_anti")
-        .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
-        .as[ChangeEvent]
-      val batch = Replay.decodeForMerge(conformEv, registry, Some(s"$tableDir/_deadletter"))
-      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
-        s"$namespace-$e", None)
-      if (st.applied) {
-        batch.flushDeadLetters()
-        val n = viol.count()
-        if (n > 0) {
-          // self-contained dead letters: ORIGINAL payload + schema refs
-          viol.join(
-            raw.select("partition", "offset", "payload",
-              "schemaId", "schemaVersion", "messageType"),
-            Seq("partition", "offset"))
-            .select(lit(Route).as("route"), col("failed_rules").as("error"),
-              col("partition"), col("offset"), col("payload"),
-              col("schemaId"), col("schemaVersion"), col("messageType"))
-            .write.mode("append").parquet(s"$tableDir/_deadletter")
+      val decoded = Decode.success(Decode.decode(ev, registry, key, Cdc.MessageType))
+      val viol = violationsOf(decoded, rules).localCheckpoint()
+      val guardTripped = maxViolationFraction.exists { f =>
+        val nUpserts = decoded.filter(col("op") === "UPSERT").count()
+        val nBad = viol.count()
+        val tripped = nUpserts > 0 && nBad.toDouble > f * nUpserts
+        if (tripped) {
+          java.nio.file.Files.createDirectories(Breaker.qDir(tableDir))
+          java.nio.file.Files.write(Breaker.marker(tableDir, e),
+            s"""{"epoch":$e,"total":$nUpserts,"bad":$nBad,"reason":"expectation"}"""
+              .getBytes("UTF-8"))
         }
-        nViol += n
+        tripped
+      }
+      if (!guardTripped) {
+        val conformEv = ev.toDF()
+          .join(viol.select("partition", "offset"), Seq("partition", "offset"), "left_anti")
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[ChangeEvent]
+        val batch = Replay.decodeForMerge(conformEv, registry, Some(s"$tableDir/_deadletter"))
+        val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
+          s"$namespace-$e", None)
+        if (st.applied) {
+          batch.flushDeadLetters()
+          val n = viol.count()
+          if (n > 0) {
+            // self-contained dead letters: ORIGINAL payload + schema refs
+            viol.join(
+              raw.select("partition", "offset", "payload",
+                "schemaId", "schemaVersion", "messageType"),
+              Seq("partition", "offset"))
+              .select(lit(Route).as("route"), col("failed_rules").as("error"),
+                col("partition"), col("offset"), col("payload"),
+                col("schemaId"), col("schemaVersion"), col("messageType"))
+              .write.mode("append").parquet(s"$tableDir/_deadletter")
+          }
+          nViol += n
+        }
       }
     }
     ExpectationStats(epochs.length, nViol)
+  }
+
+  /** Operator-confirmed release of an expectation-quarantined epoch under
+    * the CURRENT (presumably corrected) rules: the normal per-event split —
+    * conforming rows merge at their true sequence, still-violating rows
+    * dead-letter with route='expectation' — then the marker is removed.
+    * The merge fences on the same `<namespace>-<epoch>` id the guarded
+    * replay would have used, so release-after-partial-crash is
+    * idempotent. */
+  def releaseQuarantined(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      epoch: Long,
+      rules: Seq[Rule],
+      namespace: String = "expect"): ExpectationStats = {
+    require(rules.nonEmpty, "no rules — use Breaker.release")
+    require(java.nio.file.Files.exists(Breaker.marker(tableDir, epoch)),
+      s"epoch $epoch is not quarantined for $tableDir")
+    import spark.implicits._
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val key = SchemaKey(Cdc.SchemaId, -1)
+    val raw = spark.read.parquet(logDir).filter(col("epoch") === epoch)
+    val ev = raw
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[ChangeEvent]
+    val viol = violationsOf(
+      Decode.success(Decode.decode(ev, registry, key, Cdc.MessageType)), rules)
+      .localCheckpoint()
+    val conformEv = ev.toDF()
+      .join(viol.select("partition", "offset"), Seq("partition", "offset"), "left_anti")
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[ChangeEvent]
+    val batch = Replay.decodeForMerge(conformEv, registry, Some(s"$tableDir/_deadletter"))
+    val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
+      s"$namespace-$epoch", None)
+    var n = 0L
+    if (st.applied) {
+      batch.flushDeadLetters()
+      n = viol.count()
+      if (n > 0) {
+        viol.join(
+          raw.select("partition", "offset", "payload",
+            "schemaId", "schemaVersion", "messageType"),
+          Seq("partition", "offset"))
+          .select(lit(Route).as("route"), col("failed_rules").as("error"),
+            col("partition"), col("offset"), col("payload"),
+            col("schemaId"), col("schemaVersion"), col("messageType"))
+          .write.mode("append").parquet(s"$tableDir/_deadletter")
+      }
+    }
+    java.nio.file.Files.deleteIfExists(Breaker.marker(tableDir, epoch))
+    ExpectationStats(1, n)
   }
 
   /** Retry expectation dead letters after the rules changed (relaxed, or

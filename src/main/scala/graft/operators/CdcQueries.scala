@@ -5815,6 +5815,98 @@ object CdcQueries {
               FROM parquet_scan('${workDir("q186")}/decoded/*.parquet')
               WHERE NOT (op = 'UPSERT' AND NOT (lang IN ('scala','java','py','rs','go')
                                                 AND length(content) <= 800))) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    // EXPECTATION EPOCH GUARD (q187): the q165 poison-batch logic applied
+    // to SEMANTIC badness. Epochs 0-1 are the organic corpus (violations
+    // trickle → row-level dead letters); epoch 2 simulates a bad upstream
+    // deploy — 90% of its events carry an unknown lang 'xx'. With
+    // maxViolationFraction=0.5 the flooded epoch is refused WHOLE (no
+    // merge, no dead-letter flood, a quarantine marker shared with the
+    // Breaker), while healthy epochs apply normally. The operator verdict
+    // is that 'xx' is a legitimate new language: releaseQuarantined
+    // applies epoch 2 under corrected rules — 'xx' rows merge at true
+    // seq, rows violating OTHER rules (length, 'md') dead-letter. Final
+    // state ≡ the fold with strict rules below seq 3000 and corrected
+    // rules above — the per-seq CASE the oracle folds exactly.
+    OpQuery("q187_expectation_guard",
+      (s, _) => {
+        import s.implicits._
+        val root = workDir("q187")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.7)
+        LogGen.writeLog(s, p, logDir, epochs = 2)
+        // epoch 2: the bad deploy — 90% of events carry lang 'xx'
+        val fs2 = Cdc.fsV2
+        val d2 = fs2.findMessage(Cdc.MessageType).get
+        val flood = (3000L until 4000L).map { id =>
+          val c0 = LogGen.rawChange(id, p)
+          val c = if (id % 10 != 0 && c0.op == "UPSERT") c0.copy(lang = "xx") else c0
+          graft.decode.ChangeEvent(
+            LogGen.encodeChange(c, d2, fs2, includeAuthor = true),
+            Cdc.SchemaId, 2, Cdc.MessageType, 0, id)
+        }
+        flood.toDS().withColumn("epoch", lit(2L))
+          .write.partitionBy("epoch").mode("append").parquet(logDir)
+        val log = s.read.parquet(logDir)
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        val ev = log
+          .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+          .as[graft.decode.ChangeEvent]
+        graft.decode.Decode.success(graft.decode.Decode.decode(
+          ev, registry, graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+          .write.mode("overwrite").parquet(s"$root/decoded")
+        val base = Seq("scala", "java", "py", "rs", "go")
+        val strict = Seq(
+          graft.cdc.Expectations.Rule("lang_allowed",
+            s"lang IN (${base.map(l => s"'$l'").mkString(",")})"),
+          graft.cdc.Expectations.Rule("content_max_len", "length(content) <= 800"))
+        val corrected = Seq(
+          graft.cdc.Expectations.Rule("lang_allowed",
+            s"lang IN (${(base :+ "xx").map(l => s"'$l'").mkString(",")})"),
+          graft.cdc.Expectations.Rule("content_max_len", "length(content) <= 800"))
+        val st = graft.cdc.Expectations.replayWithExpectations(s, logDir, tableDir,
+          strict, buckets = 8, maxViolationFraction = Some(0.5))
+        // independent recounts from the clean dump (seq == offset == id)
+        val dump = s.read.parquet(s"$root/decoded")
+        def violOf(df: org.apache.spark.sql.DataFrame, langs: Seq[String]) =
+          df.filter(col("op") === "UPSERT" &&
+            !(col("lang").isin(langs: _*) && length(col("content")) <= 800)).count()
+        val organicViol = violOf(dump.filter(col("seq") < 3000), base)
+        val floodStrict = violOf(dump.filter(col("seq") >= 3000), base)
+        val floodUpserts = dump.filter(col("seq") >= 3000 && col("op") === "UPSERT").count()
+        require(floodStrict.toDouble > 0.5 * floodUpserts,
+          "fixture: the flooded epoch must trip the 0.5 guard")
+        require(st.violations == organicViol,
+          s"only the organic trickle dead-letters: $st vs $organicViol")
+        require(graft.cdc.Breaker.quarantined(tableDir) == Seq(2L),
+          "the flooded epoch must be quarantined")
+        require(s.read.parquet(s"$tableDir/_deadletter").count() == organicViol,
+          "a refused epoch must not flood the dead-letter store")
+        // operator verdict: 'xx' is legitimate — release under corrected rules
+        val floodStill = violOf(dump.filter(col("seq") >= 3000), base :+ "xx")
+        val rel = graft.cdc.Expectations.releaseQuarantined(
+          s, logDir, tableDir, 2L, corrected)
+        require(rel.violations == floodStill,
+          s"release must dead-letter exactly the still-violating rows: $rel vs $floodStill")
+        require(graft.cdc.Breaker.quarantined(tableDir).isEmpty, "marker must clear")
+        require(s.read.parquet(s"$tableDir/_deadletter").count() == organicViol + floodStill,
+          "post-release store must hold organic + still-violating rows")
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q187")}/decoded/*.parquet')
+              WHERE NOT (op = 'UPSERT' AND NOT (
+                (CASE WHEN seq < 3000 THEN lang IN ('scala','java','py','rs','go')
+                      ELSE lang IN ('scala','java','py','rs','go','xx') END)
+                AND length(content) <= 800))) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }

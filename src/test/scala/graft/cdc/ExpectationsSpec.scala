@@ -174,6 +174,52 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(dl.toSeq == Seq((2L, "lang_allowed"), (3L, "lang_allowed,content_max_len")))
   }
 
+  test("epoch guard quarantines a flooded epoch; release applies it under corrected rules") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-expguard").toString
+    val logDir = s"$root/log"; val tableDir = s"$root/table"
+    val fs = Cdc.fsV2; val d = fs.findMessage(Cdc.MessageType).get
+    def ev(c: LogGen.RawChange, epoch: Long) =
+      (ChangeEvent(LogGen.encodeChange(c, d, fs, includeAuthor = true),
+        Cdc.SchemaId, 2, Cdc.MessageType, 0, c.seq), epoch)
+    // epoch 0: healthy (1 violation of 3 UPSERTs = 0.33 ≤ 0.5 → row-level DL)
+    // epoch 1: flooded (2 of 2 violate = 1.0 > 0.5 → whole epoch refused)
+    val rows = Seq(
+      ev(LogGen.RawChange("r1", "a", "cA1", "scala", "ok", 1, "UPSERT", "d1"), 0),
+      ev(LogGen.RawChange("r1", "b", "cB1", "md", "ok", 2, "UPSERT", "d2"), 0),
+      ev(LogGen.RawChange("r1", "c", "cC1", "py", "ok", 3, "UPSERT", "d3"), 0),
+      ev(LogGen.RawChange("r1", "a", "cA2", "xx", "ok", 4, "UPSERT", "d1"), 1),
+      ev(LogGen.RawChange("r1", "d", "cD1", "xx", "ok", 5, "UPSERT", "d4"), 1))
+    rows.toDF("value", "epoch").select(col("value.*"), col("epoch"))
+      .write.partitionBy("epoch").mode("overwrite").parquet(logDir)
+    val strict = Seq(
+      Expectations.Rule("lang_allowed", "lang IN ('scala','java','py','rs','go')"))
+    val st = Expectations.replayWithExpectations(spark, logDir, tableDir, strict,
+      buckets = 2, maxViolationFraction = Some(0.5))
+    assert(st.violations == 1, "only epoch 0's trickle dead-letters")
+    assert(Breaker.quarantined(tableDir) == Seq(1L))
+    assert(spark.read.parquet(s"$tableDir/_deadletter").count() == 1,
+      "a refused epoch must not flood the dead-letter store")
+    val pre = graft.lake.IceLite.read(spark, graft.lake.IceLite.load(tableDir))
+      .select("path", "commit").as[(String, String)].collect().toSet
+    assert(pre == Set(("a", "cA1"), ("c", "cC1")), s"epoch 1 must not apply — got $pre")
+
+    // operator verdict: 'xx' is a legitimate new lang — release under
+    // corrected rules; a's retried newer version wins LWW over cA1
+    val fixed = Seq(
+      Expectations.Rule("lang_allowed", "lang IN ('scala','java','py','rs','go','xx')"))
+    val rel = Expectations.releaseQuarantined(spark, logDir, tableDir, 1L, fixed)
+    assert(rel.violations == 0 && Breaker.quarantined(tableDir).isEmpty)
+    val post = graft.lake.IceLite.read(spark, graft.lake.IceLite.load(tableDir))
+      .select("path", "commit").as[(String, String)].collect().toSet
+    assert(post == Set(("a", "cA2"), ("c", "cC1"), ("d", "cD1")))
+
+    // releasing a non-quarantined epoch is refused
+    intercept[IllegalArgumentException] {
+      Expectations.releaseQuarantined(spark, logDir, tableDir, 0L, fixed)
+    }
+  }
+
   test("empty rule set is refused; violating-only key never reaches the table") {
     val root = Files.createTempDirectory("graft-expect2").toString
     writeLog(s"$root/log", Seq(
