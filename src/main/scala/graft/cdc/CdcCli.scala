@@ -19,6 +19,10 @@ import graft.lake.IceLite
   *   runMain graft.cdc.CdcCli scd2-apply  <srcDir> <scdDir>            — advance to src head
   *   runMain graft.cdc.CdcCli scd2-asof   <scdDir> <seq> [n]           — point-in-time read
   *   runMain graft.cdc.CdcCli retry-deadletters <tableDir> [epochTag]  — re-decode kept originals
+  *   runMain graft.cdc.CdcCli replay-expect <logDir> <tableDir> <buckets> <guard|-> <name=pred>... — CHECK-rule replay
+  *   runMain graft.cdc.CdcCli retry-expect <tableDir> <tag> <name=pred>... — re-evaluate expectation dead letters
+  *   runMain graft.cdc.CdcCli release-expect <logDir> <tableDir> <epoch> <name=pred>... — apply a quarantined epoch
+  *   runMain graft.cdc.CdcCli quarantined <tableDir> — list quarantine markers
   *   runMain graft.cdc.CdcCli bootstrap <snapshotParquet> <tableDir> [buckets] — bulk attach
   *   runMain graft.cdc.CdcCli bootstrap-chunk <srcTable> <replicaTable> <lo> <hi> <chunkId> [buckets] — DBLog-style chunked attach
   */
@@ -352,6 +356,33 @@ object CdcCli {
       println(s"retried ${st.attempted}: merged ${st.merged}" +
         s"${if (!st.applied) " (epoch fenced — already applied)" else ""}, " +
         s"${st.remaining} still failing")
+    // ingest expectations (q184-q187): rules are trailing name=predicate
+    // args, e.g. lang_allowed="lang IN ('scala','go')"; guard is a max
+    // violating-UPSERT fraction per epoch, or '-' for none
+    case "replay-expect" :: logDir :: tableDir :: buckets :: guard :: rest =>
+      val rules = rest.map(parseRule)
+      val g = if (guard == "-") None else Some(guard.toDouble)
+      val st = Expectations.replayWithExpectations(spark, logDir, tableDir,
+        rules, buckets.toInt, maxViolationFraction = g)
+      val q = Breaker.quarantined(tableDir)
+      println(s"replayed ${st.epochs} epochs: ${st.violations} expectation dead letters" +
+        (if (q.nonEmpty) s"; QUARANTINED epochs ${q.mkString(",")}" else ""))
+    case "retry-expect" :: tableDir :: tag :: rest =>
+      val st = Expectations.retryExpectations(spark, tableDir, rest.map(parseRule), tag)
+      println(s"re-evaluated ${st.attempted}: merged ${st.merged}, " +
+        s"${st.remaining} still violating")
+    case "release-expect" :: logDir :: tableDir :: epoch :: rest =>
+      val st = Expectations.releaseQuarantined(spark, logDir, tableDir,
+        epoch.toLong, rest.map(parseRule))
+      println(s"released epoch $epoch: ${st.violations} rows dead-lettered under current rules")
+    case "quarantined" :: tableDir :: Nil =>
+      Breaker.quarantined(tableDir) match {
+        case Seq() => println("no quarantined epochs")
+        case q => q.foreach { e =>
+          println(new String(java.nio.file.Files.readAllBytes(
+            Breaker.marker(tableDir, e)), "UTF-8"))
+        }
+      }
     case "replicate" :: srcDir :: replicaDir :: rest =>
       // catch the replica up to the source head (fenced per version; the
       // replica's own ledger is the watermark — safe to run from cron)
@@ -451,5 +482,11 @@ object CdcCli {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       sys.exit(2)
+  }
+
+  /** `name=predicate` → Rule (the predicate may itself contain '='). */
+  private def parseRule(s: String): Expectations.Rule = s.indexOf('=') match {
+    case i if i > 0 => Expectations.Rule(s.take(i), s.drop(i + 1))
+    case _ => sys.error(s"rule must be name=predicate: $s")
   }
 }
