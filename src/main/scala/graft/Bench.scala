@@ -239,7 +239,8 @@ object Bench {
         "q170_chain_retention", "q171_export_skipping", "q172_batch_purge",
         "q173_streaming_chain", "q176_sanitized_chain",
         "q184_ingest_expectations", "q185_expectation_retry",
-        "q186_tail_expectations", "q187_expectation_guard")
+        "q186_tail_expectations", "q187_expectation_guard",
+        "q188_semantic_dedup", "q189_crypto_shred", "q191_subject_access")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

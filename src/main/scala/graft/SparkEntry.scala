@@ -15,7 +15,8 @@ object SparkEntry {
       SamplingOps.queries ++ SessionOps.queries ++ CurationOps.queries ++
       JoinOps.queries ++ SketchOps.queries ++ PiiOps.queries ++
       GraphOps.queries ++ TextIndex.queries ++ TimeSeriesOps.queries ++
-      AnalyticsOps.queries ++ Sources.queries ++ CdcQueries.queries
+      AnalyticsOps.queries ++ Sources.queries ++ SemDedup.queries ++
+      CdcQueries.queries
 
   /** Flagship: the CDC pipeline end-to-end at tiny scale — generate a seeded
     * protobuf change log, replay it through decode → MERGE into an IceLite

@@ -5907,6 +5907,100 @@ object CdcQueries {
                 (CASE WHEN seq < 3000 THEN lang IN ('scala','java','py','rs','go')
                       ELSE lang IN ('scala','java','py','rs','go','xx') END)
                 AND length(content) <= 800))) t
-        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path""")),
+
+    OpQuery("q191_subject_access",
+      // SUBJECT-ACCESS REQUEST (the GDPR Art. 15 read, complementing q85's
+      // Art. 17 erasure) under the hard gate: one data subject — a key —
+      // asks for EVERYTHING the lake holds about them: the row each
+      // retained snapshot version serves, plus their slice of the change
+      // feed. The pull must be PRUNED, never a table scan: the per-version
+      // rows come from lookupLocal (host-side bucket derivation + footer
+      // bounds; ZERO Spark jobs — at 10^6 files a subject-access ticket
+      // costs a few file opens per version), and the feed slice is the
+      // post-bootstrap change files with the key filter pushed to the
+      // scan. The oracle re-derives both sides from the decoded dump: an
+      // LWW fold of epochs ≤ v−1 per version for the same
+      // deterministically-picked subject, plus the per-epoch folded feed
+      // rows — a version read that leaks later epochs, a feed that skips
+      // an epoch, or a lookup that misses a delta file all hash-diverge.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q191")
+        val root = workDir("q191")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        // the subject: the hottest live key (q85's victim rule, so the
+        // oracle's vic CTE derives the same one)
+        val (vRepo, vPath) = clock("pick_subject") {
+          val dec = s.read.parquet(s"$root/decoded")
+          val live = dec.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("repo", "path")
+                .orderBy(col("seq").desc)))
+            .filter(col("rn") === 1 && col("op") =!= "DELETE").select("repo", "path")
+          dec.join(live, Seq("repo", "path")).groupBy("repo", "path").count()
+            .orderBy(col("count").desc, col("repo"), col("path"))
+            .select("repo", "path").as[(String, String)].head()
+        }
+        val key = Map[String, Any]("repo" -> vRepo, "path" -> vPath)
+        def shaHex(v: String): String =
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        // per-version rows: host-side point GETs — no Spark job at all
+        val versions = IceLite.history(tableDir).filter(_ >= 1)
+        val verRows = clock("version_lookups") {
+          versions.flatMap { v =>
+            IceLite.lookupLocal(IceLite.loadVersion(tableDir, v), key).map { m =>
+              def str(c: String) = Option(m.getOrElse(c, null)).map(_.toString).orNull
+              (s"v$v", None: Option[Long], None: Option[Boolean],
+                str("commit"), str("lang"),
+                Option(str("content")).map(shaHex).orNull, str("author"))
+            }
+          }
+        }
+        require(verRows.nonEmpty, "the hottest key must be served by some version")
+        val verDf = verRows.toDF(
+          "scope", "seq", "is_delete", "commit", "lang", "content_sha", "author")
+        // feed slice: post-bootstrap change files, key filter pushed down
+        val feedDf = clock("feed_slice") {
+          IceLite.changes(s, tableDir, fromVersion = 1,
+              toVersion = IceLite.history(tableDir).max)
+            .filter(col("repo") === vRepo && col("path") === vPath)
+            .select(lit("feed").as("scope"),
+              col(IceLite.SeqCol.name).as("seq"),
+              col(IceLite.DelCol.name).as("is_delete"),
+              col("commit"), col("lang"),
+              sha2(col("content"), 256).as("content_sha"), col("author"))
+        }
+        verDf.unionByName(feedDf).orderBy("scope", "seq")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q191")}/decoded/*.parquet')),
+        fold AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                 FROM d) t WHERE rn = 1 AND op <> 'DELETE'),
+        vic AS (SELECT d.repo, d.path FROM d JOIN fold f ON d.repo = f.repo AND d.path = f.path
+                GROUP BY d.repo, d.path ORDER BY count(*) DESC, d.repo, d.path LIMIT 1),
+        vers AS (SELECT unnest([1, 2, 3]) AS v),
+        vrows AS (SELECT 'v' || CAST(v AS VARCHAR) AS scope,
+            CAST(NULL AS BIGINT) AS seq, CAST(NULL AS BOOLEAN) AS is_delete,
+            "commit", lang, sha256(content) AS content_sha, author
+          FROM (SELECT v, dd."commit", dd.lang, dd.content, dd.author, dd.op,
+              row_number() OVER (PARTITION BY v ORDER BY dd.seq DESC) AS rn
+            FROM vers JOIN d dd ON dd.epoch <= v - 1
+            JOIN vic ON dd.repo = vic.repo AND dd.path = vic.path) q
+          WHERE rn = 1 AND op <> 'DELETE'),
+        frows AS (SELECT 'feed' AS scope, seq, (op = 'DELETE') AS is_delete,
+            "commit", lang, sha256(content) AS content_sha, author
+          FROM (SELECT dd.*, row_number() OVER (PARTITION BY epoch ORDER BY dd.seq DESC) AS rn
+            FROM d dd JOIN vic ON dd.repo = vic.repo AND dd.path = vic.path
+            WHERE dd.epoch >= 1) t WHERE rn = 1)
+        SELECT * FROM (SELECT * FROM vrows UNION ALL SELECT * FROM frows) u
+        ORDER BY scope, seq"""))
   )
 }

@@ -164,7 +164,89 @@ object CurationOps {
           CASE WHEN ((component % 99991) * 31 + 7) % 10 <= 7 THEN 'train'
                WHEN ((component % 99991) * 31 + 7) % 10 = 8 THEN 'val'
                ELSE 'test' END AS split
-        FROM labeled ORDER BY doc_id"""))
+        FROM labeled ORDER BY doc_id""")),
+
+    OpQuery("q190_curation_provenance",
+      // RECORD-LEVEL PROVENANCE for the q44 pipeline: one row PER INPUT
+      // DOCUMENT saying what the pipeline did to it — the audit artifact a
+      // data-governance review (or a "why was my page removed" ticket)
+      // needs, and the inverse view of q44 (which only materializes
+      // survivors). verdict = the FIRST stage that dropped the doc, in
+      // pipeline order (quality → repetition → near-dup → sample), with
+      // the evidence column that stage's decision used: dup_of carries the
+      // canonical the doc lost to, shard carries the training shard a kept
+      // doc landed in. Every stage predicate is the SAME shared definition
+      // its standalone gate uses (q14 words, q45 repetition, q18 vpairs,
+      // q31 rates), so q44 ∘ this gate stay consistent by construction:
+      // the kept rows here ARE q44's output.
+      //
+      // Scale shape: the expensive input (vpairs) is the q18 pair stage,
+      // already audited; everything else is narrow per-row arithmetic plus
+      // two broadcast-size joins. At 100 TB the provenance ledger costs
+      // one extra projection over work the pipeline already does.
+      (s, d) => {
+        graft.functions.Hash60.register(s)
+        val docs = ld(s, d, "documents")
+        val quality = docs
+          .withColumn("ws", expr(wordsSpark))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("mean_wlen",
+            expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double") /
+              col("n_words").cast("double"))
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_words") >= 20 && col("n_words") <= 2000 &&
+              col("mean_wlen") >= 2.0 && col("mean_wlen") <= 12.0,
+              lit(false)).as("quality_ok"))
+        val rep = TextOps.repetitionStats(s, docs)
+          .select(col("doc_id"), col("is_repetitive"))
+        val dupOf = DedupOps.lshVerifiedPairs(s, d)
+          .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("canon"))
+        quality.join(rep, Seq("doc_id"))
+          .join(dupOf, Seq("doc_id"), "left")
+          .withColumn("h",
+            expr("pmod(hash60(concat('sample:', CAST(doc_id AS STRING))), 1000)"))
+          .withColumn("keep_rate", expr(SamplingOps.rateSql))
+          .withColumn("verdict",
+            when(not(col("quality_ok")), "dropped_quality")
+              .when(col("is_repetitive"), "dropped_repetition")
+              .when(col("canon").isNotNull, "dropped_dup")
+              .when(col("h") >= col("keep_rate"), "dropped_sample")
+              .otherwise("kept"))
+          .select(col("doc_id"), col("verdict"),
+            when(col("verdict") === "dropped_dup", col("canon")).as("dup_of"),
+            when(col("verdict") === "kept",
+              expr(s"pmod(hash60(concat('shard:', CAST(doc_id AS STRING))), $Shards)"))
+              .as("shard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${DedupOps.pairsDuckCtes},
+        q AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+              / CAST(len(ws) AS DOUBLE) AS mean_wlen
+          FROM (SELECT doc_id, lang, $wordsDuck AS ws FROM documents) t),
+        quality AS (SELECT doc_id, lang,
+            coalesce(n_words >= 20 AND n_words <= 2000
+              AND mean_wlen >= 2.0 AND mean_wlen <= 12.0, FALSE) AS quality_ok
+          FROM q),
+        rep AS (${TextOps.repetitionDuckSelect}),
+        dup_of AS (SELECT b AS doc_id, min(a) AS canon FROM vpairs GROUP BY b),
+        v AS (SELECT quality.doc_id, lang, quality_ok, r.is_repetitive, m.canon,
+            CAST('0x' || substr(md5('sample:' || quality.doc_id), 1, 15) AS BIGINT) % 1000 AS h,
+            ${SamplingOps.rateSql} AS keep_rate
+          FROM quality JOIN rep r USING (doc_id) LEFT JOIN dup_of m USING (doc_id)),
+        verdicts AS (SELECT doc_id, canon,
+            CASE WHEN NOT quality_ok THEN 'dropped_quality'
+                 WHEN is_repetitive THEN 'dropped_repetition'
+                 WHEN canon IS NOT NULL THEN 'dropped_dup'
+                 WHEN h >= keep_rate THEN 'dropped_sample'
+                 ELSE 'kept' END AS verdict
+          FROM v)
+        SELECT doc_id, verdict,
+          CASE WHEN verdict = 'dropped_dup' THEN canon END AS dup_of,
+          CASE WHEN verdict = 'kept' THEN
+            CAST('0x' || substr(md5('shard:' || doc_id), 1, 15) AS BIGINT) % $Shards
+          END AS shard
+        FROM verdicts ORDER BY doc_id"""))
   )
 
   /** (doc_id, n_words, component): every document labeled with its

@@ -92,6 +92,64 @@ object PiiOps {
           len(regexp_extract_all(aug, '$numDuck')) AS n_num,
           sha256(redacted) AS redacted_sha,
           length(redacted) AS redacted_len
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    OpQuery("q189_crypto_shred",
+      // CRYPTO-SHREDDING under the hard gate — the O(1) erasure
+      // counterpart to q85's physical purge (see graft.lake.CryptoShred):
+      // every event's `props` is AES-GCM-encrypted under its USER's data
+      // key at ingest; erasing users = deleting their keyring rows; the
+      // data files are NEVER rewritten. The gate encrypts the corpus,
+      // hard-asserts ciphertext holds no plaintext and that the full
+      // keyring round-trips every byte, shreds users ≡ 3 (mod 17), and
+      // returns the post-shred read — erased users MUST come back NULL,
+      // everyone else verbatim. The oracle states the contract directly
+      // over the plaintext table: crypto is implementation, the CASE
+      // expression is the semantics.
+      (s, d) => {
+        import graft.lake.CryptoShred
+        val clock = new CdcQueries.PhaseClock("q189")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q189"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val ev = ld(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("props"))
+        val ring = CryptoShred.keyring(s, master = "graft-r5-master",
+          ev.select(col("user_id").as("principal")).distinct())
+        clock("encrypt") {
+          CryptoShred.encrypt(s, ev, ring, "event_id", "user_id", "props")
+            .write.mode("overwrite").parquet(s"$root/enc")
+        }
+        val enc = s.read.parquet(s"$root/enc")
+        // ciphertext must not leak plaintext: scan the raw bytes for the
+        // one substring every props JSON carries (binary contains — no
+        // UTF-8 decode, ciphertext is not valid text)
+        require(enc.filter(
+            expr("""contains(ct, CAST('"k"' AS BINARY))"""))
+          .limit(1).count() == 0, "ciphertext leaked plaintext")
+        clock("verify_roundtrip") {
+          val full = CryptoShred.decrypt(s, enc, ring)
+            .select(col("row_id").as("event_id"), col("value").as("rt"))
+          require(full.join(ev, Seq("event_id"))
+            .filter(col("rt").isNull || col("rt") =!= col("props"))
+            .limit(1).count() == 0,
+            "full-keyring decrypt must round-trip every row")
+        }
+        // THE ERASURE: one left-anti join over the tiny keyring — no data IO
+        val shredded = clock("shred") {
+          val r2 = CryptoShred.shred(ring,
+            ring.filter(pmod(col("principal"), lit(17)) === 3))
+          r2.write.mode("overwrite").parquet(s"$root/keyring-v1")
+          s.read.parquet(s"$root/keyring-v1")
+        }
+        clock("read_post_shred") {
+          CryptoShred.decrypt(s, enc, shredded)
+            .select(col("row_id").as("event_id"),
+              col("principal").as("user_id"), col("value").as("props_out"))
+            .orderBy("event_id")
+        }
+      },
+      Some("""SELECT event_id, user_id,
+          CASE WHEN user_id % 17 = 3 THEN NULL ELSE props END AS props_out
+        FROM events ORDER BY event_id"""))
   )
 }

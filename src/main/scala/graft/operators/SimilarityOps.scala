@@ -124,6 +124,10 @@ object SimilarityOps {
     * columns `va`/`vb`) — exposed for the embedding-store miners. */
   private[operators] def sparkCosSql: String = sparkCos
 
+  /** The DuckDB twin of [[sparkCosSql]] (list_reduce fold over `va`/`vb`) —
+    * exposed so other modules' oracles share the one cosine definition. */
+  private[operators] def duckCosSql: String = duckCos
+
   /** Embeddings frame + a `bands` column: the vector's [[BandDefaults]]
     * band keys, ONE typed pass — what [[graft.operators.EmbDedup.EmbStore]]
     * persists at append so later batches never re-signature the corpus. */
