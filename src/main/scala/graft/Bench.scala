@@ -240,7 +240,8 @@ object Bench {
         "q173_streaming_chain", "q176_sanitized_chain",
         "q184_ingest_expectations", "q185_expectation_retry",
         "q186_tail_expectations", "q187_expectation_guard",
-        "q188_semantic_dedup", "q189_crypto_shred", "q191_subject_access")
+        "q188_semantic_dedup", "q189_crypto_shred", "q191_subject_access",
+        "q192_semantic_dedup_incremental", "q193_legal_hold")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -293,6 +294,20 @@ object Bench {
           bands = 128, bits = 8, minCollide = 2))
         val fracHi = graft.operators.SimilarityOps.bandedCandidateFraction(
           spark, emb, bands = 128, bits = 8, minCollide = 2)
+        // SemDeDup's cell-boundary price, MEASURED: of the corpus's natural
+        // near-dup docs (the q20 exact pairing's higher ids — the ground
+        // truth an unblocked dedup would flag), what fraction does the
+        // cell-blocked q188 verdict set catch? Pairs straddling a cell
+        // boundary are the misses. Reuses the index the q188 gate built.
+        val semdedupRecall = {
+          val idx188 = graft.operators.SimilarityOps.IvfIndex(
+            s"${System.getProperty("java.io.tmpdir")}/graft-q188")
+          val flagged = graft.operators.SemDedup.verdicts(spark, idx188)
+            .filter(org.apache.spark.sql.functions.col("dup_of").isNotNull)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val truth = exact20.map(_._2)
+          flagged.intersect(truth).size.toDouble / math.max(1, truth.size)
+        }
         Map(
           "q26_bucket_probe" -> topk("q26_ann_lsh_probe_topk").intersect(exact).size.toDouble / exact.size,
           "q161_sq8_rerank" -> topk("q161_ann_sq8_topk").intersect(exact).size.toDouble / exact.size,
@@ -307,7 +322,8 @@ object Bench {
           "q20_band_cand_frac" -> frac20,
           "q20_band_sec" -> band20sec,
           "q20_band_hi_recall" -> bandedHi.intersect(exact20).size.toDouble / math.max(1, exact20.size),
-          "q20_band_hi_cand_frac" -> fracHi)
+          "q20_band_hi_cand_frac" -> fracHi,
+          "q188_semdedup_recall" -> semdedupRecall)
       } catch { case _: Throwable => Map.empty[String, Double] }
       // text-index SERVING latency (the number that matters at 100×:
       // build is amortized-once, a query pays only its pruned reads):

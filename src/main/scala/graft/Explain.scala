@@ -160,6 +160,16 @@ object Explain {
           // the reviewable plan is the co-located join itself — the gate's
           // final orderBy adds one presentation-only range exchange
           graft.operators.JoinOps.bucketedSmbJoin(spark, sfDir)
+        case "q188_semantic_dedup" =>
+          // the gate checkpoints its verdicts for the vacuity assert; the
+          // reviewable plan is the un-checkpointed within-cell pairing
+          // over a built index (cell-partitioned scan → one groupByKey)
+          val root = s"${System.getProperty("java.io.tmpdir")}/graft-explain-q188"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+          val e = graft.operators.Tables.ld(spark, sfDir, "embeddings")
+          val idx = graft.operators.SimilarityOps.buildIvfIndex(
+            spark, e, root, cells = 16, iters = 3)
+          graft.operators.SemDedup.verdicts(spark, idx)
         case _ => SparkEntry.queries(n)(spark, sfDir)
       }
       sb.append(s"## $n\n\n```\n")

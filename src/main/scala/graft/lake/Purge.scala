@@ -70,6 +70,14 @@ object Purge {
       s"purge key must bind every key column ${head.keyCols}, got ${key.keys}"))
     val curByName = head.currentSchema.map(c => c.name -> c).toMap
     val keyVals: Seq[Seq[Any]] = keys.map(normKey(head, curByName, _)).distinct
+    // FAIL-CLOSED against legal holds: destroying a held key is the one
+    // thing a compliance pipeline must never do — batch tickets that may
+    // contain held keys go through LegalHold.guardedPurge instead
+    val blocked = keyVals.filter(v => LegalHold.isHeld(dir, head.keyCols, v))
+    require(blocked.isEmpty,
+      s"purge refused: key(s) under active legal hold: ${blocked.map(v =>
+        head.keyCols.zip(v.map(String.valueOf(_))).toMap).mkString("; ")} — " +
+        "release the hold first, or use LegalHold.guardedPurge for batches")
     // per-key pruning state
     val perKey = keyVals.map { vals =>
       val strs = vals.map(String.valueOf(_))
@@ -220,6 +228,12 @@ object Purge {
       s"purge key must bind every key column ${head.keyCols}, got ${key.keys}"))
     val curByName = head.currentSchema.map(c => c.name -> c).toMap
     val keyVals: Seq[Seq[Any]] = keys.map(normKey(head, curByName, _)).distinct
+    // same fail-closed hold guard as purgeKeys — exported copies of a held
+    // key are preserved evidence too
+    val heldBlocked = keyVals.filter(v => LegalHold.isHeld(dir, head.keyCols, v))
+    require(heldBlocked.isEmpty,
+      s"export purge refused: key(s) under active legal hold: ${heldBlocked.map(v =>
+        head.keyCols.zip(v.map(String.valueOf(_))).toMap).mkString("; ")}")
     val perKey = keyVals.map(vals =>
       (vals, graft.functions.XxHash64Host.supports(vals)))
     val exportRoot = Paths.get(dir, "export")

@@ -6001,6 +6001,82 @@ object CdcQueries {
             FROM d dd JOIN vic ON dd.repo = vic.repo AND dd.path = vic.path
             WHERE dd.epoch >= 1) t WHERE rn = 1)
         SELECT * FROM (SELECT * FROM vrows UNION ALL SELECT * FROM frows) u
-        ORDER BY scope, seq"""))
+        ORDER BY scope, seq""")),
+
+    OpQuery("q193_legal_hold",
+      // LEGAL HOLD vs ERASURE under the hard gate (preservation beats
+      // destruction — GDPR Art. 17(3)(e)): two erasure tickets arrive for
+      // the two hottest keys, but the hottest is under an active
+      // litigation hold. Hard asserts: a direct purge of the held key
+      // FAILS CLOSED; the batch ticket erases only the unheld key and
+      // reports the refusal; the held key keeps serving from every read
+      // path; after release the deferred erasure proceeds. The final head
+      // equals the oracle's fold excluding BOTH victims — so a hold that
+      // silently blocked the unheld erasure, or a release that lost the
+      // deferred ticket, diverges.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q193")
+        val root = workDir("q193")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 30,
+            pathsPerRepo = 20, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        // victims: the TWO hottest live keys (the oracle's vic LIMIT 2)
+        val vics = clock("pick_victims") {
+          val dec = s.read.parquet(s"$root/decoded")
+          val live = dec.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("repo", "path")
+                .orderBy(col("seq").desc)))
+            .filter(col("rn") === 1 && col("op") =!= "DELETE").select("repo", "path")
+          dec.join(live, Seq("repo", "path")).groupBy("repo", "path").count()
+            .orderBy(col("count").desc, col("repo"), col("path"))
+            .select("repo", "path").as[(String, String)].take(2).toSeq
+        }
+        val keyA = Map[String, Any]("repo" -> vics(0)._1, "path" -> vics(0)._2)
+        val keyB = Map[String, Any]("repo" -> vics(1)._1, "path" -> vics(1)._2)
+        graft.lake.LegalHold.place(tableDir, "case-7", keyA, "litigation")
+        // a direct purge of the held key must fail closed, changing nothing
+        val threw =
+          try { graft.lake.Purge.purgeKey(s, tableDir, keyA); false }
+          catch { case _: IllegalArgumentException => true }
+        require(threw, "purge of a held key must fail closed")
+        require(IceLite.lookupLocal(IceLite.load(tableDir), keyA).nonEmpty,
+          "held key must survive the refused purge")
+        // the batch ticket: the unheld key is erased, the held one refused
+        val (st, refused) = clock("guarded_purge") {
+          graft.lake.LegalHold.guardedPurge(s, tableDir, Seq(keyA, keyB))
+        }
+        require(refused == Seq(keyA), s"expected exactly keyA refused: $refused")
+        require(st.rowsPurged > 0, s"the unheld key must be erased: $st")
+        require(IceLite.lookupLocal(IceLite.load(tableDir), keyA).nonEmpty &&
+          IceLite.lookupLocal(IceLite.load(tableDir), keyB).isEmpty,
+          "hold preserves A; the ticket erased B")
+        // release → the deferred erasure proceeds
+        require(graft.lake.LegalHold.release(tableDir, "case-7"))
+        val st2 = clock("deferred_purge") {
+          graft.lake.Purge.purgeKey(s, tableDir, keyA)
+        }
+        require(st2.rowsPurged > 0, s"deferred erasure must find the key: $st2")
+        putMetric("q193", "rows_purged_batch", st.rowsPurged.toDouble)
+        putMetric("q193", "rows_purged_deferred", st2.rowsPurged.toDouble)
+        IceLite.read(s, IceLite.load(tableDir))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q193")}/decoded/*.parquet')),
+        fold AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                 FROM d) t WHERE rn = 1 AND op <> 'DELETE'),
+        vic AS (SELECT d.repo, d.path FROM d JOIN fold f ON d.repo = f.repo AND d.path = f.path
+                GROUP BY d.repo, d.path ORDER BY count(*) DESC, d.repo, d.path LIMIT 2)
+        SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM fold WHERE NOT EXISTS (SELECT 1 FROM vic WHERE vic.repo = fold.repo AND vic.path = fold.path)
+        ORDER BY repo, path"""))
   )
 }

@@ -164,7 +164,56 @@ object SamplingOps {
           FROM (SELECT *,
             CAST('0x' || substr(md5('bk:' || event_id), 1, 15) AS BIGINT) AS h
             FROM events WHERE event_type IS NOT NULL) t) s
-        WHERE rn <= 25 ORDER BY event_type, rn"""))
+        WHERE rn <= 25 ORDER BY event_type, rn""")),
+
+    OpQuery("q194_mixture_apportionment",
+      // TOKEN-BUDGET APPORTIONMENT for a training mix: given per-source
+      // token masses, split a fixed token budget across sources with
+      // α = 0.5 temperature flattening (weight ∝ floor(sqrt(tokens)) —
+      // the standard move that keeps small sources from vanishing; isqrt
+      // keeps it integer-exact) using LARGEST-REMAINDER apportionment:
+      // quota = floor(budget·w/W), the leftover seats go to the largest
+      // remainders (ties by source name) — allocations sum EXACTLY to the
+      // budget, no float drift, reproducible on any engine. The heavy
+      // input is one hash aggregate over the scan (per-source token
+      // sums); the apportionment itself is O(sources) window arithmetic.
+      (s, d) => {
+        val budget = 1000000L
+        val toks = ld(s, d, "documents")
+          .withColumn("n_tok", size(expr(TextOps.wordsSpark)).cast("long"))
+          .groupBy("source").agg(sum("n_tok").as("tokens"))
+          .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+        val tot = toks.agg(sum("w")).head().getLong(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))
+        val out = toks
+          .withColumn("quota", expr(s"($budget * w) div $tot"))
+          .withColumn("rem", expr(s"($budget * w) % $tot"))
+          .withColumn("rr", row_number().over(w).cast("long"))
+        val leftover = budget - out.agg(sum("quota")).head().getLong(0)
+        val alloc = out
+          .withColumn("extra", (col("rr") <= leftover).cast("long"))
+          .select(col("source"), col("tokens"), col("w"),
+            (col("quota") + col("extra")).as("alloc"))
+          .orderBy("source")
+        require(alloc.agg(sum("alloc")).head().getLong(0) == budget,
+          "largest-remainder allocations must sum exactly to the budget")
+        alloc
+      },
+      Some(s"""WITH toks AS (
+          SELECT source, CAST(sum(len(${TextOps.wordsDuck})) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        wts AS (SELECT source, tokens,
+            CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w FROM toks),
+        tot AS (SELECT sum(w) AS tw FROM wts),
+        q AS (SELECT source, tokens, w,
+            (1000000 * w) // tw AS quota, (1000000 * w) % tw AS rem
+          FROM wts, tot),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+            (SELECT 1000000 - sum(quota) FROM q) AS leftover FROM q)
+        SELECT source, tokens, w,
+          quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
+        FROM r ORDER BY source"""))
   )
 
 }

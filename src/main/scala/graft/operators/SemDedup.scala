@@ -93,10 +93,62 @@ object SemDedup {
     }.toDF("vec_id", "cell", "dup_of", "dup_cos")
   }
 
+  /** Incremental verdicts for ONE ingest batch — the steady-state shape:
+    * a daily crawl wave is appended to the index ([[SimilarityOps.IvfIndex
+    * .appendBatch]], fixed trained centroids, no retrain) and ONLY the new
+    * vectors are judged, against all same-cell members with lower ids
+    * (earlier batches included). The read is structurally pruned to the
+    * cells the batch touches: touched cells are listed from the batch's
+    * own `cell=K` directories (driver-side, no data read), and the member
+    * scan goes through [[SimilarityOps.IvfIndex.prunedPaths]] — per-wave
+    * cost is O(touched cells' members), never O(corpus). With id-monotone
+    * ingest (new vectors get higher ids than every earlier batch, the
+    * natural CDC order) the incremental verdicts EQUAL the batch recompute
+    * restricted to the new ids — pinned by SemDedupSpec and the q192
+    * oracle. Tombstoned vectors are out of scope here (dedup runs at
+    * ingest, before deletes): mask first via compactBatches if needed. */
+  def verdictsForBatch(s: SparkSession, idx: SimilarityOps.IvfIndex,
+      batchId: Long, tau: Double = Tau): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val batchDir = Paths.get(s"${idx.dataDir}/batch=$batchId")
+    require(Files.isDirectory(batchDir), s"no such batch: $batchId")
+    val touched: Set[Long] = Files.list(batchDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toLong).toSet
+    val rows = s.read.option("basePath", idx.dataDir)
+      .parquet(idx.prunedPaths(touched): _*)
+      .select(col("cell").cast("long"), col("cand"), col("vb"),
+        (col("batch").cast("long") === batchId).as("is_new"))
+      .as[(Long, Long, Seq[Float], Boolean)]
+    rows.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val members = it.map { case (_, id, emb, isNew) => (id, emb.toArray, isNew) }
+        .toArray.sortBy(_._1)
+      require(members.length <= CellCap,
+        s"cell $cell has ${members.length} members (> $CellCap): " +
+          "quantizer too coarse for this corpus — re-train with more cells")
+      members.iterator.zipWithIndex.collect { case ((id, emb, true), j) =>
+        var dupOf = -1L; var dupCos = 0.0
+        var i = 0
+        while (i < j && dupOf < 0) {
+          val c = cosFold(members(i)._2, emb)
+          if (c >= tau) { dupOf = members(i)._1; dupCos = c }
+          i += 1
+        }
+        (id, cell,
+          if (dupOf < 0) None else Some(dupOf),
+          if (dupOf < 0) None else Some(dupCos))
+      }
+    }.toDF("vec_id", "cell", "dup_of", "dup_cos")
+  }
+
   /** Oracle: re-derive cell assignment from the dumped centroids (the q36
     * pattern), pair within cells with the shared cosine fold, arg-min the
-    * qualifying lower ids. */
-  private def semdedupOracleSql(root: String): String = {
+    * qualifying lower ids. `newFilter` restricts the JUDGED side (the
+    * incremental gate judges only the appended wave; lower-id candidates
+    * stay unrestricted). */
+  private def semdedupOracleSql(root: String, newFilter: String = "TRUE"): String = {
     val duckCos = SimilarityOps.duckCosSql
     s"""WITH cents AS (
           SELECT cid, cv FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/$root/cents/*.parquet')),
@@ -118,6 +170,7 @@ object SemDedup {
             FROM pairs WHERE dup_cos >= $Tau) t WHERE rn = 1)
         SELECT c.vec_id, c.cell, d.dup_of, d.dup_cos
         FROM cells c LEFT JOIN dups d ON c.vec_id = d.vid
+        WHERE ($newFilter)
         ORDER BY c.vec_id"""
   }
 
@@ -144,5 +197,36 @@ object SemDedup {
           "gate is vacuous unless the corpus holds same-cell semantic dups")
         out.orderBy("vec_id")
       },
-      Some(semdedupOracleSql("graft-q188"))))
+      Some(semdedupOracleSql("graft-q188"))),
+
+    OpQuery("q192_semantic_dedup_incremental",
+      // INCREMENTAL SemDeDup under the hard gate — the ingest-time shape:
+      // the quantizer trains on the FIRST wave only (ids < 300), the
+      // second wave appends to the same index (fixed centroids, no
+      // retrain, the q55 contract) and ONLY the new wave is judged,
+      // through the cell-pruned member read. Waves split by id, so the
+      // incremental verdicts must equal the full batch recompute
+      // restricted to the new ids — which is exactly what the oracle
+      // derives from the dumped wave-1 centroids over the FULL corpus.
+      (s, d) => {
+        val clock = new CdcQueries.PhaseClock("q192")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q192"
+        val e = ld(s, d, "embeddings")
+        val wave1 = e.filter(col("vec_id") < 300)
+        val wave2 = e.filter(col("vec_id") >= 300)
+        val cents = clock("train") {
+          SimilarityOps.trainCentroids(s, wave1, k = 16, iters = 5)
+        }
+        val idx = clock("build") {
+          SimilarityOps.buildIvfIndexWith(s, wave1, root, cents)
+        }
+        clock("append") { idx.appendBatch(s, wave2, batchId = 1L) }
+        val out = clock("dedup_new_wave") {
+          verdictsForBatch(s, idx, batchId = 1L).localCheckpoint()
+        }
+        require(out.filter(col("dup_of").isNotNull).limit(1).count() > 0,
+          "gate is vacuous unless the new wave holds same-cell dups")
+        out.orderBy("vec_id")
+      },
+      Some(semdedupOracleSql("graft-q192", newFilter = "c.vec_id >= 300"))))
 }

@@ -87,4 +87,31 @@ class SemDedupSpec extends AnyFunSuite {
     val b = buildVerdicts("c").collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("incremental wave verdicts == batch recompute restricted to new ids; read is cell-pruned") {
+    import scala.jdk.CollectionConverters._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val wave1 = e.filter(col("vec_id") < 300)
+    val wave2 = e.filter(col("vec_id") >= 300)
+    val dir = Files.createTempDirectory("graft-semdedup-inc").toString
+    val cents = SimilarityOps.trainCentroids(spark, wave1, k = 8, iters = 3)
+    val idx = SimilarityOps.buildIvfIndexWith(spark, wave1, dir, cents)
+    idx.appendBatch(spark, wave2, batchId = 1L)
+    val inc = SemDedup.verdictsForBatch(spark, idx, batchId = 1L)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val full = SemDedup.verdicts(spark, idx)
+      .filter(col("vec_id") >= 300)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(inc.nonEmpty && inc.toSeq == full.toSeq)
+    // pruning audit: the incremental member read touches ONLY the cells
+    // the new batch landed in
+    val touched = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"${idx.dataDir}/batch=1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toLong).toSet
+    val pruned = idx.prunedPaths(touched)
+    assert(pruned.forall(p => touched.exists(c => p.endsWith(s"cell=$c"))))
+    if (touched.size < 8)
+      assert(pruned.size < idx.allPaths.size, "no pruning despite untouched cells")
+  }
 }
