@@ -414,6 +414,27 @@ object CdcCli {
         Map("repo" -> repo, "path" -> path))
       println(s"purged ($repo, $path): ${st.rowsPurged} rows from ${st.filesRewritten} files " +
         s"(candidates ${st.filesCandidates}/${st.filesTotal}, ${st.versions} versions)")
+    case "hold" :: tableDir :: holdId :: repo :: path :: rest =>
+      val reason = if (rest.nonEmpty) rest.mkString(" ") else "unspecified"
+      graft.lake.LegalHold.place(tableDir, holdId,
+        Map("repo" -> repo, "path" -> path), reason)
+      println(s"hold $holdId placed on ($repo, $path): $reason")
+    case "release-hold" :: tableDir :: holdId :: Nil =>
+      val existed = graft.lake.LegalHold.release(tableDir, holdId)
+      println(if (existed) s"hold $holdId released" else s"no such hold: $holdId")
+      if (!existed) sys.exit(1)
+    case "holds" :: tableDir :: Nil =>
+      val hs = graft.lake.LegalHold.active(tableDir)
+      println(s"${hs.size} active hold(s)")
+      hs.foreach(h => println(s"  ${h.id}: ${h.key} — ${h.reason}"))
+    case "purge-batch" :: tableDir :: keyPairs if keyPairs.nonEmpty && keyPairs.size % 2 == 0 =>
+      // erasure-ticket batch with hold enforcement: repo path [repo path ...]
+      val keys = keyPairs.grouped(2).map { case Seq(r, p) =>
+        Map[String, Any]("repo" -> r, "path" -> p) }.toSeq
+      val (st, refused) = graft.lake.LegalHold.guardedPurge(spark, tableDir, keys)
+      println(s"purged ${keys.size - refused.size}/${keys.size} keys: " +
+        s"${st.rowsPurged} rows from ${st.filesRewritten} files")
+      refused.foreach(k => println(s"  REFUSED (legal hold): $k"))
     case "scrub" :: tableDir :: Nil =>
       val n = graft.lake.Scrub.record(spark, tableDir)
       val bad = graft.lake.Scrub.verify(spark, tableDir)
