@@ -184,70 +184,106 @@ object CurationOps {
       // already audited; everything else is narrow per-row arithmetic plus
       // two broadcast-size joins. At 100 TB the provenance ledger costs
       // one extra projection over work the pipeline already does.
-      (s, d) => {
-        graft.functions.Hash60.register(s)
-        val docs = ld(s, d, "documents")
-        val quality = docs
-          .withColumn("ws", expr(wordsSpark))
-          .withColumn("n_words", size(col("ws")).cast("long"))
-          .withColumn("mean_wlen",
-            expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double") /
-              col("n_words").cast("double"))
-          .select(col("doc_id"), col("lang"),
-            coalesce(col("n_words") >= 20 && col("n_words") <= 2000 &&
-              col("mean_wlen") >= 2.0 && col("mean_wlen") <= 12.0,
-              lit(false)).as("quality_ok"))
-        val rep = TextOps.repetitionStats(s, docs)
-          .select(col("doc_id"), col("is_repetitive"))
-        val dupOf = DedupOps.lshVerifiedPairs(s, d)
-          .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("canon"))
-        quality.join(rep, Seq("doc_id"))
-          .join(dupOf, Seq("doc_id"), "left")
-          .withColumn("h",
-            expr("pmod(hash60(concat('sample:', CAST(doc_id AS STRING))), 1000)"))
-          .withColumn("keep_rate", expr(SamplingOps.rateSql))
-          .withColumn("verdict",
-            when(not(col("quality_ok")), "dropped_quality")
-              .when(col("is_repetitive"), "dropped_repetition")
-              .when(col("canon").isNotNull, "dropped_dup")
-              .when(col("h") >= col("keep_rate"), "dropped_sample")
-              .otherwise("kept"))
-          .select(col("doc_id"), col("verdict"),
-            when(col("verdict") === "dropped_dup", col("canon")).as("dup_of"),
-            when(col("verdict") === "kept",
-              expr(s"pmod(hash60(concat('shard:', CAST(doc_id AS STRING))), $Shards)"))
-              .as("shard"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH ${DedupOps.pairsDuckCtes},
-        q AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words,
-            CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-              / CAST(len(ws) AS DOUBLE) AS mean_wlen
-          FROM (SELECT doc_id, lang, $wordsDuck AS ws FROM documents) t),
-        quality AS (SELECT doc_id, lang,
-            coalesce(n_words >= 20 AND n_words <= 2000
-              AND mean_wlen >= 2.0 AND mean_wlen <= 12.0, FALSE) AS quality_ok
-          FROM q),
-        rep AS (${TextOps.repetitionDuckSelect}),
-        dup_of AS (SELECT b AS doc_id, min(a) AS canon FROM vpairs GROUP BY b),
-        v AS (SELECT quality.doc_id, lang, quality_ok, r.is_repetitive, m.canon,
-            CAST('0x' || substr(md5('sample:' || quality.doc_id), 1, 15) AS BIGINT) % 1000 AS h,
-            ${SamplingOps.rateSql} AS keep_rate
-          FROM quality JOIN rep r USING (doc_id) LEFT JOIN dup_of m USING (doc_id)),
-        verdicts AS (SELECT doc_id, canon,
-            CASE WHEN NOT quality_ok THEN 'dropped_quality'
-                 WHEN is_repetitive THEN 'dropped_repetition'
-                 WHEN canon IS NOT NULL THEN 'dropped_dup'
-                 WHEN h >= keep_rate THEN 'dropped_sample'
-                 ELSE 'kept' END AS verdict
-          FROM v)
+      (s, d) => provenance(s, d)
+        .select(col("doc_id"), col("verdict"),
+          when(col("verdict") === "dropped_dup", col("canon")).as("dup_of"),
+          when(col("verdict") === "kept",
+            expr(s"pmod(hash60(concat('shard:', CAST(doc_id AS STRING))), $Shards)"))
+            .as("shard"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $provenanceDuckCtes
         SELECT doc_id, verdict,
           CASE WHEN verdict = 'dropped_dup' THEN canon END AS dup_of,
           CASE WHEN verdict = 'kept' THEN
             CAST('0x' || substr(md5('shard:' || doc_id), 1, 15) AS BIGINT) % $Shards
           END AS shard
-        FROM verdicts ORDER BY doc_id"""))
+        FROM verdicts ORDER BY doc_id""")),
+
+    OpQuery("q197_dataset_card",
+      // DATASET CARD / DATASHEET: the release artifact a curated-corpus
+      // consumer reads first — the full curation FUNNEL by language: for
+      // every (lang, verdict) cell, how many documents and how many tokens
+      // flowed there. Built on the SAME per-document verdict frame as the
+      // q190 ledger (one definition, two grains), so card, ledger, and the
+      // shipped q44 corpus can never disagree. The card also makes
+      // composition bias visible: the kept row per language IS the
+      // post-curation language mix a model trains on.
+      //
+      // Scale shape: the aggregate adds one tiny shuffle (langs × 5
+      // verdicts cells) on top of work the pipeline already does.
+      (s, d) => provenance(s, d)
+        .groupBy("lang", "verdict")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+        .orderBy("lang", "verdict"),
+      Some(s"""WITH $provenanceDuckCtes
+        SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS n_tokens
+        FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict"""))
   )
+
+  /** The per-document pipeline verdict frame shared by q190 (the ledger)
+    * and q197 (the dataset card): (doc_id, lang, n_words, verdict, canon)
+    * with verdict = the FIRST stage of quality → repetition → near-dup →
+    * sample that dropped the doc, else 'kept'. Every predicate is the
+    * SAME shared definition its standalone gate uses. */
+  private def provenance(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.Hash60.register(s)
+    val docs = ld(s, d, "documents")
+    val quality = docs
+      .withColumn("ws", expr(wordsSpark))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_wlen",
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double") /
+          col("n_words").cast("double"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        coalesce(col("n_words") >= 20 && col("n_words") <= 2000 &&
+          col("mean_wlen") >= 2.0 && col("mean_wlen") <= 12.0,
+          lit(false)).as("quality_ok"))
+    val rep = TextOps.repetitionStats(s, docs)
+      .select(col("doc_id"), col("is_repetitive"))
+    val dupOf = DedupOps.lshVerifiedPairs(s, d)
+      .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("canon"))
+    quality.join(rep, Seq("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .withColumn("h",
+        expr("pmod(hash60(concat('sample:', CAST(doc_id AS STRING))), 1000)"))
+      .withColumn("keep_rate", expr(SamplingOps.rateSql))
+      .withColumn("verdict",
+        when(not(col("quality_ok")), "dropped_quality")
+          .when(col("is_repetitive"), "dropped_repetition")
+          .when(col("canon").isNotNull, "dropped_dup")
+          .when(col("h") >= col("keep_rate"), "dropped_sample")
+          .otherwise("kept"))
+      .select("doc_id", "lang", "n_words", "verdict", "canon")
+  }
+
+  /** The DuckDB CTE chain ending in `verdicts (doc_id, lang, n_words,
+    * verdict, canon)` — the oracle twin of [[provenance]]. */
+  private lazy val provenanceDuckCtes: String =
+    s"""${DedupOps.pairsDuckCtes},
+       |pq AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+       |      / CAST(len(ws) AS DOUBLE) AS mean_wlen
+       |  FROM (SELECT doc_id, lang, $wordsDuck AS ws FROM documents) t),
+       |pquality AS (SELECT doc_id, lang, n_words,
+       |    coalesce(n_words >= 20 AND n_words <= 2000
+       |      AND mean_wlen >= 2.0 AND mean_wlen <= 12.0, FALSE) AS quality_ok
+       |  FROM pq),
+       |prep AS (${TextOps.repetitionDuckSelect}),
+       |pdup AS (SELECT b AS doc_id, min(a) AS canon FROM vpairs GROUP BY b),
+       |pv AS (SELECT pquality.doc_id, lang, pquality.n_words, quality_ok,
+       |    r.is_repetitive, m.canon,
+       |    CAST('0x' || substr(md5('sample:' || pquality.doc_id), 1, 15) AS BIGINT) % 1000 AS h,
+       |    ${SamplingOps.rateSql} AS keep_rate
+       |  FROM pquality JOIN prep r USING (doc_id) LEFT JOIN pdup m USING (doc_id)),
+       |verdicts AS (SELECT doc_id, lang, n_words, canon,
+       |    CASE WHEN NOT quality_ok THEN 'dropped_quality'
+       |         WHEN is_repetitive THEN 'dropped_repetition'
+       |         WHEN canon IS NOT NULL THEN 'dropped_dup'
+       |         WHEN h >= keep_rate THEN 'dropped_sample'
+       |         ELSE 'kept' END AS verdict
+       |  FROM pv)""".stripMargin
 
   /** (doc_id, n_words, component): every document labeled with its
     * transitive near-dup component (singletons label themselves) — the

@@ -150,6 +150,48 @@ object PiiOps {
       },
       Some("""SELECT event_id, user_id,
           CASE WHEN user_id % 17 = 3 THEN NULL ELSE props END AS props_out
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    OpQuery("q195_k_anonymity",
+      // K-ANONYMITY SUPPRESSION before a dataset ships: the quasi-identifier
+      // tuple (lang, source, size bucket) must be shared by ≥ k documents,
+      // or the tuple is SUPPRESSED (nulled) — the standard re-identification
+      // guard (Sweeney's k-anonymity; k = 5 here) for the metadata columns
+      // a public corpus release carries. Generalization first (n_chars →
+      // 500-wide buckets), suppression only for groups the generalization
+      // still leaves small.
+      //
+      // Scale shape: ONE shuffle on the quasi-identifier tuple (a window
+      // count with no ordering = a per-group aggregate), then a narrow
+      // projection. Group cardinality is bounded by the attribute domain,
+      // not the corpus, so the aggregate state stays tiny at 100 TB.
+      (s, d) => {
+        val k = 5
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source", "bucket")
+        val out = ld(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars div 500").as("bucket"))
+          .withColumn("grp_n", count(lit(1)).over(w))
+          .select(col("doc_id"),
+            (col("grp_n") < k).as("suppressed"),
+            when(col("grp_n") >= k, col("lang")).as("lang_out"),
+            when(col("grp_n") >= k, col("source")).as("source_out"),
+            when(col("grp_n") >= k, col("bucket")).as("bucket_out"))
+          .localCheckpoint()
+        // vacuity guard: the fixture must exercise BOTH branches
+        require(out.filter(col("suppressed")).limit(1).count() > 0 &&
+          out.filter(!col("suppressed")).limit(1).count() > 0,
+          "fixture must contain both suppressed and k-anonymous groups")
+        out.orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, grp_n < 5 AS suppressed,
+          CASE WHEN grp_n >= 5 THEN lang END AS lang_out,
+          CASE WHEN grp_n >= 5 THEN source END AS source_out,
+          CASE WHEN grp_n >= 5 THEN bucket END AS bucket_out
+        FROM (SELECT doc_id, lang, source, n_chars // 500 AS bucket,
+            count(*) OVER (PARTITION BY lang, source, n_chars // 500) AS grp_n
+          FROM documents) t
+        ORDER BY doc_id"""))
   )
 }

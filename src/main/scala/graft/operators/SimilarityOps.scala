@@ -1444,7 +1444,74 @@ object SimilarityOps {
                         JOIN embeddings q ON q.vec_id = sh.qid
                         JOIN embeddings c ON c.vec_id = sh.cand) s) t) r
           WHERE rank <= 10 ORDER BY qid, rank"""
-      })
+      }),
+
+    OpQuery("q196_quantizer_drift",
+      // QUANTIZER DRIFT MONITOR — the "when must the IVF/SemDeDup k-means
+      // retrain" answer (the vector-side sibling of the q155/q158 table
+      // drift gates): assign an incoming wave to the FIXED trained
+      // centroids and compare each cell's observed share against the
+      // training corpus's. The fixture shifts the topic mix hard (the new
+      // wave keeps only even labels — half the topics vanish), so
+      // odd-dominated cells crater and even-dominated cells double. The
+      // per-cell statistic is INTEGER-exact cross-multiplication:
+      // dev = |n_new·N_base − n_base·N_new| (no float shares), flagged
+      // when the relative deviation exceeds 25% (4·dev > n_base·N_new;
+      // an empty training cell flags on any new mass). Cost: one
+      // assignment pass over the wave + a 16-row join — the monitor is
+      // free next to the ingest it guards.
+      (s, d) => {
+        val clock = new CdcQueries.PhaseClock("q196")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q196"
+        val e = ld(s, d, "embeddings")
+        val cents = clock("train") { trainCentroids(s, e, k = 16, iters = 5) }
+        val idx = clock("build") { buildIvfIndexWith(s, e, root, cents) }
+        val out = clock("monitor") {
+          val base = idx.data(s).groupBy(col("cell").cast("long").as("cell"))
+            .agg(count(lit(1)).as("n_base"))
+          val wave = assignCells(s, e.filter(pmod(col("label"), lit(2)) === 0), cents)
+            .groupBy(col("cell").cast("long").as("cell"))
+            .agg(count(lit(1)).as("n_new"))
+          val nBase = e.count()
+          val nNew = e.filter(pmod(col("label"), lit(2)) === 0).count()
+          require(nNew > 0 && nNew < nBase, "fixture must shift the mix")
+          val cells = s.read.parquet(idx.centsDir).select(col("cid").as("cell"))
+          cells.join(base, Seq("cell"), "left").join(wave, Seq("cell"), "left")
+            .na.fill(0L, Seq("n_base", "n_new"))
+            .withColumn("dev",
+              abs(col("n_new") * nBase - col("n_base") * nNew))
+            .withColumn("drifted",
+              col("dev") * 4 > col("n_base") * nNew)
+            .select("cell", "n_base", "n_new", "dev", "drifted")
+            .localCheckpoint()
+        }
+        require(out.filter(col("drifted")).limit(1).count() > 0 &&
+          out.filter(!col("drifted")).limit(1).count() > 0,
+          "the shifted mix must drift some cells and spare others")
+        out.orderBy("cell")
+      },
+      Some({
+        val duckCos = duckCosSql
+        s"""WITH cents AS (
+            SELECT cid, cv FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/graft-q196/cents/*.parquet')),
+          asg AS (
+            SELECT vec_id, label, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+            FROM (SELECT e.vec_id, e.label, c.cid, $duckCos AS ccos
+              FROM (SELECT vec_id, label, embedding AS va FROM embeddings) e
+              CROSS JOIN (SELECT cid, cv, cv AS vb FROM cents) c) t),
+          cells AS (SELECT vec_id, label, cid AS cell FROM asg WHERE rn = 1),
+          tot AS (SELECT count(*) AS nb,
+              count(*) FILTER (WHERE label % 2 = 0) AS nn FROM cells),
+          agg AS (SELECT c.cid AS cell,
+              CAST(count(x.vec_id) AS BIGINT) AS n_base,
+              CAST(count(x.vec_id) FILTER (WHERE x.label % 2 = 0) AS BIGINT) AS n_new
+            FROM cents c LEFT JOIN cells x ON x.cell = c.cid GROUP BY 1)
+          SELECT cell, n_base, n_new,
+            CAST(abs(n_new * nb - n_base * nn) AS BIGINT) AS dev,
+            abs(n_new * nb - n_base * nn) * 4 > n_base * nn AS drifted
+          FROM agg, tot ORDER BY cell"""
+      }))
   )
 
   private def sq8OracleSql: String = {
