@@ -242,7 +242,7 @@ object Bench {
         "q186_tail_expectations", "q187_expectation_guard",
         "q188_semantic_dedup", "q189_crypto_shred", "q191_subject_access",
         "q192_semantic_dedup_incremental", "q193_legal_hold",
-        "q196_quantizer_drift")
+        "q196_quantizer_drift", "q198_stream_crypto_ingest")
       val times = SparkEntry.queries.toSeq.sortBy(_._1).collect { case (name, fn) if !skip(name) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -67,7 +67,15 @@ object Tail {
         * contract the batch replay enforces, under the stream's
         * exactly-once fencing (a replayed batch neither re-merges nor
         * duplicates its dead letters). */
-      rules: Seq[Expectations.Rule] = Nil): StreamingQuery = {
+      rules: Seq[Expectations.Rule] = Nil,
+      /** ingest-time column transform applied to each micro-batch's decoded
+        * update rows BEFORE the merge (e.g. [[graft.lake.CryptoShred
+        * .encryptInPlace]] for encrypt-at-ingest, a redaction pass, a
+        * normalization). MUST be deterministic and schema-preserving: a
+        * fenced replay re-runs it and the merge fences on identical
+        * content; the table schema is the transform's output schema. */
+      transformUpdates: Option[(SparkSession, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame] = None): StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
 
@@ -118,7 +126,9 @@ object Tail {
         val dec = Replay.decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
         val keys = Some(graft.decode.Decode.decodeKeys(ev, registry,
           defaultKey, Cdc.MessageType, Seq("repo", "path")))
-        val st = Merge.mergeEpoch(batch.sparkSession, tableDir, dec.updates, "seq", "op",
+        val up = transformUpdates
+          .map(_(batch.sparkSession, dec.updates)).getOrElse(dec.updates)
+        val st = Merge.mergeEpoch(batch.sparkSession, tableDir, up, "seq", "op",
           s"$src-$batchId", keys, deltaThreshold = deltaThreshold)
         // a fenced (replayed) batch did no work: its epoch's real entry is
         // already in the ledger and the accumulator holds zero-or-partial

@@ -96,6 +96,96 @@ object CryptoShred {
     }.toDF("row_id", "principal", "ct")
   }
 
+  // ------- in-place string-column flavor (ingest-path transforms) -------
+  // Principals are STRINGS here (a repo, a tenant id), the ciphertext is
+  // BASE64 so the encrypted column keeps its STRING type — an ingest
+  // transform must not change the table schema. Cipher instances are
+  // thread-local (reused across rows; AES-NI does the work).
+
+  private object Ciphers {
+    val tl: ThreadLocal[Cipher] = ThreadLocal.withInitial(() =>
+      Cipher.getInstance("AES/GCM/NoPadding"))
+
+    /** Init for encryption, tolerating SunJCE's (correct) refusal to
+      * re-init one instance with an identical (key, IV) pair — which a
+      * DETERMINISTIC transform hits whenever the same row re-encrypts on
+      * the same thread (a replayed micro-batch, a retried task): swap in a
+      * fresh Cipher for that case. */
+    def forEncrypt(key: SecretKeySpec, spec: GCMParameterSpec): Cipher = {
+      val c = tl.get()
+      try { c.init(Cipher.ENCRYPT_MODE, key, spec); c }
+      catch {
+        case _: java.security.InvalidAlgorithmParameterException =>
+          val f = Cipher.getInstance("AES/GCM/NoPadding")
+          tl.set(f)
+          f.init(Cipher.ENCRYPT_MODE, key, spec)
+          f
+      }
+    }
+  }
+
+  /** Deterministic per-principal key, string-principal flavor. */
+  def deriveKeyS(master: String, principal: String): Array[Byte] =
+    sha(s"$master:$principal".getBytes("UTF-8")).take(16)
+
+  /** Keyring (principal: string, dkey) for the given principal frame. */
+  def keyringS(spark: SparkSession, master: String,
+      principals: DataFrame): DataFrame = {
+    import spark.implicits._
+    principals.select(col("principal").cast("string")).as[String]
+      .map(p => (p, deriveKeyS(master, p)))
+      .toDF("principal", "dkey")
+  }
+
+  /** Replace `valueCol` (string) with base64(IV ‖ AES-GCM(value)) under the
+    * row's principal key; every other column passes through. IV derives
+    * from (principal, rowId) — deterministic, so an exactly-once replay of
+    * the same batch produces the same bytes. A principal MISSING from the
+    * keyring fails loudly (silent plaintext passthrough would be a leak).
+    * NULL values stay NULL (a DELETE event has no payload to protect). */
+  def encryptInPlace(df: DataFrame, keyringDf: DataFrame,
+      rowIdCol: String, principalCol: String, valueCol: String): DataFrame = {
+    val enc = udf { (v: String, principal: String, rowId: Long, dkey: Array[Byte]) =>
+      if (v == null) null
+      else {
+        if (dkey == null) throw new IllegalStateException(
+          s"no data key for principal $principal — refusing to pass plaintext")
+        val iv = sha(s"iv:$principal:$rowId".getBytes("UTF-8")).take(IvLen)
+        val c = Ciphers.forEncrypt(new SecretKeySpec(dkey, "AES"),
+          new GCMParameterSpec(TagBits, iv))
+        java.util.Base64.getEncoder.encodeToString(iv ++ c.doFinal(v.getBytes("UTF-8")))
+      }
+    }
+    val meta = df.schema(valueCol).metadata // keep field-id metadata intact
+    df.join(broadcast(keyringDf.withColumnRenamed("principal", "__ks_p")),
+        col(principalCol) === col("__ks_p"), "left")
+      .withColumn(valueCol,
+        enc(col(valueCol), col(principalCol), col(rowIdCol), col("dkey"))
+          .as(valueCol, meta))
+      .drop("__ks_p", "dkey")
+  }
+
+  /** Inverse of [[encryptInPlace]]: decode + decrypt `valueCol` under the
+    * keyring; a SHREDDED principal (no key row) reads NULL. */
+  def decryptInPlace(df: DataFrame, keyringDf: DataFrame,
+      principalCol: String, valueCol: String): DataFrame = {
+    val dec = udf { (b64: String, dkey: Array[Byte]) =>
+      if (b64 == null || dkey == null) null
+      else {
+        val ct = java.util.Base64.getDecoder.decode(b64)
+        val c = Ciphers.tl.get()
+        c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(dkey, "AES"),
+          new GCMParameterSpec(TagBits, java.util.Arrays.copyOfRange(ct, 0, IvLen)))
+        new String(c.doFinal(java.util.Arrays.copyOfRange(ct, IvLen, ct.length)), "UTF-8")
+      }
+    }
+    val meta = df.schema(valueCol).metadata
+    df.join(broadcast(keyringDf.withColumnRenamed("principal", "__ks_p")),
+        col(principalCol) === col("__ks_p"), "left")
+      .withColumn(valueCol, dec(col(valueCol), col("dkey")).as(valueCol, meta))
+      .drop("__ks_p", "dkey")
+  }
+
   /** Decrypt back to (rowId, principal, value): principals whose key is
     * gone from the keyring decrypt to NULL — the erased read. One typed
     * pass; keyring broadcast via a LEFT join so shredded rows survive. */

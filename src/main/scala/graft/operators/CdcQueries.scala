@@ -6077,6 +6077,80 @@ object CdcQueries {
                 GROUP BY d.repo, d.path ORDER BY count(*) DESC, d.repo, d.path LIMIT 2)
         SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
         FROM fold WHERE NOT EXISTS (SELECT 1 FROM vic WHERE vic.repo = fold.repo AND vic.path = fold.path)
-        ORDER BY repo, path"""))
+        ORDER BY repo, path""")),
+
+    OpQuery("q198_stream_crypto_ingest",
+      // ENCRYPT-AT-INGEST under the hard gate — the deployment shape of
+      // q189's crypto-shredding: the streaming Tail encrypts the sensitive
+      // column (content, keyed by its REPO's data key) inside each
+      // micro-batch via the schema-preserving transform hook, so PLAINTEXT
+      // NEVER TOUCHES DISK — data files, snapshots, the change feed, and
+      // any backup hold base64(AES-GCM) from the first byte. The IV
+      // derives from (repo, seq): deterministic, so a fenced replay of a
+      // micro-batch re-produces identical bytes and the exactly-once
+      // contract holds. Hard asserts: the raw table leaks no plaintext
+      // sha; shredding one repo's key erases its content from the read
+      // (rows and keys remain — only the protected column is gone).
+      // The oracle folds the PLAINTEXT dump with the victim's content
+      // nulled: a transform that skipped a row, a decrypt leak, or a
+      // wrong-key join all hash-diverge.
+      (s, _) => {
+        import s.implicits._
+        import graft.lake.CryptoShred
+        val clock = new PhaseClock("q198")
+        val root = workDir("q198")
+        val streamDir = s"$root/stream"
+        val tableDir = s"$root/table"
+        val ckpt = s"$root/ckpt"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 30, pathsPerRepo = 20,
+          v1Fraction = 0.7)
+        val ev = clock("gen") { LogGen.events(s, p).localCheckpoint() }
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        clock("decode_dump") {
+          Replay.decodeForMerge(
+            ev.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent], registry, None)
+            .updates.write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val ring = CryptoShred.keyringS(s, master = "graft-q198-master",
+          s.read.parquet(s"$root/decoded").select(col("repo").as("principal")).distinct())
+          .localCheckpoint()
+        clock("stream_ingest") {
+          ev.repartition(3).write.mode("append").parquet(streamDir)
+          graft.cdc.Tail.start(s, streamDir, tableDir, ckpt, buckets = 8,
+            transformUpdates = Some((ss, up) =>
+              CryptoShred.encryptInPlace(up, ring, "seq", "repo", "content")))
+            .awaitTermination()
+        }
+        // at-rest check: no stored content equals any plaintext sha
+        val raw = IceLite.read(s, IceLite.load(tableDir))
+        val plainShas = s.read.parquet(s"$root/decoded")
+          .select(sha2(col("content"), 256).as("psha")).distinct()
+        require(raw.select(sha2(col("content"), 256).as("psha"))
+          .join(plainShas, Seq("psha")).limit(1).count() == 0,
+          "plaintext content reached disk")
+        // the subject erasure: the hottest repo loses its key
+        val vic = clock("pick_victim") {
+          s.read.parquet(s"$root/decoded").groupBy("repo").count()
+            .orderBy(col("count").desc, col("repo"))
+            .select("repo").as[String].head()
+        }
+        val shredded = ring.filter(col("principal") =!= vic)
+        clock("read_post_shred") {
+          CryptoShred.decryptInPlace(raw, shredded, "repo", "content")
+            .select(col("repo"), col("path"), col("commit"), col("lang"),
+              sha2(col("content"), 256).as("content_sha"), col("author"))
+            .orderBy("repo", "path")
+        }
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q198")}/decoded/*.parquet')),
+        vic AS (SELECT repo FROM d GROUP BY repo ORDER BY count(*) DESC, repo LIMIT 1)
+        SELECT repo, path, "commit", lang,
+          CASE WHEN repo IN (SELECT repo FROM vic) THEN NULL
+               ELSE sha256(content) END AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM d) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }

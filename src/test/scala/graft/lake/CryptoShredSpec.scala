@@ -61,6 +61,43 @@ class CryptoShredSpec extends AnyFunSuite {
       df.filter(col("principal").isin(3L, 5L)).count())
   }
 
+  test("in-place string-column flavor: round-trip, metadata preserved, missing key fails loudly") {
+    import spark.implicits._
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.fieldId", 5L).build()
+    val df = Seq((1L, "repoA", "hello"), (2L, "repoB", "world"))
+      .toDF("seq", "repo", "content")
+      .select(col("seq"), col("repo"), col("content").as("content", meta))
+    val ring = CryptoShred.keyringS(spark, "m",
+      Seq("repoA", "repoB").toDF("principal"))
+    val enc = CryptoShred.encryptInPlace(df, ring, "seq", "repo", "content")
+    // schema (incl. field-id metadata) preserved — the ingest-path contract
+    assert(enc.schema("content").dataType.typeName == "string")
+    assert(enc.schema("content").metadata.getLong("graft.fieldId") == 5L)
+    assert(enc.columns.toSeq == df.columns.toSeq)
+    assert(!enc.collect().map(_.getString(2)).contains("hello"))
+    val back = CryptoShred.decryptInPlace(enc, ring, "repo", "content")
+    assert(back.orderBy("seq").collect().map(_.getString(2)).toSeq ==
+      Seq("hello", "world"))
+    // shredded principal reads NULL; others verbatim
+    val half = CryptoShred.decryptInPlace(enc,
+      ring.filter(col("principal") =!= "repoA"), "repo", "content")
+      .orderBy("seq").collect()
+    assert(half(0).isNullAt(2) && half(1).getString(2) == "world")
+    // a principal missing from the encrypt-side ring must fail, not leak
+    val err = intercept[org.apache.spark.SparkException] {
+      CryptoShred.encryptInPlace(df,
+        ring.filter(col("principal") === "repoA"), "seq", "repo", "content")
+        .collect()
+    }
+    assert(err.getMessage.contains("refusing to pass plaintext") ||
+      Option(err.getCause).exists(_.getMessage.contains("refusing to pass plaintext")))
+    // deterministic: same (principal, seq) → same ciphertext across runs
+    val enc2 = CryptoShred.encryptInPlace(df, ring, "seq", "repo", "content")
+    assert(enc2.orderBy("seq").collect().map(_.getString(2)).toSeq ==
+      enc.orderBy("seq").collect().map(_.getString(2)).toSeq)
+  }
+
   test("key derivation is deterministic and per-principal") {
     val k1 = CryptoShred.deriveKey("m", 1L)
     val k2 = CryptoShred.deriveKey("m", 1L)
