@@ -72,6 +72,28 @@ object Expectations {
       .select(col("partition"), col("offset"), col("failed_rules"))
   }
 
+  /** Append `viol` as SELF-CONTAINED dead letters (route='expectation',
+    * per-rule attribution, the ORIGINAL payload + schema refs from
+    * `originals` so [[Replay.retryDeadLetters]] can re-decode them later).
+    * The ONE projection every enforcement path shares — batch replay,
+    * quarantine release, and the streaming Tail — so the dead-letter store
+    * schema can never fork between them. Returns rows written. */
+  private[cdc] def writeDeadLetters(viol: DataFrame, originals: DataFrame,
+      tableDir: String): Long = {
+    val n = viol.count()
+    if (n > 0) {
+      viol.join(
+        originals.select("partition", "offset", "payload",
+          "schemaId", "schemaVersion", "messageType"),
+        Seq("partition", "offset"))
+        .select(lit(Route).as("route"), col("failed_rules").as("error"),
+          col("partition"), col("offset"), col("payload"),
+          col("schemaId"), col("schemaVersion"), col("messageType"))
+        .write.mode("append").parquet(s"$tableDir/_deadletter")
+    }
+    n
+  }
+
   /** Replay `logDir` into `tableDir` with `rules` enforced per event.
     *
     * `maxViolationFraction` is the epoch-level guard ([[Breaker]]'s
@@ -136,19 +158,7 @@ object Expectations {
           s"$namespace-$e", None)
         if (st.applied) {
           batch.flushDeadLetters()
-          val n = viol.count()
-          if (n > 0) {
-            // self-contained dead letters: ORIGINAL payload + schema refs
-            viol.join(
-              raw.select("partition", "offset", "payload",
-                "schemaId", "schemaVersion", "messageType"),
-              Seq("partition", "offset"))
-              .select(lit(Route).as("route"), col("failed_rules").as("error"),
-                col("partition"), col("offset"), col("payload"),
-                col("schemaId"), col("schemaVersion"), col("messageType"))
-              .write.mode("append").parquet(s"$tableDir/_deadletter")
-          }
-          nViol += n
+          nViol += writeDeadLetters(viol, raw, tableDir)
         }
       }
     }
@@ -192,17 +202,7 @@ object Expectations {
     var n = 0L
     if (st.applied) {
       batch.flushDeadLetters()
-      n = viol.count()
-      if (n > 0) {
-        viol.join(
-          raw.select("partition", "offset", "payload",
-            "schemaId", "schemaVersion", "messageType"),
-          Seq("partition", "offset"))
-          .select(lit(Route).as("route"), col("failed_rules").as("error"),
-            col("partition"), col("offset"), col("payload"),
-            col("schemaId"), col("schemaVersion"), col("messageType"))
-          .write.mode("append").parquet(s"$tableDir/_deadletter")
-      }
+      n = writeDeadLetters(viol, raw, tableDir)
     }
     java.nio.file.Files.deleteIfExists(Breaker.marker(tableDir, epoch))
     ExpectationStats(1, n)

@@ -243,7 +243,12 @@ object Replay {
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[ChangeEvent]
       val batch = decodeForMerge(evSel, registry, None, framing)
-      val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
+      // re-apply the predicate post-decode: under VarintDelimited framing a
+      // (partition, offset) names a whole SEGMENT of inner messages, so the
+      // id join admits every message sharing a segment with a match — the
+      // slice table must hold ONLY predicate rows, not their neighbors
+      val sliced = batch.updates.filter(expr(predicateSql))
+      val st = Merge.mergeEpoch(spark, tableDir, sliced, "seq", "op",
         s"$namespace-$e")
       (st, batch.routeStats)
     }

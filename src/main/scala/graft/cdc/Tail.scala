@@ -135,17 +135,8 @@ object Tail {
         // counts — appending would write a misleading row
         if (st.applied) {
           dec.flushDeadLetters()
-          viol.foreach { v =>
-            // self-contained dead letters: ORIGINAL payload + schema refs
-            v.join(batch.toDF().select("partition", "offset", "payload",
-                "schemaId", "schemaVersion", "messageType"),
-                Seq("partition", "offset"))
-              .select(lit(Expectations.Route).as("route"),
-                col("failed_rules").as("error"),
-                col("partition"), col("offset"), col("payload"),
-                col("schemaId"), col("schemaVersion"), col("messageType"))
-              .write.mode("append").parquet(s"$tableDir/_deadletter")
-          }
+          viol.foreach(v =>
+            Expectations.writeDeadLetters(v, batch.toDF(), tableDir))
           Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
           onBatchCommitted.foreach(_(batch.sparkSession, batchId))
         }

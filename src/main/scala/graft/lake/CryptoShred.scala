@@ -80,12 +80,20 @@ object CryptoShred {
       .select(col(rowIdCol).cast("long").as("row_id"),
         col(principalCol).cast("long").as("principal"),
         col(valueCol).cast("string").as("v"))
-      .join(broadcast(keyringDf), Seq("principal"))
+      // LEFT join + loud per-row check: an inner join would silently DROP
+      // every row of a principal missing from the keyring (a stale ring vs
+      // today's data), and the caller would believe the batch encrypted
+      // whole — same fail-closed contract as encryptInPlace
+      .join(broadcast(keyringDf), Seq("principal"), "left_outer")
       .select(col("row_id"), col("principal"), col("v"), col("dkey"))
       .as[(Long, Long, String, Array[Byte])]
     joined.mapPartitions { it =>
       val cipher = Cipher.getInstance("AES/GCM/NoPadding")
       it.map { case (rowId, principal, v, dkey) =>
+        if (dkey == null)
+          throw new IllegalArgumentException(
+            s"no data key for principal $principal — refusing to drop its " +
+              "rows; derive the keyring over every principal present")
         val iv = rowIv(principal, rowId)
         cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(dkey, "AES"),
           new GCMParameterSpec(TagBits, iv))

@@ -160,6 +160,22 @@ object Export {
     val chainRoot = Paths.get(dir, "export", chain)
     Files.createDirectories(chainRoot)
     val steps = chainSteps(chainRoot)
+    // a RAW publisher must never extend a SANITIZED chain: reusing a
+    // transformed predecessor's map would hard-link raw table bytes for
+    // every changed bucket into a chain whose consumers rely on the
+    // transform (un-pseudonymized values leaking past the sanitizer), and
+    // adopting a transformed step as "this raw export" mislabels its
+    // content. The reverse direction is already safe — a transformed
+    // publisher ignores a raw predecessor and re-ships everything.
+    (steps.sorted.lastOption.toSeq ++ steps.find(_ == snap.version)).distinct
+      .foreach { v =>
+        readTransformId(chainRoot, v).foreach { tid =>
+          throw new IllegalArgumentException(
+            s"chain '$chain' is a transformed chain (transformId '$tid' at " +
+              s"v$v): extend it with exportTransformedIncremental, not " +
+              "exportIncremental")
+        }
+      }
     steps.find(_ == snap.version).foreach { v =>
       return readIncManifest(chainRoot, v).copy(created = false)
     }

@@ -41,8 +41,13 @@ object LegalHold {
       s"hold key must bind every key column ${head.keyCols}, got ${key.keys}")
     val p = holdPath(dir, id)
     require(!Files.exists(p), s"hold $id already exists")
-    val kv = head.keyCols.map(k =>
-        s""""${esc(k)}":"${esc(String.valueOf(key(k)))}"""")
+    // store the key in declared-type form (same coercion purgeKeys uses),
+    // so a hold placed with e.g. a Double against a BIGINT column still
+    // blocks the purge of key 5
+    val norm = head.keyCols.zip(
+      Purge.normKey(head, head.currentSchema.map(c => c.name -> c).toMap, key))
+    val kv = norm.map { case (k, v) =>
+        s""""${esc(k)}":"${esc(String.valueOf(v))}"""" }
       .mkString(",")
     val json = s"""{"hold_id":"${esc(id)}","reason":"${esc(reason)}","key":{$kv}}"""
     val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
@@ -88,9 +93,15 @@ object LegalHold {
   def guardedPurge(spark: SparkSession, dir: String,
       keys: Seq[Map[String, Any]]): (Purge.PurgeStats, Seq[Map[String, Any]]) = {
     val head = IceLite.load(dir)
+    val curByName = head.currentSchema.map(c => c.name -> c).toMap
     val held = heldKeySet(dir)
+    // classify under the SAME declared-type coercion purgeKeys enforces
+    // with: a ticket key typed differently from the hold (Double 5.0 vs a
+    // BIGINT hold on 5) must land in `refused`, not slip through here and
+    // abort the whole batch inside purgeKeys' fail-closed check
     val (refused, erasable) = keys.partition { key =>
-      held.contains(head.keyCols.map(k => k -> String.valueOf(key(k))).toMap)
+      val norm = Purge.normKey(head, curByName, key)
+      held.contains(head.keyCols.zip(norm.map(String.valueOf(_))).toMap)
     }
     val stats =
       if (erasable.isEmpty) Purge.PurgeStats(0, 0, 0, 0, 0L)

@@ -177,8 +177,16 @@ object MatJoin {
       .unionByName(deletes)
       .withColumn("__sq", lit(enc))
     val nUp = upserts.count(); val nDel = deletes.count()
-    if (nUp + nDel == 0)
+    if (nUp + nDel == 0) {
+      // still advance the watermark: a no-op version bump (compaction,
+      // expire, a window whose changes cancel out) must not pin
+      // lastApplied, or every later refresh re-scans an ever-growing
+      // [vf0, current] change window just to rediscover emptiness. An
+      // empty fence commit is metadata-only — no files, no data IO.
+      IceLite.commit(outDir, outSnap, IceLite.CommitDelta(
+        s"fd-$enc", Set.empty, Vector.empty, outSnap.currentSchema))
       return RefreshStats(vf0, vf1, vd0, vd1, applied = false, 0, 0)
+    }
     val pinned = batch0.select(
       outSchema.map(cd => col(cd.name).as(cd.name,
         new org.apache.spark.sql.types.MetadataBuilder()

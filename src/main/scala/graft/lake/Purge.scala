@@ -140,8 +140,10 @@ object Purge {
     PurgeStats(versions.length, filesTotal, candByPath.size, rewritten, rowsPurged)
   }
 
-  /** Key-column values in declared-type form (lookup-style coercion). */
-  private def normKey(head: IceLite.Snapshot,
+  /** Key-column values in declared-type form (lookup-style coercion).
+    * Shared with [[LegalHold.guardedPurge]] so the hold check classifies
+    * keys under EXACTLY the coercion purgeKeys enforces with. */
+  private[lake] def normKey(head: IceLite.Snapshot,
       curByName: Map[String, IceLite.ColDef],
       key: Map[String, Any]): Seq[Any] = {
     import org.apache.spark.sql.types._

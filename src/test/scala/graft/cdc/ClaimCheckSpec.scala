@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Claim check: split + resolve is a byte-exact round trip, blobs are
   * content-addressed write-once (idempotent re-check-in, dedup across
@@ -47,6 +48,32 @@ class ClaimCheckSpec extends AnyFunSuite {
     // idempotent: re-check-in writes nothing new
     val again = ClaimCheck.checkIn(spark, dupDir, s"$root/claimed2", s"$root/blobs", 700)
     assert(again.blobs == st.blobs)
+  }
+
+  test("revisiting a content address with different bytes fails loudly") {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-claim-collide"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val rows = Seq((Array.fill[Byte](65)(3), "s", 1, "M", 0, 0L, 0L))
+      .toDF("payload", "schemaId", "schemaVersion", "messageType",
+        "partition", "offset", "epoch")
+    rows.write.partitionBy("epoch").mode("overwrite").parquet(s"$root/log")
+    val st = ClaimCheck.checkIn(spark, s"$root/log", s"$root/claimed",
+      s"$root/blobs", threshold = 64)
+    assert(st.blobs == 1)
+    // simulate an (xxhash64, length) collision — or a corrupted blob — by
+    // swapping the stored bytes under the same content address
+    val blob = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/blobs"))
+      .iterator().asScala.find(_.toString.endsWith(".bin")).get
+    java.nio.file.Files.write(blob, Array.fill[Byte](65)(9))
+    val err = intercept[org.apache.spark.SparkException] {
+      ClaimCheck.checkIn(spark, s"$root/log", s"$root/claimed2",
+        s"$root/blobs", threshold = 64)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("content-address collision")),
+      s"collision must refuse, not alias: ${err.getMessage}")
   }
 
   test("threshold is strict: payload of exactly N bytes stays inline") {

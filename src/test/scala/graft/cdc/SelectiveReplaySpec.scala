@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Selective replay == full replay + filter, including over DELIMITED
-  * segments (a matching segment decodes whole; its non-matching rows merge
-  * harmlessly into other keys' slices — the slice CONTRACT is on the
-  * predicate's rows, asserted here by comparing only those). */
+  * segments. The slice contract is strict — the target table holds ONLY
+  * the predicate's rows: under delimited framing a matching segment
+  * DECODES whole (the id join is per segment), but its non-matching
+  * messages are re-filtered post-decode, never merged. */
 class SelectiveReplaySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -58,5 +59,12 @@ class SelectiveReplaySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(rows(s"$root/slice") == rows(s"$root/full"))
     assert(rows(s"$root/slice").nonEmpty)
+    // STRICT slice: segment neighbors of matching keys must NOT leak in —
+    // the table holds the predicate's rows and nothing else
+    val repos = graft.lake.IceLite.read(spark,
+        graft.lake.IceLite.load(s"$root/slice"))
+      .select("repo").distinct().collect().map(_.getString(0)).toSet
+    assert(repos == Set(target),
+      s"non-matching segment neighbors leaked into the slice: $repos")
   }
 }

@@ -98,6 +98,20 @@ class CryptoShredSpec extends AnyFunSuite {
       enc.orderBy("seq").collect().map(_.getString(2)).toSeq)
   }
 
+  test("encrypt fails loudly on a principal missing from the keyring") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, "a"), (2L, 99L, "b")).toDF("row_id", "principal", "v")
+    val ring = CryptoShred.keyring(spark, "spec-master",
+      Seq(0L).toDF("principal")) // stale ring: principal 99 absent
+    val err = intercept[org.apache.spark.SparkException] {
+      CryptoShred.encrypt(spark, df, ring, "row_id", "principal", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("no data key for principal 99")),
+      s"must refuse, not silently drop: ${err.getMessage}")
+  }
+
   test("key derivation is deterministic and per-principal") {
     val k1 = CryptoShred.deriveKey("m", 1L)
     val k2 = CryptoShred.deriveKey("m", 1L)

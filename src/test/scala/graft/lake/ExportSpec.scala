@@ -275,6 +275,22 @@ class ExportSpec extends AnyFunSuite {
       Export.incrementalFiles(dir, "san", Some(s3.sourceVersion)): _*)
       .where(expr(s3.rowFilter))
       .where(col("id") === 7L).select("v").head().getLong(0) == 1554L)
+
+    // a RAW publisher must never extend (or adopt into) a sanitized chain:
+    // it would hard-link raw bytes into a surface consumers trust to be
+    // transformed. Both at the same version (adopt) and ahead (extend).
+    val exSame = intercept[IllegalArgumentException] {
+      Export.exportIncremental(dir, "san")
+    }
+    assert(exSame.getMessage.contains("transformed chain"), exSame.getMessage)
+    Merge.mergeEpoch(spark, dir, batch(Seq((9L, 999L, 700L, "UPSERT"))),
+      "seq", "op", "e-3")
+    val t3 = IceLite.load(dir).files.filter(_.delta).map(_.bucket).toSet
+    Compaction.compact(spark, dir, "maint-4", buckets = Some(t3))
+    val exAhead = intercept[IllegalArgumentException] {
+      Export.exportIncremental(dir, "san")
+    }
+    assert(exAhead.getMessage.contains("exportTransformedIncremental"))
   }
 
   test("export refuses mixed-schema-version files after a rename") {

@@ -59,6 +59,38 @@ class LegalHoldSpec extends AnyFunSuite {
     assert(IceLite.lookupLocal(IceLite.load(dir), keyA).isEmpty)
   }
 
+  test("hold and ticket key types coerce alike: a differently-typed numeric key is refused, not thrown") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hold-typed").toString + "/t"
+    val fid = (n: Long) => new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.fieldId", n).build()
+    IceLite.create(dir, IceLite.withCdcCols(Vector(
+      IceLite.ColDef(1, "id", "BIGINT"), IceLite.ColDef(2, "v", "BIGINT"))),
+      Vector("id"), buckets = 4)
+    Merge.mergeEpoch(spark, dir,
+      (1L to 20L).map(i => (i, i * 2, i, "UPSERT")).toDF("id", "v", "seq", "op")
+        .select(col("id").as("id", fid(1)), col("v").as("v", fid(2)),
+          col("seq"), col("op")),
+      "seq", "op", "e-0")
+    // hold on BIGINT key 5; erasure ticket arrives with the SAME key typed
+    // as a Double (a JSON-parsed ticket) — it must land in `refused`, not
+    // slip the guard and abort the whole batch inside purgeKeys
+    LegalHold.place(dir, "ht", Map[String, Any]("id" -> 5L), "litigation")
+    val ticket = Seq(
+      Map[String, Any]("id" -> java.lang.Double.valueOf(5.0)),
+      Map[String, Any]("id" -> java.lang.Integer.valueOf(7)))
+    val (st, refused) = LegalHold.guardedPurge(spark, dir, ticket)
+    assert(refused == Seq(ticket.head), s"held key must be refused: $refused")
+    assert(st.rowsPurged > 0, "the unheld key must still purge")
+    assert(IceLite.lookupLocal(IceLite.load(dir), Map("id" -> 5L)).nonEmpty)
+    assert(IceLite.lookupLocal(IceLite.load(dir), Map("id" -> 7L)).isEmpty)
+    // and a hold PLACED with a loose type still blocks the exact-typed purge
+    LegalHold.place(dir, "ht2", Map[String, Any]("id" -> java.lang.Double.valueOf(9.0)), "audit")
+    intercept[IllegalArgumentException] {
+      Purge.purgeKey(spark, dir, Map[String, Any]("id" -> 9L))
+    }
+  }
+
   test("export purge is guarded too; duplicate hold ids refused") {
     val (dir, a, _) = mkTable()
     val keyA = Map[String, Any]("repo" -> a._1, "path" -> a._2)

@@ -96,5 +96,19 @@ class MatJoinSpec extends AnyFunSuite {
       r4.factBucketsScanned < fSnap.buckets,
       s"index must prune the fact scan: ${r4.factBucketsScanned}/${fSnap.buckets}")
     check("indexed dim-only")
+
+    // a NO-OP version bump (compaction: files rewritten, zero net change)
+    // must still ADVANCE the watermark via an empty fence commit —
+    // otherwise lastApplied pins at the old version and every later
+    // refresh re-scans an ever-growing change window to rediscover nothing
+    Compaction.compact(spark, fDir, "maint-noop")
+    val bumped = IceLite.load(fDir).version
+    val r5 = MatJoin.refresh(spark, fDir, dDir, outDir)
+    assert(!r5.applied && r5.fTo == bumped, s"no-op refresh: $r5")
+    val (vf5, _) = MatJoin.lastApplied(IceLite.load(outDir))
+    assert(vf5 == bumped, s"empty refresh must advance the watermark: $vf5 != $bumped")
+    val r6 = MatJoin.refresh(spark, fDir, dDir, outDir)
+    assert(!r6.applied && r6.fFrom == bumped, s"next refresh starts advanced: $r6")
+    check("after no-op bump")
   }
 }
