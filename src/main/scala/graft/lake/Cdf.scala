@@ -73,18 +73,32 @@ object Cdf {
     // base rows keep their REAL sequences (all ≤ the from-snapshot's
     // watermark, so they still sort before every window change) — the
     // row-version ledger needs the predecessor's true identity
-    val base = IceLite.read(spark, fromSnap, f => touched(f.bucket), includeHidden = true)
-      .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+    val baseAll = IceLite.read(spark, fromSnap, f => touched(f.bucket), includeHidden = true)
       .join(changedKeys, keyCols.toSeq, "left_semi")
+      .localCheckpoint()
+    val base = baseAll
+      .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
       .select(valCols.map(col) :+ col(IceLite.SeqCol.name).as("__vseq"): _*)
       .withColumn("__del", lit(false))
       .withColumn("__base", lit(true))
+
+    // LWW GUARD: changes() feeds LATE events, including ones whose seq
+    // LOSES to the window-start state (upsert OR tombstone — hence the
+    // unfiltered baseAll here). The table absorbed those without a state
+    // transition, so the image feed must not emit them: sorted by seq they
+    // would land BEFORE the anchor row and fabricate an 'insert' of stale
+    // values that was never live (skewing row-version maintainers).
+    val baseSeq = baseAll.select((keyCols.map(col) :+
+      col(IceLite.SeqCol.name).as("__anchor_seq")): _*)
+    val feedAdv = feed.join(baseSeq, keyCols.toSeq, "left_outer")
+      .filter(col("__anchor_seq").isNull || col("__vseq") > col("__anchor_seq"))
+      .drop("__anchor_seq")
 
     // base-first tiebreak: a (theoretically impossible) seq collision must
     // still put the anchor row before the change it anchors
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__vseq"), col("__base").desc)
-    val timeline = base.unionByName(feed)
+    val timeline = base.unionByName(feedAdv)
       .withColumn("__prev", lag(struct(valCols.map(col): _*), 1).over(w))
       .withColumn("__prev_seq", lag(col("__vseq"), 1).over(w))
       .withColumn("__prev_live", lag(col("__del"), 1).over(w) === false)

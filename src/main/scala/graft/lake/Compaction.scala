@@ -91,9 +91,34 @@ object Compaction {
     // changes(from, …) for any retained `from` — compacting it away would
     // silently drop the delete from the feed and downstream consumers would
     // resurrect the key. Tombstones at or below that watermark can no longer
-    // appear in any constructible change window, so they go. (Run `expire`
-    // first to let a maintenance pass purge everything.)
-    val keepTombstonesAbove = IceLite.loadVersion(dir, IceLite.history(dir).head).maxSeq
+    // appear in any constructible change window BY SEQ — but changes()
+    // delivers a new file's rows regardless of seq (late events are genuine
+    // changes), so a LATE tombstone (low seq, recent commit) sitting in a
+    // file the oldest retained snapshot does NOT reference is still
+    // undelivered: clamp the watermark below every unconsumed file's
+    // minSeq. (Run `expire` first to let a maintenance pass purge
+    // everything consumable.)
+    //
+    // LATENESS ASSUMPTION (documented contract): once a tombstone is
+    // physically purged, an even-later event with a LOWER seq for the same
+    // key would resurrect it — physical purge is only sound for keys whose
+    // seqs can no longer arrive. Retention (expire/keepLast + consumer
+    // cursors) is the knob that bounds this: tombstones survive as long as
+    // any snapshot that can still window over them does.
+    val oldestRetained = IceLite.loadVersion(dir, IceLite.history(dir).head)
+    val consumedPaths = oldestRetained.files.map(_.path).toSet
+    // DELTA files only: base files' rows are seq-filtered by changes()
+    // anyway, so only a not-yet-consumed delta can still deliver a
+    // sub-watermark (late) tombstone; for normal (non-late) deltas
+    // minSeq > the oldest retained maxSeq and this clamp is a no-op
+    val unconsumedMin = base.files
+      .filter(f => f.delta && !consumedPaths(f.path))
+      .map(_.minSeq).minOption.getOrElse(Long.MaxValue)
+    val clamp =
+      if (unconsumedMin == Long.MaxValue) Long.MaxValue // no unconsumed deltas
+      else if (unconsumedMin == Long.MinValue) Long.MinValue // unknown minSeq: retain all
+      else unconsumedMin - 1
+    val keepTombstonesAbove = math.min(oldestRetained.maxSeq, clamp)
     val live = cur.where(!coalesce(col(DelCol.name), lit(false)) ||
         col(SeqCol.name) > keepTombstonesAbove)
       .withColumn("__bucket", bucketExpr(base.keyCols, base.buckets))
@@ -355,9 +380,14 @@ object Compaction {
     val versions = IceLite.history(dir)
     // TAGGED versions are retention roots: a tag pins its snapshot (and,
     // through vacuum's retained-JSON liveness rule, that snapshot's exact
-    // files) no matter how far past keepLast it falls
+    // files) no matter how far past keepLast it falls. So are CONSUMER
+    // CURSORS ([[Feed]]): a lagging consumer's next poll loads its cursor
+    // version as a change-window endpoint — dropping it would wedge the
+    // consumer on NoSuchFile with no recovery short of a full resync.
     val tagged = IceLite.tags(dir).values.toSet
-    val drop = versions.dropRight(math.max(keepLast, 1)).filterNot(tagged)
+    val floor = Feed.minCursor(dir)
+    val drop = versions.dropRight(math.max(keepLast, 1))
+      .filterNot(v => tagged(v) || floor.exists(v >= _))
     drop.foreach { v =>
       java.nio.file.Files.deleteIfExists(Paths.get(dir, "meta", f"v$v%05d.json"))
     }
@@ -373,13 +403,14 @@ object Compaction {
   def expireOlderThan(dir: String, tsMs: Long, keepLast: Int = 1): Int = {
     val versions = IceLite.history(dir)
     val tagged = IceLite.tags(dir).values.toSet
+    val floor = Feed.minCursor(dir) // consumer cursors pin, same as expire
     val keep = versions.takeRight(math.max(keepLast, 1)).toSet
     // monotone commit times → oldest-to-newest, stop at the first version
     // at or past the cut (tag/keep exclusions don't break the prefix: they
     // only skip versions inside it)
     val drop = versions
       .takeWhile(v => IceLite.commitTimeOf(dir, v) < tsMs)
-      .filterNot(v => keep(v) || tagged(v))
+      .filterNot(v => keep(v) || tagged(v) || floor.exists(v >= _))
     drop.foreach { v =>
       java.nio.file.Files.deleteIfExists(Paths.get(dir, "meta", f"v$v%05d.json"))
     }

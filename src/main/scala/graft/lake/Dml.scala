@@ -58,7 +58,11 @@ object Dml {
     val snap = IceLite.load(dir)
     Merge.mergeEpoch(spark, dir,
       dmlBatch(spark, snap, predicate, Seq.empty, "DELETE"),
-      "__dml_seq", "__dml_op", epochId, matchedKeys(spark, snap, predicate))
+      "__dml_seq", "__dml_op", epochId, matchedKeys(spark, snap, predicate),
+      // the batch's maxSeq+1 sequence is only unique while `snap` is HEAD:
+      // two DMLs rebasing from one head would tie at the same seq and make
+      // read-time LWW tie-break arbitrary — refuse the rebase instead
+      requireBaseVersion = Some(snap.version))
   }
 
   /** Keys-only pre-pass over the matching rows so the merge prunes to the
@@ -82,7 +86,8 @@ object Dml {
     val snap = IceLite.load(dir)
     Merge.mergeEpoch(spark, dir,
       dmlBatch(spark, snap, predicate, sets, "UPSERT"),
-      "__dml_seq", "__dml_op", epochId, matchedKeys(spark, snap, predicate))
+      "__dml_seq", "__dml_op", epochId, matchedKeys(spark, snap, predicate),
+      requireBaseVersion = Some(snap.version)) // same-seq tie guard, see deleteWhere
   }
 
   final case class MergeIntoStats(updated: Long, deleted: Long, inserted: Long,
@@ -141,7 +146,8 @@ object Dml {
     val st = Merge.mergeEpoch(spark, dir,
       batch0.select(visible.map(c => col(c.name).as(c.name, fid(c.id))) :+
         lit(snap.maxSeq + 1).as("__dml_seq") :+ col("__dml_op"): _*),
-      "__dml_seq", "__dml_op", epochId)
+      "__dml_seq", "__dml_op", epochId,
+      requireBaseVersion = Some(snap.version)) // same-seq tie guard, see deleteWhere
     MergeIntoStats(
       updated = byClause.getOrElse(("m", "UPSERT"), 0L),
       deleted = byClause.getOrElse(("m", "DELETE"), 0L),

@@ -45,6 +45,27 @@ object Feed {
     writeCursor(dir, name, startVersion)
   }
 
+  /** The lowest acknowledged version across ALL registered consumers —
+    * [[Compaction.expire]]'s retention floor: a cursor at V needs version V
+    * (and everything after it) loadable as a change-window endpoint, so
+    * retention must never drop a version a lagging consumer still points
+    * at. None when the table has no consumers. */
+  def minCursor(dir: String): Option[Int] = {
+    val meta = IceLite.metaDir(dir)
+    if (!Files.isDirectory(meta)) return None
+    val it = java.nio.file.Files.list(meta).iterator()
+    var min = Option.empty[Int]
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("consumer-") && n.endsWith(".json")) {
+        val v = position(dir, n.stripPrefix("consumer-").stripSuffix(".json"))
+        if (min.forall(v < _)) min = Some(v)
+      }
+    }
+    min
+  }
+
   /** The consumer's acknowledged snapshot version. */
   def position(dir: String, name: String): Int = {
     val p = path(dir, name)

@@ -615,7 +615,14 @@ object IceLite {
       valueBloomOr: Map[String, Map[Int, Array[Byte]]] = Map.empty,
       /** per-bucket value blooms REPLACING the index entry (full-state
         * rewrites: compaction/backfill shed deleted values). */
-      valueBloomReplace: Map[String, Map[Int, Array[Byte]]] = Map.empty)
+      valueBloomReplace: Map[String, Map[Int, Array[Byte]]] = Map.empty,
+      /** STRICT base: refuse to rebase — throw if the table advanced past
+        * this version. For commits whose PAYLOAD was derived from the base
+        * snapshot and silently goes stale under it: a DML batch's
+        * maxSeq+1 sequence (two concurrent DMLs from one head would tie),
+        * an index backfill's blooms (a concurrent merge's values would be
+        * missing forever). None = normal rebase rules. */
+      requireBaseVersion: Option[Int] = None)
 
   /** Commit `delta` on top of `base`. Returns the committed snapshot, or the
     * CURRENT snapshot unchanged if the epoch was already committed by someone
@@ -643,6 +650,13 @@ object IceLite {
     var guard = 0
     while (guard < 10000) {
       if (cur.hasEpoch(delta.epochId)) return cur // fenced: duplicate epoch is a no-op
+      delta.requireBaseVersion.foreach { v =>
+        if (cur.version != v)
+          throw new java.util.ConcurrentModificationException(
+            s"epoch ${delta.epochId}: snapshot advanced past required base " +
+              s"v$v (now v${cur.version}); re-derive the batch against the " +
+              "current snapshot")
+      }
       if (cur.version != base.version) {
         // a concurrent REBUCKET invalidates everything: our files' bucket
         // ids and row hashes are mod the OLD bucket count — rebasing them
@@ -651,8 +665,13 @@ object IceLite {
         if (cur.buckets != base.buckets)
           throw new java.util.ConcurrentModificationException(
             s"epoch ${delta.epochId}: concurrent rebucket (${base.buckets} -> ${cur.buckets}); re-run the merge against the current snapshot")
-        val oursAtBase = base.files.filter(f => delta.touched(f.bucket)).toSet
-        val oursAtCur = cur.files.filter(f => delta.touched(f.bucket)).toSet
+        // identity by PATH (files are immutable — replaced, never mutated
+        // in place): case-class equality would be wrong here, because
+        // DataFile.bloom is an Array whose equals is reference identity,
+        // so two parses of the SAME manifest never compare equal and every
+        // disjoint-bucket rebase over bloom-bearing files would throw
+        val oursAtBase = base.files.filter(f => delta.touched(f.bucket)).map(_.path).toSet
+        val oursAtCur = cur.files.filter(f => delta.touched(f.bucket)).map(_.path).toSet
         if (oursAtBase != oursAtCur)
           throw new java.util.ConcurrentModificationException(
             s"epoch ${delta.epochId}: concurrent commit replaced files in touched buckets; re-run the merge against the current snapshot")
@@ -771,6 +790,54 @@ object IceLite {
     attempt
   }
 
+  /** Metadata commit for files rewritten IN PLACE (the purge path: same
+    * paths, fewer rows): bumps the version — so (name, version)-keyed
+    * consumers like [[ResultCache]] can never serve pre-rewrite results —
+    * and INVALIDATES the rewritten files' exactness stats (row counts,
+    * per-column bounds, sort bounds → unknown), because the dropped rows
+    * may have carried the recorded extremes and [[MetaAgg]]'s contract is
+    * exact-or-None, never wrong. Key bounds and blooms are KEPT: both are
+    * one-sided (a purged key still "may be contained" — a false positive,
+    * never a false negative). Strict CAS against `base`: an in-place
+    * rewrite cannot rebase (a concurrent compaction may have replaced the
+    * very paths it rewrote), so any intervening commit fails loudly and
+    * the purge must re-run against the fresh snapshot. */
+  def commitInPlaceRewrite(dir: String, base: Snapshot, epochId: String,
+      paths: Set[String]): Snapshot = {
+    val cur = load(dir)
+    if (cur.hasEpoch(epochId)) return cur
+    if (cur.version != base.version)
+      throw new java.util.ConcurrentModificationException(
+        s"epoch $epochId: concurrent commit during an in-place rewrite; " +
+          "re-run the purge against the current snapshot")
+    val newFiles = cur.files.map(f =>
+      if (paths(f.path))
+        f.copy(rows = -1L, delRows = -1L, colBounds = Map.empty,
+          sortCol = None, sortMin = None, sortMax = None)
+      else f)
+    // legacy (pre-manifest) snapshot: every inline file must migrate into
+    // manifests with this commit, or the new snapshot would drop them
+    val affected =
+      if (cur.manifests.isEmpty && cur.files.nonEmpty)
+        newFiles.map(f => cur.rangeOf(f.bucket)).toSet
+      else cur.files.filter(f => paths(f.path)).map(f => cur.rangeOf(f.bucket)).toSet
+    val keptRefs = cur.manifests.filterNot(m => affected(m.range))
+    val newRefs = affected.toVector.sorted.flatMap { r =>
+      val fs = newFiles.filter(f => cur.rangeOf(f.bucket) == r)
+      if (fs.isEmpty) Vector.empty else Vector(writeManifest(dir, r, fs))
+    }
+    val attempt = cur.copy(
+      version = cur.version + 1,
+      ledger = cur.ledger.add(epochId),
+      files = newFiles,
+      manifests = keptRefs ++ newRefs)
+    if (!writeAtomic(dir, attempt))
+      throw new java.util.ConcurrentModificationException(
+        s"epoch $epochId: lost the commit race during an in-place rewrite; " +
+          "re-run the purge against the current snapshot")
+    attempt
+  }
+
   /** Schema-only DDL commit: DROP a data column (Iceberg drop-column
     * semantics). The field id is RETIRED: old files still carry the bytes
     * but reads no longer project them, and a later batch whose (older)
@@ -835,6 +902,16 @@ object IceLite {
     require(!target.hidden, s"cannot rename hidden column $from")
     require(!cur.exists(_.name == to), s"column $to already exists")
     require(to.nonEmpty && !to.startsWith("__"), s"invalid column name: $to")
+    // same stale-bounds hazard as addColumn: per-file bounds are keyed by
+    // NAME, so a live file carrying bounds for an EARLIER column once
+    // called `to` would range-prune (and MetaAgg-serve) the renamed column
+    // with the dead column's extremes
+    val staleTo = base.files.filter(f =>
+      f.colBounds.contains(to) || f.sortCol.contains(to))
+    require(staleTo.isEmpty,
+      s"cannot rename to '$to': ${staleTo.size} live file(s) still carry " +
+        "bounds recorded for a previous column of that name — compact the " +
+        "table first, or pick a fresh name")
     // an indexed column keeps its index under the new name (blooms hash
     // values, not names — the map just re-keys)
     val (idxAdd, idxRm, idxRep) =
@@ -869,6 +946,21 @@ object IceLite {
     require(!base.retiredIds(fieldId),
       s"field id $fieldId was retired by dropColumn; re-adding takes a NEW id")
     require(name.nonEmpty && !name.startsWith("__"), s"invalid column name: $name")
+    // per-file bounds (colBounds / sortCol) are keyed by NAME: if a live
+    // file still carries bounds recorded for a PREVIOUS column of this
+    // name (dropped, or renamed away), a range read on the NEW column
+    // would prune with the OLD column's extremes — and since pre-column
+    // files serve the write default, a file could be skipped while every
+    // one of its rows matches (silently missing rows), and MetaAgg would
+    // present the dead column's extremes as the new column's exact
+    // min/max. Refuse until a compaction rewrites those files (its bounds
+    // are measured from the written data, which has no such column).
+    val staleBounds = base.files.filter(f =>
+      f.colBounds.contains(name) || f.sortCol.contains(name))
+    require(staleBounds.isEmpty,
+      s"cannot add column '$name': ${staleBounds.size} live file(s) still " +
+        s"carry bounds recorded for a previous column of that name " +
+        "(dropped or renamed) — compact the table first, or pick a fresh name")
     val cd = ColDef(fieldId, name, dataType, default)
     // the default literal must cast cleanly to the declared type — a typo'd
     // default silently becoming NULL (or throwing at merge time under ANSI)
@@ -920,9 +1012,15 @@ object IceLite {
     // the field id is PINNED alongside: a descriptor-driven rename would
     // orphan the index's name key — with the pin, only renameColumn (which
     // re-keys the index) can change it
+    // STRICT base: the blooms were built from `base`'s resolved state — a
+    // merge committing between the backfill read and this commit would add
+    // values the index then lacks FOREVER (readWhere false negatives), and
+    // the rebase checks can't see it (touched = ∅, schema unchanged).
+    // Refuse instead; the caller re-runs against the fresh snapshot.
     commit(dir, base, CommitDelta(epochId, Set.empty, Vector.empty,
       base.currentSchema, pinIds = Set(target.id), indexCols = Set(colName),
-      valueBloomReplace = Map(colName -> full)))
+      valueBloomReplace = Map(colName -> full),
+      requireBaseVersion = Some(base.version)))
   }
 
   /** Buckets that MAY hold a row whose `colName` equals `value` — all of

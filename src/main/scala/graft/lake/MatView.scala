@@ -134,17 +134,39 @@ object MatView {
       .withColumn("__rn", row_number().over(wnd))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
-    val changedCnt = folded.count()
-    val newState = folded.filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
-    val changedKeys = folded.select(keyCols.map(col): _*)
-
-    // pre-image of exactly the changed keys: driver-derived touched-bucket
-    // set (bounded by the bucket count, never the corpus) prunes the scan
-    // structurally; the semi-join then keeps only the changed keys
+    // pre-image of the window's keys: driver-derived touched-bucket set
+    // (bounded by the bucket count, never the corpus) prunes the scan
+    // structurally; the semi-join then keeps only the window keys. Hidden
+    // columns kept — the pre-image's __seq drives the LWW guard below and
+    // its __del excludes tombstoned keys from retraction.
     val touched = folded
       .select(IceLite.bucketExpr(keyCols, fromSnap.buckets).as("__b"))
       .distinct().as[Int].collect().toSet
-    val oldState = IceLite.read(spark, fromSnap, f => touched(f.bucket))
+    val preAll = IceLite.read(spark, fromSnap, f => touched(f.bucket),
+        includeHidden = true)
+      .join(folded.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .localCheckpoint()
+
+    // LWW GUARD: changes() deliberately feeds LATE events, including ones
+    // whose seq LOSES to the stored pre-image (a late duplicate the table
+    // absorbed without changing state — the q92 out-of-order contract). A
+    // key whose window winner does not BEAT its pre-image's seq (upsert or
+    // tombstone) left the source state untouched; applying it would
+    // retract the real state and add the stale one, permanently skewing
+    // the aggregates. Keep only true advances.
+    val advanced = folded.join(
+        preAll.select((keyCols.map(col) :+
+          col(IceLite.SeqCol.name).as("__pre_seq")): _*),
+        keyCols, "left_outer")
+      .filter(col("__pre_seq").isNull ||
+        col(IceLite.SeqCol.name) > col("__pre_seq"))
+      .drop("__pre_seq")
+      .localCheckpoint()
+    val changedCnt = advanced.count()
+    val newState = advanced.filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
+    val changedKeys = advanced.select(keyCols.map(col): _*)
+    val oldState = preAll
+      .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
       .join(changedKeys, keyCols, "left_semi")
 
     // signed contributions → net per-group delta

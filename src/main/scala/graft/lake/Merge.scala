@@ -213,7 +213,12 @@ object Merge {
         * keeping the steady-state epoch cost O(batch), not
         * O(table × touched/total) — at 10^10 events the per-epoch full
         * rewrite is the scale-killer, not the decode. 0 forces COW always. */
-      deltaThreshold: Int = 8): MergeStats = {
+      deltaThreshold: Int = 8,
+      /** Refuse to rebase past this version (see
+        * [[IceLite.CommitDelta.requireBaseVersion]]) — for batches whose
+        * sequence numbers were derived from a snapshot (DML's maxSeq+1)
+        * and would collide if another writer committed meanwhile. */
+      requireBaseVersion: Option[Int] = None): MergeStats = {
 
     val timing = sys.env.contains("SPARK_GRAFT_TIMING")
     var t0 = System.nanoTime()
@@ -403,7 +408,7 @@ object Merge {
     val newFiles = scanned
       .map { case (f, origin) => f.copy(delta = origin == 0, bloom = blooms.get(f.path)) }
     IceLite.commit(dir, base, IceLite.CommitDelta(epochId, cowBuckets, newFiles, newSchema,
-      batchMaxSeq, valueBloomOr = valueOr))
+      batchMaxSeq, valueBloomOr = valueOr, requireBaseVersion = requireBaseVersion))
     lap("commit")
 
     MergeStats(epochId, applied = true, batchRows, batchRows - deletes, deletes,

@@ -119,9 +119,43 @@ object Purge {
 
     var rewritten = 0
     var rowsPurged = 0L
+    val rewrittenPaths = scala.collection.mutable.HashSet.empty[String]
     candByPath.values.foreach { f =>
       val hit = rewriteWithoutKeys(spark, dir, f.path, keyNamesAt(f.schemaVersion), keyVals)
-      if (hit > 0) { rewritten += 1; rowsPurged += hit }
+      if (hit > 0) { rewritten += 1; rowsPurged += hit; rewrittenPaths += f.path }
+    }
+    // commit a VERSION BUMP naming the rewritten paths: (a) every
+    // (name, version)-keyed consumer — ResultCache above all — must never
+    // serve a pre-purge materialization of erased rows, and version-equal
+    // is their only staleness signal since the paths didn't change;
+    // (b) the rewritten files' recorded row counts / column bounds are now
+    // stale (the erased rows may have been the extremes) — the commit
+    // resets them to unknown so MetaAgg stays exact-or-None, never wrong.
+    // Strict CAS: a commit that raced the rewrite may have replaced the
+    // very files just purged, so it fails loudly and the purge re-runs.
+    // Committed whenever CANDIDATES existed (not only on hits): a re-run
+    // after a crash between rewrite and commit finds zero hits — the keys
+    // are already gone — but must still publish the version bump.
+    if (candByPath.nonEmpty)
+      IceLite.commitInPlaceRewrite(dir, head, s"purge-rw-${head.version}",
+        rewrittenPaths.toSet)
+
+    // WAP branches are full table dirs under <dir>/branches with their own
+    // snapshot chains and data files: an erasure that skipped them would
+    // leave the key readable there (and re-publishable into main). Recurse
+    // — branch epochs' own files go through the same machinery; fork-point
+    // files are shared PATHS already rewritten in place above, so the
+    // recursion's scan finds them key-free and leaves them alone.
+    var branchRewritten = 0
+    var branchRows = 0L
+    val branchRoot = Paths.get(dir, "branches")
+    if (Files.isDirectory(branchRoot)) {
+      Files.list(branchRoot).iterator().asScala.toVector
+        .filter(b => IceLite.exists(b.toString)).foreach { b =>
+          val st = purgeKeys(spark, b.toString, keys)
+          branchRewritten += st.filesRewritten
+          branchRows += st.rowsPurged
+        }
     }
 
     // audit marker: what was erased, when in version history, which files
@@ -137,7 +171,8 @@ object Purge {
       |"versions":${versions.length},"files_rewritten":$rewritten,"rows_purged":$rowsPurged}""".stripMargin
     Files.write(marker, json.getBytes("UTF-8"))
 
-    PurgeStats(versions.length, filesTotal, candByPath.size, rewritten, rowsPurged)
+    PurgeStats(versions.length, filesTotal, candByPath.size,
+      rewritten + branchRewritten, rowsPurged + branchRows)
   }
 
   /** Key-column values in declared-type form (lookup-style coercion).

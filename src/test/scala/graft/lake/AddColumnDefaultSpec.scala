@@ -115,4 +115,35 @@ class AddColumnDefaultSpec extends AnyFunSuite {
       IceLite.addColumn(dir, "ddl-c", "v2", "STRING", 2) // id 2 retired
     }
   }
+
+  test("reusing a dropped name over stale per-file bounds is refused until compaction clears them") {
+    val dir = fresh("addcol-stale")
+    Merge.mergeEpoch(spark, dir,
+      batchNoTier((1L to 40L).map(i => (i, f"s$i%03d", i, "UPSERT"))),
+      "seq", "op", "e-1")
+    // cluster-compact by v: files now carry sortCol/sortMin/sortMax for 'v'
+    Compaction.compact(spark, dir, "maint-c", clusterBy = Some("v"))
+    assert(IceLite.load(dir).files.exists(_.sortCol.contains("v")))
+    IceLite.dropColumn(dir, "ddl-drop-v", "v")
+    // bounds are keyed by NAME: a new column called 'v' would range-prune
+    // (and MetaAgg-serve) with the DEAD column's extremes — refused
+    val ex = intercept[IllegalArgumentException] {
+      IceLite.addColumn(dir, "ddl-readd", "v", "STRING", 9)
+    }
+    assert(ex.getMessage.contains("bounds"), ex.getMessage)
+    // renameColumn INTO the stale name refuses for the same reason
+    IceLite.addColumn(dir, "ddl-w", "w", "STRING", 10)
+    val ex2 = intercept[IllegalArgumentException] {
+      IceLite.renameColumn(dir, "ddl-rn", "w", "v")
+    }
+    assert(ex2.getMessage.contains("bounds"), ex2.getMessage)
+    // a compaction rewrites the files from post-drop data — no 'v' bounds
+    // survive, and the re-add proceeds with its default intact
+    Compaction.compact(spark, dir, "maint-c2")
+    assert(IceLite.load(dir).files.forall(f =>
+      !f.sortCol.contains("v") && !f.colBounds.contains("v")))
+    IceLite.addColumn(dir, "ddl-readd2", "v", "STRING", 11, default = Some("dflt"))
+    assert(IceLite.read(spark, IceLite.load(dir))
+      .filter(col("v") === "dflt").count() == 40)
+  }
 }

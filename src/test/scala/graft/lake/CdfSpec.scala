@@ -83,4 +83,22 @@ class CdfSpec extends AnyFunSuite {
       (1L, "", 10L, "DELETE"), (7L, "", 11L, "DELETE"))), "seq", "op", "e-2")
     assert(images(src, 1, 2) == Set(("delete", 1L, "a", 10L)))
   }
+
+  test("a LATE LWW-losing event emits no image (absorbed without a state transition)") {
+    val src = fresh("cdf-late")
+    Merge.mergeEpoch(spark, src, batch(Seq(
+      (1L, "a", 10L, "UPSERT"), (2L, "b", 11L, "UPSERT"),
+      (3L, "c", 12L, "UPSERT"))), "seq", "op", "e-1")
+    Merge.mergeEpoch(spark, src, batch(Seq(
+      (3L, "", 13L, "DELETE"))), "seq", "op", "e-2")
+    // late epoch: a seq-5 duplicate of key 1 (loses to stored seq 10), a
+    // seq-6 upsert of key 3 (loses to its seq-13 tombstone), and ONE real
+    // change (key 2 updated at seq 20)
+    Merge.mergeEpoch(spark, src, batch(Seq(
+      (1L, "stale", 5L, "UPSERT"), (3L, "zombie", 6L, "UPSERT"),
+      (2L, "b2", 20L, "UPSERT"))), "seq", "op", "e-3")
+    assert(images(src, 2, 3) == Set(
+      ("update_preimage", 2L, "b", 20L), ("update_postimage", 2L, "b2", 20L)),
+      "late losers must not fabricate inserts of never-live values")
+  }
 }

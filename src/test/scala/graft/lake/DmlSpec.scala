@@ -83,6 +83,24 @@ class DmlSpec extends AnyFunSuite {
       "update at maxSeq+1 must win over the older event")
   }
 
+  test("stale-base guard: a batch derived from a superseded snapshot refuses instead of rebasing") {
+    val dir = fresh("dml-stale")
+    val v0 = IceLite.load(dir).version
+    // someone else commits: v0's maxSeq+1 is no longer unique — a DML
+    // batch stamped from v0 would tie with this epoch's sequences
+    Merge.mergeEpoch(spark, dir, batch(Seq((200L, "gx", 1L, 101L, "UPSERT"))),
+      "seq", "op", "e-1")
+    val err = intercept[java.util.ConcurrentModificationException] {
+      Merge.mergeEpoch(spark, dir, batch(Seq((201L, "gy", 2L, 101L, "UPSERT"))),
+        "seq", "op", "e-stale", requireBaseVersion = Some(v0))
+    }
+    assert(err.getMessage.contains("advanced past required base"))
+    // the DML verbs ride the guard end-to-end: a normal single-writer DML
+    // (no interleaving) commits fine
+    assert(Dml.deleteWhere(spark, dir, "id = 200", "dml-1").applied)
+    assert(state(dir).get(200L).isEmpty)
+  }
+
   test("updateWhere refuses key columns and unknown columns") {
     val dir = fresh("guard")
     val ex = intercept[IllegalArgumentException](

@@ -180,4 +180,33 @@ class MatViewSpec extends AnyFunSuite {
     assert(mvState(mv) == recompute(src))
     assert(mvState(mv).exists(t => t._1 == null && t._2 == 1L && t._3 == 4L))
   }
+
+  test("a LATE LWW-losing duplicate does not skew the view (and a late loser below a tombstone stays dead)") {
+    val (src, mv) = fresh("mv-late")
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((1L, "ga", 100L, 10L, "UPSERT"), (2L, "gb", 50L, 11L, "UPSERT"),
+        (3L, "gb", 7L, 12L, "UPSERT"))),
+      "seq", "op", "e-1")
+    MatView.create(src, mv, MatView.Spec(Vector("grp"), Vector("sum_v" -> "v")))
+    assert(MatView.refresh(spark, src, mv).applied)
+    assert(mvState(mv) == recompute(src))
+    // delete key 3 (tombstone at seq 13)
+    Merge.mergeEpoch(spark, src, batch(Seq((3L, "gb", 0L, 13L, "DELETE"))),
+      "seq", "op", "e-2")
+    assert(MatView.refresh(spark, src, mv).applied)
+    assert(mvState(mv) == recompute(src))
+    // LATE epoch: a lower-seq duplicate of key 1 (amount 70 at seq 5 —
+    // loses to the stored seq-10 row) and a lower-seq upsert of the
+    // deleted key 3 (seq 6 < tombstone's 13). The table absorbs both with
+    // NO state change; the view must not move either.
+    Merge.mergeEpoch(spark, src,
+      batch(Seq((1L, "ga", 70L, 5L, "UPSERT"), (3L, "gb", 999L, 6L, "UPSERT"))),
+      "seq", "op", "e-late")
+    val r = MatView.refresh(spark, src, mv)
+    assert(r.applied, s"late window still advances the watermark: $r")
+    assert(mvState(mv) == recompute(src),
+      "an absorbed late loser must not retract the real state")
+    assert(mvState(mv).exists(t => t._1 == "ga" && t._3 == 100L),
+      "ga must still sum the seq-10 row, not the late seq-5 duplicate")
+  }
 }

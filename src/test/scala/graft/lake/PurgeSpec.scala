@@ -80,6 +80,62 @@ class PurgeSpec extends AnyFunSuite {
         col("seq"), col("op"))
   }
 
+  test("purge bumps the version (caches invalidate), voids stale stats, and reaches branches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-purge-vb").toString
+    graft.cdc.LogGen.writeLog(spark, graft.cdc.LogGen.Params(
+      nEvents = 800, nRepos = 8, pathsPerRepo = 6, v1Fraction = 0.6),
+      s"$root/log", epochs = 2)
+    graft.cdc.Replay.replayLog(spark, s"$root/log", s"$root/t", buckets = 4)
+    val dir = s"$root/t"
+    Compaction.compact(spark, dir, "maint-0") // delta-free: liveCount exact
+    val victim = IceLite.read(spark, IceLite.load(dir))
+      .groupBy("repo", "path").count()
+      .orderBy(col("count").desc, col("repo"), col("path"))
+      .select("repo", "path").as[(String, String)].head()
+    val key = Map[String, Any]("repo" -> victim._1, "path" -> victim._2)
+
+    // a branch ingests its own epoch holding MORE rows of the victim key
+    val bdir = Branch.fork(dir, "audit")
+    val extra = Seq((victim._1, victim._2, "c-br", "scala", "branch-copy",
+        "a@b", 999999L, "UPSERT"))
+      .toDF("repo", "path", "commit", "lang", "content", "author", "seq", "op")
+    val pinned = extra.select(IceLite.load(bdir).currentSchema.filterNot(_.hidden)
+      .map(c => col(c.name).as(c.name, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("graft.fieldId", c.id.toLong).build())) ++
+      Seq(col("seq"), col("op")): _*)
+    Merge.mergeEpoch(spark, bdir, pinned, "seq", "op", "br-0")
+    assert(IceLite.lookupLocal(IceLite.load(bdir), key).nonEmpty)
+
+    // a materialized result caches the PRE-purge state (contains the victim)
+    val cacheDir = s"$root/cache"
+    val q = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("repo").agg(count(lit(1)).as("n"))
+    val served0 = ResultCache.run(spark, dir, cacheDir, "by-repo", q)
+    assert(!served0.hit)
+    val preCount = MetaAgg.liveCount(IceLite.load(dir))
+    assert(preCount.isDefined, "compacted table must serve an exact liveCount")
+    val vPre = IceLite.load(dir).version
+
+    val st = Purge.purgeKey(spark, dir, key)
+    assert(st.rowsPurged > 0)
+
+    // version bumped → the next cache run RECOMPUTES and has no victim rows
+    val vPost = IceLite.load(dir).version
+    assert(vPost > vPre, "purge must commit a version bump")
+    val served1 = ResultCache.run(spark, dir, cacheDir, "by-repo", q)
+    assert(!served1.hit, "post-purge read must not hit the pre-purge slot")
+    // rewritten files' stats are voided, never wrong: exact-or-None holds
+    MetaAgg.liveCount(IceLite.load(dir)).foreach { n =>
+      assert(n == preCount.get - st.rowsPurged, s"liveCount if served must be exact: $n")
+    }
+    // the branch no longer serves the key either (its own epoch included)
+    assert(IceLite.lookupLocal(IceLite.load(bdir), key).isEmpty,
+      "branch copies must be purged too")
+    assert(IceLite.read(spark, IceLite.load(bdir))
+      .filter(col("repo") === victim._1 && col("path") === victim._2).count() == 0)
+  }
+
   test("table purge leaves exports pinned; purgeExports erases them too") {
     val dir = Files.createTempDirectory("graft-purge-exp").toString + "/t"
     IceLite.create(dir, IceLite.withCdcCols(Vector(
