@@ -84,7 +84,9 @@ object Breaker {
         val batch = Replay.decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
         val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
           s"$namespace-$e")
-        if (st.applied) batch.flushDeadLetters()
+        // fenced: recover letters a crashed prior attempt may not have
+        // flushed (idempotent write — duplicates are skipped by identity)
+        if (st.applied) batch.flushDeadLetters() else batch.flushDeadLettersDirect()
         EpochVerdict(e, total, bad, quarantined = false)
       }
     }
@@ -103,7 +105,7 @@ object Breaker {
       Some(s"$tableDir/_deadletter"))
     val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
       s"$namespace-$epoch")
-    if (st.applied) batch.flushDeadLetters()
+    if (st.applied) batch.flushDeadLetters() else batch.flushDeadLettersDirect()
     Files.deleteIfExists(marker(tableDir, epoch))
     st
   }

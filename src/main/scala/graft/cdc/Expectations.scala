@@ -63,6 +63,17 @@ object Expectations {
     * ≥1 rule — comma-joined names in declaration order; NULL predicates
     * count as violations. */
   private[cdc] def violationsOf(decoded: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // FAIL CLOSED on v5 PATCH events: a rule can only be judged against
+    // the POST-RESOLUTION row (pre-image + masked fields), which this
+    // pre-merge gate cannot see — a PATCH sliding through unjudged would
+    // let Merge.resolvePatches materialize contract-violating values while
+    // the stats report zero violations. Until resolution-aware enforcement
+    // exists, refuse loudly rather than silently bypass the contract.
+    require(!decoded.columns.contains(graft.lake.Merge.PatchMaskCol) ||
+        decoded.filter(col("op") === "PATCH").isEmpty,
+      "ingest expectations cannot guard v5 PATCH events (a rule would " +
+        "judge the sparse patch row, not the resolved one) — replay patch " +
+        "logs without rules, or materialize patches before enforcement")
     val failCols = rules.map(r =>
       when(col("op") === "UPSERT" && !coalesce(expr(r.predicate), lit(false)),
         lit(r.name)))
@@ -82,14 +93,24 @@ object Expectations {
       tableDir: String): Long = {
     val n = viol.count()
     if (n > 0) {
-      viol.join(
+      val dld = s"$tableDir/_deadletter"
+      val letters = viol.join(
         originals.select("partition", "offset", "payload",
           "schemaId", "schemaVersion", "messageType"),
         Seq("partition", "offset"))
         .select(lit(Route).as("route"), col("failed_rules").as("error"),
           col("partition"), col("offset"), col("payload"),
           col("schemaId"), col("schemaVersion"), col("messageType"))
-        .write.mode("append").parquet(s"$tableDir/_deadletter")
+      // idempotent by event identity, like the decode-route store: a
+      // fenced-replay recovery flush must not duplicate letters
+      val fresh =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dld)))
+          letters.join(
+            viol.sparkSession.read.parquet(dld)
+              .select("partition", "offset").distinct(),
+            Seq("partition", "offset"), "left_anti")
+        else letters
+      fresh.write.mode("append").parquet(dld)
     }
     n
   }
@@ -159,6 +180,11 @@ object Expectations {
         if (st.applied) {
           batch.flushDeadLetters()
           nViol += writeDeadLetters(viol, raw, tableDir)
+        } else {
+          // fenced replay: recover letters a crashed prior attempt may not
+          // have flushed — both writes are idempotent by event identity
+          batch.flushDeadLettersDirect()
+          writeDeadLetters(viol, raw, tableDir)
         }
       }
     }
@@ -203,6 +229,9 @@ object Expectations {
     if (st.applied) {
       batch.flushDeadLetters()
       n = writeDeadLetters(viol, raw, tableDir)
+    } else {
+      batch.flushDeadLettersDirect() // crash-recovery, idempotent
+      writeDeadLetters(viol, raw, tableDir)
     }
     java.nio.file.Files.deleteIfExists(Breaker.marker(tableDir, epoch))
     ExpectationStats(1, n)
@@ -251,6 +280,10 @@ object Expectations {
       .as[ChangeEvent]
     val batch = Replay.decodeForMerge(conformEv, registry, None)
     val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag)
+    // FENCED retry (a reused epochTag): the merge applied nothing, so the
+    // store must stay untouched — rewriting it would destroy the now-
+    // conforming rows unmerged. Retry under a fresh tag instead.
+    if (!st.applied) return RetryStats(attempted, applied = false, 0, attempted)
     // rebuild: decode-type rows untouched + still-violating expectation
     // rows with attribution refreshed to the CURRENT rule set
     val keep = dl.filter(col("route") =!= Route).unionByName(

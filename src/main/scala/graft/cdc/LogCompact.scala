@@ -31,6 +31,14 @@ import graft.registry.{DescriptorRegistry, SchemaKey}
   *     dirs, and resumability work on the compacted log exactly as on the
   *     full one (epochs whose every event was dominated simply vanish).
   *
+  * SCOPE: the identical-final-state contract holds for PLAIN LWW replay
+  * ([[Replay.replayLog]] and friends). It does NOT hold for
+  * expectation-GATED replay ([[Expectations.replayWithExpectations]]):
+  * rules fall back to a key's last CONFORMING version, and compaction
+  * keeps only the max-seq version — if that one violates, the conforming
+  * history it would have fallen back to is gone. Keep the full log for
+  * rule-gated consumers; compact for LWW-complete ones.
+  *
   * Scale shape: one decode pass over the log (the same distributed
   * mapPartitions decode replay itself uses), ONE shuffle on the key for the
   * per-key argmax, one shuffle join on (partition, offset) to carry the

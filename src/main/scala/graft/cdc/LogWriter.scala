@@ -87,12 +87,28 @@ object LogWriter {
 
   /** Publish one producer batch as a single-file segment of
     * `epoch=<logEpoch>`. Fences zombies; suppresses duplicate batchIds. */
+  /** An already-published segment for this (producer, batchId) under ANY
+    * producer epoch. The duplicate check must be epoch-blind: the one time
+    * an at-least-once producer actually re-sends is after a crash — which
+    * forced a re-register and therefore a NEW epoch — so keying the check
+    * on the current epoch's name alone would let exactly that re-send
+    * publish a duplicate segment. */
+  private def existingSegment(p: Producer, logEpoch: Long,
+      batchId: Long): Option[Path] = {
+    val dir = Paths.get(p.logDir, s"epoch=$logEpoch")
+    if (!Files.isDirectory(dir)) return None
+    val re = (java.util.regex.Pattern.quote(s"seg-${p.id}-e") + """\d+""" +
+      java.util.regex.Pattern.quote(f"-b$batchId%05d.parquet")).r.pattern
+    Files.list(dir).iterator().asScala
+      .find(q => re.matcher(q.getFileName.toString).matches())
+  }
+
   def append(p: Producer, events: Dataset[ChangeEvent], logEpoch: Long,
       batchId: Long): AppendResult = {
     val target = Paths.get(p.logDir, s"epoch=$logEpoch",
       f"seg-${p.id}-e${p.epoch}-b$batchId%05d.parquet")
-    if (Files.exists(target))
-      return AppendResult(appended = false, target.toString, -1L)
+    existingSegment(p, logEpoch, batchId).foreach(s =>
+      return AppendResult(appended = false, s.toString, -1L))
     fence(p)
     // stage INSIDE the log dir so the publish rename stays same-filesystem
     // atomic
@@ -107,8 +123,12 @@ object LogWriter {
         .getOrElse(throw new IllegalStateException("segment write produced no parquet part"))
       Files.createDirectories(target.getParent)
       // last-moment fence: a failover that registered while we were
-      // writing wins — this instance must not publish
+      // writing wins — this instance must not publish. The duplicate
+      // re-check is epoch-blind too (a recovered instance may have
+      // published this batch under its new epoch while we staged).
       fence(p)
+      existingSegment(p, logEpoch, batchId).foreach(s =>
+        return AppendResult(appended = false, s.toString, -1L))
       try Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -35,6 +35,14 @@ object Replay {
   final case class DecodedBatch(
       updates: DataFrame,
       flushDeadLetters: () => Long,
+      /** [[flushDeadLetters]] WITHOUT the Observation dependency — for the
+        * FENCED-replay path, where `updates` is never consumed (the merge
+        * no-ops) so the observed metric never materializes and the normal
+        * flush would block forever. Pays one direct decode pass; a crashed
+        * prior attempt may already have flushed, so letters can duplicate
+        * (recoverable) — but a crash between its commit and its flush can
+        * no longer LOSE them (unrecoverable). */
+      flushDeadLettersDirect: () => Long,
       routeStats: RouteStatsAccumulator)
 
   /** Decode one epoch's events and shape them for the MERGE: data columns
@@ -60,6 +68,28 @@ object Replay {
     val decoded = decoded0.observe(obs,
       sum(when(col("route") =!= "success", 1L).otherwise(0L)).as("bad"))
 
+    def writeLetters(): Unit = deadLetterDir.foreach { dld =>
+      // SELF-CONTAINED store: the schema refs ride along with the kept
+      // original payload (the reference keeps the flowfile's attributes
+      // with the routed original, ProtobufProcessor.java:93-106), so a
+      // later [[Replay.retryDeadLetters]] can re-decode after a registry
+      // fix without the source log. IDEMPOTENT by event identity
+      // (partition, offset): a re-flush — the fenced-replay recovery path,
+      // or an idempotent whole-replay re-run — skips letters already in
+      // the store instead of appending duplicates.
+      val letters = Decode.deadLetter(
+          Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing))
+        .join(events.toDF().select("partition", "offset", "schemaId", "schemaVersion", "messageType"),
+          Seq("partition", "offset"))
+      val fresh =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dld)))
+          letters.join(
+            events.sparkSession.read.parquet(dld)
+              .select("partition", "offset").distinct(),
+            Seq("partition", "offset"), "left_anti")
+        else letters
+      fresh.write.mode("append").parquet(dld)
+    }
     val flushDeadLetters: () => Long = () => {
       // When a batch yields ZERO update rows (all events dead-lettered),
       // AQE's empty-relation propagation eliminates the observed branch and
@@ -68,17 +98,13 @@ object Replay {
       val bad = obs.get.get("bad").collect { case l: Long => l }.getOrElse {
         Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing)).count()
       }
-      if (bad > 0L) deadLetterDir.foreach { dld =>
-        // SELF-CONTAINED store: the schema refs ride along with the kept
-        // original payload (the reference keeps the flowfile's attributes
-        // with the routed original, ProtobufProcessor.java:93-106), so a
-        // later [[Replay.retryDeadLetters]] can re-decode after a registry
-        // fix without the source log
-        Decode.deadLetter(Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing))
-          .join(events.toDF().select("partition", "offset", "schemaId", "schemaVersion", "messageType"),
-            Seq("partition", "offset"))
-          .write.mode("append").parquet(dld)
-      }
+      if (bad > 0L) writeLetters()
+      bad
+    }
+    val flushDirect: () => Long = () => {
+      val bad = Decode.deadLetter(
+        Decode.decode(events, registry, defaultKey, Cdc.MessageType, framing)).count()
+      if (bad > 0L) writeLetters()
       bad
     }
 
@@ -104,7 +130,7 @@ object Replay {
       } ++ Seq(col("seq"), col("op")) ++
       (if (fieldIds.contains(Merge.PatchMaskCol) && avail(Merge.PatchMaskCol))
         Seq(col(Merge.PatchMaskCol)) else Nil)
-    DecodedBatch(ok.select(cols: _*), flushDeadLetters, acc)
+    DecodedBatch(ok.select(cols: _*), flushDeadLetters, flushDirect, acc)
   }
 
   final case class ReplayResult(epochs: Int, stats: Seq[Merge.MergeStats])
@@ -188,7 +214,9 @@ object Replay {
       // a streaming tail's batchIds on the same table
       val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", s"$namespace-$e", keys,
         deltaThreshold = deltaThreshold)
-      if (st.applied) batch.flushDeadLetters()
+      // fenced replay: the prior attempt may have crashed between its
+      // commit and its flush — recover the letters (idempotent write)
+      if (st.applied) batch.flushDeadLetters() else batch.flushDeadLettersDirect()
       (st, batch.routeStats)
     }
     // one ledger write per replay; fenced (already-committed) epochs did no
@@ -317,7 +345,10 @@ object Replay {
               try {
                 val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
                   s"$ns-$e", keys, deltaThreshold = deltaThreshold)
-                if (st.applied) flushLock.synchronized { batch.flushDeadLetters() }
+                flushLock.synchronized {
+                  if (st.applied) batch.flushDeadLetters()
+                  else batch.flushDeadLettersDirect() // crash-recovery, idempotent
+                }
                 done = Some(st)
               } catch {
                 case cme: java.util.ConcurrentModificationException =>
@@ -361,13 +392,22 @@ object Replay {
     * refuses columns the registry's message doesn't know. Shared by every
     * path that feeds externally-shaped rows into a merge (bootstrap,
     * replication, anti-entropy repair). */
-  private[graft] def pinnedDataCols(dataCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+  private[graft] def pinnedDataCols(dataCols: Seq[String],
+      /** (name → field id) from the SOURCE TABLE's schema — authoritative
+        * for columns the default registry's message doesn't know (the
+        * source consumed an evolved v3+ log, or a rename was applied).
+        * Without it, replication would throw on every evolved column. */
+      sourceFieldIds: Map[String, Int] = Map.empty): Seq[org.apache.spark.sql.Column] = {
     val latest = Cdc.registry.resolveKey(SchemaKey(Cdc.SchemaId, -1))
-    val fieldIds = Cdc.registry.descriptor(latest, Cdc.MessageType).get._2
+    val fromRegistry = Cdc.registry.descriptor(latest, Cdc.MessageType).get._2
       .fields.map(f => f.name -> f.number).toMap
+    // the source table's ids win: they ARE the field numbers the decode
+    // path stamped (same identity), and they track evolution/renames
+    val fieldIds = fromRegistry ++ sourceFieldIds
     dataCols.map { c =>
       require(fieldIds.contains(c),
-        s"column '$c' is not a field of the registry's ${Cdc.MessageType}")
+        s"column '$c' has no field id: not in the registry's " +
+          s"${Cdc.MessageType} and no source-schema ids supplied")
       col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
         .putLong(SparkSchema.FieldIdKey, fieldIds(c).toLong).build())
     }
@@ -379,11 +419,13 @@ object Replay {
       seqCol: String,
       tableDir: String,
       buckets: Int = 32,
-      epochId: String = "bootstrap-0"): Merge.MergeStats = {
+      epochId: String = "bootstrap-0",
+      sourceFieldIds: Map[String, Int] = Map.empty): Merge.MergeStats = {
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
     val dataCols = snapshot.columns.filterNot(_ == seqCol).toIndexedSeq
     val batch = snapshot.select(
-      pinnedDataCols(dataCols) ++ Seq(col(seqCol), lit("UPSERT").as("__op")): _*)
+      pinnedDataCols(dataCols, sourceFieldIds) ++
+        Seq(col(seqCol), lit("UPSERT").as("__op")): _*)
     Merge.mergeEpoch(spark, tableDir, batch, seqCol, "__op", epochId)
   }
 
@@ -414,7 +456,9 @@ object Replay {
       .filter(!coalesce(col(IceLite.DelCol.name), lit(false)))
       .select(dataCols.map(col) :+ col(IceLite.SeqCol.name).as("__snap_seq"): _*)
     (snap.version,
-      bootstrap(spark, rows, "__snap_seq", replicaDir, buckets, s"chunk-$chunkId"))
+      bootstrap(spark, rows, "__snap_seq", replicaDir, buckets, s"chunk-$chunkId",
+        sourceFieldIds = snap.currentSchema.filterNot(_.hidden)
+          .map(c => c.name -> c.id).toMap))
   }
 
   /** CHANGE-FEED REPLICATION — apply another table's incremental change
@@ -432,13 +476,16 @@ object Replay {
       feed: org.apache.spark.sql.DataFrame,
       tableDir: String,
       epochId: String,
-      buckets: Int = 32): Merge.MergeStats = {
+      buckets: Int = 32,
+      /** (name → field id) from the source table's schema — required for
+        * columns the default registry doesn't know (evolved/renamed). */
+      sourceFieldIds: Map[String, Int] = Map.empty): Merge.MergeStats = {
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
     val dataCols = feed.columns
       .filterNot(c => c == IceLite.SeqCol.name || c == IceLite.DelCol.name)
       .toIndexedSeq
     val batch = feed.select(
-      pinnedDataCols(dataCols) ++
+      pinnedDataCols(dataCols, sourceFieldIds) ++
         Seq(col(IceLite.SeqCol.name).as("__sq"),
           when(coalesce(col(IceLite.DelCol.name), lit(false)), "DELETE")
             .otherwise("UPSERT").as("__op")): _*)
@@ -453,18 +500,35 @@ object Replay {
     * number of versions shipped. */
   def replicate(spark: SparkSession, srcDir: String, replicaDir: String,
       buckets: Int = 32): Int = {
-    val head = IceLite.load(srcDir).version
+    val srcSnap = IceLite.load(srcDir)
+    val head = srcSnap.version
+    // evolved/renamed source columns carry their field ids in the SOURCE
+    // schema — without this the hardcoded registry refuses them forever
+    val srcIds = srcSnap.currentSchema.filterNot(_.hidden)
+      .map(c => c.name -> c.id).toMap
     val from =
-      if (!IceLite.exists(replicaDir)) 0
+      if (!IceLite.exists(replicaDir)) -1
       else {
+        // resume at the end of the CONTIGUOUS applied prefix: max(applied)
+        // would silently skip gap versions below an out-of-band
+        // applyChanges, and those versions' keys would diverge forever
         val led = IceLite.load(replicaDir).ledger
-        val wm = led.watermarks.getOrElse("repl", -1L)
-        val rc = led.recent.getOrElse("repl", Set.empty).foldLeft(-1L)(math.max)
-        math.max(0L, math.max(wm, rc)).toInt
+        var v = -1L
+        while (led.contains(s"repl-${v + 1}")) v += 1
+        v.toInt
       }
+    // a fresh replica ships "repl-0" (the empty create window) first, so
+    // the ledger watermark is 0-anchored and compacts to one number
+    // instead of accumulating every version in the `recent` set forever.
+    // Already-fenced versions are skipped BEFORE building their change
+    // window — their source snapshots may be expired by now.
+    val fenced = if (IceLite.exists(replicaDir))
+      Some(IceLite.load(replicaDir).ledger) else None
     (from + 1 to head).count { v =>
-      applyChanges(spark, IceLite.changes(spark, srcDir, v - 1, v),
-        replicaDir, s"repl-$v", buckets).applied
+      if (fenced.exists(_.contains(s"repl-$v"))) false
+      else applyChanges(spark,
+        IceLite.changes(spark, srcDir, math.max(0, v - 1), v),
+        replicaDir, s"repl-$v", buckets, sourceFieldIds = srcIds).applied
     }
   }
 
@@ -519,6 +583,11 @@ object Replay {
       .as[ChangeEvent]
     val batch = decodeForMerge(ev, registry, None, framing)
     val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag)
+    // FENCED retry (a reused epochTag) must leave the store UNTOUCHED: the
+    // merge applied nothing, so rewriting the store would destroy every
+    // now-decodable row unmerged — the one unrecoverable outcome. The
+    // caller gets applied=false and retries under a fresh tag.
+    if (!st.applied) return RetryStats(attempted, applied = false, 0, attempted)
     // still-failing rows keep their (kept-original) payload + schema refs
     val still = Decode.deadLetter(
         Decode.decode(ev, registry, SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, framing))

@@ -139,6 +139,12 @@ object Tail {
             Expectations.writeDeadLetters(v, batch.toDF(), tableDir))
           Lineage.append(batch.sparkSession, tableDir, Lineage.entry(st, dec.routeStats))
           onBatchCommitted.foreach(_(batch.sparkSession, batchId))
+        } else {
+          // replayed batch (crash between commit and flush): recover any
+          // unflushed dead letters — both writes dedup by event identity
+          dec.flushDeadLettersDirect()
+          viol.foreach(v =>
+            Expectations.writeDeadLetters(v, batch.toDF(), tableDir))
         }
         ()
       }

@@ -72,6 +72,19 @@ object Txn {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The participant list a prior (possibly crashed) attempt RECORDED —
+    * routing is positional (`partition % tables.length`), so recovery must
+    * redo with exactly this list, never the caller's. */
+  private def readIntentTables(txnDir: String, e: Long): Option[Seq[String]] = {
+    val p = intentPath(txnDir, e)
+    if (!Files.exists(p)) return None
+    val json = new String(Files.readAllBytes(p), "UTF-8")
+    val arr = """"tables":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(s"corrupt intent $p: $json"))
+      .group(1)
+    Some(""""([^"]*)"""".r.findAllMatchIn(arr).map(_.group(1)).toSeq)
+  }
+
   /** Apply one epoch of the log to every participant atomically.
     * `crashPoint` is a test seam, called with "intent-<e>" after the
     * intent lands and "committed-<e>-<i>" after each table's commit. */
@@ -82,28 +95,38 @@ object Txn {
     require(tables.nonEmpty, "need at least one participant table")
     if (committedEpochs(txnDir).contains(epoch))
       return TxnStats(epoch, Nil) // fully fenced
-    tables.foreach(t => if (!IceLite.exists(t)) Replay.createTable(t, buckets))
-
-    writeIntent(txnDir, epoch, tables)
+    // a surviving intent GOVERNS: routing is positional, so a recovery
+    // called with a different table order/count would mis-route slices
+    // onto already-fenced participants (events applied to no table at
+    // all) — redo must use exactly the recorded participants
+    val routed: Seq[String] = readIntentTables(txnDir, epoch) match {
+      case Some(recorded) => recorded
+      case None => writeIntent(txnDir, epoch, tables); tables
+    }
+    routed.foreach(t => if (!IceLite.exists(t)) Replay.createTable(t, buckets))
     crashPoint(s"intent-$epoch")
 
     val log = spark.read.parquet(logDir)
     val registry = spark.sparkContext.broadcast(Cdc.registry)
-    val n = tables.length
-    val stats = tables.zipWithIndex.map { case (dir, i) =>
+    val n = routed.length
+    val stats = routed.zipWithIndex.map { case (dir, i) =>
       val ev = log
         .filter(col("epoch") === epoch && pmod(col("partition"), lit(n)) === i)
         .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
         .as[graft.decode.ChangeEvent]
-      val batch = Replay.decodeForMerge(ev, registry, None)
+      // dead letters go to the slice's own table store, like every other
+      // replay path; on a fenced redo the direct flush recovers letters a
+      // crashed prior attempt may not have written (idempotent by identity)
+      val batch = Replay.decodeForMerge(ev, registry, Some(s"$dir/_deadletter"))
       val st = Merge.mergeEpoch(spark, dir, batch.updates, "seq", "op", s"txn-$epoch")
+      if (st.applied) batch.flushDeadLetters() else batch.flushDeadLettersDirect()
       crashPoint(s"committed-$epoch-$i")
       st
     }
     // the done marker pins each participant's snapshot VERSION at commit
     // time — [[consistentRead]]'s cross-table cut. Staged + renamed so a
     // reader never sees a half-written marker.
-    val versions = tables.map(t => t -> IceLite.load(t).version)
+    val versions = routed.map(t => t -> IceLite.load(t).version)
     val doneJson = s"""{"epoch":$epoch,"versions":{${versions
       .map { case (t, v) => s""""$t":$v""" }.mkString(",")}}}"""
     val stage = Paths.get(txnDir, s".done-$epoch.tmp")

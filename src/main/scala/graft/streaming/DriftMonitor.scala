@@ -65,10 +65,13 @@ object DriftMonitor {
             val nRef = ref.select(max("n_ref")).head().getLong(0)
             val joined = ref.select(col("bin"), col("c").as("c_old"))
               .join(h.select(col("bin"), col("c").as("c_new")), Seq("bin"))
+            // per-batch dir + overwrite = replay-idempotent: a foreachBatch
+            // replayed after a crash-before-checkpoint rewrites the SAME
+            // rows instead of appending a duplicate wave
             Drift.chiSquareFromHists(joined, nRef, n, bins)
               .withColumn("wave", lit(batchId))
               .select("wave", "bin", "c_old", "c_new", "drift_stat")
-              .write.mode("append").parquet(outDir)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           }
           ()
         }
@@ -77,7 +80,7 @@ object DriftMonitor {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
       .withColumnRenamed("c_old", "c_ref")
   }
 }

@@ -232,4 +232,25 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(st.violations == 1)
     assert(graft.lake.IceLite.read(spark, graft.lake.IceLite.load(s"$root/t2")).count() == 0)
   }
+
+  test("v5 PATCH events are refused by rule enforcement, never silently bypassed") {
+    import spark.implicits._
+    // a rule can only be judged on the POST-RESOLUTION row; letting a PATCH
+    // slide through unjudged would materialize violating values with zero
+    // reported violations — fail closed instead
+    val decoded = Seq(
+      ("r1", "a", 1L, "UPSERT", Seq(2), 0, 0L),
+      ("r1", "b", 2L, "PATCH", Seq(4), 0, 1L))
+      .toDF("repo", "path", "seq", "op", graft.lake.Merge.PatchMaskCol,
+        "partition", "offset")
+    val err = intercept[IllegalArgumentException] {
+      Expectations.violationsOf(decoded,
+        Seq(Expectations.Rule("r", "repo IS NOT NULL")))
+    }
+    assert(err.getMessage.contains("PATCH"), err.getMessage)
+    // a mask column with NO patch rows (v5 log, whole-row ops) passes
+    val wholeRow = decoded.filter(col("op") =!= "PATCH")
+    assert(Expectations.violationsOf(wholeRow,
+      Seq(Expectations.Rule("r", "repo IS NOT NULL"))).count() == 0)
+  }
 }

@@ -62,6 +62,17 @@ class LogWriterSpec extends AnyFunSuite {
     val table = log.stripSuffix("/log") + "/table"
     Replay.replayLog(spark, log, table, buckets = 4)
     assert(graft.lake.IceLite.read(spark, graft.lake.IceLite.load(table)).count() > 0)
+
+    // CRASH RE-SEND: the producer crashed after publishing batch 1 but
+    // before recording the ack, re-registered (epoch 3) and re-sends — the
+    // duplicate check must be EPOCH-BLIND: the segment name carries e2 but
+    // the batch is the same (producer, batchId)
+    val p3 = LogWriter.register(log, "ingest")
+    assert(p3.epoch == 3)
+    val resend = LogWriter.append(p3, events(100, 200), logEpoch = 1, batchId = 1)
+    assert(!resend.appended && resend.segment == r2.segment,
+      "a post-crash re-send under a new epoch must be suppressed")
+    assert(spark.read.parquet(log).count() == 250L, "no duplicate segment")
   }
 
   test("registration sweeps orphaned stage dirs past the retention window") {

@@ -87,4 +87,44 @@ class TxnSpec extends AnyFunSuite {
     val cut2 = Txn.consistentRead(txnDir, tables)
     assert(cut2.forall(_._2.hasEpoch("txn-1")))
   }
+
+  test("recovery routes by the RECORDED intent, not the caller's table order") {
+    val root = Files.createTempDirectory("graft-txn-intent").toString
+    val logDir = s"$root/log"
+    val txnDir = s"$root/txn"
+    val tables = Seq(s"$root/a", s"$root/b")
+    LogGen.writeLog(spark, LogGen.Params(nEvents = 800, nRepos = 10,
+      pathsPerRepo = 6, v1Fraction = 0.6), logDir, epochs = 1)
+    // crash after table a committed its slice of epoch 0
+    intercept[RuntimeException] {
+      Txn.applyLog(spark, logDir, txnDir, tables, buckets = 4,
+        crashPoint = p => if (p == "committed-0-0") throw new RuntimeException("crash"))
+    }
+    // operator recovers with the tables REVERSED — routing is positional,
+    // so honoring the caller's order would merge partition%2==0 into b and
+    // fence partition%2==1 against a's existing txn-0: events lost to both
+    val rec = Txn.recover(spark, logDir, txnDir, tables.reverse, buckets = 4)
+    assert(rec.map(_.epoch) == Vector(0L))
+    assert(!rec.head.perTable.head.applied, "a's slice was already committed (fenced)")
+    assert(rec.head.perTable(1).applied, "b's slice must apply")
+    // both tables hold exactly their parity slice of the fold
+    import spark.implicits._
+    val registry = spark.sparkContext.broadcast(Cdc.registry)
+    val ev = spark.read.parquet(logDir)
+      .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+      .as[graft.decode.ChangeEvent]
+    val dec = Decode.success(
+      Decode.decode(ev, registry, SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType))
+    tables.zipWithIndex.foreach { case (dir, i) =>
+      val expected = dec.filter(pmod(col("partition"), lit(2)) === i)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("repo", "path").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "DELETE")
+        .select("repo", "path", "commit").as[(String, String, String)]
+        .collect().toSet
+      assert(tableState(dir) == expected,
+        s"table $i must hold its INTENT-recorded slice despite the reversed recover call")
+    }
+  }
 }
