@@ -291,7 +291,17 @@ final class CatalystRowDecoder(fs: FileSet, val desc: MessageDesc,
     case TYPE_STRING =>
       if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
       val (p, len) = r.readSlice()
-      UTF8String.fromBytes(r.buf, p, len) // zero-copy slice of the payload
+      // Zero-copy slice, raw bytes kept VERBATIM even if not valid UTF-8 —
+      // protobuf-java parity (ByteString stores the wire bytes; lazy
+      // replacement happens only on String access), and what keeps a
+      // decode→re-encode round trip byte-identical. KNOWN DIVERGENCE: the
+      // Row-based twin (RowDecoder) goes through new String(..., UTF_8),
+      // which U+FFFD-substitutes malformed sequences — out-of-contract
+      // input (proto strings MUST be UTF-8) can therefore hash/compare
+      // differently between the two paths. Eager validation here was
+      // measured at 15-30% off the bulk decode throughput — not worth
+      // paying on every valid string to normalize a protocol violation.
+      UTF8String.fromBytes(r.buf, p, len)
     case TYPE_BYTES =>
       if (wt != Wire.WtLen) throw new ProtoParseException(s"field ${f.name}: expected LEN, got $wt")
       r.readBytes()

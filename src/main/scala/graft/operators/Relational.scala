@@ -352,8 +352,17 @@ final class TopKByValue(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
       TopKByValue.In, TopKByValue.Buf, TopKByValue.Buf] {
   import TopKByValue._
-  private def lt(a: In, b: In): Boolean =
-    a.value > b.value || (a.value == b.value && a.eventId < b.eventId)
+  // TOTAL order, NaN ranked greatest (first under DESC) — Java's `>` is
+  // false on every NaN comparison, which would silently DROP NaN rows from
+  // a full buffer and make insertion order-dependent, while both Spark's
+  // window ORDER BY and the DuckDB oracle rank NaN above all values.
+  // -0.0 normalizes to 0.0 so zero ties still break by eventId (Double
+  // .compare alone would order 0.0 above -0.0, unlike SQL equality).
+  private def lt(a: In, b: In): Boolean = {
+    def norm(v: Double) = if (v == 0.0) 0.0 else v
+    val c = java.lang.Double.compare(norm(a.value), norm(b.value))
+    c > 0 || (c == 0 && a.eventId < b.eventId)
+  }
   def zero: Buf = Buf(Vector.empty)
   def reduce(b: Buf, a: In): Buf =
     if (b.items.size == k && !lt(a, b.items.last)) b

@@ -233,11 +233,15 @@ object SimilarityOps {
         // measured in Bench's ann_recall block / the AnnEval sweep
         val cand = bandedCandidates(s, big.select("label", "vec_id", "embedding"),
           bands, bits, minCollide)
+        // NOT isnan: a zero-norm embedding gives cos = 0/0 = NaN, which
+        // Spark's comparison semantics treat as LARGER than any number —
+        // the SQL tier would emit the pair while the typed small tier's
+        // Java `NaN >= tau` drops it, making results depend on block size
         cand
           .join(big.select(col("label"), col("vec_id").as("a"), col("embedding").as("va")), Seq("label", "a"))
           .join(big.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb")), Seq("label", "b"))
           .select(col("a"), col("b"), expr(sparkCos).as("cos"))
-          .filter(col("cos") >= 0.35)
+          .filter(col("cos") >= 0.35 && !isnan(col("cos")))
       } else {
         // exact hot tier: label-keyed SMJ self-join; the buffered side
         // spills (no unbounded group materialization), O(n²) comparisons
@@ -245,7 +249,7 @@ object SimilarityOps {
           .join(big.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb")), Seq("label"))
           .filter(col("a") < col("b"))
           .select(col("a"), col("b"), expr(sparkCos).as("cos"))
-          .filter(col("cos") >= 0.35)
+          .filter(col("cos") >= 0.35 && !isnan(col("cos")))
       }
     small.unionByName(bigPairs).orderBy("a", "b")
   }
@@ -273,6 +277,9 @@ object SimilarityOps {
     val typed = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
     val qsigs = typed.filter(_._1 < numQueries).collect()
       .map { case (id, emb) => (id, projSig(signs, emb)) }
+    require(qsigs.nonEmpty, // same guard as the sq8/pq siblings — an empty
+      // query set would hit reduce on an empty iterator below
+      s"no corpus vectors with vec_id < $numQueries — nothing to query")
     val ord = Ordering.Tuple2[Int, Long]
     val short = qsigs.grouped(chunkSize).map { qchunk =>
       val bq = s.sparkContext.broadcast(qchunk)
@@ -345,7 +352,11 @@ object SimilarityOps {
         val cv = cents(c)._2
         var dot = 0.0; var j = 0
         while (j < cv.length) { dot += emb(j).toDouble * cv(j); j += 1 }
-        cos(c) = dot / (nv * cents(c)._3)
+        // zero-norm guard: define cos = 0 when either norm is 0 — 0/0 = NaN
+        // would never win the `>` comparison below, leaving best = -1 and
+        // crashing the whole assignment pass on ONE all-zero vector
+        val den = nv * cents(c)._3
+        cos(c) = if (den == 0.0) 0.0 else dot / den
         c += 1
       }
       val taken = new Array[Boolean](cents.length)

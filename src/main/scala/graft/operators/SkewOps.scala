@@ -18,8 +18,25 @@ import Tables.ld
   */
 object SkewOps {
 
-  def withSalt(df: DataFrame, salt: Int, cols: Seq[String]): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(cols.map(col) :+ monotonically_increasing_id(): _*), lit(salt.toLong)).cast("int"))
+  /** DETERMINISTIC salt from the whole row's content. Not
+    * monotonically_increasing_id(): that is nondeterministic across task
+    * retries (it depends on intra-partition order), so after a fetch
+    * failure a rerun map task would re-salt the same rows differently and
+    * the phase-1 partial agg could double-count or drop rows — the classic
+    * nondeterministic-repartition hazard (cf. SPARK-23207). Content-derived
+    * hashing re-produces identical salts on any rerun; fully-identical
+    * duplicate rows share a salt (they carry no distinguishing bytes),
+    * which only matters for a hot key made of byte-identical rows. */
+  def withSalt(df: DataFrame, salt: Int, cols: Seq[String]): DataFrame = {
+    // map columns are excluded: Spark's hash functions refuse MapType
+    // (unordered — no canonical hash), and any other column set already
+    // distinguishes rows for salting purposes
+    val hashable = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    df.withColumn("__salt",
+      pmod(xxhash64(hashable: _*), lit(salt.toLong)).cast("int"))
+  }
 
   /** count + sum-style metrics per key via salted two-phase aggregation. */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salt: Int,

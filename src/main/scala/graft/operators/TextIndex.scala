@@ -231,11 +231,6 @@ object TextIndex {
       require(ts.nonEmpty, "rankedSearch needs at least one term")
       val (nDocs, nTokens) = corpusStats
       require(nDocs > 0, "rankedSearch on an empty index")
-      val tfCap = 1L << 20
-      require(BigInt(2 * nDocs + 1) * 44 * tfCap * nTokens < BigInt(Long.MaxValue) &&
-        BigInt(2 * nDocs + 1) * (20 * tfCap * BigInt(nTokens) + 6 * nTokens +
-          18 * tfCap * nDocs) < BigInt(Long.MaxValue),
-        s"corpus too large for 64-bit exact BM25 (nDocs=$nDocs nTokens=$nTokens)")
       val paths = prunedPaths(ts)
       if (paths.isEmpty)
         return spark.range(0).select(col("id").as("doc_id"),
@@ -248,6 +243,21 @@ object TextIndex {
       val lens = spark.read.option("basePath", doclensDir)
         .parquet(BatchStore.liveBatchDirs(doclensDir).map(_.toString): _*)
         .select("doc_id", "len")
+      // overflow guard against the ACTUAL maxima in play — not a
+      // hypothetical cap: Spark's non-ANSI Long arithmetic wraps silently,
+      // so a doc repeating a term (or a doc length) beyond the 64-bit
+      // product bound would produce garbage scores with no error. Two
+      // narrow aggs over the already-pruned inputs, refusing loudly.
+      val mm = posts.agg(max(col("tf")).cast("long"))
+        .crossJoin(lens.agg(max(col("len")).cast("long"))).head()
+      if (!mm.isNullAt(0)) {
+        val (maxTf, maxLen) = (mm.getLong(0), if (mm.isNullAt(1)) 0L else mm.getLong(1))
+        require(BigInt(2 * nDocs + 1) * 44 * maxTf * nTokens < BigInt(Long.MaxValue) &&
+          BigInt(2 * nDocs + 1) * (20 * maxTf * BigInt(nTokens) + 6 * nTokens +
+            18 * BigInt(maxLen) * nDocs) < BigInt(Long.MaxValue),
+          s"corpus too large for 64-bit exact BM25 " +
+            s"(nDocs=$nDocs nTokens=$nTokens maxTf=$maxTf maxLen=$maxLen)")
+      }
       val num = (lit(2L * nDocs + 1) - lit(2L) * col("df")) *
         lit(44L) * col("tf") * lit(nTokens)
       val den = (lit(2L) * col("df") + lit(1L)) *

@@ -366,7 +366,17 @@ object ProtoJson {
   }
 
   def rfc3339ToTimestamp(desc: MessageDesc, s: String): DynMsg = {
-    val inst = java.time.Instant.parse(s)
+    // proto3 JSON allows UTC offsets ("2024-03-01T12:00:00+08:00"), which
+    // Instant.parse rejects (it only takes 'Z') — parse as an offset
+    // datetime and normalize to UTC, like JsonFormat. Failures surface as
+    // the TYPED encoding exception, never a raw DateTimeParseException.
+    val inst =
+      try java.time.OffsetDateTime.parse(s,
+        java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME).toInstant
+      catch { case e: java.time.format.DateTimeParseException =>
+        throw new MessageEncodingException(
+          s"invalid Timestamp: $s (${e.getMessage})")
+      }
     var fields = TreeMap.empty[Int, PValue]
     if (inst.getEpochSecond != 0) fields += (1 -> PLong(inst.getEpochSecond))
     if (inst.getNano != 0) fields += (2 -> PLong(inst.getNano.toLong))
@@ -429,6 +439,10 @@ object ProtoJson {
       case _ => ()
     }
     var fields = TreeMap.empty[Int, PValue]
+    // one member per oneof (JsonFormat parity: "Field ... is already set"):
+    // accepting two members would store BOTH field numbers, encode both,
+    // and silently lose one to last-member-wins on the next decode
+    val oneofSeen = scala.collection.mutable.Map.empty[Int, String]
     val it = node.properties().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -436,10 +450,17 @@ object ProtoJson {
         throw new MessageEncodingException(
           s"Cannot find field: ${e.getKey} in message ${desc.fullName}"))
       val v = e.getValue
+      val isValueNull = v.isNull && !f.repeated && f.tpe == FType.TYPE_MESSAGE &&
+        fs.findMessage(f.typeName).exists(_.fullName == "google.protobuf.Value")
+      if (!v.isNull || isValueNull) f.oneofIndex.foreach { oi =>
+        oneofSeen.get(oi).foreach(prev => throw new MessageEncodingException(
+          s"Message ${desc.fullName}: oneof is already set by field $prev; " +
+            s"cannot also set ${f.name}"))
+        oneofSeen(oi) = f.name
+      }
       // JSON null clears a field — EXCEPT for google.protobuf.Value, where
       // null is a legal value parsed to NULL_VALUE (JsonFormat parity)
-      if (v.isNull && !f.repeated && f.tpe == FType.TYPE_MESSAGE &&
-          fs.findMessage(f.typeName).exists(_.fullName == "google.protobuf.Value")) {
+      if (isValueNull) {
         fields += (f.number -> PMsg(parseGoogleValue(fs, fs.messageFor(f), v)))
       } else if (!v.isNull) {
         if (isMapField(fs, f)) {

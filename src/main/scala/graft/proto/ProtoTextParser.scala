@@ -284,23 +284,44 @@ object ProtoTextParser {
       val fname = next()
       expect("=")
       val num = next().toInt
-      skipFieldOptionsAndSemi()
+      val dflt = skipFieldOptionsAndSemi()
       // an explicit `optional` keyword in a proto3 file = explicit presence;
       // applySyntax clears this flag (and sets proto2 instead) for proto2 files
       scalarTypes.get(tpeTok) match {
         case Some(t) =>
           RawField(FieldDesc(fname, num, t, label, "", defaultJsonName(fname),
-            proto3Optional = explicitOpt), "")
+            proto3Optional = explicitOpt, defaultValue = dflt), "")
         case None =>
           // message or enum — resolved in a second pass
           RawField(FieldDesc(fname, num, FType.TYPE_MESSAGE, label, "", defaultJsonName(fname),
-            proto3Optional = explicitOpt), tpeTok)
+            proto3Optional = explicitOpt, defaultValue = dflt), tpeTok)
       }
     }
 
-    private def skipFieldOptionsAndSemi(): Unit = {
-      if (peek == "[") { while (peek != "]" && peek != "") next(); next() }
+    /** Consume `[opt = v, ...]` (if present) and the trailing `;`.
+      * Returns the proto2 `default = ...` value in DESCRIPTOR form (string
+      * literals unquoted, numerics/bools/enum names verbatim — the same
+      * text DescParser reads from default_value), so a schema compiled
+      * from .proto text decodes absent fields identically to its compiled
+      * .desc twin. Every other option is skipped as before. */
+    private def skipFieldOptionsAndSemi(): Option[String] = {
+      var dflt: Option[String] = None
+      if (peek == "[") {
+        next()
+        while (peek != "]" && peek != "") {
+          val name = next()
+          if (peek == "=") {
+            next()
+            val v = next()
+            if (name == "default")
+              dflt = Some(if (v.startsWith("\"")) v.drop(1) else v)
+          }
+          if (peek == ",") next()
+        }
+        if (peek == "]") next()
+      }
       if (peek == ";") next()
+      dflt
     }
 
     private def parseEnum(): (String, Vector[(String, Int)]) = {

@@ -107,4 +107,16 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(rt.zip(a).forall { case ((_, vr, _), (_, va, _)) => vr.sameElements(va) },
       "dumped centroids differ from trained ones")
   }
+
+  test("a zero-norm vector assigns deterministically instead of crashing the pass") {
+    // cos(0-vector, c) = 0/0 = NaN — before the guard, NaN never won the
+    // `>` selection, best stayed -1, and taken(-1) threw AIOOBE, killing
+    // the whole assignment job on ONE bad embedding
+    val cents = Array((0L, Array(1.0, 0.0), 1.0), (1L, Array(0.0, 1.0), 1.0))
+    val cells = SimilarityOps.IvfCells.nearestCells(cents, Seq(0f, 0f), 2)
+    assert(cells.size == 2 && cells.toSet == Set(0L, 1L),
+      s"zero vector must assign to SOME cells deterministically: $cells")
+    val again = SimilarityOps.IvfCells.nearestCells(cents, Seq(0f, 0f), 2)
+    assert(cells == again, "assignment of a zero vector must be deterministic")
+  }
 }

@@ -117,4 +117,66 @@ class CodecHardeningSpec extends AnyFunSuite {
     assert(ProtoJson.fromJson(fs, m, """{"a": 100.000}""").fields(1) == PLong(100L))
     assert(ProtoJson.fromJson(fs, m, """{"tail": "1e3"}""").fields(4) == PLong(1000L))
   }
+
+  test(".proto text [default = ...] options are parsed, not discarded (text ≡ desc)") {
+    // the silent-skip bug: the same schema loaded from .proto text vs a
+    // compiled .desc decoded absent fields differently
+    val fs2 = ProtoTextParser.parse(
+      """syntax = "proto2";
+        |package hard4;
+        |message D {
+        |  optional int32 retries = 1 [default = 3];
+        |  optional string mode = 2 [default = "fast", deprecated = true];
+        |  optional sint32 delta = 3 [default = -7];
+        |  optional bool on = 4 [default = true];
+        |}
+        |""".stripMargin, "d.proto")
+    val md = fs2.findMessage("hard4.D").get
+    assert(md.fields.find(_.name == "retries").get.defaultValue.contains("3"))
+    assert(md.fields.find(_.name == "mode").get.defaultValue.contains("fast"))
+    assert(md.fields.find(_.name == "delta").get.defaultValue.contains("-7"))
+    val row = new graft.decode.RowDecoder(fs2, md).decode(Array.emptyByteArray)
+    assert(row.getAs[Int](0) == 3 && row.getAs[String](1) == "fast" &&
+      row.getAs[Int](2) == -7 && row.getAs[Boolean](3))
+    val irow = new graft.decode.CatalystRowDecoder(fs2, md).decode(Array.emptyByteArray)
+    assert(irow.getInt(0) == 3 && irow.getUTF8String(1).toString == "fast" &&
+      irow.getInt(2) == -7 && irow.getBoolean(3))
+  }
+
+  test("JSON setting two members of one oneof is refused (JsonFormat parity)") {
+    val fsO = ProtoTextParser.parse(
+      """syntax = "proto3";
+        |package hard5;
+        |message O {
+        |  oneof pick { int32 a = 1; int32 b = 2; }
+        |  int32 c = 3;
+        |}
+        |""".stripMargin, "o.proto")
+    val mo = fsO.findMessage("hard5.O").get
+    val ex = intercept[MessageEncodingException] {
+      ProtoJson.fromJson(fsO, mo, """{"a": 1, "b": 2}""")
+    }
+    assert(ex.getMessage.contains("oneof"), ex.getMessage)
+    // one member + a non-oneof field is fine; re-decode keeps the member
+    val ok = ProtoJson.fromJson(fsO, mo, """{"b": 2, "c": 9}""")
+    assert(ok.fields(2) == PLong(2L) && ok.fields(3) == PLong(9L) &&
+      !ok.fields.contains(1))
+  }
+
+  test("proto3 JSON Timestamp accepts UTC offsets and fails typed") {
+    val wkt = ProtoTextParser.parse(
+      """syntax = "proto3";
+        |package google.protobuf;
+        |message Timestamp { int64 seconds = 1; int32 nanos = 2; }
+        |""".stripMargin, "ts.proto")
+    val ts = wkt.findMessage("google.protobuf.Timestamp").get
+    val m1 = ProtoJson.rfc3339ToTimestamp(ts, "2024-03-01T12:00:00+08:00")
+    assert(m1.fields(1) == PLong(
+      java.time.Instant.parse("2024-03-01T04:00:00Z").getEpochSecond))
+    val m2 = ProtoJson.rfc3339ToTimestamp(ts, "2024-03-01T04:00:00.123Z")
+    assert(m2.fields(2) == PLong(123000000L))
+    intercept[MessageEncodingException] {
+      ProtoJson.rfc3339ToTimestamp(ts, "not-a-time")
+    }
+  }
 }
