@@ -16,7 +16,7 @@ object SparkEntry {
       JoinOps.queries ++ SketchOps.queries ++ PiiOps.queries ++
       GraphOps.queries ++ TextIndex.queries ++ TimeSeriesOps.queries ++
       AnalyticsOps.queries ++ Sources.queries ++ SemDedup.queries ++
-      CdcQueries.queries
+      PcaOps.queries ++ CdcQueries.queries
 
   /** Flagship: the CDC pipeline end-to-end at tiny scale — generate a seeded
     * protobuf change log, replay it through decode → MERGE into an IceLite

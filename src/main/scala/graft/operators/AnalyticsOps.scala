@@ -269,5 +269,85 @@ object AnalyticsOps {
           (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr
         FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM p) t
         ORDER BY l_returnflag, pair"""))
+  ,
+
+    OpQuery("q199_pareto_front",
+      // PARETO FRONT (skyline, Börzsönyi et al. ICDE 2001): the orders
+      // that are not strictly dominated on (maximize o_totalprice,
+      // minimize o_orderdate) — "no other order is at least as valuable
+      // AND at least as early, and better on one axis". Two-phase
+      // distributed skyline: each partition computes its LOCAL front with
+      // an O(n·s) dominance scan (s = running front size — tiny for
+      // anti-correlated-free data, O(log n) expected per dimension pair),
+      // because local non-membership is conclusive: a point dominated
+      // within its partition is dominated globally. The union of local
+      // fronts (≤ partitions × s rows, never O(table)) then takes one
+      // final scan. The output set is path- and layout-independent — the
+      // skyline is a pure function of the data — so the oracle is the
+      // textbook NOT EXISTS dominance query.
+      (s, d) => {
+        val o = ld(s, d, "orders")
+          .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+        paretoFront(o, idCol = "o_orderkey",
+          maxCols = Seq(col("o_totalprice")),
+          minCols = Seq(unix_micros(col("o_orderdate").cast("timestamp")).cast("double")))
+          .join(o.select("o_orderkey", "o_totalprice", "o_orderdate"), Seq("o_orderkey"))
+          .select("o_orderkey", "o_totalprice", "o_orderdate")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders b
+            WHERE b.o_totalprice IS NOT NULL AND b.o_orderdate IS NOT NULL
+              AND b.o_totalprice >= o.o_totalprice AND b.o_orderdate <= o.o_orderdate
+              AND (b.o_totalprice > o.o_totalprice OR b.o_orderdate < o.o_orderdate))
+        ORDER BY o_orderkey"""))
   )
+
+  /** Distributed PARETO FRONT over d criteria, all normalized to
+    * "maximize" (minCols are negated). Phase 1: per-partition dominance
+    * scan keeps only the partition's LOCAL skyline — sound pruning,
+    * because dominance is transitive: a point dominated inside its
+    * partition is dominated globally (by its dominator, or by whatever
+    * dominated that). Phase 2: the union of local fronts (bounded by
+    * partitions × local-front size, never O(table)) collapses to one
+    * partition for the identical scan. Strict dominance: ≥ on every axis
+    * AND > on at least one — exact criterion ties all survive together.
+    * The skyline is a pure function of the data, so the result is
+    * partitioning- and order-independent. Returns one `idCol` row per
+    * front member. */
+  def paretoFront(df: org.apache.spark.sql.DataFrame, idCol: String,
+      maxCols: Seq[org.apache.spark.sql.Column],
+      minCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val crit: Seq[org.apache.spark.sql.Column] =
+      maxCols.map(_.cast("double")) ++ minCols.map(c => -c.cast("double"))
+    def dominates(a: Seq[Double], b: Seq[Double]): Boolean = {
+      var ge = true; var gt = false; var i = 0
+      while (i < a.length && ge) {
+        if (a(i) < b(i)) ge = false else if (a(i) > b(i)) gt = true
+        i += 1
+      }
+      ge && gt
+    }
+    def scan(it: Iterator[(Long, Seq[Double])]): Iterator[(Long, Seq[Double])] = {
+      val front = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+      it.foreach { p =>
+        if (!front.exists(q => dominates(q._2, p._2))) {
+          var i = 0
+          while (i < front.length) {
+            if (dominates(p._2, front(i)._2)) front.remove(i) else i += 1
+          }
+          front += p
+        }
+      }
+      front.iterator
+    }
+    val typed = df.select(col(idCol).cast("long"), array(crit: _*))
+      .as[(Long, Seq[Double])]
+    typed.mapPartitions(scan)         // phase 1: local fronts
+      .repartition(1).mapPartitions(scan) // phase 2: final scan over the union
+      .map(_._1).toDF(idCol)
+  }
 }

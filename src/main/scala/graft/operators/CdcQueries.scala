@@ -6152,5 +6152,71 @@ object CdcQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM d) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+  ,
+
+    OpQuery("q202_stream_heavy_hitters",
+      // CONTINUOUS HEAVY HITTERS under the hard gate — "which repos are
+      // hot in the change feed", answered EXACTLY from bounded streaming
+      // state: a per-shard Misra-Gries sketch (4 shards × k=24 counters,
+      // O(1) state at any key cardinality) carried across micro-batches
+      // in RocksDB via transformWithState, fed the decoded Zipf change
+      // stream in 3 waves with a full query stop/restart at every wave
+      // boundary (the q152 recovery harness). The final tracked set
+      // provably supersets every repo with freq > N/(k+1) — a key lives
+      // wholly in one shard, and incremental per-batch MG over a shard's
+      // substream IS one MG run over it — so the exact recount of just
+      // the candidates, filtered at the global threshold, equals the
+      // plain GROUP BY ... HAVING the oracle runs, regardless of arrival
+      // order or wave cuts. Hard asserts: state stayed within the
+      // 4 × 24 bound, and eviction actually happened (candidates <
+      // distinct repos — the sketch really was lossy, not a trivial
+      // everything-fits run).
+      (s, _) => {
+        import s.implicits._
+        import graft.streaming.HeavyHittersStream
+        val clock = new PhaseClock("q202")
+        val root = workDir("q202")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 4000, nRepos = 200, pathsPerRepo = 10,
+          v1Fraction = 0.7)
+        val ev = clock("gen") { LogGen.events(s, p).localCheckpoint() }
+        val registry = s.sparkContext.broadcast(Cdc.registry)
+        clock("decode_dump") {
+          Replay.decodeForMerge(
+            ev.select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+              .as[graft.decode.ChangeEvent], registry, None)
+            .updates.write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val dec = s.read.parquet(s"$root/decoded")
+        val k = 24; val nShards = 4; val chunks = 3
+        graft.functions.Hash60.register(s)
+        val keyed = dec.select(col("repo").as("key"), col("seq"))
+          .withColumn("shard",
+            expr(s"CAST(hash60(concat('hh:', key)) % $nShards AS INT)"))
+          .withColumn("band",
+            least(lit(chunks - 1), (col("seq") * chunks / p.nEvents).cast("int")))
+        val emissions = clock("stream") {
+          HeavyHittersStream.sketchToCompletion(s, keyed, s"$root/hh", chunks, k)
+            .localCheckpoint()
+        }
+        val candKeys = HeavyHittersStream.finalSketch(emissions)
+          .select(col("key").as("repo")).distinct().localCheckpoint()
+        val nCand = candKeys.count()
+        val nDistinct = dec.select("repo").distinct().count()
+        require(nCand <= nShards.toLong * k,
+          s"sketch state bound violated: $nCand candidates > ${nShards * k}")
+        require(nCand < nDistinct,
+          s"gate is vacuous: no eviction ($nCand candidates of $nDistinct keys)")
+        val n = dec.count()
+        clock("recount") {
+          dec.groupBy("repo").agg(count(lit(1)).as("cnt"))
+            .join(candKeys, Seq("repo"), "left_semi")
+            .filter(col("cnt") * (k + 1) > n)
+            .orderBy("repo")
+        }
+      },
+      Some(s"""WITH d AS (SELECT repo FROM parquet_scan('${workDir("q202")}/decoded/*.parquet'))
+        SELECT repo, cnt FROM (SELECT repo, count(*) AS cnt FROM d GROUP BY repo) g
+        WHERE cnt * 25 > (SELECT count(*) FROM d) ORDER BY repo"""))
   )
 }

@@ -214,6 +214,58 @@ object SamplingOps {
         SELECT source, tokens, w,
           quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
         FROM r ORDER BY source"""))
+  ,
+
+    OpQuery("q200_weighted_sample",
+      // WEIGHTED SAMPLE WITHOUT REPLACEMENT per group — PRIORITY SAMPLING
+      // (Duffield, Lund & Thorup, "Priority sampling for estimation of
+      // arbitrary subset sums", JACM 2007): each row draws priority
+      // q_i = w_i / u_i from a deterministic uniform u_i; the k largest
+      // priorities per group are the sample — heavier rows (longer
+      // documents) proportionally likelier, yet fully reproducible.
+      // u_i = (hash60 + 1) / 2^60 cancels to q_i ∝ w_i / (h_i + 1), a
+      // SINGLE ieee division of two exact integers — identical on any
+      // engine, no transcendental-function or fold-order hazard (the
+      // exponential-rank u^(1/w) formulation would need pow(), whose
+      // cross-engine bit-equality is not contractual). Like q182 the
+      // rank filter compiles to WindowGroupLimit: map tasks forward at
+      // most k rows per group BEFORE the shuffle, so at 10^10 rows the
+      // shuffle carries O(k · tasks · groups). Mergeable the same way:
+      // the top-k of a union are among the sides' top-k (union-truncate).
+      (s, d) => weightedPrioritySample(ld(s, d, "documents"),
+        groupCol = "source", idCol = "doc_id", weightCol = "n_chars", k = 15,
+        cols = Seq("doc_id", "lang", "n_chars")),
+      Some("""SELECT source, rn, priority, doc_id, lang, n_chars FROM (
+          SELECT source, doc_id, lang, n_chars, priority,
+            row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+          FROM (SELECT *,
+            CAST(n_chars AS DOUBLE) /
+              CAST(CAST('0x' || substr(md5('ws:' || doc_id), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+              AS priority
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0) t) s
+        WHERE rn <= 15 ORDER BY source, rn"""))
   )
 
+  /** Priority sampling (Duffield et al. 2007): k rows per group, inclusion
+    * likelihood increasing in `weightCol`, deterministic via the md5-derived
+    * hash60 uniform. priority = w / (h + 1): one exact-integer-to-double
+    * cast each and ONE ieee division — bit-reproducible cross-engine.
+    * Rows with NULL or non-positive weight are excluded (they could never
+    * be sampled under w = 0 anyway; refusing keeps the contract sharp). */
+  def weightedPrioritySample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.Hash60.register(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("priority").desc, col(idCol))
+    df.filter(col(groupCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority",
+        col(weightCol).cast("double") /
+          (expr(s"hash60(concat('ws:', CAST($idCol AS STRING)))") + lit(1L)).cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select((Seq(groupCol, "rn", "priority") ++ cols).map(col): _*)
+  }
 }
