@@ -314,6 +314,7 @@ object Bench {
           "q161_sq8_rerank" -> topk("q161_ann_sq8_topk").intersect(exact).size.toDouble / exact.size,
           "q174_pq_rerank" -> topk("q174_ann_pq_topk").intersect(exact).size.toDouble / exact.size,
           "q175_ivfpq" -> topk("q175_ann_ivfpq_topk").intersect(exact).size.toDouble / exact.size,
+          "q204_pca_rerank" -> topk("q204_ann_pca_topk").intersect(exact).size.toDouble / exact.size,
           "q27_sig_rerank" -> topk("q27_ann_sig_rerank_topk").intersect(exact).size.toDouble / exact.size,
           "q27_sig_rerank_q100" -> got100.intersect(exact100).size.toDouble / exact100.size,
           "q27_q100_sec" -> q100sec,
@@ -367,6 +368,7 @@ object Bench {
     val r161 = recalls.getOrElse("q161_sq8_rerank", -1.0)
     val r174 = recalls.getOrElse("q174_pq_rerank", -1.0)
     val r175 = recalls.getOrElse("q175_ivfpq", -1.0)
+    val r204 = recalls.getOrElse("q204_pca_rerank", -1.0)
 
     val total = t2 + t8 + t32 + queryTimes.map(_._2).filter(_ > 0).sum
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
@@ -386,7 +388,7 @@ object Bench {
       s""""events_per_sec_local2":${f"$eps2%.0f"},"events_per_sec_local8":${f"$eps8%.0f"},"events_per_sec_local32":${f"$eps32%.0f"},""" +
       s""""scaling_efficiency_N_to_4N":${f"$eff28%.3f"},"scaling_efficiency_8_to_32":${f"$eff832%.3f"},""" +
       s""""levels":{"local2":${s2.toJson},"local8":${s8.toJson},"local32":${s32.toJson}}},""" +
-      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"},"q36_ivf":${f"$r36%.3f"},"q36_ivf_cand_frac":${f"$f36%.3f"},"q20_band_recall":${f"$r20b%.3f"},"q20_band_cand_frac":${f"$f20b%.4f"},"q20_band_sec":${f"$s20b%.2f"},"q20_band_hi_recall":${f"$r20h%.3f"},"q20_band_hi_cand_frac":${f"$f20h%.4f"},"q161_sq8_rerank":${f"$r161%.3f"},"q174_pq_rerank":${f"$r174%.3f"},"q175_ivfpq":${f"$r175%.3f"}},""" +
+      s""""ann_recall":{"q26_bucket_probe":${f"$r26%.3f"},"q27_sig_rerank":${f"$r27%.3f"},"q27_sig_rerank_q100":${f"$r27q100%.3f"},"q27_q100_sec":${f"$q100sec%.2f"},"q36_ivf":${f"$r36%.3f"},"q36_ivf_cand_frac":${f"$f36%.3f"},"q20_band_recall":${f"$r20b%.3f"},"q20_band_cand_frac":${f"$f20b%.4f"},"q20_band_sec":${f"$s20b%.2f"},"q20_band_hi_recall":${f"$r20h%.3f"},"q20_band_hi_cand_frac":${f"$f20h%.4f"},"q161_sq8_rerank":${f"$r161%.3f"},"q174_pq_rerank":${f"$r174%.3f"},"q175_ivfpq":${f"$r175%.3f"},"q204_pca_rerank":${f"$r204%.3f"}},""" +
       s""""queries":$qs,"lifecycle_phases":$phases,"sf":"$sfDir"}"""
     println(json)
 
@@ -427,6 +429,11 @@ object Bench {
          !${f"$r20h%.3f"} at fraction ${f"$f20h%.4f"}. Strong-pair recall
          !(≥0.9 at cos ≥ 0.9) stays pinned on planted dups in
          !SimilarityTierSpec.
+         !PCA top-16 prefilter (q204): recall ${f"$r204%.3f"} at a 10%
+         !shortlist — capped by this corpus's near-flat spectrum (top-16
+         !≈ 38% of variance, readable from the dumped eigenvalues); on a
+         !decaying-spectrum corpus the same operator improves with no code
+         !change.
          !""".stripMargin('!')
 
     // BENCH.md: the scaling-evidence protocol report (BASELINE.md).

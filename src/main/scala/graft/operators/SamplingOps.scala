@@ -177,29 +177,8 @@ object SamplingOps {
       // budget, no float drift, reproducible on any engine. The heavy
       // input is one hash aggregate over the scan (per-source token
       // sums); the apportionment itself is O(sources) window arithmetic.
-      (s, d) => {
-        val budget = 1000000L
-        val toks = ld(s, d, "documents")
-          .withColumn("n_tok", size(expr(TextOps.wordsSpark)).cast("long"))
-          .groupBy("source").agg(sum("n_tok").as("tokens"))
-          .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
-        val tot = toks.agg(sum("w")).head().getLong(0)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rem").desc, col("source"))
-        val out = toks
-          .withColumn("quota", expr(s"($budget * w) div $tot"))
-          .withColumn("rem", expr(s"($budget * w) % $tot"))
-          .withColumn("rr", row_number().over(w).cast("long"))
-        val leftover = budget - out.agg(sum("quota")).head().getLong(0)
-        val alloc = out
-          .withColumn("extra", (col("rr") <= leftover).cast("long"))
-          .select(col("source"), col("tokens"), col("w"),
-            (col("quota") + col("extra")).as("alloc"))
-          .orderBy("source")
-        require(alloc.agg(sum("alloc")).head().getLong(0) == budget,
-          "largest-remainder allocations must sum exactly to the budget")
-        alloc
-      },
+      (s, d) => apportionTokens(ld(s, d, "documents"), budget = 1000000L)
+        .orderBy("source"),
       Some(s"""WITH toks AS (
           SELECT source, CAST(sum(len(${TextOps.wordsDuck})) AS BIGINT) AS tokens
           FROM documents GROUP BY source),
@@ -245,7 +224,95 @@ object SamplingOps {
             FROM documents
             WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0) t) s
         WHERE rn <= 15 ORDER BY source, rn"""))
+  ,
+
+    OpQuery("q203_mixture_sample",
+      // MIXTURE MATERIALIZATION — the step after q194 decides the budget
+      // split: actually PICK the documents. Per source, docs are laid out
+      // in deterministic-random order (hash60, the q31 rule) and the
+      // greedy prefix is kept while the tokens BEFORE a doc are under the
+      // source's allocation (first-fit: the boundary doc may overflow
+      // once — allocations are token targets, docs are atomic). One
+      // window cumsum per source (single shuffle on source; per-source
+      // ordering is the q94 single-stream shape — the banded two-phase
+      // prefix-sum there is the 10^10-row path). The apportionment is the
+      // SAME shared definition q194 gates alone, so the split and the
+      // materialized corpus cannot disagree. Hard assert: the budget
+      // actually binds (some source truncates) — otherwise the gate is a
+      // no-op filter.
+      (s, d) => {
+        val docs = ld(s, d, "documents")
+        val alloc = apportionTokens(docs, budget = 8000L).select("source", "alloc")
+        graft.functions.Hash60.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("h", "doc_id")
+        val cand = docs
+          .withColumn("n_tok", size(expr(TextOps.wordsSpark)).cast("long"))
+          .withColumn("h", expr("hash60(concat('mx:', CAST(doc_id AS STRING)))"))
+          .withColumn("cum_before", coalesce(sum("n_tok").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val kept = cand.join(broadcast(alloc), Seq("source"))
+          .filter(col("cum_before") < col("alloc"))
+          .select("source", "doc_id", "n_tok", "cum_before")
+          .orderBy("source", "doc_id")
+          .localCheckpoint()
+        require(kept.count() < docs.count(),
+          "budget did not bind anywhere — mixture gate is vacuous")
+        kept
+      },
+      Some(s"""WITH toks AS (
+          SELECT source, CAST(sum(len(${TextOps.wordsDuck})) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        wts AS (SELECT source, tokens,
+            CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w FROM toks),
+        tot AS (SELECT sum(w) AS tw FROM wts),
+        q AS (SELECT source, tokens, w,
+            (8000 * w) // tw AS quota, (8000 * w) % tw AS rem
+          FROM wts, tot),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+            (SELECT 8000 - sum(quota) FROM q) AS leftover FROM q),
+        alloc AS (SELECT source,
+            quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc FROM r),
+        d2 AS (SELECT source, doc_id,
+            CAST(len(${TextOps.wordsDuck}) AS BIGINT) AS n_tok,
+            CAST('0x' || substr(md5('mx:' || doc_id), 1, 15) AS BIGINT) AS h
+          FROM documents),
+        c AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+            ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before FROM d2)
+        SELECT c.source, doc_id, n_tok, cum_before
+        FROM c JOIN alloc a ON c.source = a.source
+        WHERE cum_before < a.alloc ORDER BY c.source, doc_id"""))
   )
+
+  /** The q194 apportionment as a shared definition (q194 gates it alone;
+    * q203 composes it with the priority-order budget fill): per-source
+    * token masses → α = 0.5 temperature weights (integer isqrt) →
+    * largest-remainder split of `budget`, allocations summing EXACTLY to
+    * the budget (require()d). Returns (source, tokens, w, alloc). */
+  def apportionTokens(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .withColumn("n_tok", size(expr(TextOps.wordsSpark)).cast("long"))
+      .groupBy("source").agg(sum("n_tok").as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = toks.agg(sum("w")).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val out = toks
+      .withColumn("quota", expr(s"($budget * w) div $tot"))
+      .withColumn("rem", expr(s"($budget * w) % $tot"))
+      .withColumn("rr", row_number().over(w).cast("long"))
+    val leftover = budget - out.agg(sum("quota")).head().getLong(0)
+    val alloc = out
+      .withColumn("extra", (col("rr") <= leftover).cast("long"))
+      .select(col("source"), col("tokens"), col("w"),
+        (col("quota") + col("extra")).as("alloc"))
+    require(alloc.agg(sum("alloc")).head().getLong(0) == budget,
+      "largest-remainder allocations must sum exactly to the budget")
+    alloc
+  }
 
   /** Priority sampling (Duffield et al. 2007): k rows per group, inclusion
     * likelihood increasing in `weightCol`, deterministic via the md5-derived

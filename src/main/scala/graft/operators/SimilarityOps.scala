@@ -15,12 +15,12 @@ import Tables.ld
 object SimilarityOps {
 
   // Spark: double-cast, sequential fold
-  private val sparkCos =
+  private[operators] val sparkCos =
     """aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
       | / (sqrt(aggregate(va, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
       |    * sqrt(aggregate(vb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin.replace("\n", " ")
 
-  private val duckCos =
+  private[operators] val duckCos =
     """list_reduce(list_transform(list_zip(va, vb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
       | / (sqrt(list_reduce(list_transform(va, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b))
       |    * sqrt(list_reduce(list_transform(vb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)))""".stripMargin.replace("\n", " ")
