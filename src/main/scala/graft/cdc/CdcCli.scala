@@ -264,6 +264,15 @@ object CdcCli {
           System.err.println(s"unknown meta table: $other"); sys.exit(2)
       }
       df.show(50, truncate = 60)
+    case "clone" :: srcDir :: targetDir :: rest =>
+      // shallow clone: zero-copy hard-linked fork of a snapshot; the clone
+      // is a full table (replay/merge/purge all work) with the source's
+      // epoch ledger carried for fence-safe catch-up. Purge does NOT cross
+      // the fork — erase each fork as the table it is.
+      val version = rest.headOption.map(_.toInt)
+      val snap = IceLite.cloneTable(srcDir, targetDir, version)
+      println(s"cloned ${version.map(v => s"v$v").getOrElse("head")} of $srcDir " +
+        s"-> $targetDir (${snap.files.size} files hard-linked, 0 bytes copied)")
     case "rollback" :: tableDir :: toV :: Nil =>
       // restore an earlier snapshot as a NEW head version (history kept);
       // the epoch ledger restores too, so the undone epochs can re-apply

@@ -453,6 +453,44 @@ object IceLite {
   def exists(dir: String): Boolean =
     Files.isDirectory(metaDir(dir)) && latestVersion(dir).isDefined
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE` / an Iceberg
+    * snapshot-ref fork): a NEW, independently-writable table whose v0
+    * references the source snapshot's live data files by HARD LINK — zero
+    * bytes copied, O(files) metadata, any snapshot version as the fork
+    * point. Safe because the engine never mutates a data file's bytes in
+    * place: merges/compactions/rebuckets write NEW files, and even purge's
+    * in-place rewrite goes through an atomic rename that replaces the
+    * DIRECTORY ENTRY, leaving other links' inodes untouched (the q169
+    * export-pin property). Consequences, both deliberate:
+    *   - source vacuum/expire never breaks the clone (links pin the bytes);
+    *   - PURGE DOES NOT CROSS THE FORK — erasing a key from the source
+    *     leaves the clone's copy alive, exactly like exports (q169); the
+    *     compliance closure must purge each fork as the table it is.
+    * The clone CARRIES the source's epoch ledger, schemas, retired/pinned
+    * ids and bloom indexes: replaying the same change log against the
+    * clone fences the already-applied epochs and applies only the tail —
+    * fork-and-catch-up needs no offset bookkeeping. Version history is NOT
+    * carried (the clone's lineage starts at ITS v0); time travel on the
+    * clone sees only post-fork versions. */
+  def cloneTable(dir: String, target: String, version: Option[Int] = None): Snapshot = {
+    val snap = version.map(loadVersion(dir, _)).getOrElse(load(dir))
+    require(!exists(target), s"clone target is already a table: $target")
+    Files.createDirectories(metaDir(target))
+    val dataDir = Paths.get(target, "data")
+    Files.createDirectories(dataDir)
+    val linked = snap.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
+      val ln = dataDir.resolve(
+        f"clone-$i%05d-b${f.bucket}${if (f.delta) "-d" else ""}.parquet")
+      Files.createLink(ln, Paths.get(f.path))
+      f.copy(path = ln.toString)
+    }
+    val refs = linked.groupBy(f => snap.rangeOf(f.bucket)).toVector.sortBy(_._1)
+      .map { case (r, fs) => writeManifest(target, r, fs) }
+    val v0 = snap.copy(version = 0, files = linked, manifests = refs)
+    require(writeAtomic(target, v0), s"lost clone race at $target")
+    v0
+  }
+
   private def latestVersion(dir: String): Option[Int] = {
     val md = metaDir(dir)
     if (!Files.isDirectory(md)) return None

@@ -6218,5 +6218,71 @@ object CdcQueries {
       Some(s"""WITH d AS (SELECT repo FROM parquet_scan('${workDir("q202")}/decoded/*.parquet'))
         SELECT repo, cnt FROM (SELECT repo, count(*) AS cnt FROM d GROUP BY repo) g
         WHERE cnt * 25 > (SELECT count(*) FROM d) ORDER BY repo"""))
+  ,
+
+    OpQuery("q205_shallow_clone",
+      // SHALLOW CLONE + CATCH-UP under the hard gate (Delta's CLONE, the
+      // dev/staging-fork move): replay epochs 0-1 into a source table,
+      // fork it with IceLite.cloneTable — ZERO bytes copied, hard-asserted
+      // by inode identity between every cloned file and a source file —
+      // then catch the FORK up by replaying the log against it: the
+      // carried epoch ledger fences epochs 0-1 as no-ops (hard-asserted:
+      // re-replaying them commits no new version) and only epoch 2
+      // applies. The source must be bit-untouched by everything after the
+      // fork (version history and head version hard-asserted). The result
+      // is the fork's head state; the oracle folds the FULL decoded log —
+      // a clone that dropped a file, double-applied a fenced epoch, or
+      // leaked fork writes into the source all break equality.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q205")
+        val root = workDir("q205")
+        val logDir = s"$root/log"
+        val src = s"$root/src"
+        val fork = s"$root/fork"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        dumpDecodedByEpoch(s, logDir, root, epochs = 3)
+        val log01 = s"$root/log01"; val log2 = s"$root/log2"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log01))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log2))
+        Seq(0, 1).foreach(e => java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, s"epoch=$e"),
+          java.nio.file.Paths.get(log01, s"epoch=$e")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(logDir, "epoch=2"),
+          java.nio.file.Paths.get(log2, "epoch=2"))
+        clock("replay_src") { Replay.replayLog(s, log01, src, buckets = 8) }
+        val srcPre = IceLite.load(src)
+        val srcHistPre = IceLite.history(src)
+        clock("clone") { IceLite.cloneTable(src, fork) }
+        def ino(p: String): Any =
+          java.nio.file.Files.getAttribute(java.nio.file.Paths.get(p), "unix:ino")
+        val srcInos = srcPre.files.map(f => ino(f.path)).toSet
+        val cloned = IceLite.load(fork).files
+        require(cloned.nonEmpty && cloned.forall(f => srcInos(ino(f.path))),
+          "clone must hard-link, not copy: every cloned file shares a source inode")
+        clock("catch_up") {
+          Replay.replayLog(s, log01, fork, buckets = 8) // all fenced: no-op
+          require(IceLite.load(fork).version == 0,
+            "fenced epochs must not commit new fork versions")
+          Replay.replayLog(s, log2, fork, buckets = 8) // the unapplied tail
+        }
+        require(IceLite.load(fork).version == 1, "exactly one tail epoch applies")
+        require(IceLite.history(src) == srcHistPre &&
+            IceLite.load(src).version == srcPre.version,
+          "fork writes must never touch the source's history")
+        IceLite.read(s, IceLite.load(fork))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+          .orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q205")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
   )
 }
