@@ -236,17 +236,31 @@ object CdcCli {
         s"table at v${snap.version}")
     case "mv-create" :: srcDir :: mvDir :: groupCols :: rest =>
       // incremental materialized view: `mv-create <src> <mv> lang,author
-      // [sum_name=expr ...]` — grouped count(*) plus integral sums,
-      // maintained from the change feed by mv-refresh
-      val sums = rest.toVector.map { a =>
+      // [sum_name=expr ... --min name=expr ... --max name=expr ...]` —
+      // grouped count(*) plus integral sums and optional min/max columns
+      // (non-self-maintainable: threatened extrema recompute from the
+      // head, group-pruned), maintained from the change feed by mv-refresh
+      def kv(a: String, what: String): (String, String) = {
         val i = a.indexOf('=')
-        require(i > 0, s"sum must be name=expr, got $a")
+        require(i > 0, s"$what must be name=expr, got $a")
         (a.substring(0, i), a.substring(i + 1))
       }
-      val spec = graft.lake.MatView.Spec(groupCols.split(',').toVector, sums)
+      var sums = Vector.empty[(String, String)]
+      var mins = Vector.empty[(String, String)]
+      var maxs = Vector.empty[(String, String)]
+      var args2 = rest
+      while (args2.nonEmpty) args2 = args2 match {
+        case "--min" :: a :: t => mins :+= kv(a, "--min"); t
+        case "--max" :: a :: t => maxs :+= kv(a, "--max"); t
+        case a :: t => sums :+= kv(a, "sum"); t
+        case Nil => Nil
+      }
+      val spec = graft.lake.MatView.Spec(groupCols.split(',').toVector, sums, mins, maxs)
       graft.lake.MatView.create(srcDir, mvDir, spec)
       println(s"created view at $mvDir: GROUP BY ${spec.groupCols.mkString(",")} " +
-        s"with cnt${spec.sums.map { case (o, e) => s", $o=sum($e)" }.mkString}")
+        s"with cnt${spec.sums.map { case (o, e) => s", $o=sum($e)" }.mkString}" +
+        s"${spec.mins.map { case (o, e) => s", $o=min($e)" }.mkString}" +
+        s"${spec.maxs.map { case (o, e) => s", $o=max($e)" }.mkString}")
     case "mv-refresh" :: srcDir :: mvDir :: Nil =>
       val st = graft.lake.MatView.refresh(spark, srcDir, mvDir)
       println(if (st.applied)

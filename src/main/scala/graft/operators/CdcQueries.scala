@@ -1716,6 +1716,89 @@ object CdcQueries {
         WHERE rn = 1 AND op <> 'DELETE'
         GROUP BY repo, lang ORDER BY repo, lang""")),
 
+    OpQuery("q209_matview_minmax",
+      // MIN/MAX MATERIALIZED VIEW under the hard gate — the
+      // NON-SELF-MAINTAINABLE aggregates (Gupta & Mumick): count/sum fix
+      // themselves from a retraction delta, but deleting (or updating
+      // away) the row that achieved a group's extremum leaves the new
+      // extremum unknown. The refresh splits touched groups per column:
+      // un-threatened extrema take the cheap least/greatest path;
+      // threatened ones RECOMPUTE from the source head, pruned to exactly
+      // those groups through the lang column's value-bloom index (q64
+      // machinery). Three per-epoch refreshes over a log with deletes and
+      // updates; hard-asserted: the threatened path actually fired
+      // (recomputed ≥ 1 somewhere), it stayed partial (every refresh
+      // recomputed fewer groups than it touched), and a replayed refresh
+      // fences. The oracle recomputes cnt/sum/min/max from the decoded
+      // LWW fold — a stale extremum surviving its achiever's deletion is
+      // exactly what breaks equality.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q209")
+        val root = workDir("q209")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        val mvDir = s"$root/mv"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          val ev = s.read.parquet(logDir)
+            .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+            .as[graft.decode.ChangeEvent]
+          Replay.decodeForMerge(ev, registry, None).updates
+            .write.mode("overwrite").parquet(s"$root/decoded")
+        }
+        val epochDirs = (0 until 3).map { e =>
+          val d = s"$root/log$e"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(logDir, s"epoch=$e"),
+            java.nio.file.Paths.get(d, s"epoch=$e"))
+          d
+        }
+        import graft.lake.MatView
+        var recomputedTotal = 0L
+        (0 until 3).foreach { e =>
+          clock(s"replay$e") { Replay.replayLog(s, epochDirs(e), tableDir, buckets = 8) }
+          if (e == 0) {
+            // value-bloom index on the group column BEFORE the view exists:
+            // the threatened-group recompute prunes its head read through it
+            IceLite.addBloomIndex(s, tableDir, "idx-lang", "lang")
+            MatView.create(tableDir, mvDir, MatView.Spec(
+              Vector("lang"), Vector("content_len" -> "length(content)"),
+              mins = Vector("min_len" -> "length(content)"),
+              maxs = Vector("max_len" -> "length(content)")))
+          }
+          val r = clock(s"refresh$e") { MatView.refresh(s, tableDir, mvDir) }
+          require(r.applied, s"refresh $e must apply, got $r")
+          require(r.recomputedGroups <= r.touchedGroups ||
+              r.touchedGroups == 0,
+            s"recompute must stay partial: $r")
+          recomputedTotal += r.recomputedGroups
+          putMetric("q209", s"refresh${e}_recomputed_groups", r.recomputedGroups.toDouble)
+          putMetric("q209", s"refresh${e}_touched_groups", r.touchedGroups.toDouble)
+        }
+        require(recomputedTotal >= 1,
+          "gate is vacuous unless a threatened extremum forced a recompute")
+        val again = MatView.refresh(s, tableDir, mvDir)
+        require(!again.applied, "a replayed refresh must fence as a no-op")
+        MatView.read(s, mvDir)
+          .select("lang", "cnt", "content_len", "min_len", "max_len")
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS cnt,
+               CAST(sum(length(content)) AS BIGINT) AS content_len,
+               CAST(min(length(content)) AS BIGINT) AS min_len,
+               CAST(max(length(content)) AS BIGINT) AS max_len
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q209")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE'
+        GROUP BY lang ORDER BY lang""")),
+
     OpQuery("q66_clustered_scan",
       // CLUSTERING COMPACTION + RANGE-PRUNED SCAN under the hard gate:
       // replay epochs 0-1, compact with clusterBy=commit (each bucket

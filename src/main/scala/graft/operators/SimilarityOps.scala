@@ -1523,7 +1523,118 @@ object SimilarityOps {
             abs(n_new * nb - n_base * nn) * 4 > n_base * nn AS drifted
           FROM agg, tot ORDER BY cell"""
       }))
+  ,
+
+    OpQuery("q207_knn_graph",
+      // k-NN GRAPH CONSTRUCTION — the substrate for graph-based corpus
+      // analysis (clustering, diversity, HNSW-style indexes): every
+      // vector's top-3 cosine neighbors WITHIN ITS IVF CELL (the SemDeDup
+      // blocking, q188: Σ|cell|² ≈ N²/K comparisons, each cell an
+      // independent executor-sized task after one repartition-by-cell
+      // shuffle — never the all-pairs join). 16 coarse cells keep each
+      // cell large enough (~N/16 members) that 3-NN within the cell is
+      // meaningful. The oracle re-derives assignment, every same-cell
+      // pair, and the per-vector rank from the dumped centroids.
+      (s, d) => {
+        import s.implicits._
+        val clock = new CdcQueries.PhaseClock("q207")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q207"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val e = ld(s, d, "embeddings")
+        val cents = clock("train") { trainCentroids(s, e, k = 16, iters = 5) }
+        cents.toSeq.map { case (cid, cv, _) => (cid, cv.toSeq) }
+          .toDF("cid", "cv").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/cents")
+        clock("graph") { knnWithinCells(s, e, cents, j = 3).localCheckpoint() }
+      },
+      Some(knnOracleSql("graft-q207") +
+        " SELECT vec_id, rank, nbr, cos FROM knn ORDER BY vec_id, rank")),
+
+    OpQuery("q208_semantic_clusters",
+      // SEMANTIC CLUSTERS — the k-NN graph (q207's construction) made
+      // undirected, then CONNECTED COMPONENTS (q35's operator) over it:
+      // every vector labeled with its cluster's smallest vec_id. The
+      // composition a corpus map needs: index → neighbor graph → groups,
+      // each stage the same shared definition its standalone gate uses.
+      // The oracle walks the SQL-re-derived edges with a recursive CTE —
+      // a drifted neighbor rank, a dropped edge, or a wrong component
+      // fold all hash-diverge.
+      (s, d) => {
+        import s.implicits._
+        val clock = new CdcQueries.PhaseClock("q208")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q208"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val e = ld(s, d, "embeddings")
+        val cents = clock("train") { trainCentroids(s, e, k = 16, iters = 5) }
+        cents.toSeq.map { case (cid, cv, _) => (cid, cv.toSeq) }
+          .toDF("cid", "cv").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/cents")
+        val edges = clock("graph") {
+          knnWithinCells(s, e, cents, j = 3)
+            .select(col("vec_id").as("a"), col("nbr").as("b")).localCheckpoint()
+        }
+        clock("components") {
+          val comp = DedupOps.connectedComponents(edges)
+          e.select("vec_id")
+            .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              coalesce(col("label"), col("vec_id")).as("cluster"))
+            .orderBy("vec_id")
+        }
+      },
+      Some(knnOracleSql("graft-q208") +
+        """, edges AS (SELECT vec_id AS src, nbr AS dst FROM knn
+                       UNION SELECT nbr, vec_id FROM knn),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+          comp AS (SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY id)
+          SELECT e2.vec_id, coalesce(c.cluster, e2.vec_id) AS cluster
+          FROM embeddings e2 LEFT JOIN comp c USING (vec_id)
+          ORDER BY e2.vec_id"""))
   )
+
+  /** Top-`j` cosine neighbors of every vector WITHIN its assigned cell —
+    * one repartition-by-cell shuffle, per-cell pairing, bounded rank.
+    * Shared by q207 (the graph) and q208 (clusters over it). */
+  def knnWithinCells(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      cents: Array[(Long, Array[Double], Double)], j: Int): org.apache.spark.sql.DataFrame = {
+    val asg = assignCells(s, e, cents)
+    val left = asg.select(col("cand").as("vec_id"), col("vb").as("va"), col("cell"))
+    val right = asg.select(col("cand").as("nbr"), col("vb"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
+    left.join(right, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("cos", expr(sparkCos))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= j)
+      .select("vec_id", "rank", "nbr", "cos")
+  }
+
+  /** The shared q207/q208 oracle prefix: cell assignment from the dumped
+    * centroids + within-cell top-3 ranks, ending after the `knn` CTE
+    * (callers append their SELECT or further CTEs). */
+  private def knnOracleSql(root: String): String =
+    s"""WITH RECURSIVE cents AS (
+          SELECT cid, cv FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/$root/cents/*.parquet')),
+        asg AS (
+          SELECT vec_id, embedding, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+          FROM (SELECT e.vec_id, e.embedding, c.cid, $duckCos AS ccos
+            FROM (SELECT vec_id, embedding, embedding AS va FROM embeddings) e
+            CROSS JOIN (SELECT cid, cv, cv AS vb FROM cents) c) t),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1),
+        knn AS (SELECT vec_id, rank, nbr, cos FROM (
+          SELECT va_id AS vec_id, vb_id AS nbr, cos,
+            row_number() OVER (PARTITION BY va_id ORDER BY cos DESC, vb_id) AS rank
+          FROM (SELECT x.vec_id AS va_id, y.vec_id AS vb_id, $duckCos AS cos
+                FROM (SELECT vec_id, embedding AS va, cell FROM cells) x
+                JOIN (SELECT vec_id, embedding AS vb, cell FROM cells) y
+                  ON x.cell = y.cell AND x.vec_id <> y.vec_id) p) r
+          WHERE rank <= 3)"""
 
   private def sq8OracleSql: String = {
         val tmp = System.getProperty("java.io.tmpdir")

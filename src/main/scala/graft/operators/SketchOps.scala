@@ -344,5 +344,54 @@ object SketchOps {
         SELECT ex.event_type, n_exact, sample_n, p50_exact, p90_exact, p50_est, p90_est
         FROM ex LEFT JOIN es ON ex.event_type = es.event_type
         ORDER BY ex.event_type"""))
+  ,
+
+    OpQuery("q206_stream_kmv",
+      // STREAMING CARDINALITY MONITOR under the hard gate — q82's KMV
+      // sketch kept continuously: per-group k=64 minimum xxhash64 values
+      // in RocksDB state (transformWithState), fed the event stream in 3
+      // waves with a full query stop/restart at each boundary. KMV is an
+      // ORDER STATISTIC, so unlike the MG sketch (q202) the streamed
+      // result needs no recount to be exact about its contract: arrival
+      // order, batching, duplication and restarts are all invisible — the
+      // final sketch, kth_hash and estimate are BIT-EQUAL to the batch
+      // sketch over the same rows, which is what the oracle re-derives
+      // from the dumped distinct (group, hash) pairs. A synthetic
+      // '__rare__' group stays unsaturated so BOTH estimator branches
+      // (exact readout / k-th-minimum formula) are exercised
+      // (hard-asserted).
+      (s, d) => {
+        import graft.streaming.KmvStream
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q206"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val ev = ld(s, d, "events")
+        val keyed0 = ev.select(col("event_type").as("grp"), col("user_id"), col("event_id"))
+          .unionByName(ev.filter(col("user_id") % 97 === 0)
+            .select(lit("__rare__").as("grp"), col("user_id"), col("event_id")))
+          .withColumn("h", xxhash64(col("user_id")))
+        keyed0.select("grp", "h").distinct()
+          .write.mode("overwrite").parquet(s"$root/hashes")
+        val keyed = keyed0.withColumn("band", (col("event_id") % 3).cast("int"))
+        val emissions = KmvStream.sketchToCompletion(s, keyed, s"$root/kmv",
+          chunks = 3, k = 64)
+        val out = KmvStream.finalSketch(emissions).localCheckpoint()
+        require(out.filter(col("kth_hash").isNull).limit(1).count() > 0,
+          "gate must exercise the unsaturated (exact) branch")
+        require(out.filter(col("kth_hash").isNotNull).limit(1).count() > 0,
+          "gate must exercise the saturated (k-th-minimum estimate) branch")
+        out.orderBy("grp")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT grp, h
+               FROM parquet_scan('${System.getProperty("java.io.tmpdir")}/graft-q206/hashes/*.parquet')),
+        r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+        agg AS (SELECT grp, count(*) AS cd,
+                max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+                FROM r GROUP BY grp)
+        SELECT grp,
+               CASE WHEN kth_hash IS NULL THEN CAST(cd AS DOUBLE)
+                    ELSE 63.0 / ((CAST(kth_hash AS DOUBLE) + 9.223372036854775808e18)
+                                 / 1.8446744073709551616e19) END AS est_distinct,
+               kth_hash, CAST(LEAST(cd, 64) AS INT) AS n_sketch
+        FROM agg ORDER BY grp"""))
   )
 }
