@@ -475,20 +475,41 @@ object IceLite {
   def cloneTable(dir: String, target: String, version: Option[Int] = None): Snapshot = {
     val snap = version.map(loadVersion(dir, _)).getOrElse(load(dir))
     require(!exists(target), s"clone target is already a table: $target")
-    Files.createDirectories(metaDir(target))
-    val dataDir = Paths.get(target, "data")
-    Files.createDirectories(dataDir)
-    val linked = snap.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
-      val ln = dataDir.resolve(
-        f"clone-$i%05d-b${f.bucket}${if (f.delta) "-d" else ""}.parquet")
-      Files.createLink(ln, Paths.get(f.path))
-      f.copy(path = ln.toString)
-    }
-    val refs = linked.groupBy(f => snap.rangeOf(f.bucket)).toVector.sortBy(_._1)
-      .map { case (r, fs) => writeManifest(target, r, fs) }
-    val v0 = snap.copy(version = 0, files = linked, manifests = refs)
-    require(writeAtomic(target, v0), s"lost clone race at $target")
-    v0
+    // STAGE-THEN-ATOMIC-MOVE (the Export publish pattern): every link,
+    // manifest and the snapshot JSON land in a hidden sibling dir whose
+    // recorded paths already point at `target`; one rename publishes the
+    // whole table. A crash mid-clone leaves only an orphaned `.clone-*`
+    // staging dir — never a half-readable target.
+    val targetPath = Paths.get(target).toAbsolutePath
+    Files.createDirectories(targetPath.getParent)
+    val stage = Files.createTempDirectory(targetPath.getParent, ".clone-")
+    try {
+      val stageStr = stage.toString
+      Files.createDirectories(metaDir(stageStr))
+      val dataDir = stage.resolve("data")
+      Files.createDirectories(dataDir)
+      val linked = snap.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
+        val name = f"clone-$i%05d-b${f.bucket}${if (f.delta) "-d" else ""}.parquet"
+        Files.createLink(dataDir.resolve(name), Paths.get(f.path))
+        f.copy(path = targetPath.resolve("data").resolve(name).toString)
+      }
+      val refs = linked.groupBy(f => snap.rangeOf(f.bucket)).toVector.sortBy(_._1)
+        .map { case (r, fs) =>
+          val m = writeManifest(stageStr, r, fs)
+          m.copy(path = targetPath.resolve("meta")
+            .resolve(Paths.get(m.path).getFileName.toString).toString)
+        }
+      val v0 = snap.copy(version = 0, files = linked, manifests = refs)
+      require(writeAtomic(stageStr, v0), s"staging collision at $stage")
+      try Files.move(stage, targetPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          throw new IllegalArgumentException(
+            s"clone target is already a table: $target (published concurrently)")
+      }
+      v0
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
   }
 
   private def latestVersion(dir: String): Option[Int] = {
