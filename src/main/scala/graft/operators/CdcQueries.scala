@@ -6367,5 +6367,153 @@ object CdcQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
               FROM parquet_scan('${workDir("q205")}/decoded/*.parquet')) t
         WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+  ,
+
+    OpQuery("q211_fork_merge_back",
+      // FORK-MERGE-BACK under the hard gate — the workflow q205's clone
+      // opens: replay the main log into the source, fork it (zero-copy
+      // clone), run EXPERIMENTAL ingest on the fork only (a continuation
+      // log at higher sequences, replayed under its own fence NAMESPACE so
+      // the carried ledger doesn't swallow it), then merge the fork's work
+      // back by shipping ONLY its post-fork change feed
+      // (IceLite.changes(0, head) — the clone snapshot is v0, so the
+      // window is exactly the new epochs) through applyChanges as one
+      // fenced epoch. Sequence-LWW makes the merge-back safe without
+      // coordination: the fork's events carry strictly higher sequences.
+      // Hard-asserted: the shipped feed is O(fork's new work), not
+      // O(table); source ≡ fork row-for-row after the merge; a replayed
+      // merge-back fences. The oracle folds BOTH logs.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q211")
+        val root = workDir("q211")
+        val logDir = s"$root/log"; val log2Dir = s"$root/log2"
+        val src = s"$root/src"; val fork = s"$root/fork"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val p = LogGen.Params(nEvents = 3000, nRepos = 40, pathsPerRepo = 30,
+          v1Fraction = 0.7)
+        val p2 = p.copy(nEvents = 800, v1Fraction = 0.0, idOffset = 3000L)
+        clock("gen") {
+          LogGen.writeLog(s, p, logDir, epochs = 3)
+          LogGen.writeLog(s, p2, log2Dir, epochs = 1)
+        }
+        clock("decode_dump") {
+          val registry = s.sparkContext.broadcast(Cdc.registry)
+          Seq(logDir, log2Dir).foreach { ld0 =>
+            Replay.decodeForMerge(
+              s.read.parquet(ld0)
+                .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
+                .as[graft.decode.ChangeEvent], registry, None)
+              .updates.write.mode("append").parquet(s"$root/decoded")
+          }
+        }
+        clock("replay_src") { Replay.replayLog(s, logDir, src, buckets = 8) }
+        clock("fork") { IceLite.cloneTable(src, fork) }
+        clock("fork_ingest") {
+          Replay.replayLog(s, log2Dir, fork, buckets = 8, namespace = "fork")
+        }
+        val forkHead = IceLite.load(fork).version
+        val feed = IceLite.changes(s, fork, 0, forkHead).localCheckpoint()
+        val srcRows = IceLite.read(s, IceLite.load(src)).count()
+        require(feed.count() < srcRows,
+          s"merge-back must ship O(new work): ${feed.count()} feed rows vs $srcRows table rows")
+        clock("merge_back") {
+          Replay.applyChanges(s, feed, src, s"merge-back-$forkHead", buckets = 8)
+        }
+        // a replayed merge-back is a fenced no-op
+        val vAfter = IceLite.load(src).version
+        Replay.applyChanges(s, feed, src, s"merge-back-$forkHead", buckets = 8)
+        require(IceLite.load(src).version == vAfter,
+          "replayed merge-back must fence as a no-op")
+        val srcState = IceLite.read(s, IceLite.load(src))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+        val forkState = IceLite.read(s, IceLite.load(fork))
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            sha2(col("content"), 256).as("content_sha"), col("author"))
+        require(srcState.exceptAll(forkState).isEmpty &&
+            forkState.exceptAll(srcState).isEmpty,
+          "source and fork must converge after the merge-back")
+        srcState.orderBy("repo", "path")
+      },
+      Some(s"""SELECT repo, path, "commit", lang, sha256(content) AS content_sha, author
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM parquet_scan('${workDir("q211")}/decoded/*.parquet')) t
+        WHERE rn = 1 AND op <> 'DELETE' ORDER BY repo, path"""))
+  ,
+
+    OpQuery("q212_code_churn",
+      // CODE-CHURN ANALYTICS over the CDF row images (q76's surface put to
+      // work): per language — files added / updated / deleted and bytes
+      // in/out across the table's whole history, each image row counted
+      // under ITS OWN language so a file whose lang changes mid-history
+      // books the removal to the old group and the addition to the new
+      // (the group-switch subtlety a naive head-minus-tail diff misses).
+      // One O(changes) pass over changesWithImages(0, head); the oracle
+      // re-derives every image from the decoded dump (the q76 CTE chain)
+      // and aggregates the same six integers.
+      (s, _) => {
+        import s.implicits._
+        val clock = new PhaseClock("q212")
+        val root = workDir("q212")
+        val logDir = s"$root/log"
+        val tableDir = s"$root/table"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        clock("gen") {
+          LogGen.writeLog(s, LogGen.Params(nEvents = 3000, nRepos = 40,
+            pathsPerRepo = 30, v1Fraction = 0.7), logDir, epochs = 3)
+        }
+        clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
+        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        val head = IceLite.load(tableDir).version
+        val images = clock("images") {
+          // window (v1, head]: epochs 1-2's changes against the epoch-0
+          // state (the q76 window — v0 is the empty create snapshot, whose
+          // pre-evolution schema cannot anchor the pre-image read)
+          graft.lake.Cdf.changesWithImages(s, tableDir, 1, head).localCheckpoint()
+        }
+        clock("churn") {
+          images.groupBy("lang").agg(
+            count(when(col("change_type") === "insert", 1)).as("adds"),
+            count(when(col("change_type") === "update_postimage", 1)).as("upds"),
+            count(when(col("change_type") === "delete", 1)).as("dels"),
+            sum(when(col("change_type").isin("insert", "update_postimage"),
+              length(col("content")).cast("long")).otherwise(0L)).as("len_in"),
+            sum(when(col("change_type").isin("delete", "update_preimage"),
+              length(col("content")).cast("long")).otherwise(0L)).as("len_out"))
+            .withColumn("net_len", col("len_in") - col("len_out"))
+            .orderBy("lang")
+        }
+      },
+      Some(s"""WITH d AS (SELECT * FROM parquet_scan('${workDir("q212")}/decoded/*.parquet')),
+        v AS (SELECT * FROM (SELECT *, row_number()
+              OVER (PARTITION BY repo, path, epoch ORDER BY seq DESC) AS rn FROM d) t
+              WHERE rn = 1),
+        tl AS (SELECT *, lag(op) OVER w AS p_op, lag(lang) OVER w AS p_lang,
+               lag(content) OVER w AS p_content
+               FROM v WINDOW w AS (PARTITION BY repo, path ORDER BY seq)),
+        img AS (
+          SELECT CASE WHEN op = 'DELETE' THEN 'delete'
+                 ELSE 'update_preimage' END AS change_type,
+                 p_lang AS lang, p_content AS content
+          FROM tl WHERE epoch >= 1 AND p_op IS NOT NULL AND p_op <> 'DELETE'
+          UNION ALL
+          SELECT CASE WHEN p_op IS NOT NULL AND p_op <> 'DELETE'
+                 THEN 'update_postimage' ELSE 'insert' END AS change_type,
+                 lang, content
+          FROM tl WHERE epoch >= 1 AND op <> 'DELETE')
+        SELECT lang,
+          count(*) FILTER (WHERE change_type = 'insert') AS adds,
+          count(*) FILTER (WHERE change_type = 'update_postimage') AS upds,
+          count(*) FILTER (WHERE change_type = 'delete') AS dels,
+          CAST(coalesce(sum(CASE WHEN change_type IN ('insert', 'update_postimage')
+            THEN length(content) ELSE 0 END), 0) AS BIGINT) AS len_in,
+          CAST(coalesce(sum(CASE WHEN change_type IN ('delete', 'update_preimage')
+            THEN length(content) ELSE 0 END), 0) AS BIGINT) AS len_out,
+          CAST(coalesce(sum(CASE WHEN change_type IN ('insert', 'update_postimage')
+            THEN length(content) ELSE 0 END), 0) -
+          coalesce(sum(CASE WHEN change_type IN ('delete', 'update_preimage')
+            THEN length(content) ELSE 0 END), 0) AS BIGINT) AS net_len
+        FROM img GROUP BY lang ORDER BY lang"""))
   )
 }

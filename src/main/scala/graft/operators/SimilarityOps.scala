@@ -766,6 +766,27 @@ object SimilarityOps {
     out
   }
 
+  /** SYMMETRIC global-scale signed int8 codes for the SQ8 DOT prefilter:
+    * q_i = round(x_i / gs · 127) ∈ [-127, 127] with ONE scale gs =
+    * max |envelope bound| over every dimension. Offset-free, so the
+    * integer dot Σ qa·qb is PROPORTIONAL to the raw dot (and, on a
+    * unit-norm corpus, to cosine) up to quantization noise — the per-dim
+    * offset grid ([[quantize]], kept for PQ whose L2 cancels offsets)
+    * drops query-dependent affine terms from a dot and mis-ranks badly
+    * once the shortlist is a small corpus fraction. floor(v/gs·127 + 0.5)
+    * is the exact op sequence the DuckDB oracle replays. */
+  private def quantizeSym(emb: Seq[Float], gs: Double): Array[Int] = {
+    val out = new Array[Int](emb.length)
+    var i = 0
+    while (i < emb.length) {
+      out(i) = if (gs == 0.0) 0
+      else math.min(127, math.max(-127,
+        math.floor(emb(i).toDouble / gs * 127.0 + 0.5).toInt))
+      i += 1
+    }
+    out
+  }
+
   /** q161 impl — SCALAR (INT8) QUANTIZATION prefilter + exact cosine
     * re-rank: the ANN MEMORY path. 64 float dims (256 B) become 64 int8
     * codes (64 B) — at 10^9 vectors that's the difference between a corpus
@@ -790,16 +811,16 @@ object SimilarityOps {
     val e = ld(s, d, "embeddings")
     val typed = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
     val (mn, mx) = dimEnvelope(typed, dims)
-    val scale = Array.tabulate(dims)(i => (mx(i) - mn(i)) / 256.0)
-    // oracle input: the envelope (1-based dims, DuckDB list indexing)
+    // oracle input: the envelope (1-based dims, DuckDB list indexing);
+    // the SYMMETRIC global scale gs = max |bound| is derived from it on
+    // both sides, so the dump stays the single contract
     (0 until dims).map(i => (i + 1, mn(i), mx(i))).toDF("dim", "mn", "mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$dumpDir/dims")
+    val gs = (0 until dims).map(i => math.max(math.abs(mn(i)), math.abs(mx(i)))).max
     val qcodes = typed.filter(_._1 < numQueries).collect()
-      .map { case (id, emb) => (id, quantize(emb, mn, scale)) }
+      .map { case (id, emb) => (id, quantizeSym(emb, gs)) }
     require(qcodes.nonEmpty, "no query vectors")
     val bq = s.sparkContext.broadcast(qcodes)
-    val bmn = s.sparkContext.broadcast(mn)
-    val bscale = s.sparkContext.broadcast(scale)
     // heap key: (-score, cand) — same total order the oracle's
     // ORDER BY score DESC, cand gives
     val ord = Ordering.Tuple2[Long, Long]
@@ -808,7 +829,7 @@ object SimilarityOps {
       val heaps = qs.map { case (qid, _) =>
         qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(ord) }.toMap
       it.foreach { case (cand, emb) =>
-        val code = quantize(emb, bmn.value, bscale.value)
+        val code = quantizeSym(emb, gs)
         qs.foreach { case (qid, qc) =>
           if (cand != qid) {
             var sc = 0L
@@ -1356,17 +1377,21 @@ object SimilarityOps {
 
     OpQuery("q161_ann_sq8_topk",
       // SCALAR (INT8) QUANTIZATION ANN under the hard gate — the memory
-      // path: 64 float dims (256 B) become 64 int8 codes (64 B/vector; a
-      // 10^9-vector corpus drops from 256 GB to 64 GB of codes), the
-      // prefilter score is a pure INTEGER dot product over the codes
-      // (exact arithmetic — the shortlist is byte-deterministic, no float
-      // caveats), and the exact cosine re-ranks the top-200 shortlist.
-      // The oracle reads the dumped per-dimension (mn, mx) envelope and
-      // re-derives EVERY quantization code (floor/clamp double math,
-      // exactly-rounded ops), the integer scores, and both rank stages in
-      // SQL — a drifted scale, a wrong clamp, a heap bug in the bounded
-      // prefilter pass, or a re-rank tie-break slip all hash-diverge.
-      // Recall vs the exact q21 baseline is measured in Bench ann_recall.
+      // path: 64 float dims (256 B) become 64 SIGNED int8 codes
+      // (64 B/vector; a 10^9-vector corpus drops from 256 GB to 64 GB of
+      // codes), quantized SYMMETRICALLY with one global scale so the pure
+      // INTEGER dot over the codes is PROPORTIONAL to the raw dot — and,
+      // on this unit-norm corpus, to cosine. (The per-dim offset grid PQ
+      // uses would drop query-dependent affine terms from a dot and
+      // mis-rank once the shortlist is a small corpus fraction; L2-based
+      // PQ is immune because differences cancel offsets.) Exact cosine
+      // re-ranks the top-200 shortlist (10% at sf0.1). The oracle reads
+      // the dumped envelope, derives the same global scale, and re-derives
+      // EVERY code (floor/clamp double math), the integer scores, and both
+      // rank stages in SQL — a drifted scale, a wrong clamp, a heap bug in
+      // the bounded prefilter pass, or a re-rank tie-break slip all
+      // hash-diverge. Recall vs the exact q21 baseline rides Bench
+      // ann_recall.
       (s, d) => sq8RerankTopK(s, d, numQueries = 5),
       Some(sq8OracleSql)),
 
@@ -1640,14 +1665,15 @@ object SimilarityOps {
         val tmp = System.getProperty("java.io.tmpdir")
         s"""WITH dims AS (SELECT dim, mn, mx
               FROM parquet_scan('$tmp/graft-q161/dims/*.parquet')),
+          gsc AS (SELECT max(greatest(abs(mn), abs(mx))) AS g FROM dims),
           ex AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
                  FROM embeddings, LATERAL generate_series(1, 64) t(i)),
           qz AS (SELECT e.vec_id, e.dim,
-                  CASE WHEN d.mx = d.mn THEN 0
-                       ELSE least(255, greatest(0,
-                         CAST(floor((e.v - d.mn) / ((d.mx - d.mn) / 256.0)) AS INT)))
+                  CASE WHEN g = 0 THEN 0
+                       ELSE least(127, greatest(-127,
+                         CAST(floor(e.v / g * 127.0 + 0.5) AS INT)))
                   END AS q
-                 FROM ex e JOIN dims d USING (dim)),
+                 FROM ex e, gsc),
           sc AS (SELECT a.vec_id AS qid, b.vec_id AS cand,
                    CAST(sum(a.q * b.q) AS BIGINT) AS score
                  FROM qz a JOIN qz b USING (dim)

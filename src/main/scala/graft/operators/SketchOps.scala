@@ -393,5 +393,37 @@ object SketchOps {
                                  / 1.8446744073709551616e19) END AS est_distinct,
                kth_hash, CAST(LEAST(cd, 64) AS INT) AS n_sketch
         FROM agg ORDER BY grp"""))
+  ,
+
+    OpQuery("q210_stream_topk",
+      // CONTINUOUS TOP-K LEADERBOARD under the hard gate — the third
+      // mergeable-state streaming shape beside q202 (sketch + recount)
+      // and q206 (order statistic): per event type, the 5 highest-value
+      // events, state TRUNCATED to k rows per group in RocksDB
+      // (transformWithState), fed in 3 waves with a full stop/restart at
+      // each boundary. Top-k is union-truncate mergeable (the top-k of a
+      // union is among the sides' top-k), so the final streamed
+      // leaderboard equals the batch window top-k EXACTLY — arrival
+      // order, wave cuts and restarts invisible; ties impossible by the
+      // (value DESC, id ASC) total order.
+      (s, d) => {
+        import graft.streaming.TopKStream
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-q210"
+        val keyed = ld(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type").as("grp"), col("event_id").as("id"),
+            col("value"))
+          .withColumn("band", (col("id") % 3).cast("int"))
+        val out = TopKStream.finalTopK(
+          TopKStream.topKToCompletion(s, keyed, s"$root/topk", chunks = 3, k = 5))
+        out.orderBy("grp", "rank")
+      },
+      Some("""SELECT event_type AS grp, CAST(rn AS INT) AS rank,
+               event_id AS id, value
+        FROM (SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value DESC, event_id) AS rn
+              FROM events WHERE value IS NOT NULL) t
+        WHERE rn <= 5 ORDER BY grp, rank"""))
   )
 }
