@@ -257,6 +257,11 @@ object PcaOps {
         dumpModel(s, model, s"$root/comps")
         val modelDf = s.read.parquet(s"$root/comps")
         clock("probe") {
+          // shortlist = a 10% CORPUS FRACTION (min 50), not a fixed count —
+          // a fixed shortlist silently shrinks as a fraction when the
+          // corpus grows and recall dilutes with scale (the q161 lesson);
+          // the oracle derives the same bound from count(*)
+          val shortN = math.max(50L, e.count() / 10L)
           val pw = projWide(s, e, modelDf, m)
           val qw = pw.filter(col("vec_id") < 5)
             .select(col("vec_id").as("qid") +:
@@ -270,7 +275,7 @@ object PcaOps {
               col("qid") =!= col("cand"))
             .withColumn("dist2", dist2)
             .withColumn("r1", row_number().over(w1))
-            .filter(col("r1") <= 50)
+            .filter(col("r1") <= shortN)
             .select("qid", "cand")
           val w2 = org.apache.spark.sql.expressions.Window
             .partitionBy("qid").orderBy(col("cos").desc, col("cand"))
@@ -312,7 +317,8 @@ object PcaOps {
       short AS (SELECT qid, cand FROM (
           SELECT qid, cand,
             row_number() OVER (PARTITION BY qid ORDER BY dist2, cand) AS r1
-          FROM pairs) t WHERE r1 <= 50),
+          FROM pairs) t
+        WHERE r1 <= GREATEST(50, (SELECT count(*) // 10 FROM embeddings))),
       rr AS (SELECT qid, cand, ${SimilarityOps.duckCos} AS cos
         FROM short
         JOIN (SELECT vec_id, embedding AS va FROM embeddings) qq ON qq.vec_id = qid
