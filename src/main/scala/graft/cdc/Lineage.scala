@@ -33,10 +33,19 @@ object Lineage {
   def append(spark: SparkSession, tableDir: String, e: Entry): Unit =
     appendAll(spark, tableDir, Seq(e))
 
+  /** Concurrent appends to ONE _lineage dir share the Hadoop committer's
+    * `_temporary/0` staging dir — the first job's cleanup deletes the second
+    * job's pending task output (the same trap replayLogsConcurrent's
+    * flushLock guards for dead letters). Two tails on one table append
+    * per-batch, so serialize the tiny single-file write JVM-wide. */
+  private val writeLock = new Object
+
   def appendAll(spark: SparkSession, tableDir: String, es: Seq[Entry]): Unit = {
     import spark.implicits._
     if (es.isEmpty) return
-    es.toDS().coalesce(1).write.mode("append").parquet(s"$tableDir/_lineage")
+    writeLock.synchronized {
+      es.toDS().coalesce(1).write.mode("append").parquet(s"$tableDir/_lineage")
+    }
   }
 
   def read(spark: SparkSession, tableDir: String): DataFrame =

@@ -270,13 +270,16 @@ object Merge {
       .withColumn("__bucket", bucketExpr(keyCols, base.buckets))
 
     // touched buckets: from the keys-only pre-pass when available (narrow
-    // distinct over just the key columns — the payload body is wire-skipped,
-    // never decoded); otherwise all buckets
-    val touched: Set[Int] = updateKeys match {
+    // per-bucket COUNT over just the key columns — the payload body is
+    // wire-skipped, never decoded; the counts additionally size the merge's
+    // task count below for free); otherwise all buckets
+    val (touched: Set[Int], batchRowsEst: Option[Long]) = updateKeys match {
       case Some(keys) =>
-        keys.select(bucketExpr(keyCols, base.buckets).as("__bucket"))
-          .distinct().collect().map(_.getInt(0)).toSet
-      case None => (0 until base.buckets).toSet
+        val perBucket = keys.select(bucketExpr(keyCols, base.buckets).as("__bucket"))
+          .groupBy("__bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+        (perBucket.map(_._1).toSet, Some(perBucket.map(_._2).sum))
+      case None => ((0 until base.buckets).toSet, None)
     }
     lap("touched-buckets")
 
@@ -326,10 +329,48 @@ object Merge {
     // key still colocate and the first-row-per-key dedup stays correct). A
     // 4N cluster gets ~4N merge tasks regardless of the table's bucket count;
     // each shard becomes its own file under the bucket dir.
+    //
+    // SCALE-ADAPTIVE (guide §2.2/§6): when the keys pre-pass ran, the merge
+    // row volume is known up front (batch rows + the carried rows of the
+    // buckets that COW-compact this epoch, the latter from manifest file
+    // stats — no extra job), so the task count follows the DATA, capped by
+    // the cluster-derived ceiling. Without it a 3k-row micro-batch on a
+    // 32-core session shuffled into 128 tasks and wrote 16 delta files per
+    // bucket per epoch — which both wasted scheduling time and pushed every
+    // bucket to the inline-compaction threshold almost immediately (an
+    // O(table) rewrite per epoch at gate scale). Rows-per-task is
+    // parameterised (spark.graft.merge.targetRowsPerTask, default 64k ≈ the
+    // per-task volume the 24M-event headline bench settles at); the
+    // keys-absent path keeps the cluster-derived count unchanged (large
+    // replays touch every bucket and fill every task anyway).
     val minTasks = math.max(
       spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism * 4)
-    val subSplits = math.max(1, math.ceil(minTasks.toDouble / math.max(touched.size, 1)).toInt)
+    val rowsPerTask = spark.conf.getOption("spark.graft.merge.targetRowsPerTask")
+      .map(_.toLong).getOrElse(65536L)
+    val carriedRows = base.files.iterator
+      .filter(f => cowBuckets.contains(f.bucket)).map(_.rows).sum
+    val carriedTasks = math.max(1L, (carriedRows + rowsPerTask - 1) / rowsPerTask)
+    val desiredTasks = batchRowsEst match {
+      case Some(batchRows) =>
+        val est = math.max(carriedTasks, (batchRows + rowsPerTask - 1) / rowsPerTask)
+        math.min(minTasks.toLong, math.max(1L, est)).toInt
+      case None =>
+        // no keys pre-pass: fall back to the optimizer's size estimate of
+        // the batch plan (meaningful for file-backed batches — bootstrap
+        // chunks, change-feed shipping, DML sources; decode-backed RDD
+        // plans report the unknown sentinel and keep the cluster-derived
+        // count, which is the right answer for full-log replays anyway)
+        val bytesPerTask = spark.conf.getOption("spark.graft.merge.targetBytesPerTask")
+          .map(_.toLong).getOrElse(8L << 20)
+        val stat = updates0.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (stat > 0 && stat < BigInt(1L << 31)) {
+          val fromBytes = ((stat + bytesPerTask - 1) / bytesPerTask).toLong
+          math.min(minTasks.toLong,
+            math.max(1L, math.max(fromBytes, carriedTasks))).toInt
+        } else minTasks
+    }
+    val subSplits = math.max(1, math.ceil(desiredTasks.toDouble / math.max(touched.size, 1)).toInt)
     // __sub must be INDEPENDENT of __bucket: both are mods of a key hash, so
     // reusing xxhash64(keyCols) would make (h mod buckets) determine
     // (h mod gcd(subSplits, buckets)) — with 64 buckets and subSplits=2 every
@@ -352,8 +393,16 @@ object Merge {
     // inserts no extra per-task sort (and files stay key-sorted for
     // row-group pruning); within (bucket, origin), keys cluster with newest
     // seq first for the streaming LWW dedup below.
+    // partition count: buckets × shards, except that a SMALL keyed batch may
+    // use fewer partitions than touched buckets (buckets share a task; the
+    // dynamic-partition writer still emits one file per bucket value) — the
+    // sort prefix and the per-(key, origin) dedup are partition-count
+    // independent because a key's rows always hash together
+    val numParts =
+      if (subSplits > 1) math.max(touched.size * subSplits, 1)
+      else math.max(1, math.min(math.max(touched.size, 1), math.max(desiredTasks, 1)))
     val merged = sharded
-      .repartition(math.max(touched.size * subSplits, 1), shardCols: _*)
+      .repartition(numParts, shardCols: _*)
       .sortWithinPartitions(
         ((col("__bucket") +: col("__origin") +: keyCols.map(col)) :+ col(IceLite.SeqCol.name).desc): _*)
       .mapPartitions { it =>

@@ -1480,9 +1480,15 @@ object CdcQueries {
         // NO bucket compacts inline: the fixture is delta-heavy by
         // construction, not by task-count accident (at low parallelism the
         // default threshold flips boundary buckets into COW and collapses
-        // the delta layout this gate exists to exercise)
-        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8,
+        // the delta layout this gate exists to exercise). The per-task row
+        // target is pinned low for the same reason: the scale-adaptive
+        // merge sizing would write ONE file per bucket per epoch here, and
+        // the many-small-delta-files regime is exactly what this bloom
+        // gate exists to measure.
+        s.conf.set("spark.graft.merge.targetRowsPerTask", "64")
+        try clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8,
           deltaThreshold = 1000) }
+        finally s.conf.unset("spark.graft.merge.targetRowsPerTask")
         val snap = IceLite.load(tableDir)
         val deltas = snap.files.filter(_.delta)
         require(deltas.length >= 5 * 8,
@@ -4343,7 +4349,17 @@ object CdcQueries {
             pathsPerRepo = 30, deleteEvery = 20, v1Fraction = 0.7), logDir, epochs = 3)
         }
         clock("decode_dump") { dumpDecodedByEpoch(s, logDir, root, epochs = 3) }
-        clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        // the fixture NEEDS uneven per-bucket file accumulation (that is the
+        // workload a maintenance advisor exists for): pin the merge's
+        // per-task row target low so each epoch shards into several files
+        // per bucket and the zipf key skew makes the counts uneven — the
+        // scale-adaptive default would write one file per bucket per epoch
+        // here and the advisor would have nothing to discriminate; 8
+        // rows/task gives enough shards that zipf sparsity leaves some
+        // shards empty (uneven per-bucket file counts)
+        s.conf.set("spark.graft.merge.targetRowsPerTask", "8")
+        try clock("replay") { Replay.replayLog(s, logDir, tableDir, buckets = 8) }
+        finally s.conf.unset("spark.graft.merge.targetRowsPerTask")
         val snap = IceLite.load(tableDir)
         val counts = Compaction.health(snap).map(_.files)
         require(counts.min < counts.max,

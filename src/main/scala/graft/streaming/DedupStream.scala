@@ -81,6 +81,10 @@ object DedupStream {
       q = clock("startup") { start(spark, docsDir, docs.schema,
         s"$workRoot/sigs", s"$workRoot/pairs", s"$workRoot/ckpt") }
     try {
+      // NOT wrapped in withStreamShuffle: this harness is stateless
+      // foreachBatch whose per-batch work (band joins + jaccard verify) is
+      // compute-bound — shrinking partitions measurably HURT it (drain
+      // 17.0 → 19.4 s), unlike the state-store-bound harnesses
       (0 until chunks).foreach { i =>
         if (i == restartAt && q != null) clock("startup") { q.stop(); q = null } // checkpoint resume
         clock("feed") {

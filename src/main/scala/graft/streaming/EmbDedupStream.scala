@@ -59,6 +59,8 @@ object EmbDedupStream {
       q = start(spark, embsDir, embs.schema,
         s"$workRoot/store", s"$workRoot/pairs", s"$workRoot/ckpt")
     try {
+      // stateless foreachBatch, compute-bound pairing: measured flat under
+      // withStreamShuffle, so left at the session partitioning (q40 note)
       (0 until chunks).foreach { i =>
         if (i == restartAt && q != null) { q.stop(); q = null } // checkpoint resume
         embs.filter(pmod(col("vec_id"), lit(chunks.toLong)) === i)

@@ -85,7 +85,7 @@ object HeavyHittersStream {
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try StreamJoin.withStreamShuffle(spark, keyed.count()) {
       (0 until chunks).foreach { i =>
         keyed.filter(col("band") === i).select("shard", "key")
           .coalesce(1).write.mode("append").parquet(feedDir)

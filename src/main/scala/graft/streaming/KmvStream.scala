@@ -71,7 +71,7 @@ object KmvStream {
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try StreamJoin.withStreamShuffle(spark, keyed.count()) {
       (0 until chunks).foreach { i =>
         keyed.filter(col("band") === i).select("grp", "h")
           .coalesce(1).write.mode("append").parquet(feedDir)

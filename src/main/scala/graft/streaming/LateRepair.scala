@@ -63,9 +63,10 @@ object LateRepair {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
     val ev = events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
     val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
+      max(unix_micros(col("ts"))).as("hi"), count(lit(1)).as("n")).head()
     require(!mm.isNullAt(0), "runStreamWithLateArrivals: events frame is empty")
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val totalRows = mm.getLong(2)
     val span = math.max(1L, tmax - tmin + 1)
 
     val band = bandCol(unix_micros(col("ts")), tmin, span, chunks)
@@ -85,30 +86,32 @@ object LateRepair {
     val feedDir = s"$workRoot/feed"
 
     var dropped = 0L
-    (0 until chunks).foreach { i =>
-      feed.filter(col("__arrival_band") === i)
-        .write.mode("append").parquet(feedDir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(feedDir).schema)
-        .parquet(feedDir)
-        .withWatermark("ts", delay)
-      val agg = stream
-        .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-            .cast("double").as("sum_value"))
-        .select(unix_micros(col("w.start")).as("window_start_us"),
-          col("event_type"), col("n"), col("sum_value"))
-      val q = agg.writeStream.format("parquet")
-        .option("path", s"$workRoot/out")
-        .option("checkpointLocation", s"$workRoot/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      dropped += q.recentProgress.iterator
-        .flatMap(p => Option(p.stateOperators).iterator.flatten)
-        .map(_.numRowsDroppedByWatermark).sum
+    StreamJoin.withStreamShuffle(spark, totalRows) {
+      (0 until chunks).foreach { i =>
+        feed.filter(col("__arrival_band") === i)
+          .write.mode("append").parquet(feedDir)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feedDir).schema)
+          .parquet(feedDir)
+          .withWatermark("ts", delay)
+        val agg = stream
+          .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double").as("sum_value"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = agg.writeStream.format("parquet")
+          .option("path", s"$workRoot/out")
+          .option("checkpointLocation", s"$workRoot/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        dropped += q.recentProgress.iterator
+          .flatMap(p => Option(p.stateOperators).iterator.flatten)
+          .map(_.numRowsDroppedByWatermark).sum
+      }
     }
 
     val lateN = spark.read.parquet(feedDir)

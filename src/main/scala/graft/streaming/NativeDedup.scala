@@ -35,24 +35,26 @@ object NativeDedup {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
     val feedDir = s"$workRoot/feed"
     val schema = feed.drop("__band").schema
-    (0 until chunks).foreach { i =>
-      feed.filter(col("__band") === i).drop("__band")
-        .coalesce(1) // one file per wave -> one microbatch per wave
-        .write.mode("append").parquet(feedDir)
-      // the watermark DELAY is the dedup horizon: state for an id lives
-      // until the watermark passes its event time + delay
-      val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1000)
-        .parquet(feedDir)
-        .withWatermark(tsCol, delay)
-        .dropDuplicatesWithinWatermark(idCol)
-      val q = src.writeStream.format("parquet")
-        .option("path", s"$workRoot/out")
-        .option("checkpointLocation", s"$workRoot/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    StreamJoin.withStreamShuffle(spark, feed.count()) {
+      (0 until chunks).foreach { i =>
+        feed.filter(col("__band") === i).drop("__band")
+          .coalesce(1) // one file per wave -> one microbatch per wave
+          .write.mode("append").parquet(feedDir)
+        // the watermark DELAY is the dedup horizon: state for an id lives
+        // until the watermark passes its event time + delay
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1000)
+          .parquet(feedDir)
+          .withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark(idCol)
+        val q = src.writeStream.format("parquet")
+          .option("path", s"$workRoot/out")
+          .option("checkpointLocation", s"$workRoot/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.read.parquet(s"$workRoot/out")
   }

@@ -113,9 +113,10 @@ object Resequence {
       col("event_id").cast("long"),
       col("ts").cast("timestamp").as("ts"),
       unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-    val mm = feed.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val mm = feed.agg(min(col("ts_us")), max(col("ts_us")), count(lit(1))).head()
     require(!mm.isNullAt(0), "resequenceToCompletion: empty input")
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val totalRows = mm.getLong(2)
     val span = math.max(1L, tmax - tmin + 1)
     val bandUs = span / chunks + 1
     val band = least(lit(chunks - 1), ((col("ts_us") - tmin) * chunks / span).cast("int"))
@@ -130,7 +131,7 @@ object Resequence {
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try StreamJoin.withStreamShuffle(spark, totalRows) {
       (0 until chunks + 2).foreach { i =>
         val wave =
           if (i < chunks) banded.filter(col("__wave") === i).drop("__wave")

@@ -139,12 +139,14 @@ object Sessionize {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
     val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     val ev = events.select(col("user_id"), col("ts"), col("value"))
-    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"),
+      count(lit(1)).as("n")).head()
     // empty input → min/max are NULL; fail with a clear message instead of
     // an opaque NPE from getLong (the banding/flush logic below would be
     // meaningless anyway)
     require(!mm.isNullAt(0), "sessionsStreamToCompletion: events frame is empty")
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val totalRows = mm.getLong(2)
     val span = math.max(1L, tmax - tmin + 1)
     val banded = ev.withColumn("__band",
       least(lit(chunks - 1), ((unix_micros(col("ts")) - tmin) * chunks / span).cast("int")))
@@ -153,21 +155,23 @@ object Sessionize {
         lit(chunks - 1).as("__band"))
     val all = banded.unionByName(flush)
     val feedDir = s"$workRoot/feed"
-    (0 until chunks).foreach { i =>
-      all.filter(col("__band") === i).drop("__band")
-        .write.mode("append").parquet(feedDir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(feedDir).schema)
-        .parquet(feedDir)
-        .withWatermark("ts", "0 seconds")
-      val q = sessions(stream, gap)
-        .writeStream.format("parquet")
-        .option("path", s"$workRoot/out")
-        .option("checkpointLocation", s"$workRoot/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    StreamJoin.withStreamShuffle(spark, totalRows) {
+      (0 until chunks).foreach { i =>
+        all.filter(col("__band") === i).drop("__band")
+          .write.mode("append").parquet(feedDir)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feedDir).schema)
+          .parquet(feedDir)
+          .withWatermark("ts", "0 seconds")
+        val q = sessions(stream, gap)
+          .writeStream.format("parquet")
+          .option("path", s"$workRoot/out")
+          .option("checkpointLocation", s"$workRoot/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.read.parquet(s"$workRoot/out")
       .filter(col("session_start_us") < unix_micros(lit(flushTs)))

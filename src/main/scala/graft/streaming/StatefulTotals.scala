@@ -58,9 +58,10 @@ object StatefulTotals {
       unix_micros(col("ts").cast("timestamp")).as("ts_us"),
       col("value").cast("decimal(18,6)").as("value"))
       .filter(col("value").isNotNull)
-    val mm = feed.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val mm = feed.agg(min(col("ts_us")), max(col("ts_us")), count(lit(1))).head()
     require(!mm.isNullAt(0), "runningTotalsToCompletion: empty input")
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val totalRows = mm.getLong(2)
     val span = math.max(1L, tmax - tmin + 1)
     val banded = feed.withColumn("__band",
       least(lit(chunks - 1), ((col("ts_us") - tmin) * chunks / span).cast("int")))
@@ -69,7 +70,7 @@ object StatefulTotals {
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try StreamJoin.withStreamShuffle(spark, totalRows) {
       (0 until chunks).foreach { i =>
         banded.filter(col("__band") === i).drop("__band")
           .coalesce(1).write.mode("append").parquet(feedDir)

@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   * join exactly. */
 object StreamJoin {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` sized to the stream's
+    * actual row volume (state-store count = shuffle partitions in stateful
+    * streaming, and each partition's store pays per-microbatch commit +
+    * per-restart recovery I/O — so the partition count must follow the
+    * STATE size, not the core count; guide §2's scale-adaptive rule).
+    * Restores the session value afterwards. */
+  private[graft] def withStreamShuffle[T](spark: SparkSession, rows: Long)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val rowsPerPartition = spark.conf
+      .getOption("spark.graft.stream.rowsPerStatePartition").map(_.toLong).getOrElse(50000L)
+    val n = math.max(4L, math.min(prev.toLong,
+      (rows + rowsPerPartition - 1) / rowsPerPartition)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Append-mode inner interval join of two streaming frames: equi-key
     * plus `r.$rTime ∈ [l.$lTime, l.$lTime + tolSeconds]`. The right key
     * column must be pre-renamed by the caller (no ambiguous columns). */
@@ -80,9 +96,11 @@ object StreamJoin {
     val r2 = right.withColumnRenamed(key, rKey)
     val mm = left.select(unix_micros(col(lTime)).as("t"))
       .unionByName(right.select(unix_micros(col(rTime)).as("t")))
-      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"),
+        count(col("t")).as("n")).head()
     require(!mm.isNullAt(0), "leftOuterStreamToCompletion: empty inputs")
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val totalRows = mm.getLong(2)
     val span = math.max(1L, tmax - tmin + 1)
     def banded(df: DataFrame, ts: String): DataFrame = df.withColumn("__band",
       least(lit(chunks - 1), ((unix_micros(col(ts)) - tmin) * chunks / span).cast("int")))
@@ -108,12 +126,14 @@ object StreamJoin {
       nullCounts += spark.read.parquet(s"$workRoot/out")
         .filter(col(rKey).isNull).count()
     }
-    (0 until chunks).foreach { i =>
-      runWave(lb.filter(col("__band") === i).drop("__band"),
-        rb.filter(col("__band") === i).drop("__band"))
+    withStreamShuffle(spark, totalRows) {
+      (0 until chunks).foreach { i =>
+        runWave(lb.filter(col("__band") === i).drop("__band"),
+          rb.filter(col("__band") === i).drop("__band"))
+      }
+      runWave(sentinelRow(left, key, lTime, sentinelKey, sentinelTs),
+        sentinelRow(r2, rKey, rTime, sentinelKey, sentinelTs))
     }
-    runWave(sentinelRow(left, key, lTime, sentinelKey, sentinelTs),
-      sentinelRow(r2, rKey, rTime, sentinelKey, sentinelTs))
     val out = spark.read.parquet(s"$workRoot/out")
       .filter(col(key) =!= sentinelKey).drop(rKey)
     (out, nullCounts.toSeq)
@@ -130,30 +150,34 @@ object StreamJoin {
     // one shared time axis so both sides' watermarks advance in lockstep
     val mm = left.select(unix_micros(col(lTime)).as("t"))
       .unionByName(right.select(unix_micros(col(rTime)).as("t")))
-      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"),
+        count(col("t")).as("n")).head()
     require(!mm.isNullAt(0), "intervalJoinStreamToCompletion: empty inputs")
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val totalRows = mm.getLong(2)
     val span = math.max(1L, tmax - tmin + 1)
     def banded(df: DataFrame, ts: String): DataFrame = df.withColumn("__band",
       least(lit(chunks - 1), ((unix_micros(col(ts)) - tmin) * chunks / span).cast("int")))
     val (lb, rb) = (banded(left, lTime), banded(r2, rTime))
     val (feedL, feedR) = (s"$workRoot/feed_l", s"$workRoot/feed_r")
-    (0 until chunks).foreach { i =>
-      lb.filter(col("__band") === i).drop("__band").write.mode("append").parquet(feedL)
-      rb.filter(col("__band") === i).drop("__band").write.mode("append").parquet(feedR)
-      val ls = spark.readStream.schema(left.schema).parquet(feedL)
-        .withWatermark(lTime, "0 seconds")
-      val rs = spark.readStream.schema(r2.schema).parquet(feedR)
-        .withWatermark(rTime, "0 seconds")
-      val q = intervalJoin(ls, rs, key, s"__r_$key", lTime, rTime, tolSeconds)
-        .drop(s"__r_$key")
-        .writeStream.format("parquet")
-        .option("path", s"$workRoot/out")
-        .option("checkpointLocation", s"$workRoot/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    withStreamShuffle(spark, totalRows) {
+      (0 until chunks).foreach { i =>
+        lb.filter(col("__band") === i).drop("__band").write.mode("append").parquet(feedL)
+        rb.filter(col("__band") === i).drop("__band").write.mode("append").parquet(feedR)
+        val ls = spark.readStream.schema(left.schema).parquet(feedL)
+          .withWatermark(lTime, "0 seconds")
+        val rs = spark.readStream.schema(r2.schema).parquet(feedR)
+          .withWatermark(rTime, "0 seconds")
+        val q = intervalJoin(ls, rs, key, s"__r_$key", lTime, rTime, tolSeconds)
+          .drop(s"__r_$key")
+          .writeStream.format("parquet")
+          .option("path", s"$workRoot/out")
+          .option("checkpointLocation", s"$workRoot/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.read.parquet(s"$workRoot/out")
   }

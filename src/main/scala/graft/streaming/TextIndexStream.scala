@@ -51,6 +51,8 @@ object TextIndexStream {
       q = clock("startup") { start(spark, docsDir, docs.schema, indexDir,
         s"$workRoot/ckpt") }
     try {
+      // stateless foreachBatch posting-store appends: measured flat under
+      // withStreamShuffle, so left at the session partitioning (q40 note)
       (0 until chunks).foreach { i =>
         if (i == restartAt && q != null) {
           clock("startup") { q.stop(); q = null }

@@ -483,7 +483,11 @@ class PipelineSpec extends AnyFunSuite {
         case None => col(c)
       }
     }: _*)
-    Merge.mergeEpoch(spark, dir, df, "seq", "op", "shard-0")
+    // pin the per-task byte target low so the scale-adaptive sizing still
+    // chooses the multi-shard regime this regression test is about
+    spark.conf.set("spark.graft.merge.targetBytesPerTask", "1")
+    try Merge.mergeEpoch(spark, dir, df, "seq", "op", "shard-0")
+    finally spark.conf.unset("spark.graft.merge.targetBytesPerTask")
     // one parquet file per non-empty (bucket, shard): ≥2 files in (nearly)
     // every bucket proves both shards carry rows
     val filesPerBucket = IceLite.load(dir).files.groupBy(_.bucket).view.mapValues(_.size)

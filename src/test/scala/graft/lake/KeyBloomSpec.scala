@@ -52,7 +52,13 @@ class KeyBloomSpec extends AnyFunSuite {
     // with epochs, the bloom'd one must not
     LogGen.writeLog(spark, LogGen.Params(nEvents = 5000, nRepos = 30,
       pathsPerRepo = 20, v1Fraction = 0.7), logDir, epochs = 5)
-    Replay.replayLog(spark, logDir, tableDir, buckets = 4)
+    // the fixture WANTS the many-small-delta-files regime (that is the
+    // workload blooms exist for); pin the per-task row target low so each
+    // epoch shards into several delta files per bucket regardless of the
+    // scale-adaptive merge task sizing
+    spark.conf.set("spark.graft.merge.targetRowsPerTask", "64")
+    try Replay.replayLog(spark, logDir, tableDir, buckets = 4)
+    finally spark.conf.unset("spark.graft.merge.targetRowsPerTask")
     val snap = IceLite.load(tableDir)
 
     // every delta file in this small-file regime carries a bloom, and it
