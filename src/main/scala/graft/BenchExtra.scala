@@ -23,7 +23,8 @@ object BenchExtra {
       .master(s"local[$cpus]")
       .appName(s"graft-benchextra-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("BENCHEXTRA_AQE", "true")) // experiment knob only
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp/graft-spark"))
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")

@@ -18,6 +18,8 @@ object ReplayLab {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.shuffle.compress", sys.env.getOrElse("LAB_SHUFFLE_COMPRESS", "true"))
+      .config("spark.io.compression.codec", sys.env.getOrElse("LAB_IO_CODEC", "lz4"))
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp/graft-spark"))
       .config("spark.sql.files.maxPartitionBytes", "16m")
@@ -50,8 +52,24 @@ object ReplayLab {
         .as[graft.decode.ChangeEvent]
       def updates = Replay.decodeForMerge(ev, registry, None).updates
 
+      // slice 0: parquet scan of the payload bytes only (no decode)
+      time("scan-only") {
+        log.filter(col("epoch") === e).select("payload", "schemaId", "schemaVersion",
+          "messageType", "partition", "offset")
+          .write.format("noop").mode("overwrite").save()
+      }
+      // slice 0b: keys-only decode (wire-skip everything but repo/path)
+      time("keys-only-decode") {
+        graft.decode.Decode.decodeKeys(ev, registry,
+          graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType,
+          Seq("repo", "path")).write.format("noop").mode("overwrite").save()
+      }
       // slice 1: decode only (map-only job, noop sink)
       time("decode-only") {
+        Replay.decodeForMerge(ev, registry, None).updates
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("decode-only-2nd") {
         Replay.decodeForMerge(ev, registry, None).updates
           .write.format("noop").mode("overwrite").save()
       }
@@ -61,6 +79,16 @@ object ReplayLab {
         .withColumn("__bucket", pmod(xxhash64(lit(42) +: keyCols.map(col): _*), lit(64L)).cast("int"))
         .withColumn("__sub", pmod(xxhash64(lit("__graft_sub") +: keyCols.map(col): _*), lit(2L)).cast("int"))
         .withColumn("__origin", lit(0))
+      time("decode+shuffle-nosort") {
+        shaped.repartition(128, col("__bucket"), col("__sub"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("decode+shuffle+hashsort") {
+        shaped.repartition(128, col("__bucket"), col("__sub"))
+          .sortWithinPartitions(col("__bucket"), col("__origin"),
+            xxhash64(col("repo"), col("path")), col("repo"), col("path"), col("seq").desc)
+          .write.format("noop").mode("overwrite").save()
+      }
       time("decode+shuffle+sort") {
         shaped.repartition(128, col("__bucket"), col("__sub"))
           .sortWithinPartitions(col("__bucket"), col("__origin"), col("repo"), col("path"), col("seq").desc)
@@ -84,6 +112,23 @@ object ReplayLab {
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
           .write.format("noop").mode("overwrite").save()
+      }
+      // slice 3b: HASH-AGG LWW instead of repartition+sort+mapPartitions:
+      // partial max_by(struct) reduces map-side, one exchange on the group
+      // keys, tiny second exchange to the bucket layout, cheap final sort
+      time("agg-dedup+write") {
+        val df = shaped
+        val allCols = df.columns
+        val grouped = df.groupBy(col("__bucket"), col("__sub"), col("repo"), col("path"), col("__origin"))
+          .agg(max_by(struct(allCols.toIndexedSeq.map(col): _*), col("seq")).as("__w"))
+          .select(allCols.toIndexedSeq.map(c => col(s"__w.$c").as(c)): _*)
+        val outDir2 = "/dev/shm/graft-lab-epoch2"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir2))
+        grouped.repartition(128, col("__bucket"), col("__sub"))
+          .sortWithinPartitions(col("__bucket"), col("__origin"), col("repo"), col("path"), col("seq").desc)
+          .drop("__sub")
+          .write.option("parquet.block.size", 16 * 1024 * 1024)
+          .partitionBy("__bucket", "__origin").mode("overwrite").parquet(outDir2)
       }
       // slice 4: + parquet write (real sink, dynamic partitions)
       val outDir = "/dev/shm/graft-lab-epoch"

@@ -82,8 +82,10 @@ object Breaker {
         EpochVerdict(e, total, bad, quarantined = true)
       } else {
         val batch = Replay.decodeForMerge(ev, registry, Some(s"$tableDir/_deadletter"))
+        val keys = Some(Decode.decodeKeys(ev, registry,
+          SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
         val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
-          s"$namespace-$e")
+          s"$namespace-$e", keys)
         // fenced: recover letters a crashed prior attempt may not have
         // flushed (idempotent write — duplicates are skipped by identity)
         if (st.applied) batch.flushDeadLetters() else batch.flushDeadLettersDirect()
@@ -101,10 +103,13 @@ object Breaker {
     require(Files.exists(marker(tableDir, epoch)),
       s"epoch $epoch is not quarantined for $tableDir")
     val registry = spark.sparkContext.broadcast(Cdc.registry)
-    val batch = Replay.decodeForMerge(events(spark, logDir, epoch), registry,
+    val ev = events(spark, logDir, epoch)
+    val batch = Replay.decodeForMerge(ev, registry,
       Some(s"$tableDir/_deadletter"))
+    val keys = Some(Decode.decodeKeys(ev, registry,
+      SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
     val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
-      s"$namespace-$epoch")
+      s"$namespace-$epoch", keys)
     if (st.applied) batch.flushDeadLetters() else batch.flushDeadLettersDirect()
     Files.deleteIfExists(marker(tableDir, epoch))
     st

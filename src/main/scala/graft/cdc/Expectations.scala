@@ -175,8 +175,12 @@ object Expectations {
           .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
           .as[ChangeEvent]
         val batch = Replay.decodeForMerge(conformEv, registry, Some(s"$tableDir/_deadletter"))
+        // keys-only pre-pass (wire-skipped): touched-bucket pruning + the
+        // scale-adaptive merge task sizing, same as the replay/tail paths
+        val keys = Some(Decode.decodeKeys(conformEv, registry,
+          SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
         val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
-          s"$namespace-$e", None)
+          s"$namespace-$e", keys)
         if (st.applied) {
           batch.flushDeadLetters()
           nViol += writeDeadLetters(viol, raw, tableDir)
@@ -223,8 +227,10 @@ object Expectations {
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
       .as[ChangeEvent]
     val batch = Replay.decodeForMerge(conformEv, registry, Some(s"$tableDir/_deadletter"))
+    val keys = Some(Decode.decodeKeys(conformEv, registry,
+      SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType, Seq("repo", "path")))
     val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op",
-      s"$namespace-$epoch", None)
+      s"$namespace-$epoch", keys)
     var n = 0L
     if (st.applied) {
       batch.flushDeadLetters()
@@ -279,7 +285,8 @@ object Expectations {
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
       .as[ChangeEvent]
     val batch = Replay.decodeForMerge(conformEv, registry, None)
-    val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag)
+    val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag,
+      batchRowsHint = Some(math.max(attempted - remaining, 1L)))
     // FENCED retry (a reused epochTag): the merge applied nothing, so the
     // store must stay untouched — rewriting it would destroy the now-
     // conforming rows unmerged. Retry under a fresh tag instead.

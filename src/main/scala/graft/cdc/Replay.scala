@@ -479,7 +479,10 @@ object Replay {
       buckets: Int = 32,
       /** (name → field id) from the source table's schema — required for
         * columns the default registry doesn't know (evolved/renamed). */
-      sourceFieldIds: Map[String, Int] = Map.empty): Merge.MergeStats = {
+      sourceFieldIds: Map[String, Int] = Map.empty,
+      /** caller-known feed row estimate (e.g. IceLite.changesRowEstimate)
+        * for the merge's scale-adaptive task sizing. */
+      feedRowsHint: Option[Long] = None): Merge.MergeStats = {
     if (!IceLite.exists(tableDir)) createTable(tableDir, buckets)
     val dataCols = feed.columns
       .filterNot(c => c == IceLite.SeqCol.name || c == IceLite.DelCol.name)
@@ -489,7 +492,8 @@ object Replay {
         Seq(col(IceLite.SeqCol.name).as("__sq"),
           when(coalesce(col(IceLite.DelCol.name), lit(false)), "DELETE")
             .otherwise("UPSERT").as("__op")): _*)
-    Merge.mergeEpoch(spark, tableDir, batch, "__sq", "__op", epochId)
+    Merge.mergeEpoch(spark, tableDir, batch, "__sq", "__op", epochId,
+      batchRowsHint = feedRowsHint)
   }
 
   /** Catch a replica up to the source head: the replica's own `repl`
@@ -528,7 +532,9 @@ object Replay {
       if (fenced.exists(_.contains(s"repl-$v"))) false
       else applyChanges(spark,
         IceLite.changes(spark, srcDir, math.max(0, v - 1), v),
-        replicaDir, s"repl-$v", buckets, sourceFieldIds = srcIds).applied
+        replicaDir, s"repl-$v", buckets, sourceFieldIds = srcIds,
+        feedRowsHint = Some(
+          IceLite.changesRowEstimate(srcDir, math.max(0, v - 1), v))).applied
     }
   }
 
@@ -582,7 +588,12 @@ object Replay {
       .select("payload", "schemaId", "schemaVersion", "messageType", "partition", "offset")
       .as[ChangeEvent]
     val batch = decodeForMerge(ev, registry, None, framing)
-    val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag)
+    // keys-only pre-pass with the FIXED registry: still-failing payloads
+    // yield no key row (and no update row), decodable ones size/prune the
+    // merge like every other path
+    val keys = Some(Decode.decodeKeys(ev, registry, SchemaKey(Cdc.SchemaId, -1),
+      Cdc.MessageType, Seq("repo", "path"), framing))
+    val st = Merge.mergeEpoch(spark, tableDir, batch.updates, "seq", "op", epochTag, keys)
     // FENCED retry (a reused epochTag) must leave the store UNTOUCHED: the
     // merge applied nothing, so rewriting the store would destroy every
     // now-decodable row unmerged — the one unrecoverable outcome. The

@@ -118,7 +118,10 @@ object Txn {
       // replay path; on a fenced redo the direct flush recovers letters a
       // crashed prior attempt may not have written (idempotent by identity)
       val batch = Replay.decodeForMerge(ev, registry, Some(s"$dir/_deadletter"))
-      val st = Merge.mergeEpoch(spark, dir, batch.updates, "seq", "op", s"txn-$epoch")
+      val keys = Some(graft.decode.Decode.decodeKeys(ev, registry,
+        graft.registry.SchemaKey(Cdc.SchemaId, -1), Cdc.MessageType,
+        Seq("repo", "path")))
+      val st = Merge.mergeEpoch(spark, dir, batch.updates, "seq", "op", s"txn-$epoch", keys)
       if (st.applied) batch.flushDeadLetters() else batch.flushDeadLettersDirect()
       crashPoint(s"committed-$epoch-$i")
       st

@@ -147,7 +147,8 @@ object Dml {
       batch0.select(visible.map(c => col(c.name).as(c.name, fid(c.id))) :+
         lit(snap.maxSeq + 1).as("__dml_seq") :+ col("__dml_op"): _*),
       "__dml_seq", "__dml_op", epochId,
-      requireBaseVersion = Some(snap.version)) // same-seq tie guard, see deleteWhere
+      requireBaseVersion = Some(snap.version), // same-seq tie guard, see deleteWhere
+      batchRowsHint = Some(byClause.values.sum)) // clause counts already collected
     MergeIntoStats(
       updated = byClause.getOrElse(("m", "UPSERT"), 0L),
       deleted = byClause.getOrElse(("m", "DELETE"), 0L),

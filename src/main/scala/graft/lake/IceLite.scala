@@ -1499,6 +1499,17 @@ object IceLite {
     deltas.unionByName(carried)
   }
 
+  /** Manifest-stats upper bound on the rows [[changes]] returns for the
+    * same window — pure metadata (no Spark job), used to size downstream
+    * merge task counts (Merge.mergeEpoch's batchRowsHint). */
+  def changesRowEstimate(dir: String, fromVersion: Int, toVersion: Int): Long = {
+    val from = loadVersion(dir, fromVersion)
+    val to = loadVersion(dir, toVersion)
+    val old = from.files.map(_.path).toSet
+    to.files.iterator.filter(f => !old.contains(f.path) &&
+      (f.delta || f.maxSeq > from.maxSeq)).map(_.rows).sum
+  }
+
   /** [[changes]] on the wall-clock axis: the change rows between the
     * snapshot current at `fromTsMs` and the snapshot current at `toTsMs`
     * (each cut resolved newest-at-or-before, like [[loadAsOf]]). Same

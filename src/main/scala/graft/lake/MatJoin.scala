@@ -192,7 +192,8 @@ object MatJoin {
         new org.apache.spark.sql.types.MetadataBuilder()
           .putLong(graft.decode.SparkSchema.FieldIdKey, cd.id.toLong).build())) ++
         Seq(col("__sq"), col("__op")): _*)
-    val st = Merge.mergeEpoch(spark, outDir, pinned, "__sq", "__op", s"fd-$enc")
+    val st = Merge.mergeEpoch(spark, outDir, pinned, "__sq", "__op", s"fd-$enc",
+      batchRowsHint = Some(nUp + nDel))
     RefreshStats(vf0, vf1, vd0, vd1, st.applied, nUp, nDel, factBuckets.size)
   }
 }

@@ -239,7 +239,9 @@ object MatView {
       .withColumn("__op", when(col("cnt") === 0L, "DELETE").otherwise("UPSERT"))
       .withColumn("__sq", lit(to.toLong))
 
-    val stats = commitBatch(spark, mvSnap, mvDir, newRows, to)
+    // touched groups ≤ changed keys — an order-of-magnitude task-count hint
+    val stats = commitBatch(spark, mvSnap, mvDir, newRows, to,
+      rowsHint = Some(math.max(changedCnt, 1L)))
     RefreshStats(from, to, stats.applied, changedCnt, stats.batchRows, recomputed)
   }
 
@@ -336,14 +338,16 @@ object MatView {
 
   /** Field ids pinned from the view schema → Merge normalization is exact. */
   private def commitBatch(spark: SparkSession, mvSnap: IceLite.Snapshot,
-      mvDir: String, newRows: DataFrame, to: Int): Merge.MergeStats = {
+      mvDir: String, newRows: DataFrame, to: Int,
+      rowsHint: Option[Long] = None): Merge.MergeStats = {
     val visible = mvSnap.currentSchema.filterNot(_.hidden)
     val batch = newRows.select(
       visible.map(cd => col(cd.name).as(cd.name,
         new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("graft.fieldId", cd.id.toLong).build())) ++
         Seq(col("__sq"), col("__op")): _*)
-    Merge.mergeEpoch(spark, mvDir, batch, "__sq", "__op", s"src-$to")
+    Merge.mergeEpoch(spark, mvDir, batch, "__sq", "__op", s"src-$to",
+      batchRowsHint = rowsHint)
   }
 
   /** Retention fallback: the retraction window's pre-image is gone, so

@@ -218,7 +218,15 @@ object Merge {
         * [[IceLite.CommitDelta.requireBaseVersion]]) — for batches whose
         * sequence numbers were derived from a snapshot (DML's maxSeq+1)
         * and would collide if another writer committed meanwhile. */
-      requireBaseVersion: Option[Int] = None): MergeStats = {
+      requireBaseVersion: Option[Int] = None,
+      /** caller-known (approximate) batch row count for the scale-adaptive
+        * task sizing when no keys pre-pass ran — the derived-merge paths
+        * (SCD2 apply, mat-view refresh, change-feed shipping) build their
+        * batches from joins whose optimizer size estimates are multiplied
+        * into uselessness, which otherwise forces the cluster-derived
+        * fallback task count on kilobyte batches. An order-of-magnitude
+        * estimate is fine; only the task count depends on it. */
+      batchRowsHint: Option[Long] = None): MergeStats = {
 
     val timing = sys.env.contains("SPARK_GRAFT_TIMING")
     var t0 = System.nanoTime()
@@ -351,7 +359,7 @@ object Merge {
     val carriedRows = base.files.iterator
       .filter(f => cowBuckets.contains(f.bucket)).map(_.rows).sum
     val carriedTasks = math.max(1L, (carriedRows + rowsPerTask - 1) / rowsPerTask)
-    val desiredTasks = batchRowsEst match {
+    val desiredTasks = batchRowsEst.orElse(batchRowsHint) match {
       case Some(batchRows) =>
         val est = math.max(carriedTasks, (batchRows + rowsPerTask - 1) / rowsPerTask)
         math.min(minTasks.toLong, math.max(1L, est)).toInt
@@ -370,6 +378,8 @@ object Merge {
             math.max(1L, math.max(fromBytes, carriedTasks))).toInt
         } else minTasks
     }
+    if (timing) println(s"[timing] epoch=$epochId desiredTasks=$desiredTasks " +
+      s"(keys=${batchRowsEst.isDefined}, stats=${updates0.queryExecution.optimizedPlan.stats.sizeInBytes})")
     val subSplits = math.max(1, math.ceil(desiredTasks.toDouble / math.max(touched.size, 1)).toInt)
     // __sub must be INDEPENDENT of __bucket: both are mods of a key hash, so
     // reusing xxhash64(keyCols) would make (h mod buckets) determine

@@ -104,13 +104,14 @@ object Scd2 {
         coalesce(col(IceLite.DelCol.name), lit(false)).as("__del")): _*)
       .localCheckpoint()
     val changedKeys = feed.select(keyCols.map(col): _*).distinct()
-    val changedCnt = changedKeys.count()
-
-    // open rows of exactly the touched keys (bounded driver-side bucket
-    // derivation + structural prune + semi-join — never O(dimension))
-    val touched = feed
-      .select(IceLite.bucketExpr(keyCols, curSnap.buckets).as("__b"))
-      .distinct().as[Int].collect().toSet
+    // ONE job yields both the changed-key count and the touched-bucket set
+    // (the bucket is a function of the key, so per-bucket distinct-key
+    // counts sum to the total)
+    val perBucket = changedKeys
+      .groupBy(IceLite.bucketExpr(keyCols, curSnap.buckets).as("__b"))
+      .agg(count(lit(1)).as("n")).collect()
+    val changedCnt = perBucket.map(_.getLong(1)).sum
+    val touched = perBucket.map(_.getInt(0)).toSet
     val open = IceLite.read(spark, curSnap, f => touched(f.bucket))
       .join(changedKeys, keyCols.toSeq, "left_semi")
       .select((valCols.map(col) :+ col("valid_from").as("__vseq") :+
@@ -154,7 +155,8 @@ object Scd2 {
         new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("graft.fieldId", cd.id.toLong).build())) ++
         Seq(col("__sq"), col("__op")): _*)
-    val st = Merge.mergeEpoch(spark, currentDir(scdDir), pinned, "__sq", "__op", s"src-$to")
+    val st = Merge.mergeEpoch(spark, currentDir(scdDir), pinned, "__sq", "__op", s"src-$to",
+      batchRowsHint = Some(changedCnt)) // batch = last timeline row per changed key
     val deleted = last.filter(col("__del")).count()
     ApplyStats(from, to, st.applied, changedCnt, closedCnt,
       st.batchRows - deleted, deleted)

@@ -1171,7 +1171,8 @@ object CdcQueries {
         (2 to 3).foreach { v =>
           val st = clock(s"ship_v$v") {
             Replay.applyChanges(s, IceLite.changes(s, aDir, v - 1, v),
-              bDir, s"repl-$v", buckets = 4)
+              bDir, s"repl-$v", buckets = 4,
+              feedRowsHint = Some(IceLite.changesRowEstimate(aDir, v - 1, v)))
           }
           require(st.applied, s"shipping v$v must apply: $st")
           putMetric("q83", s"ship_v${v}_rows", st.batchRows.toDouble)
@@ -4275,7 +4276,8 @@ object CdcQueries {
         }
         def ship(from: Int, to: Int): Unit = {
           val st = Replay.applyChanges(s,
-            IceLite.changes(s, srcDir, from, to), replDir, s"repl-$to", buckets = 4)
+            IceLite.changes(s, srcDir, from, to), replDir, s"repl-$to", buckets = 4,
+            feedRowsHint = Some(IceLite.changesRowEstimate(srcDir, from, to)))
           require(st.applied, s"feed $from->$to must apply")
         }
         // interleave: chunk, commit, feed, chunk, commit, ... (no quiesce)
@@ -4537,7 +4539,8 @@ object CdcQueries {
             .select(dataCols.map(col) :+ col(IceLite.SeqCol.name).as("seq"): _*)
           Replay.bootstrap(s, snap, "seq", replica, buckets = 4)
           Replay.applyChanges(s, IceLite.changes(s, primary, 1, 2), replica,
-            "repl-2", buckets = 4)
+            "repl-2", buckets = 4,
+            feedRowsHint = Some(IceLite.changesRowEstimate(primary, 1, 2)))
         }
         import graft.lake.AntiEntropy
         val leaves = 32
@@ -6431,10 +6434,12 @@ object CdcQueries {
         val forkHead = IceLite.load(fork).version
         val feed = IceLite.changes(s, fork, 0, forkHead).localCheckpoint()
         val srcRows = IceLite.read(s, IceLite.load(src)).count()
-        require(feed.count() < srcRows,
-          s"merge-back must ship O(new work): ${feed.count()} feed rows vs $srcRows table rows")
+        val feedRows = feed.count()
+        require(feedRows < srcRows,
+          s"merge-back must ship O(new work): $feedRows feed rows vs $srcRows table rows")
         clock("merge_back") {
-          Replay.applyChanges(s, feed, src, s"merge-back-$forkHead", buckets = 8)
+          Replay.applyChanges(s, feed, src, s"merge-back-$forkHead", buckets = 8,
+            feedRowsHint = Some(feedRows))
         }
         // a replayed merge-back is a fenced no-op
         val vAfter = IceLite.load(src).version
