@@ -172,11 +172,17 @@ object MatJoin {
         (if (fKeys.contains(c.name)) col(c.name)
          else lit(null).cast(c.sparkType)).as(c.name)): _*)
       .withColumn("__op", lit("DELETE"))
+    // pin the batch: it previously executed its (fact-scan + joins) graph
+    // once for the counts and AGAIN inside the merge; one materialization
+    // serves both, and one groupBy replaces the two count jobs
     val batch0 = upserts.select(
         (outSchema.map(c => col(c.name)) :+ col("__op")): _*)
       .unionByName(deletes)
       .withColumn("__sq", lit(enc))
-    val nUp = upserts.count(); val nDel = deletes.count()
+      .localCheckpoint()
+    val byOp = batch0.groupBy("__op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUp = byOp.getOrElse("UPSERT", 0L); val nDel = byOp.getOrElse("DELETE", 0L)
     if (nUp + nDel == 0) {
       // still advance the watermark: a no-op version bump (compaction,
       // expire, a window whose changes cancel out) must not pin

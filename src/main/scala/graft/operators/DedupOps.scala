@@ -182,14 +182,25 @@ object DedupOps {
     def rowsDir: String = s"$dir/rows"
     def bandsDir: String = s"$dir/bands"
 
-    /** Append one batch's `signatures`-shaped frame (idempotent per batchId). */
+    /** Append one batch's `signatures`-shaped frame (idempotent per batchId).
+      * The two sides (rows/dkey, bands/bkey) are independent dynamic-
+      * partition writes whose wall is committer/small-file dominated at
+      * micro-batch sizes, so they run CONCURRENTLY (guide §2.6 overlap of
+      * independent jobs — distinct target dirs, so no committer staging
+      * collision). */
     def append(sigs: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
-      sigs.withColumn("dkey", docKeyCol(col("doc_id")))
-        .write.partitionBy("dkey").mode("overwrite")
-        .parquet(s"$rowsDir/batch=$batchId")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val rowsF = Future {
+        sigs.withColumn("dkey", docKeyCol(col("doc_id")))
+          .write.partitionBy("dkey").mode("overwrite")
+          .parquet(s"$rowsDir/batch=$batchId")
+      }
       bands(sigs).withColumn("bkey", bandKeyCol)
         .write.partitionBy("bkey").mode("overwrite")
         .parquet(s"$bandsDir/batch=$batchId")
+      Await.result(rowsF, Duration.Inf)
     }
 
     /** Full signature rows (verify side), unpruned (but live-batch-only —

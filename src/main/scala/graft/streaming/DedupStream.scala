@@ -33,6 +33,9 @@ object DedupStream {
   def start(spark: SparkSession, docsDir: String, schema: org.apache.spark.sql.types.StructType,
       sigDir: String, pairsDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    // drain-phase attribution, accumulated across microbatches under its
+    // own tag so the gate's wave clock is not clobbered
+    val clock = new graft.operators.CdcQueries.PhaseClock("q40drain")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
@@ -42,15 +45,17 @@ object DedupStream {
         val s = batch.sparkSession
         // one signature pass over THIS batch; replayed batch ids overwrite
         // their own subdirs (idempotent), never double-append
-        val sigs = DedupOps.signatures(s, batch).localCheckpoint()
+        val sigs = clock("sig") { DedupOps.signatures(s, batch).localCheckpoint() }
         val store = DedupOps.SigStore(sigDir)
-        store.append(sigs, batchId)
+        clock("append") { store.append(sigs, batchId) }
         // band-partitioned store: the pairing reads only the bkey
         // partitions THIS batch touches — O(batch + touched buckets) per
         // microbatch, not O(accumulated corpus)
-        DedupOps.incrementalVerifiedPairsStored(s, store, sigs)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        val mined = clock("mine") { DedupOps.incrementalVerifiedPairsStored(s, store, sigs) }
+        clock("emit") {
+          mined.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        }
         ()
       }
       .start()
@@ -93,6 +98,9 @@ object DedupStream {
         }
         ensureStarted()
         clock("drain") { q.processAllAvailable() }
+        if (sys.env.contains("SPARK_GRAFT_TIMING"))
+          q.recentProgress.takeRight(2).foreach(p =>
+            println(s"[timing] q40 batch=${p.batchId} durationMs=${p.durationMs}"))
       }
     } finally if (q != null) q.stop()
     spark.read.parquet(s"$workRoot/pairs").select("a", "b", "jaccard")
