@@ -36,7 +36,22 @@ object ReplayLab {
       println(f"LAB $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    if (mode == "replay") {
+    if (mode == "band") {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val e = graft.operators.Tables.ld(spark, sfDir, "embeddings")
+      time("band-cand-warm") {
+        graft.operators.SimilarityOps.bandedCandidates(spark, e).count()
+      }
+      time("band-cand") {
+        graft.operators.SimilarityOps.bandedCandidates(spark, e).count()
+      }
+      (1 to 2).foreach { i =>
+        time(s"band-full-$i") {
+          graft.operators.SimilarityOps.neardupPairs(spark, sfDir,
+            blockCap = 0, bandPrefilter = true).count()
+        }
+      }
+    } else if (mode == "replay") {
       // full replay, same as bench level
       val tableDir = "/dev/shm/graft-lab-table"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))

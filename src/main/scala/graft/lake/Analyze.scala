@@ -30,10 +30,13 @@ object Analyze {
     val snap = IceLite.load(dir)
     val table = IceLite.read(spark, snap)
     val visible = snap.currentSchema.filterNot(_.hidden).map(_.name)
-    visible.map { c =>
-      table.select(lit(c).as("col_name"), xxhash64(col(c)).as("h"),
-        col(c).isNull.as("isn"))
-    }.reduce(_.unionByName(_))
+    // ONE table pass: a per-column union re-scans (and delta-resolves) the
+    // table once per column; exploding a per-row array of (name, hash,
+    // isnull) structs yields the identical melted rows in a single scan
+    table.select(explode(array(visible.map(c =>
+        struct(lit(c).as("col_name"), xxhash64(col(c)).as("h"),
+          col(c).isNull.as("isn"))): _*)).as("__e"))
+      .select(col("__e.col_name"), col("__e.h"), col("__e.isn"))
   }
 
   /** Compute and persist stats. Output (sorted by col_name):
@@ -95,10 +98,12 @@ object Analyze {
     val table = IceLite.read(spark, snap, f => buckets(f.bucket))
       .withColumn("__b", IceLite.bucketExpr(snap.keyCols, snap.buckets))
     val visible = snap.currentSchema.filterNot(_.hidden).map(_.name)
-    val m = visible.map { c =>
-      table.select(col("__b").as("bucket"), lit(c).as("col_name"),
-        xxhash64(col(c)).as("h"), col(c).isNull.as("isn"))
-    }.reduce(_.unionByName(_))
+    // same single-pass melt as [[melt]] (one scan instead of one per column)
+    val m = table.select(col("__b").as("bucket"),
+        explode(array(visible.map(c =>
+          struct(lit(c).as("col_name"), xxhash64(col(c)).as("h"),
+            col(c).isNull.as("isn"))): _*)).as("__e"))
+      .select(col("bucket"), col("__e.col_name"), col("__e.h"), col("__e.isn"))
     val counts = m.groupBy("bucket", "col_name")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("isn"), 1L).otherwise(0L)).as("n_nulls"))

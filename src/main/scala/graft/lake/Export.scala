@@ -293,8 +293,16 @@ object Export {
     val stage = Files.createTempDirectory(chainRoot, s".san-$stepName-")
     val dataDir = stage.resolve("data")
     Files.createDirectories(dataDir)
-    var shipped = 0
-    val entries = snap.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
+    // per-file transform jobs are independent (distinct temp dirs, distinct
+    // targets): ship a few concurrently so one file's job latency doesn't
+    // serialize the step (guide §2.6 overlap); entry order is preserved by
+    // the ordered parallel map
+    val shippedCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.collection.parallel.CollectionConverters._
+    val parFiles = snap.files.sortBy(_.path).zipWithIndex.par
+    parFiles.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(4))
+    val entries = parFiles.map { case (f, i) =>
       prev.get(f.path) match {
         case Some(loc) => (f, loc)
         case None =>
@@ -308,10 +316,11 @@ object Export {
             .getOrElse(throw new IllegalStateException(s"no parquet for ${f.path}"))
           Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
           org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-          shipped += 1
+          shippedCtr.incrementAndGet()
           (f, s"$stepName/data/${target.getFileName}")
       }
-    }
+    }.toVector
+    val shipped = shippedCtr.get()
     val rows = MetaAgg.liveCount(snap).getOrElse(-1L)
     val cols = visible.map(c =>
       s"""{"name":${js(c.name)},"type":${js(c.dataType)},"id":${c.id}}""")

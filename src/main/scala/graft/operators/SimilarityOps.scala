@@ -136,7 +136,14 @@ object SimilarityOps {
     import s.implicits._
     val (bands, bits, _) = BandDefaults
     val signs = signMatrix(bands * bits)
-    e.select(col("label"), col("vec_id"), col("embedding"))
+    // same serial-scan guard as bandedCandidates: the 768-plane projection
+    // pass must not run on one partition just because the input is one file
+    val e0 = e.select(col("label"), col("vec_id"), col("embedding"))
+    val ein =
+      if (e0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        e0.repartition(s.sparkContext.defaultParallelism)
+      else e0
+    ein
       .as[(Int, Long, Seq[Float])]
       .mapPartitions(it => it.map { case (lbl, id, emb) =>
         (lbl, id, emb, bandKeys(signs, emb, bands, bits).toSeq)
@@ -177,7 +184,17 @@ object SimilarityOps {
     import s.implicits._
     val signs = signMatrix(bands * bits)
     val nb = bands; val b2 = bits
-    val sigs = e.select(col("label"), col("vec_id"), col("embedding"))
+    // the signature pass is compute-heavy (bands × bits plane projections
+    // per vector); a single-file input scans as ONE partition and would run
+    // it serially — spread it when the scan parallelism is below the
+    // cluster's (no-op at scale, where the input already has ≥ cores
+    // partitions; per-row math, so results are placement-independent)
+    val e0 = e.select(col("label"), col("vec_id"), col("embedding"))
+    val ein =
+      if (e0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        e0.repartition(s.sparkContext.defaultParallelism)
+      else e0
+    val sigs = ein
       .as[(Int, Long, Seq[Float])]
       .mapPartitions(it => it.flatMap { case (lbl, id, emb) =>
         val keys = bandKeys(signs, emb, nb, b2)

@@ -57,12 +57,21 @@ object TextIndex {
       * swap), so they can never disagree with the data they describe.
       * A replayed batch id overwrites everything with identical content. */
     def append(docs: DataFrame, batchId: Long): Unit = {
-      postings(docs).withColumn("tbucket", bucketCol)
-        .write.partitionBy("tbucket").mode("overwrite")
-        .parquet(s"$postingsDir/batch=$batchId")
+      // postings and doclens target distinct dirs and share no state —
+      // overlap the two committer-dominated writes (guide §2.6), same
+      // pattern as DedupOps.SigStore.append
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val postF = Future {
+        postings(docs).withColumn("tbucket", bucketCol)
+          .write.partitionBy("tbucket").mode("overwrite")
+          .parquet(s"$postingsDir/batch=$batchId")
+      }
       val lens = docs.select(col("doc_id"),
         size(expr(TextOps.wordsSpark)).cast("long").as("len"))
       writeDoclens(lens, s"$doclensDir/batch=$batchId")
+      Await.result(postF, Duration.Inf)
     }
 
     /** Write one doclens segment + its `_STATS` (underscore-prefixed:
