@@ -194,10 +194,12 @@ object DedupOps {
       import scala.concurrent.ExecutionContext.Implicits.global
       val rowsF = Future {
         sigs.withColumn("dkey", docKeyCol(col("doc_id")))
+          .repartition(col("dkey")) // one file per dkey, parallel write (§6)
           .write.partitionBy("dkey").mode("overwrite")
           .parquet(s"$rowsDir/batch=$batchId")
       }
       bands(sigs).withColumn("bkey", bandKeyCol)
+        .repartition(col("bkey"))
         .write.partitionBy("bkey").mode("overwrite")
         .parquet(s"$bandsDir/batch=$batchId")
       Await.result(rowsF, Duration.Inf)
@@ -274,9 +276,11 @@ object DedupOps {
       BatchStore.compact(dir, Seq(
         rowsDir -> ((stage: String) =>
           rows(s).withColumn("dkey", docKeyCol(col("doc_id")))
+            .repartition(col("dkey"))
             .write.partitionBy("dkey").mode("overwrite").parquet(stage)),
         bandsDir -> ((stage: String) =>
           allBands(s).withColumn("bkey", bandKeyCol)
+            .repartition(col("bkey"))
             .write.partitionBy("bkey").mode("overwrite").parquet(stage))),
         intoBatchId, crashPoint)
 

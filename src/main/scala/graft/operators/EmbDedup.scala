@@ -44,6 +44,7 @@ object EmbDedup {
         embs: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
       SimilarityOps.withBandKeys(s, embs)
         .withColumn("lkey", lkeyCol(col("label")))
+        .repartition(col("lkey")) // one file per lkey, parallel write (§6)
         .write.partitionBy("lkey").mode("overwrite")
         .parquet(s"$rowsDir/batch=$batchId")
 
@@ -81,6 +82,7 @@ object EmbDedup {
           s.read.option("basePath", rowsDir).parquet(live.map(_.toString): _*)
             .select("label", "vec_id", "embedding", "bands")
             .withColumn("lkey", lkeyCol(col("label")))
+            .repartition(col("lkey"))
             .write.partitionBy("lkey").mode("overwrite").parquet(stage)
         })),
         intoBatchId, crashPoint)

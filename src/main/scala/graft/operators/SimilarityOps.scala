@@ -563,6 +563,7 @@ object SimilarityOps {
         e: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
       assignCells(s, e, centroids(s))
         .select(col("cand"), col("vb"), col("cell"))
+        .repartition(col("cell")) // one file per cell, parallel write (§6)
         .write.partitionBy("cell").mode("overwrite")
         .parquet(s"$dataDir/batch=$batchId")
 
@@ -576,7 +577,8 @@ object SimilarityOps {
       val hasDels = BatchStore.listBatchDirs(delsDir).nonEmpty
       val sides = Seq(
         dataDir -> ((stage: String) =>
-          data(s).write.partitionBy("cell").mode("overwrite").parquet(stage))) ++
+          data(s).repartition(col("cell"))
+            .write.partitionBy("cell").mode("overwrite").parquet(stage))) ++
         (if (hasDels) Seq(delsDir -> ((stage: String) =>
           s.read.option("basePath", delsDir)
             .parquet(BatchStore.liveBatchDirs(delsDir).map(_.toString): _*)
@@ -606,6 +608,7 @@ object SimilarityOps {
       .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(idx.centsDir)
     assignCells(s, e, cents)
       .select(col("cand"), col("vb"), col("cell"))
+      .repartition(col("cell")) // one file per cell, parallel write (§6)
       .write.partitionBy("cell").mode("overwrite").parquet(s"${idx.dataDir}/batch=0")
     idx
   }

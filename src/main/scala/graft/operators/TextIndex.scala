@@ -64,7 +64,14 @@ object TextIndex {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val postF = Future {
+        // cluster by the partition column before the dynamic-partition
+        // write: the upstream groupBy hash-partitions by (doc_id, token),
+        // so every task would otherwise write a sliver file into every
+        // tbucket dir (tasks × buckets small files per batch); clustered,
+        // each tbucket is one file and the writes parallelize across
+        // buckets (guide §6 output sizing)
         postings(docs).withColumn("tbucket", bucketCol)
+          .repartition(col("tbucket"))
           .write.partitionBy("tbucket").mode("overwrite")
           .parquet(s"$postingsDir/batch=$batchId")
       }
@@ -173,6 +180,7 @@ object TextIndex {
       * carry either or both posting kinds. */
     def appendPositional(docs: DataFrame, batchId: Long): Unit =
       positionalPostings(docs).withColumn("tbucket", bucketCol)
+        .repartition(col("tbucket")) // one file per tbucket (see append)
         .write.partitionBy("tbucket").mode("overwrite")
         .parquet(s"$positionalDir/batch=$batchId")
 
@@ -308,7 +316,8 @@ object TextIndex {
       def retained(root: String, cols: Seq[String]): DataFrame =
         minusDeleted(spark, live(root)).select(cols.map(col): _*)
       def bucketed(root: String, cols: Seq[String]): String => Unit = { stage =>
-        retained(root, cols).write.partitionBy("tbucket").parquet(stage)
+        retained(root, cols).repartition(col("tbucket")) // one file/bucket
+          .write.partitionBy("tbucket").parquet(stage)
       }
       val hasDels = BatchStore.listBatchDirs(delsDir).nonEmpty
       val sides = Seq(
