@@ -45,12 +45,19 @@ object BenchExtra {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--reps" => reps = args(i + 1).toInt; i += 2
-        case "--explain" => explainDir = Some(args(i + 1)); i += 2
+        case "--reps" =>
+          require(i + 1 < args.length, "--reps needs a value")
+          reps = args(i + 1).toInt; i += 2
+        case "--explain" =>
+          require(i + 1 < args.length, "--explain needs a directory")
+          explainDir = Some(args(i + 1)); i += 2
+        case f if f.startsWith("--") =>
+          sys.error(s"unknown flag $f; usage: BenchExtra [--reps N] [--explain dir] <query names...>")
         case n => names :+= n; i += 1
       }
     }
     require(names.nonEmpty, "usage: BenchExtra [--reps N] [--explain dir] <query names...>")
+    names.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query: $n"))
 
     val spark = session(cpus)
     try {

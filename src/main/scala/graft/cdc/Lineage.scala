@@ -37,13 +37,19 @@ object Lineage {
     * `_temporary/0` staging dir — the first job's cleanup deletes the second
     * job's pending task output (the same trap replayLogsConcurrent's
     * flushLock guards for dead letters). Two tails on one table append
-    * per-batch, so serialize the tiny single-file write JVM-wide. */
-  private val writeLock = new Object
+    * per-batch, so serialize the tiny single-file write PER TABLE DIR
+    * (different tables' staging dirs are disjoint — no need to serialize
+    * across tables). */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def appendAll(spark: SparkSession, tableDir: String, es: Seq[Entry]): Unit = {
     import spark.implicits._
     if (es.isEmpty) return
-    writeLock.synchronized {
+    val lock = writeLocks.computeIfAbsent(
+      java.nio.file.Paths.get(tableDir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+    lock.synchronized {
       es.toDS().coalesce(1).write.mode("append").parquet(s"$tableDir/_lineage")
     }
   }

@@ -299,10 +299,10 @@ object Export {
     // the ordered parallel map
     val shippedCtr = new java.util.concurrent.atomic.AtomicInteger(0)
     import scala.collection.parallel.CollectionConverters._
+    val shipPool = new java.util.concurrent.ForkJoinPool(4)
     val parFiles = snap.files.sortBy(_.path).zipWithIndex.par
-    parFiles.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(4))
-    val entries = parFiles.map { case (f, i) =>
+    parFiles.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(shipPool)
+    val entries = try parFiles.map { case (f, i) =>
       prev.get(f.path) match {
         case Some(loc) => (f, loc)
         case None =>
@@ -319,7 +319,7 @@ object Export {
           shippedCtr.incrementAndGet()
           (f, s"$stepName/data/${target.getFileName}")
       }
-    }.toVector
+    }.toVector finally shipPool.shutdown()
     val shipped = shippedCtr.get()
     val rows = MetaAgg.liveCount(snap).getOrElse(-1L)
     val cols = visible.map(c =>

@@ -198,11 +198,15 @@ object DedupOps {
           .write.partitionBy("dkey").mode("overwrite")
           .parquet(s"$rowsDir/batch=$batchId")
       }
-      bands(sigs).withColumn("bkey", bandKeyCol)
+      // settle the background write before returning OR throwing — an
+      // orphaned in-flight job racing a replayed overwrite of the same
+      // batch dir is the shared-_temporary committer collision
+      try bands(sigs).withColumn("bkey", bandKeyCol)
         .repartition(col("bkey"))
         .write.partitionBy("bkey").mode("overwrite")
         .parquet(s"$bandsDir/batch=$batchId")
-      Await.result(rowsF, Duration.Inf)
+      finally Await.ready(rowsF, Duration.Inf)
+      Await.result(rowsF, Duration.Inf) // propagate a rows-side failure too
     }
 
     /** Full signature rows (verify side), unpruned (but live-batch-only —

@@ -77,8 +77,12 @@ object TextIndex {
       }
       val lens = docs.select(col("doc_id"),
         size(expr(TextOps.wordsSpark)).cast("long").as("len"))
-      writeDoclens(lens, s"$doclensDir/batch=$batchId")
-      Await.result(postF, Duration.Inf)
+      // the background write must SETTLE before append returns or throws:
+      // an orphaned in-flight job racing a checkpoint-replayed overwrite of
+      // the same batch dir is the shared-_temporary committer collision
+      try writeDoclens(lens, s"$doclensDir/batch=$batchId")
+      finally Await.ready(postF, Duration.Inf)
+      Await.result(postF, Duration.Inf) // propagate a postings failure too
     }
 
     /** Write one doclens segment + its `_STATS` (underscore-prefixed:

@@ -32,10 +32,14 @@ object DedupStream {
 
   def start(spark: SparkSession, docsDir: String, schema: org.apache.spark.sql.types.StructType,
       sigDir: String, pairsDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 64): StreamingQuery = {
-    // drain-phase attribution, accumulated across microbatches under its
-    // own tag so the gate's wave clock is not clobbered
-    val clock = new graft.operators.CdcQueries.PhaseClock("q40drain")
+      maxFilesPerTrigger: Int = 64,
+      /** drain-phase attribution clock, accumulated across microbatches
+        * under its own tag so the gate's wave clock is not clobbered; the
+        * harness passes ONE instance across checkpoint restarts so the
+        * post-restart query doesn't reset the accumulated phases. */
+      drainClock: graft.operators.CdcQueries.PhaseClock =
+        new graft.operators.CdcQueries.PhaseClock("q40drain")): StreamingQuery = {
+    val clock = drainClock
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
@@ -78,13 +82,15 @@ object DedupStream {
     // incl. the one checkpoint resume, drain = the actual per-microbatch
     // mining (signatures + pruned pairing + store/pairs writes)
     val clock = new graft.operators.CdcQueries.PhaseClock("q40")
+    val drainClock = new graft.operators.CdcQueries.PhaseClock("q40drain")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
     val docsDir = s"$workRoot/docs"
     val restartAt = chunks / 2 // one recovery, mid-corpus
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     def ensureStarted(): Unit = if (q == null)
       q = clock("startup") { start(spark, docsDir, docs.schema,
-        s"$workRoot/sigs", s"$workRoot/pairs", s"$workRoot/ckpt") }
+        s"$workRoot/sigs", s"$workRoot/pairs", s"$workRoot/ckpt",
+        drainClock = drainClock) }
     try {
       // NOT wrapped in withStreamShuffle: this harness is stateless
       // foreachBatch whose per-batch work (band joins + jaccard verify) is
